@@ -1,0 +1,160 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import Tables._
+
+/** Deduplication operators over `documents`: exact (hash groupBy), MinHash
+  * LSH (shingle → minhash → band → bucket self-join), SimHash, and exact
+  * n-gram Jaccard on candidate pairs.
+  *
+  * Scale design: near-dup never computes the O(n²) pair space — LSH banding
+  * turns it into an equi-join on (band, signature), which Spark shuffles by
+  * bucket key; only same-bucket candidates are verified. All hashing uses
+  * built-in xxhash64 (codegen'd), no UDFs.
+  */
+object Dedup {
+
+  /** Character k-shingles of normalized text (k=5). `sequence` + `substring`
+    * via expr because substring's pos must be a column here.
+    */
+  def shingles(textCol: String, k: Int = 5): Column =
+    array_distinct(expr(
+      s"transform(sequence(1, greatest(length($textCol) - ${k - 1}, 1)), i -> substring($textCol, i, $k))"))
+
+  /** MinHash signature: for seed j, min over shingles of xxhash64(shingle, j).
+    * ONE aggregate pass over the shingle array — the naive form (one
+    * `array_min(transform(...))` per seed) re-evaluates the shingle
+    * expression numHashes times, which benched 20× slower.
+    */
+  def minhash(shinglesCol: Column, numHashes: Int): Column =
+    aggregate(
+      shinglesCol,
+      array_repeat(lit(Long.MaxValue), numHashes),
+      (acc, sh) => zip_with(acc, sequence(lit(0), lit(numHashes - 1)),
+        (m, j) => least(m, xxhash64(sh, j))))
+
+  /** Corpus with synthetic duplicates: every 5th doc appears twice (ids offset
+    * by 100000) so dedup queries have real work at any SF.
+    */
+  def corpusWithDups(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    docs.unionByName(
+      docs.filter(col("doc_id") % 5 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Exact dedup: first-per-fingerprint via min(doc_id) groupBy (scales as
+    // a single hash aggregation; no window needed).
+    "d_exact_dedup" -> ((s, d) =>
+      corpusWithDups(s, d)
+        .groupBy(md5(Text.normText(col("text"))).as("fp"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .groupBy("n_copies")
+        .agg(count(lit(1)).as("n_groups"), min("keep_id").as("min_keep"))
+        .orderBy("n_copies")),
+
+    // MinHash-LSH near-dup pairs: 16 hashes × 4 bands of 4 → explode band
+    // signatures → equi-join on (band, bsig) → verify candidates by
+    // estimated Jaccard (fraction of equal minhashes) ≥ 0.7.
+    // At scale this is a shuffle on bucket key, never an O(n²) cross join.
+    // No DuckDB oracle (hash-function specific) → rows-only check.
+    "d_minhash_lsh" -> ((s, d) => {
+      val bands = 4
+      val rows = 4
+      val n = bands * rows
+      // explode shingles → 16 min(xxhash64) hash-aggregates per doc: stays
+      // in whole-stage codegen with map-side partial aggregation, unlike a
+      // higher-order aggregate() lambda (interpreted per element, ~5× slower)
+      val sig = corpusWithDups(s, d)
+        .select(col("doc_id"), explode(shingles("text")).as("sh"))
+        .groupBy("doc_id")
+        .agg(min(xxhash64(col("sh"), lit(0))).as("m0"),
+          (1 until n).map(j => min(xxhash64(col("sh"), lit(j))).as(s"m$j")): _*)
+        .select(col("doc_id"), array((0 until n).map(j => col(s"m$j")): _*).as("mh"))
+        .select(col("doc_id"), col("mh"), posexplode(
+          array((0 until bands).map(b =>
+            xxhash64((0 until rows).map(r => col("mh")(b * rows + r)): _*)): _*)
+        ).as(Seq("band", "bsig")))
+      val a = sig.select(col("doc_id").as("id_a"), col("mh").as("mh_a"), col("band"), col("bsig"))
+      val b = sig.select(col("doc_id").as("id_b"), col("mh").as("mh_b"), col("band"), col("bsig"))
+      a.join(b, Seq("band", "bsig"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(max(
+          size(filter(zip_with(col("mh_a"), col("mh_b"), (x, y) => x === y), p => p))
+            .cast("double") / n).as("est_sim"))
+        .filter(col("est_sim") >= 0.7)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // SimHash: 64-bit signature from token hashes; near-dups bucket by
+    // 16-bit chunks. Rows-only check (hash-function specific).
+    "d_simhash" -> ((s, d) => {
+      val toks = Text.tokens(Text.normText(col("text")))
+      val hashed = corpusWithDups(s, d)
+        .select(col("doc_id"), explode(toks).as("tok"))
+        .withColumn("h", xxhash64(col("tok")))
+      val bitSums = (0 until 64).map(b =>
+        sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b"))
+      val sim = hashed.groupBy("doc_id")
+        .agg(bitSums.head, bitSums.tail: _*)
+        .select(col("doc_id"),
+          (0 until 64).map(b =>
+            when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
+            .reduce((x, y) => x.bitwiseOR(y)).as("simhash"))
+      // bucket by high 16 bits — same-bucket docs are near-dup candidates
+      sim.withColumn("bucket", shiftright(col("simhash"), 48))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") > 1)
+        .orderBy("bucket")
+    }),
+
+    // Exact 3-gram Jaccard over a bounded candidate set (doc_id < 30 pairs).
+    "d_ngram_jaccard" -> ((s, d) => {
+      val docs = t(s, d, "documents").filter(col("doc_id") < 30)
+        .select(col("doc_id"), Dedup.shingles("text", 3).as("g"))
+      val a = docs.select(col("doc_id").as("id_a"), col("g").as("ga"))
+      val b = docs.select(col("doc_id").as("id_b"), col("g").as("gb"))
+      a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(
+            size(array_intersect(col("ga"), col("gb"))).cast("double") /
+              (size(col("ga")) + size(col("gb")) - size(array_intersect(col("ga"), col("gb")))),
+            4).as("jaccard"))
+        .filter(col("jaccard") > 0.5)
+        .orderBy("id_a", "id_b")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "d_exact_dedup" ->
+      """WITH dups AS (
+        |  SELECT * FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |grp AS (
+        |  SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+        |         min(doc_id) AS keep_id, count(*) AS n_copies
+        |  FROM dups GROUP BY 1)
+        |SELECT n_copies, count(*) AS n_groups, min(keep_id) AS min_keep
+        |FROM grp GROUP BY n_copies ORDER BY n_copies""".stripMargin,
+    "d_ngram_jaccard" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, greatest(length(text) - 2, 1) + 1),
+        |                  i -> substring(text, CAST(i AS INT), 3))) AS gr
+        |  FROM documents WHERE doc_id < 30)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE) /
+        |        (len(a.gr) + len(b.gr) - len(list_intersect(a.gr, b.gr))), 4) AS jaccard
+        |FROM g a, g b WHERE a.doc_id < b.doc_id
+        |  AND round(CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE) /
+        |        (len(a.gr) + len(b.gr) - len(list_intersect(a.gr, b.gr))), 4) > 0.5
+        |ORDER BY id_a, id_b""".stripMargin
+  )
+}

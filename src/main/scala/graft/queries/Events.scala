@@ -1,0 +1,92 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Tables._
+
+/** Event-stream operators over `events` in batch form, shaped so the same
+  * plans lift to Structured Streaming (`graft.streaming`): JSON extraction,
+  * event-time tumbling windows, sessionization by inactivity gap.
+  */
+object Events {
+
+  val queries: Map[String, Q] = Map(
+    // JSON extraction from the props column (get_json_object ~ E-extension).
+    "e_json_extract" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("bigint"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), sum("k").as("sum_k"),
+          min("k").as("min_k"), max("k").as("max_k"))
+        .orderBy("event_type")),
+
+    // Event-time tumbling window (1 hour) — date_trunc form matches the
+    // streaming window(ts, "1 hour") semantics on hour boundaries.
+    "e_hourly_window" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(date_trunc("HOUR", col("ts")).as("hour_ts"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
+        .orderBy("hour_ts", "event_type")),
+
+    // Sessionization: new session when gap from previous event > 30 min;
+    // per-user session counts. Window lag + running conditional sum.
+    "e_sessionize" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("prev_ts", lag("ts", 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull, 1)
+            .when(unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000L, 1)
+            .otherwise(0))
+        .groupBy("user_id")
+        .agg(sum("new_session").cast("bigint").as("n_sessions"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }),
+
+    // Daily top event type by count (window over aggregate).
+    "e_daily_top_type" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("day").orderBy(col("cnt").desc, col("event_type"))
+      daily.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("day", "event_type", "cnt")
+        .orderBy("day")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "e_json_extract" ->
+      """SELECT event_type, count(*) AS cnt,
+        |CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "e_hourly_window" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts, event_type,
+        |count(*) AS cnt, round(sum(value),2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_ts, event_type""".stripMargin,
+    "e_sessionize" ->
+      """WITH l AS (
+        |  SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |f AS (SELECT user_id,
+        |  CASE WHEN prev_ts IS NULL THEN 1
+        |       WHEN epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM l)
+        |SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+        |count(*) AS n_events
+        |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "e_daily_top_type" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT day, event_type, cnt,
+        |  row_number() OVER (PARTITION BY day ORDER BY cnt DESC, event_type) AS rn
+        |  FROM daily)
+        |SELECT day, event_type, cnt FROM r WHERE rn = 1 ORDER BY day""".stripMargin
+  )
+}

@@ -1,0 +1,234 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Tables._
+
+/** Standard relational operator corpus over the star schema: scans, filters,
+  * joins (broadcast/sort-merge/semi/anti/outer), aggregations, rollup/cube,
+  * windows, sort/limit/top-k, set ops (SURVEY §7.4 phase 3).
+  *
+  * Scale notes baked into each plan:
+  * - dimension joins (`part`, `customer`) are explicitly `broadcast()` — at
+  *   100 TB the fact side never shuffles for those;
+  * - fact-fact joins rely on sort-merge + AQE;
+  * - every aggregate is expressed so map-side partial aggregation applies;
+  * - every output is deterministically ordered and rounded so the DuckDB
+  *   oracle hash-matches.
+  */
+object Relational {
+
+  val queries: Map[String, Q] = Map(
+    // TPC-H-Q1-shaped pricing summary: scan → filter → partial+final agg.
+    "q1_agg" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .filter(to_date(col("l_shipdate")) <= lit("2000-12-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // TPC-H-Q3-shaped: selective dim filter → 3-way join → top-k revenue.
+    "q3_join_topk" -> ((s, d) => {
+      val c = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, d, "orders").filter(to_date(col("o_orderdate")) < lit("1999-01-01"))
+      val l = t(s, d, "lineitem")
+      broadcast(c).join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy(o("o_orderkey").as("o_orderkey"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    // Broadcast dim join: fact side never shuffles.
+    "q_join_broadcast" -> ((s, d) => {
+      val l = t(s, d, "lineitem")
+      val p = t(s, d, "part")
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 2).as("sum_qty"))
+        .orderBy("p_brand")
+    }),
+
+    // Left-semi join: existence check without materializing the right side.
+    "q_semi_join" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders").filter(col("o_totalprice") > 100000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // Left-anti join: customers with no pending ('P') orders, by segment.
+    "q_anti_join" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders").filter(col("o_orderstatus") === "P")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // Left-outer join preserving match-less rows; null-safe aggregation.
+    "q_outer_join" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .groupBy(c("c_custkey").as("c_custkey"))
+        .agg(
+          count(o("o_orderkey")).as("n_orders"),
+          round(sum(coalesce(o("o_totalprice"), lit(0.0))), 2).as("total_spent"))
+        .orderBy("c_custkey")
+    }),
+
+    "q_distinct" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .select("l_returnflag", "l_linestatus")
+        .distinct()
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // Hierarchical totals in one pass (partial-agg friendly).
+    "q_rollup" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("cnt"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
+
+    "q_cube" -> ((s, d) =>
+      t(s, d, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("sum_price"))
+        .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))),
+
+    // Ranked top-3 per group; unique tiebreak key keeps it deterministic.
+    "q_window_rank" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, d, "orders")
+        .withColumn("rn", row_number().over(w).cast("bigint"))
+        .filter(col("rn") <= 3)
+        .select("o_orderpriority", "rn", "o_orderkey", "o_totalprice")
+        .orderBy("o_orderpriority", "rn")
+    }),
+
+    // Moving sum + lag over an event-ordered per-key window.
+    "q_window_moving" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, d, "orders")
+        .withColumn("mv_sum3",
+          round(sum("o_totalprice").over(w.rowsBetween(-2, 0)), 2))
+        .withColumn("prev_price",
+          round(coalesce(lag("o_totalprice", 1).over(w), lit(0.0)), 2))
+        .select("o_custkey", "o_orderkey", "mv_sum3", "prev_price")
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // Top-k: Catalyst plans orderBy+limit as TakeOrderedAndProject (no full sort).
+    "q_topk" -> ((s, d) =>
+      t(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")),
+
+    "q_intersect" -> ((s, d) => {
+      val c = t(s, d, "customer").filter(col("c_mktsegment") === "MACHINERY")
+        .select(col("c_custkey").as("k"))
+      val o = t(s, d, "orders").select(col("o_custkey").as("k"))
+      c.intersect(o).orderBy("k")
+    }),
+
+    "q_except" -> ((s, d) => {
+      val c = t(s, d, "customer").select(col("c_custkey").as("k"))
+      val o = t(s, d, "orders").filter(col("o_orderstatus") === "P")
+        .select(col("o_custkey").as("k"))
+      c.except(o).orderBy("k")
+    }),
+
+    // Sketch-based distinct (HLL++) — no DuckDB oracle (approximate);
+    // driver records a rows-only check.
+    "q_approx_count_distinct" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct("l_partkey").as("approx_parts"))
+        .orderBy("l_returnflag"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |round(sum(l_quantity),2) AS sum_qty,
+        |round(sum(l_extendedprice),2) AS sum_base_price,
+        |round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+        |round(avg(l_quantity),4) AS avg_qty,
+        |round(avg(l_discount),4) AS avg_disc,
+        |count(*) AS count_order
+        |FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '2000-12-01'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_join_topk" ->
+      """SELECT o_orderkey, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |  AND CAST(o_orderdate AS DATE) < DATE '1999-01-01' AND o_orderkey = l_orderkey
+        |GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q_join_broadcast" ->
+      """SELECT p_brand, count(*) AS cnt, round(sum(l_quantity),2) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_mktsegment, count(*) AS cnt FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_outer_join" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        |round(sum(coalesce(o_totalprice, 0.0)),2) AS total_spent
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "q_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty, count(*) AS cnt
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt, round(sum(o_totalprice),2) AS sum_price
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q_window_rank" ->
+      """SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_orderpriority
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin,
+    "q_window_moving" ->
+      """SELECT o_custkey, o_orderkey,
+        |round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),2) AS mv_sum3,
+        |round(coalesce(lag(o_totalprice, 1) OVER (PARTITION BY o_custkey
+        |                              ORDER BY o_orderdate, o_orderkey), 0.0),2) AS prev_price
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q_intersect" ->
+      """SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'MACHINERY'
+        |INTERSECT SELECT o_custkey AS k FROM orders ORDER BY k""".stripMargin,
+    "q_except" ->
+      """SELECT c_custkey AS k FROM customer
+        |EXCEPT SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'P'
+        |ORDER BY k""".stripMargin
+  )
+}

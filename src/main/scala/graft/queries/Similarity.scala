@@ -1,0 +1,99 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import Tables._
+
+/** Similarity search over `embeddings.embedding` (Array[Float], dim 64):
+  * brute-force cosine top-k as the exact baseline, and an LSH-bucketed
+  * variant (random-hyperplane signs) as the 100 TB scale path — candidates
+  * meet via an equi-join on bucket signature instead of a cross join.
+  * Dot products via zip_with + aggregate higher-order functions (codegen'd);
+  * elements are cast to double first so accumulation order/precision is
+  * deterministic and oracle-comparable.
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")), lit(0.0), (acc, x) => acc + x))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  val queries: Map[String, Q] = Map(
+    // Exact brute-force cosine top-k against one query vector (vec_id 0).
+    // The query side is a 1-row broadcast; the scan side stays narrow.
+    "s_cosine_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+      emb.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), round(cosine(col("embedding"), col("qvec")), 4).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(10)
+    }),
+
+    // Per-label centroid dots: groupBy over vector aggregates — the shape of
+    // an IVF coarse-quantizer training pass. Element-wise mean via
+    // posexplode + groupBy(label, pos).
+    "s_label_centroid_norm" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      emb.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("label", "pos")
+        .agg(avg(col("v").cast("double")).as("mean_v"))
+        .groupBy("label")
+        .agg(round(sqrt(sum(col("mean_v") * col("mean_v"))), 4).as("centroid_norm"),
+          (count(lit(1)) / 64).cast("bigint").as("dim_check"))
+        .orderBy("label")
+    }),
+
+    // LSH-bucketed ANN: sign-of-dot-product against 16 deterministic
+    // pseudo-random hyperplanes → 16-bit bucket; same-bucket pairs are the
+    // candidate set. Rows-only check (bucketing is hash-specific).
+    "s_ann_lsh_buckets" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      // hyperplane h(p, i) = xxhash64(p, i) scaled to [-1, 1] — deterministic
+      val planes = 16
+      val sig = (0 until planes).map { p =>
+        val proj = aggregate(
+          zip_with(col("embedding"), sequence(lit(0), lit(63)),
+            (x, i) => x.cast("double") *
+              ((xxhash64(lit(p), i) % 1000).cast("double") / 1000.0)),
+          lit(0.0), (acc, x) => acc + x)
+        when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+      }.reduce((a, b) => a.bitwiseOR(b))
+      emb.select(col("vec_id"), col("label"), sig.as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_vecs"), countDistinct("label").as("n_labels"))
+        .filter(col("n_vecs") > 1)
+        .orderBy("bucket")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "s_cosine_topk" ->
+      """WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id,
+        |  round(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(qvec AS DOUBLE[])) /
+        |        (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+        |         sqrt(list_dot_product(CAST(qvec AS DOUBLE[]), CAST(qvec AS DOUBLE[])))), 4) AS cos
+        |FROM embeddings, q WHERE vec_id <> 0
+        |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+    "s_label_centroid_norm" ->
+      """WITH ex AS (
+        |  SELECT label, CAST(r.i AS INT) AS pos,
+        |         CAST(embedding[CAST(r.i AS INT) + 1] AS DOUBLE) AS v
+        |  FROM embeddings, range(64) r(i)),
+        |m AS (SELECT label, pos, avg(v) AS mean_v FROM ex GROUP BY label, pos)
+        |SELECT label, round(sqrt(sum(mean_v * mean_v)), 4) AS centroid_norm,
+        |CAST(count(*) / 64 AS BIGINT) AS dim_check
+        |FROM m GROUP BY label ORDER BY label""".stripMargin
+  )
+}

@@ -1,0 +1,116 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import Tables._
+
+/** Text-analysis operators for a training-data pipeline over `documents`:
+  * token counting, language breakdown, quality scoring (length / punctuation
+  * / stopword ratios), stopword-based language ID, and document
+  * fingerprinting. All pure codegen'd expressions (no UDFs) — at 100 TB each
+  * is a narrow map over the scan followed by a partial-aggregating groupBy.
+  */
+object Text {
+
+  /** Whitespace tokenization of normalized text. */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Normalized form used for fingerprinting/dedup: collapse whitespace,
+    * lowercase, trim.
+    */
+  def normText(c: Column): Column = lower(trim(regexp_replace(c, "\\s+", " ")))
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in")
+
+  val queries: Map[String, Q] = Map(
+    // Whitespace + BPE-ish regex token counts per document.
+    "t_token_count" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(
+          col("doc_id"),
+          size(tokens(col("text"))).cast("bigint").as("n_tokens"),
+          // BPE-ish: count word / punctuation token matches (RE2-safe —
+          // the DuckDB oracle can't do lookbehind splits)
+          regexp_count(col("text"), lit("\\w+|[^\\w\\s]")).cast("bigint").as("n_bpeish"))
+        .orderBy("doc_id")),
+
+    // Language × source breakdown with char statistics.
+    "t_lang_stats" -> ((s, d) =>
+      t(s, d, "documents")
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("cnt"),
+          round(avg("n_chars"), 2).as("avg_chars"),
+          sum("n_chars").as("sum_chars"))
+        .orderBy("lang")),
+
+    // Quality scoring: punctuation ratio, stopword ratio, mean token length.
+    "t_quality_score" -> ((s, d) => {
+      val txt = col("text")
+      val toks = tokens(lower(txt))
+      val nTok = size(toks)
+      val stopCnt = size(filter(toks, w => w.isInCollection(stopwords)))
+      t(s, d, "documents")
+        .select(
+          col("doc_id"),
+          round((length(txt) - length(regexp_replace(txt, "[.,!?;:]", ""))).cast("double") / length(txt), 4).as("punct_ratio"),
+          round(stopCnt.cast("double") / nTok, 4).as("stop_ratio"),
+          round((length(regexp_replace(txt, "\\s+", "")).cast("double")) / nTok, 4).as("avg_tok_len"))
+        .orderBy("doc_id")
+    }),
+
+    // Stopword-profile language ID (n-gram-heuristic shape; deterministic).
+    "t_lang_id" -> ((s, d) => {
+      val txt = lower(col("text"))
+      val guess = when(txt.rlike("(^| )(der|die|das|und|nicht)( |$)"), lit("de"))
+        .when(txt.rlike("(^| )(le|la|les|est|une)( |$)"), lit("fr"))
+        .when(txt.rlike("(^| )(el|los|las|una|es)( |$)"), lit("es"))
+        .when(txt.rlike("[\\u4e00-\\u9fff]"), lit("zh"))
+        .otherwise(lit("en"))
+      t(s, d, "documents")
+        .withColumn("lang_guess", guess)
+        .groupBy("lang_guess")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("lang_guess")
+    }),
+
+    // Document fingerprint: hash of whitespace-normalized lowercased text.
+    "t_fingerprint" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), md5(normText(col("text"))).as("fp"))
+        .orderBy("doc_id"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "t_token_count" ->
+      """SELECT doc_id,
+        |CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_bpeish
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t_lang_stats" ->
+      """SELECT lang, count(*) AS cnt, round(avg(n_chars),2) AS avg_chars,
+        |CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "t_quality_score" ->
+      """SELECT doc_id,
+        |round(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text), 4) AS punct_ratio,
+        |round(CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      w -> w IN ('the','a','of','and','to','in'))) AS DOUBLE)
+        |      / len(string_split_regex(trim(lower(text)), '\s+')), 4) AS stop_ratio,
+        |round(CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+        |      / len(string_split_regex(trim(text), '\s+')), 4) AS avg_tok_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t_lang_id" ->
+      """WITH g AS (SELECT CASE
+        |  WHEN regexp_matches(lower(text), '(^| )(der|die|das|und|nicht)( |$)') THEN 'de'
+        |  WHEN regexp_matches(lower(text), '(^| )(le|la|les|est|une)( |$)') THEN 'fr'
+        |  WHEN regexp_matches(lower(text), '(^| )(el|los|las|una|es)( |$)') THEN 'es'
+        |  WHEN regexp_matches(lower(text), '[一-鿿]') THEN 'zh'
+        |  ELSE 'en' END AS lang_guess FROM documents)
+        |SELECT lang_guess, count(*) AS cnt FROM g GROUP BY 1 ORDER BY lang_guess""".stripMargin,
+    "t_fingerprint" ->
+      """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

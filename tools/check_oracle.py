@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: for each query dumped by
+graft.Verify, run its oracle SQL in DuckDB over the same parquet tables and
+compare (columns sorted by name, rows sorted by all values).
+
+Usage: python3 tools/check_oracle.py /root/testdata/sf0.01 /tmp/verify-out
+"""
+import json, sys, math
+import duckdb
+
+sf_dir, out_dir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        rr = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                v = round(v, 9)
+            rr.append(str(v))
+        out.append(tuple(rr))
+    return sorted(cols), sorted(out)
+
+fails = []
+for name in sorted(oracle):
+    try:
+        o = con.execute(oracle[name])
+        ocols = [d[0] for d in o.description]
+        orows = o.fetchall()
+        s = con.execute(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+        scols = [d[0] for d in s.description]
+        srows = s.fetchall()
+        oc, orw = canon(orows, ocols)
+        sc, srw = canon(srows, scols)
+        if oc != sc:
+            fails.append(name)
+            print(f"FAIL {name}: cols oracle={oc} spark={sc}")
+        elif orw != srw:
+            fails.append(name)
+            diff = [(a, b) for a, b in zip(orw, srw) if a != b]
+            print(f"FAIL {name}: {len(orw)} vs {len(srw)} rows; first diffs (oracle, spark):")
+            for a, b in diff[:3]:
+                print(f"   oracle: {a}\n   spark : {b}")
+            if len(orw) != len(srw):
+                print(f"   row counts differ: oracle={len(orw)} spark={len(srw)}")
+        else:
+            print(f"PASS {name} ({len(srw)} rows)")
+    except Exception as e:
+        fails.append(name)
+        print(f"ERROR {name}: {e}")
+
+# rows-only queries (no oracle): check rows > 0
+import glob, os
+for d in sorted(glob.glob(f"{out_dir}/*/")):
+    name = os.path.basename(d.rstrip('/'))
+    if name in oracle:
+        continue
+    try:
+        n = con.execute(f"SELECT count(*) FROM '{d}*.parquet'").fetchone()[0]
+        print(f"ROWS {name}: {n}{' (EMPTY!)' if n == 0 else ''}")
+        if n == 0:
+            fails.append(name)
+    except Exception as e:
+        fails.append(name)
+        print(f"ERROR {name}: {e}")
+
+print(f"\n{'ALL PASS' if not fails else 'FAILURES: ' + ', '.join(sorted(set(fails)))}")
+sys.exit(1 if fails else 0)

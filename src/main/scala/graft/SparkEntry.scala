@@ -20,7 +20,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2 (+ extensions). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     EtlSurface.queries ++ Relational.queries ++ Text.queries ++
-      Dedup.queries ++ Similarity.queries ++ Events.queries
+      Dedup.queries ++ Similarity.queries ++ Events.queries ++
+      graft.multimodal.Multimodal.queries
 
   /** DuckDB-equivalent SQL per query; keys absent here get a weaker
     * rows-only check (approximate / hash-function-specific operators).

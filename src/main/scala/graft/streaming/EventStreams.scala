@@ -1,0 +1,102 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming forms of the `graft.queries.Events` batch operators.
+  * Each takes a (possibly streaming) DataFrame of the `events` schema
+  * (event_id long, ts timestamp, user_id long, event_type string,
+  * value double, props string) and returns a transformed frame that works
+  * identically under `readStream` (incremental, watermarked state) and
+  * `read` (batch) — the batch oracle checks in `queries.Events` therefore
+  * validate these plans too.
+  *
+  * Scale notes: watermarks bound the aggregation state; the grouping keys
+  * (window×type, session_window×user) shuffle once; state lives in the
+  * state store partitioned by key — the same layout a 1000-executor
+  * cluster uses.
+  */
+object EventStreams {
+
+  /** Event-time tumbling hourly counts; 2h watermark bounds state. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
+      .select(col("w.start").as("hour_ts"), col("event_type"), col("cnt"), col("sum_value"))
+
+  /** Sliding 1h window, 15m slide — same state model, 4× key fan-out. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("win_start"), col("event_type"), col("cnt"))
+
+  /** Built-in session windows: gap-based sessions per user. */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"))
+
+  // ---- custom state: flatMapGroupsWithState sessionization ----
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  final case class SessionState(start: Long, last: Long, n: Int)
+  final case class Session(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Int)
+
+  /** Custom stateful sessionization (the `flatMapGroupsWithState` extension
+    * point): closes a user's session when no event arrives within `gapMs`
+    * of the last one (event time). Emits closed sessions; open sessions
+    * stay in state until the watermark passes their timeout.
+    */
+  def sessionizeStateful(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+
+    def fn(userId: Long, batch: Iterator[Event],
+        state: GroupState[SessionState]): Iterator[Session] = {
+      val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var out = Vector.empty[Session]
+      var st = state.getOption
+      if (sorted.isEmpty) {
+        if (state.hasTimedOut) {
+          st.foreach(s => out :+= Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.n))
+          state.remove()
+        }
+      } else {
+        for (e <- sorted) {
+          val t = e.ts.getTime
+          st match {
+            case Some(s) if t - s.last <= gapMs =>
+              st = Some(s.copy(last = math.max(s.last, t), n = s.n + 1))
+            case Some(s) =>
+              out :+= Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.n)
+              st = Some(SessionState(t, t, 1))
+            case None =>
+              st = Some(SessionState(t, t, 1))
+          }
+        }
+        st.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.last + gapMs)
+        }
+      }
+      out.iterator
+    }
+
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)(
+        Encoders.product[SessionState], Encoders.product[Session])
+  }
+}

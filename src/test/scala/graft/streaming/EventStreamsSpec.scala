@@ -1,0 +1,81 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.{SparkSpec, TestSpark}
+import graft.queries.Tables
+
+/** Streaming semantics through a real MemoryStream → memory-sink query:
+  * watermark advance, incremental windowed aggregation, custom stateful
+  * session closing — plus batch/stream plan equivalence on the testdata.
+  */
+class EventStreamsSpec extends SparkSpec {
+
+  import EventStreams._
+
+  private def ts(minute: Int): Timestamp = new Timestamp(3600000L * 10 + minute * 60000L)
+
+  test("hourlyCounts over a MemoryStream: incremental update with watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Event]
+    val q = hourlyCounts(mem.toDF()).writeStream
+      .format("memory").queryName("hourly_test").outputMode(OutputMode.Update).start()
+    try {
+      mem.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(10), 1, "click", 2.0),
+        Event(3, ts(70), 2, "view", 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("hourly_test")
+        .select("hour_ts", "event_type", "cnt", "sum_value")
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      assert(rows == Set(
+        (ts(0), "click", 2L, 3.0),
+        (new Timestamp(ts(60).getTime), "view", 1L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("sessionizeStateful: closes a session only after the gap passes the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Event]
+    val q = sessionizeStateful(mem.toDS(), gapMs = 30 * 60000L).writeStream
+      .format("memory").queryName("sess_test").outputMode(OutputMode.Append).start()
+    try {
+      // user 1: two events 10 min apart (one session), then silence
+      mem.addData(Event(1, ts(0), 1, "click", 1.0), Event(2, ts(10), 1, "click", 1.0))
+      q.processAllAvailable()
+      // push watermark far past user 1's session timeout (2h wm delay + 30m gap)
+      mem.addData(Event(3, ts(400), 2, "view", 1.0))
+      q.processAllAvailable()
+      mem.addData(Event(4, ts(800), 2, "view", 1.0))
+      q.processAllAvailable()
+      val sessions = spark.table("sess_test")
+        .as[Session].collect().filter(_.user_id == 1)
+      assert(sessions.toSeq == Seq(Session(1, ts(0), ts(10), 2)))
+    } finally q.stop()
+  }
+
+  test("batch/stream equivalence: hourlyCounts on batch events == e_hourly_window query") {
+    val batch = hourlyCounts(Tables.events(spark, TestSpark.sf0001))
+      .orderBy("hour_ts", "event_type")
+    val oracle = graft.queries.Events.queries("e_hourly_window")(spark, TestSpark.sf0001)
+    assert(batch.collect().toSeq == oracle.collect().toSeq)
+  }
+
+  test("sessionWindows (built-in session_window) matches stateful session count on batch") {
+    import spark.implicits._
+    val ev = Tables.events(spark, TestSpark.sf0001)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value").as[Event]
+    val builtin = sessionWindows(ev.toDF(), "30 minutes")
+      .groupBy("user_id").count().orderBy("user_id")
+      .as[(Long, Long)].collect().toSeq
+    val oracle = graft.queries.Events.queries("e_sessionize")(spark, TestSpark.sf0001)
+      .select("user_id", "n_sessions").as[(Long, Long)].collect().toSeq
+    assert(builtin == oracle)
+  }
+}

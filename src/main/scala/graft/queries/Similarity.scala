@@ -15,7 +15,7 @@ import Tables._
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ in double precision. */
+  /** Σ aᵢ·bᵢ in double precision (higher-order-function form). */
   def dot(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
@@ -25,17 +25,23 @@ object Similarity {
   def norm(a: Column): Column =
     sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")), lit(0.0), (acc, x) => acc + x))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine via higher-order functions: interpreted lambda per element —
+    * kept as the pure-builtin reference; the hot path uses the native
+    * codegen'd [[graft.functions.CosineSimilarity]] expression instead.
+    */
+  def cosineHof(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   val queries: Map[String, Q] = Map(
     // Exact brute-force cosine top-k against one query vector (vec_id 0).
     // The query side is a 1-row broadcast; the scan side stays narrow.
     "s_cosine_topk" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
       val emb = t(s, d, "embeddings")
       val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
       emb.filter(col("vec_id") =!= 0)
         .crossJoin(broadcast(q))
-        .select(col("vec_id"), round(cosine(col("embedding"), col("qvec")), 4).as("cos"))
+        .select(col("vec_id"),
+          round(graft.functions.GraftFunctions.cosineSim(col("embedding"), col("qvec")), 4).as("cos"))
         .orderBy(col("cos").desc, col("vec_id"))
         .limit(10)
     }),

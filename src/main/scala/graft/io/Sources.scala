@@ -13,11 +13,8 @@ object Sources {
     * DataFrame with full schema inference — files may have heterogeneous
     * schemas, and per-file frames are what source detection operates on
     * (a multi-file `spark.read.csv(dir)` would union the schemas and break
-    * detection). Ref `multi_source_ad_etl.py:96-108`.
-    *
-    * `.xlsx` is intentionally unsupported offline (no connector available);
-    * the CSV path covers identical downstream semantics (SURVEY §7.5) and a
-    * clear error preserves the reference's dispatch-by-suffix shape.
+    * detection). Ref `multi_source_ad_etl.py:96-108`. `.xlsx` dispatches to
+    * the JDK-only [[Xlsx]] reader (reference S2).
     */
   def readTabularFiles(spark: SparkSession, rawDir: String): Seq[DataFrame] = {
     val dir = Paths.get(rawDir)
@@ -25,10 +22,8 @@ object Sources {
     val files = Files.list(dir).iterator().asScala.toSeq.sortBy(_.getFileName.toString)
     val dfs = files.flatMap { f =>
       f.getFileName.toString.toLowerCase match {
-        case n if n.endsWith(".csv") => Some(readCsv(spark, f))
-        case n if n.endsWith(".xlsx") =>
-          throw new UnsupportedOperationException(
-            s"XLSX source not available in this build (offline): $f — export as CSV")
+        case n if n.endsWith(".csv")  => Some(readCsv(spark, f))
+        case n if n.endsWith(".xlsx") => Some(Xlsx.read(spark, f))
         case _ => None
       }
     }

@@ -1,0 +1,131 @@
+package graft.io
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path}
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+/** Builds real .xlsx archives (zip + OOXML) in the test and reads them back
+  * through the engine's source dispatch.
+  */
+object XlsxTestWriter {
+
+  private def colRef(i: Int): String = graft.util.A1.intToBijectiveBase26(i + 1)
+
+  /** Write a minimal standards-shaped xlsx: shared strings for text cells,
+    * inline numbers for numerics.
+    */
+  def write(file: Path, header: Seq[String], rows: Seq[Seq[Any]]): Path = {
+    val strings = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    def sIdx(s: String): Int = strings.getOrElseUpdate(s, strings.size)
+
+    def cellXml(rowIdx: Int, c: Int, v: Any): String = {
+      val ref = s"${colRef(c)}${rowIdx + 1}"
+      v match {
+        case null => ""
+        case n: Int => s"""<c r="$ref"><v>$n</v></c>"""
+        case n: Long => s"""<c r="$ref"><v>$n</v></c>"""
+        case n: Double => s"""<c r="$ref"><v>$n</v></c>"""
+        case b: Boolean => s"""<c r="$ref" t="b"><v>${if (b) 1 else 0}</v></c>"""
+        case s: String => s"""<c r="$ref" t="s"><v>${sIdx(s)}</v></c>"""
+        case other => s"""<c r="$ref" t="s"><v>${sIdx(other.toString)}</v></c>"""
+      }
+    }
+
+    val allRows = header +: rows
+    val sheetRows = allRows.zipWithIndex.map { case (r, i) =>
+      s"""<row r="${i + 1}">${r.zipWithIndex.map { case (v, c) => cellXml(i, c, v) }.mkString}</row>"""
+    }.mkString
+    val sheetXml =
+      s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+         |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>$sheetRows</sheetData></worksheet>""".stripMargin
+    val sstXml =
+      s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+         |<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="${strings.size}" uniqueCount="${strings.size}">
+         |${strings.keys.map(s => s"<si><t>${scala.xml.Utility.escape(s)}</t></si>").mkString}</sst>""".stripMargin
+    val workbookXml =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets></workbook>""".stripMargin
+    val relsXml =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/></Relationships>""".stripMargin
+    val contentTypes =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"><Default Extension="xml" ContentType="application/xml"/><Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/></Types>""".stripMargin
+
+    val zos = new ZipOutputStream(Files.newOutputStream(file))
+    def put(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name))
+      zos.write(content.getBytes(StandardCharsets.UTF_8))
+      zos.closeEntry()
+    }
+    try {
+      put("[Content_Types].xml", contentTypes)
+      put("xl/workbook.xml", workbookXml)
+      put("xl/_rels/workbook.xml.rels", relsXml)
+      put("xl/worksheets/sheet1.xml", sheetXml)
+      put("xl/sharedStrings.xml", sstXml)
+    } finally zos.close()
+    file
+  }
+}
+
+class XlsxSpec extends SparkSpec {
+
+  test("reads shared strings, numbers, booleans; infers long/double/date/string") {
+    val f = Files.createTempDirectory("xlsx").resolve("t.xlsx")
+    XlsxTestWriter.write(f,
+      header = Seq("Name", "Count", "Price", "Day", "Active"),
+      rows = Seq(
+        Seq("alpha", 10, 1.5, "2025-08-01", true),
+        Seq("beta", 20, 2.25, "2025-08-02", false),
+        Seq("gamma", 30, 3.0, "2025-08-03", true)))
+    val df = Xlsx.read(spark, f)
+    assert(df.schema == StructType(Seq(
+      StructField("Name", StringType), StructField("Count", LongType),
+      StructField("Price", DoubleType), StructField("Day", DateType),
+      StructField("Active", BooleanType))))
+    assert(df.count() == 3)
+    val r = df.orderBy("Count").head()
+    assert(r.getString(0) == "alpha" && r.getLong(1) == 10L && r.getDouble(2) == 1.5)
+    assert(r.getDate(3).toString == "2025-08-01")
+  }
+
+  test("sparse rows: missing cells become nulls aligned by cell reference") {
+    val f = Files.createTempDirectory("xlsx").resolve("sparse.xlsx")
+    // row 2 omits column B entirely (no <c> element)
+    XlsxTestWriter.write(f,
+      header = Seq("A", "B", "C"),
+      rows = Seq(Seq("x", "y", "z"), Seq("only-a", null, "c3")))
+    val df = Xlsx.read(spark, f)
+    val rows = df.collect()
+    assert(rows.length == 2)
+    val sparse = rows.find(_.getString(0) == "only-a").get
+    assert(sparse.isNullAt(1) && sparse.getString(2) == "c3")
+  }
+
+  test("ETL pipeline over a mixed CSV + XLSX raw dir (reference S2 dispatch)") {
+    val dir = Files.createTempDirectory("mixed-raw")
+    // CSV: Meta source
+    Files.write(dir.resolve("meta.csv"),
+      ("Day,Account Name,Campaign Name,Ad Set Name,Ad Name,Amount Spent (USD),Impressions,Reach,Frequency,Link Clicks,Registrations Completed,Adds To Cart,Checkouts Initiated,Purchases,Purchases Conversion Value\n" +
+        "2025-08-01,acct_a,camp_m1,set_m1,ad_m1,120.5,12000,9000,1.33,350,12,40,25,9,901.25").getBytes(StandardCharsets.UTF_8))
+    // XLSX: TikTok source (same columns the criteria detect)
+    XlsxTestWriter.write(dir.resolve("tiktok.xlsx"),
+      header = Seq("By Day", "Account Name", "Campaign Name", "Ad Group Name", "Ad Name",
+        "Cost", "Impressions", "Frequency", "Reach", "Clicks (Destination)",
+        "Adds To Cart (Website)", "Checkouts Initiated (Website)", "Purchases (Website)",
+        "Purchase Value (Website)"),
+      rows = Seq(
+        Seq("Total of 1 campaigns", null, null, null, null, 101.0, 9500, 1.25, 7600, 250, 26, 15, 6, 455.0),
+        Seq("2025-08-01", "acct_t", "camp_t1", "grp_t1", "promo", 101.0, 9500, 1.25, 7600, 250, 26, 15, 6, 455.0)))
+    val engine = new graft.etl.MultiSourceAdEtl(graft.etl.Configs.apsl)
+    val out = engine.run(spark, dir.toString, capitalize = true)
+    val bySource = out.groupBy("Source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySource == Map("Meta" -> 1L, "TikTok" -> 1L)) // Total row removed
+  }
+}

@@ -23,6 +23,16 @@ object Dedup {
     array_distinct(expr(
       s"transform(sequence(1, greatest(length($textCol) - ${k - 1}, 1)), i -> substring($textCol, i, $k))"))
 
+  /** Exploded k-shingles: (row per shingle) without materializing the array —
+    * `posexplode(sequence)` then a codegen'd substring. For min-aggregation
+    * pipelines duplicates don't matter, so no array_distinct pass either.
+    */
+  def explodedShingles(df: DataFrame, idCol: String, textCol: String, k: Int = 5): DataFrame =
+    df.select(col(idCol),
+        expr(s"explode(sequence(1, greatest(length($textCol) - ${k - 1}, 1)))").as("i"),
+        col(textCol))
+      .select(col(idCol), expr(s"substring($textCol, i, $k)").as("sh"))
+
   /** MinHash signature: for seed j, min over shingles of xxhash64(shingle, j).
     * ONE aggregate pass over the shingle array — the naive form (one
     * `array_min(transform(...))` per seed) re-evaluates the shingle
@@ -65,14 +75,18 @@ object Dedup {
       val bands = 4
       val rows = 4
       val n = bands * rows
-      // explode shingles → 16 min(xxhash64) hash-aggregates per doc: stays
-      // in whole-stage codegen with map-side partial aggregation, unlike a
-      // higher-order aggregate() lambda (interpreted per element, ~5× slower)
-      val sig = corpusWithDups(s, d)
-        .select(col("doc_id"), explode(shingles("text")).as("sh"))
+      // explode shingle positions → hash each shingle ONCE → derive the
+      // 16-member hash family by re-hashing the 64-bit value with the seed
+      // (fixed-width long input — far cheaper than 16 string hashes; affine
+      // mixing would be cheaper still but wrapping arithmetic trips ANSI
+      // overflow checks) → 16 min-aggregates per doc. Whole-stage codegen,
+      // map-side partial aggregation.
+      def mix(j: Int) = xxhash64(col("h"), lit(j))
+      val sig = explodedShingles(corpusWithDups(s, d), "doc_id", "text")
+        .select(col("doc_id"), xxhash64(col("sh")).as("h"))
         .groupBy("doc_id")
-        .agg(min(xxhash64(col("sh"), lit(0))).as("m0"),
-          (1 until n).map(j => min(xxhash64(col("sh"), lit(j))).as(s"m$j")): _*)
+        .agg(min(mix(0)).as("m0"),
+          (1 until n).map(j => min(mix(j)).as(s"m$j")): _*)
         .select(col("doc_id"), array((0 until n).map(j => col(s"m$j")): _*).as("mh"))
         .select(col("doc_id"), col("mh"), posexplode(
           array((0 until bands).map(b =>

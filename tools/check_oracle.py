@@ -57,11 +57,15 @@ for name in sorted(oracle):
         fails.append(name)
         print(f"ERROR {name}: {e}")
 
-# rows-only queries (no oracle): check rows > 0
-import glob, os
-for d in sorted(glob.glob(f"{out_dir}/*/")):
-    name = os.path.basename(d.rstrip('/'))
-    if name in oracle:
+# rows-only queries (no oracle): check dump exists and rows > 0
+import json as _json, os
+declared = _json.load(open(f"{out_dir}/queries.json")) if os.path.exists(
+    f"{out_dir}/queries.json") else []
+for name in sorted(set(declared) - set(oracle)):
+    d = f"{out_dir}/{name}/"
+    if not os.path.isdir(d):
+        fails.append(name)
+        print(f"MISSING {name}: query dump failed (see Verify stderr)")
         continue
     try:
         n = con.execute(f"SELECT count(*) FROM '{d}*.parquet'").fetchone()[0]
@@ -71,6 +75,11 @@ for d in sorted(glob.glob(f"{out_dir}/*/")):
     except Exception as e:
         fails.append(name)
         print(f"ERROR {name}: {e}")
+# oracle-declared queries whose dump is missing
+for name in sorted(set(oracle)):
+    if not os.path.isdir(f"{out_dir}/{name}/"):
+        fails.append(name)
+        print(f"MISSING {name}: query dump failed (see Verify stderr)")
 
 print(f"\n{'ALL PASS' if not fails else 'FAILURES: ' + ', '.join(sorted(set(fails)))}")
 sys.exit(1 if fails else 0)

@@ -153,6 +153,15 @@ object Relational {
       c.except(o).orderBy("k")
     }),
 
+    // Pivot: status columns per priority (conditional-aggregation form —
+    // fixed value list, so no extra distinct-values job at scale).
+    "q_pivot" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(round(sum("o_totalprice"), 2))
+        .orderBy("o_orderpriority")),
+
     // Sketch-based distinct (HLL++) — no DuckDB oracle (approximate);
     // driver records a rows-only check.
     "q_approx_count_distinct" -> ((s, d) =>
@@ -223,6 +232,12 @@ object Relational {
     "q_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        |round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END),2) AS "F",
+        |round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END),2) AS "O",
+        |round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END),2) AS "P"
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_intersect" ->
       """SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'MACHINERY'
         |INTERSECT SELECT o_custkey AS k FROM orders ORDER BY k""".stripMargin,

@@ -60,6 +60,21 @@ object Similarity {
         .orderBy("label")
     }),
 
+    // Same centroid norms via the typed VectorMean Aggregator — one
+    // dim-length buffer per (group, partition) instead of the dim× row
+    // blowup of posexplode; identical oracle as s_label_centroid_norm.
+    "s_centroid_udaf" -> ((s, d) => {
+      val vecMean = graft.functions.VectorMean(64)
+      t(s, d, "embeddings")
+        .groupBy("label")
+        .agg(vecMean(col("embedding")).as("centroid"), count(lit(1)).as("n"))
+        .select(col("label"),
+          round(sqrt(aggregate(transform(col("centroid"), x => x * x), lit(0.0), (a, x) => a + x)), 4)
+            .as("centroid_norm"),
+          lit(1L).as("dim_check"))
+        .orderBy("label")
+    }),
+
     // LSH-bucketed ANN: sign-of-dot-product against 16 deterministic
     // pseudo-random hyperplanes → 16-bit bucket; same-bucket pairs are the
     // candidate set. Rows-only check (bucketing is hash-specific).
@@ -92,6 +107,15 @@ object Similarity {
         |         sqrt(list_dot_product(CAST(qvec AS DOUBLE[]), CAST(qvec AS DOUBLE[])))), 4) AS cos
         |FROM embeddings, q WHERE vec_id <> 0
         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+    "s_centroid_udaf" ->
+      """WITH ex AS (
+        |  SELECT label, CAST(r.i AS INT) AS pos,
+        |         CAST(embedding[CAST(r.i AS INT) + 1] AS DOUBLE) AS v
+        |  FROM embeddings, range(64) r(i)),
+        |m AS (SELECT label, pos, avg(v) AS mean_v FROM ex GROUP BY label, pos)
+        |SELECT label, round(sqrt(sum(mean_v * mean_v)), 4) AS centroid_norm,
+        |CAST(1 AS BIGINT) AS dim_check
+        |FROM m GROUP BY label ORDER BY label""".stripMargin,
     "s_label_centroid_norm" ->
       """WITH ex AS (
         |  SELECT label, CAST(r.i AS INT) AS pos,

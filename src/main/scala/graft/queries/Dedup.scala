@@ -45,14 +45,19 @@ object Dedup {
       (acc, sh) => zip_with(acc, sequence(lit(0), lit(numHashes - 1)),
         (m, j) => least(m, xxhash64(sh, j))))
 
-  /** Corpus with synthetic duplicates: every 5th doc appears twice (ids offset
-    * by 100000) so dedup queries have real work at any SF.
+  /** Corpus with synthetic duplicates: every 5th doc appears twice (ids
+    * offset by 100000) so dedup queries have real work at any SF.
+    * Single scan: rows self-replicate via an exploded offset array instead
+    * of a union of two scans (halves the read at scale).
     */
   def corpusWithDups(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents")
-    docs.unionByName(
-      docs.filter(col("doc_id") % 5 === 0)
-        .withColumn("doc_id", col("doc_id") + 100000))
+    docs
+      .withColumn("__off",
+        explode(when(col("doc_id") % 5 === 0, array(lit(0L), lit(100000L)))
+          .otherwise(array(lit(0L)))))
+      .withColumn("doc_id", col("doc_id") + col("__off"))
+      .drop("__off")
   }
 
   val queries: Map[String, Q] = Map(

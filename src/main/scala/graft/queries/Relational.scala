@@ -153,6 +153,58 @@ object Relational {
       c.except(o).orderBy("k")
     }),
 
+    // As-of (point-in-time) join — an operator Spark lacks natively,
+    // composed per the preference order (SURVEY §7.5a): tag + UNION the two
+    // sides on (key, time), one window pass carrying the last non-null
+    // right-side payload forward, filter back to left rows. ONE shuffle on
+    // the key — no range cross-join, no per-row subquery — so it scales
+    // like any windowed aggregation. Right side is pre-aggregated to one
+    // row per (key, time) so ties are deterministic. DuckDB oracle uses its
+    // native ASOF LEFT JOIN.
+    "q_asof_join" -> ((s, d) => {
+      val od = t(s, d, "orders")
+        .groupBy(col("o_custkey").as("k"), to_date(col("o_orderdate")).as("t"))
+        .agg(max("o_totalprice").as("p"))
+      val ev = Tables.events(s, d)
+        .select(col("user_id").as("k"), to_date(col("ts")).as("t"), col("event_id"))
+      val tagged = od.select(col("k"), col("t"), lit(null).cast("bigint").as("event_id"),
+          col("p"), lit(0).as("tag"))
+        .unionByName(ev.select(col("k"), col("t"), col("event_id"),
+          lit(null).cast("double").as("p"), lit(1).as("tag")))
+      val w = Window.partitionBy("k").orderBy(col("t"), col("tag"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .withColumn("last_price", last("p", ignoreNulls = true).over(w))
+        .filter(col("tag") === 1)
+        .select(col("event_id"), col("k").as("user_id"), col("last_price"))
+        .orderBy("event_id")
+    }),
+
+    // Range join (same-customer orders within ±7 days of each other) —
+    // composed as a bucket equi-join (SURVEY §7.5a): days bin into 7-day
+    // buckets, the probe side explodes to its 3 candidate buckets, the join
+    // is an equi-join on (key, bucket) with the exact range predicate as a
+    // cheap post-filter. Spark would plan the naive inequality join as a
+    // broadcast nested loop — this scales as a 3× fan-out hash join.
+    "q_range_join" -> ((s, d) => {
+      val base = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey").as("k"),
+        datediff(to_date(col("o_orderdate")), to_date(lit("1970-01-01"))).as("ed"))
+      val probe = base.withColumn("b",
+        explode(array(floor(col("ed") / 7) - 1, floor(col("ed") / 7), floor(col("ed") / 7) + 1)))
+      val build = base.select(col("k").as("k2"), col("o_orderkey").as("ok2"),
+        col("ed").as("ed2"), floor(col("ed") / 7).as("b2"))
+      val matched = probe.join(build,
+          probe("k") === build("k2") && probe("b") === build("b2") &&
+            probe("o_orderkey") =!= build("ok2") && abs(probe("ed") - build("ed2")) <= 7)
+        .groupBy(probe("o_orderkey").as("o_orderkey"))
+        .agg(count(lit(1)).as("n_within"))
+      base.join(matched, Seq("o_orderkey"), "left")
+        .select(coalesce(col("n_within"), lit(0L)).as("n_within"))
+        .groupBy("n_within")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("n_within")
+    }),
+
     // Pivot: status columns per priority (conditional-aggregation form —
     // fixed value list, so no extra distinct-values job at scale).
     "q_pivot" -> ((s, d) =>
@@ -232,6 +284,22 @@ object Relational {
     "q_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q_asof_join" ->
+      """WITH od AS (
+        |  SELECT o_custkey AS k, CAST(o_orderdate AS DATE) AS t, max(o_totalprice) AS p
+        |  FROM orders GROUP BY 1, 2),
+        |e AS (SELECT event_id, user_id, CAST(ts AS DATE) AS d FROM events)
+        |SELECT e.event_id, e.user_id, od.p AS last_price
+        |FROM e ASOF LEFT JOIN od ON e.user_id = od.k AND e.d >= od.t
+        |ORDER BY event_id""".stripMargin,
+    "q_range_join" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS dy FROM orders),
+        |c AS (SELECT a.o_orderkey, count(b.o_orderkey) AS n_within
+        |      FROM o a LEFT JOIN o b ON a.o_custkey = b.o_custkey
+        |        AND b.o_orderkey <> a.o_orderkey
+        |        AND abs(date_diff('day', b.dy, a.dy)) <= 7
+        |      GROUP BY 1)
+        |SELECT n_within, count(*) AS n_orders FROM c GROUP BY 1 ORDER BY n_within""".stripMargin,
     "q_pivot" ->
       """SELECT o_orderpriority,
         |round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END),2) AS "F",

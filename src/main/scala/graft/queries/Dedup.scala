@@ -97,10 +97,15 @@ object Dedup {
           array((0 until bands).map(b =>
             xxhash64((0 until rows).map(r => col("mh")(b * rows + r)): _*)): _*)
         ).as(Seq("band", "bsig")))
-      val a = sig.select(col("doc_id").as("id_a"), col("mh").as("mh_a"), col("band"), col("bsig"))
-      val b = sig.select(col("doc_id").as("id_b"), col("mh").as("mh_b"), col("band"), col("bsig"))
-      a.join(b, Seq("band", "bsig"))
-        .filter(col("id_a") < col("id_b"))
+      // alias-based self-join: both sides are the SAME canonical subplan, so
+      // the shuffle on (band, bsig) is computed once and the second side is
+      // a ReusedExchange — at 100 TB this halves the dominant stage
+      val a = sig.as("a")
+      val b = sig.as("b")
+      a.join(b, col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig"))
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          col("a.mh").as("mh_a"), col("b.mh").as("mh_b"))
         .groupBy("id_a", "id_b")
         .agg(max(
           size(filter(zip_with(col("mh_a"), col("mh_b"), (x, y) => x === y), p => p))

@@ -33,18 +33,6 @@ object Dedup {
         col(textCol))
       .select(col(idCol), expr(s"substring($textCol, i, $k)").as("sh"))
 
-  /** MinHash signature: for seed j, min over shingles of xxhash64(shingle, j).
-    * ONE aggregate pass over the shingle array — the naive form (one
-    * `array_min(transform(...))` per seed) re-evaluates the shingle
-    * expression numHashes times, which benched 20× slower.
-    */
-  def minhash(shinglesCol: Column, numHashes: Int): Column =
-    aggregate(
-      shinglesCol,
-      array_repeat(lit(Long.MaxValue), numHashes),
-      (acc, sh) => zip_with(acc, sequence(lit(0), lit(numHashes - 1)),
-        (m, j) => least(m, xxhash64(sh, j))))
-
   /** Corpus with synthetic duplicates: every 5th doc appears twice (ids
     * offset by 100000) so dedup queries have real work at any SF.
     * Single scan: rows self-replicate via an exploded offset array instead

@@ -16,6 +16,19 @@ import Tables._
 object EtlSurface {
 
   val queries: Map[String, Q] = Map(
+    // The flagship reference pipelines end-to-end (read → detect → clean →
+    // standardize → merge) over the deterministic fixture CSVs — the
+    // testdata dir carries no ad exports, so these are rows-only checks
+    // (the DuckDB oracle sees only the testdata tables).
+    "etl_pipeline_apsl" -> ((s, _) =>
+      new MultiSourceAdEtl(graft.etl.Configs.apsl)
+        .run(s, graft.etl.Fixtures.materialize("apsl"), capitalize = true)
+        .orderBy("Source", "Day")),
+    "etl_pipeline_like_eat" -> ((s, _) =>
+      new MultiSourceAdEtl(graft.etl.Configs.likeEat)
+        .run(s, graft.etl.Fixtures.materialize("like_eat"), capitalize = true)
+        .orderBy("Source", "일")),
+
     // P8/E1: Polars `remove` translation — rows with a NULL predicate are
     // KEPT (filter(!coalesce(pred, false))), via the engine's removeRows.
     "etl_remove_prefix" -> ((s, d) => {

@@ -46,6 +46,15 @@ object EventStreams {
       .select(col("user_id"), col("sw.start").as("session_start"),
         col("sw.end").as("session_end"), col("n_events"))
 
+  /** Streaming exact dedup: drop events whose `event_id` was already seen,
+    * with state bounded by the watermark (late duplicates beyond 2h are
+    * outside the guarantee — the training-data ingestion contract).
+    */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
   // ---- custom state: flatMapGroupsWithState sessionization ----
 
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,

@@ -60,6 +60,22 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream drops duplicate event_ids across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Event]
+    val q = dedupStream(mem.toDF()).writeStream
+      .format("memory").queryName("dedup_test").outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(Event(1, ts(0), 1, "click", 1.0), Event(1, ts(0), 1, "click", 1.0))
+      q.processAllAvailable()
+      mem.addData(Event(1, ts(5), 1, "click", 1.0), Event(2, ts(6), 1, "view", 2.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_test").as[Event].collect().map(_.event_id).sorted
+      assert(ids.toSeq == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("batch/stream equivalence: hourlyCounts on batch events == e_hourly_window query") {
     val batch = hourlyCounts(Tables.events(spark, TestSpark.sf0001))
       .orderBy("hour_ts", "event_type")

@@ -82,13 +82,16 @@ final class MultiSourceAdEtl(val config: EtlConfig) {
     frames.map { case Sourced(src, df) =>
       val mapping = config.renameMappings.getOrElse(
         src, throw new IllegalArgumentException(s"Mapping required for source: $src"))
+      // Polars `rename` is strict: a mapping key absent from the frame
+      // raises rather than silently no-opping (withColumnsRenamed alone
+      // would hide it and the conform step would fill the target with
+      // nulls — a silently corrupt report).
+      val absent = mapping.keys.filterNot(df.columns.toSet)
+      if (absent.nonEmpty) throw new IllegalArgumentException(
+        s"""Rename source column(s) not found in "$src" frame: ${absent.mkString(", ")}""" +
+          s" (columns: ${df.columns.mkString(", ")})")
       val renamed = df.withColumnsRenamed(mapping)
-      val present = renamed.columns.toSet
-      val conformed = config.standardSchema.fields.map { f =>
-        val base = if (present.contains(f.name)) renamed(f.name) else lit(null)
-        base.cast(f.dataType).as(f.name)
-      }
-      renamed.select(conformed.toIndexedSeq: _*)
+      MultiSourceAdEtl.conformTo(renamed, config.standardSchema)
     }
 
   /** UNION ALL of the conformed frames (`multi_source_ad_etl.py:202-205`).
@@ -113,6 +116,18 @@ object MultiSourceAdEtl {
     * characters.
     */
   def capitalizeName(s: String): String = s.toLowerCase.capitalize
+
+  /** Conform a frame to a declared schema in ONE projection: missing
+    * columns become typed nulls, extras are dropped, order is schema order,
+    * every column is cast (strict under ANSI mode).
+    */
+  def conformTo(df: DataFrame, schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val present = df.columns.toSet
+    df.select(schema.fields.toIndexedSeq.map { f =>
+      val base = if (present.contains(f.name)) df(f.name) else lit(null)
+      base.cast(f.dataType).as(f.name)
+    }: _*)
+  }
 
   /** Null-keeping anti-filter: drop rows where `pred` is TRUE, keep rows
     * where it is null — Polars `DataFrame.remove` semantics

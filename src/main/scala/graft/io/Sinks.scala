@@ -33,15 +33,16 @@ object Sinks {
       val ordered = if (orderBy.nonEmpty) df.orderBy(orderBy: _*) else df
       ordered.coalesce(1).write.mode("overwrite").option("header", "true")
         .csv(tmp.resolve("out").toString)
-      val part = Files.list(tmp.resolve("out")).iterator().asScala
-        .find(_.getFileName.toString.startsWith("part-"))
+      val part = scala.util.Using.resource(Files.list(tmp.resolve("out")))(
+        _.iterator().asScala.find(_.getFileName.toString.startsWith("part-")))
         .getOrElse(throw new IllegalStateException(s"no part file under $tmp"))
       Files.deleteIfExists(out)
       Files.write(out, Utf8Bom, StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
       val body = Files.readAllBytes(part)
       Files.write(out, body, StandardOpenOption.APPEND)
     } finally {
-      Files.walk(tmp).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      scala.util.Using.resource(Files.walk(tmp))(
+        _.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_)))
     }
   }
 
@@ -70,7 +71,8 @@ object Sinks {
   }
 
   /** Test double for [[SheetService]]: stores the last uploaded payload per
-    * (key, sheet) and replays it for `get`.
+    * (key, sheet) and replays the FULL payload for `get` — it does not crop
+    * to the requested A1 sub-rectangle like the real Sheets API would.
     */
   final class InMemorySheetService extends SheetService {
     val cleared = mutable.ArrayBuffer.empty[(String, String, String)]

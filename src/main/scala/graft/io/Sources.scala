@@ -19,7 +19,8 @@ object Sources {
   def readTabularFiles(spark: SparkSession, rawDir: String): Seq[DataFrame] = {
     val dir = Paths.get(rawDir)
     require(Files.isDirectory(dir), s"Not a directory: $rawDir")
-    val files = Files.list(dir).iterator().asScala.toSeq.sortBy(_.getFileName.toString)
+    val files = scala.util.Using.resource(Files.list(dir))(
+      _.iterator().asScala.toSeq.sortBy(_.getFileName.toString))
     val dfs = files.flatMap { f =>
       f.getFileName.toString.toLowerCase match {
         case n if n.endsWith(".csv")  => Some(readCsv(spark, f))

@@ -69,11 +69,17 @@ object Xlsx {
   private val DateRe = "\\d{4}-\\d{2}-\\d{2}".r
   private val BoolRe = "(?i)true|false".r
 
+  /** Calendar-valid, not just regex-shaped — an ANSI strict cast of
+    * '2026-02-30' would otherwise crash the whole read at action time.
+    */
+  private def isValidDate(s: String): Boolean =
+    DateRe.matches(s) && scala.util.Try(java.time.LocalDate.parse(s)).isSuccess
+
   private def inferType(values: Seq[String]): DataType =
     if (values.isEmpty) StringType
     else if (values.forall(LongRe.matches)) LongType
     else if (values.forall(DoubleRe.matches)) DoubleType
-    else if (values.forall(DateRe.matches)) DateType
+    else if (values.forall(isValidDate)) DateType
     else if (values.forall(BoolRe.matches)) BooleanType
     else StringType
 

@@ -100,8 +100,7 @@ object Multimodal {
       val decoded = sampleFrames(resize(decodeAndFeaturize(mediaFromDocuments(s, d)), 256), 4)
       decoded.toDF()
         .select(col("media_id"), col("kind"), col("width"), col("height"), col("n_frames"),
-          sqrt(aggregate(transform(col("features"), x => x.cast("double") * x.cast("double")),
-            lit(0.0), (a, x) => a + x)).as("feat_norm"))
+          graft.queries.Similarity.norm(col("features")).as("feat_norm"))
         .groupBy("kind")
         .agg(count(lit(1)).as("cnt"),
           round(avg("feat_norm"), 4).as("avg_feat_norm"),

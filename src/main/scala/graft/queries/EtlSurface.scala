@@ -47,18 +47,14 @@ object EtlSurface {
     }),
 
     // P4–P6: conform to a declared schema — missing column as typed null,
-    // extras dropped, order forced, every column cast. One Project.
+    // extras dropped, order forced, every column cast. One Project, via the
+    // engine's own conform helper so the corpus exercises the real code path.
     "etl_conform_schema" -> ((s, d) => {
       val declared = StructType(Seq(
         StructField("p_partkey", LongType), StructField("p_name", StringType),
         StructField("p_size", LongType), StructField("p_retailprice", DoubleType),
         StructField("discontinued", StringType)))
-      val p = t(s, d, "part")
-      val present = p.columns.toSet
-      p.select(declared.fields.toIndexedSeq.map { f =>
-        val base = if (present.contains(f.name)) p(f.name) else lit(null)
-        base.cast(f.dataType).as(f.name)
-      }: _*).orderBy("p_partkey")
+      MultiSourceAdEtl.conformTo(t(s, d, "part"), declared).orderBy("p_partkey")
     }),
 
     // U1: UNION ALL of two independently-conformed branches, then agg.

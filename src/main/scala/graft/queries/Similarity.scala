@@ -69,8 +69,7 @@ object Similarity {
         .groupBy("label")
         .agg(vecMean(col("embedding")).as("centroid"), count(lit(1)).as("n"))
         .select(col("label"),
-          round(sqrt(aggregate(transform(col("centroid"), x => x * x), lit(0.0), (a, x) => a + x)), 4)
-            .as("centroid_norm"),
+          round(norm(col("centroid")), 4).as("centroid_norm"),
           lit(1L).as("dim_check"))
         .orderBy("label")
     }),

@@ -29,6 +29,12 @@ object Skew {
       salts: Int,
       joinType: String = "inner"): DataFrame = {
     require(salts > 0, s"salts must be positive, got $salts")
+    // right/full would emit `salts` copies of every unmatched dim row
+    val supported = Set("inner", "left", "left_outer", "leftouter", "cross",
+      "left_semi", "leftsemi", "semi", "left_anti", "leftanti", "anti")
+    require(supported.contains(joinType.toLowerCase.replace(" ", "")),
+      s"saltedJoin supports inner/left/semi/anti join types, got '$joinType' " +
+        "(right/full would duplicate unmatched dim rows per salt)")
     val saltedFact = fact.withColumn(
       SaltCol, pmod(xxhash64(col(key), monotonically_increasing_id()), lit(salts.toLong)))
     val saltedDim = dim.withColumn(

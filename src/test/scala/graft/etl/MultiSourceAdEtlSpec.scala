@@ -100,6 +100,21 @@ class MultiSourceAdEtlSpec extends SparkSpec {
     assert(e.getMessage.contains("Mystery"))
   }
 
+  test("strict rename: mapped raw columns missing from the frame raise (Polars rename parity)") {
+    val engine = new MultiSourceAdEtl(Configs.apsl)
+    import scala.jdk.CollectionConverters._
+    // satisfies Meta's criteria {Day, Purchases conversion value} but lacks
+    // the other mapped raw columns — the reference's strict df.rename raises
+    val df = spark.createDataFrame(
+      Seq(org.apache.spark.sql.Row("2025-08-01", "1.0")).asJava,
+      StructType(Seq("Day", "Purchases conversion value")
+        .map(StructField(_, StringType, nullable = true))))
+    val e = intercept[IllegalArgumentException] {
+      engine.standardizeDataFrames(engine.assignSource(Seq(df)))
+    }
+    assert(e.getMessage.contains("not found") && e.getMessage.contains("Impressions"))
+  }
+
   test("V5: empty raw dir raises and lists files") {
     val empty = Files.createTempDirectory("graft-empty")
     Files.write(empty.resolve("notes.txt"), "x".getBytes)

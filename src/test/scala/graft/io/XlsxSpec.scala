@@ -94,6 +94,16 @@ class XlsxSpec extends SparkSpec {
     assert(r.getDate(3).toString == "2025-08-01")
   }
 
+  test("regex-shaped but calendar-invalid dates stay strings (no ANSI cast crash)") {
+    val f = Files.createTempDirectory("xlsx").resolve("baddate.xlsx")
+    XlsxTestWriter.write(f,
+      header = Seq("Day"),
+      rows = Seq(Seq("2025-08-01"), Seq("2026-02-30")))
+    val df = Xlsx.read(spark, f)
+    assert(df.schema("Day").dataType == StringType)
+    assert(df.count() == 2)
+  }
+
   test("sparse rows: missing cells become nulls aligned by cell reference") {
     val f = Files.createTempDirectory("xlsx").resolve("sparse.xlsx")
     // row 2 omits column B entirely (no <c> element)

@@ -1,0 +1,40 @@
+package graft.etl
+
+import java.nio.file.Paths
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+import graft.io.Sinks
+import graft.util.A1
+
+/** The reference's script lifecycle (`scripts/apsl_internal.py:138-192`) as
+  * one reusable driver: run the conformance pipeline, derive the
+  * date-range filename, export to a BOM CSV and to each configured sheet
+  * (clear range → serial-dated upload). Laziness note: the pipeline plan
+  * executes once per sink action; `orderBy` keys make collected row order
+  * deterministic where the reference relied on eager concat order.
+  */
+object PipelineRunner {
+
+  final case class SheetTarget(sheetKey: String, sheetName: String)
+
+  final case class ExportResult(csvPath: String, rowCount: Long, uploaded: Seq[SheetTarget])
+
+  def runAndExport(
+      spark: SparkSession,
+      config: EtlConfig,
+      rawDir: String,
+      capitalize: Boolean,
+      processedDir: String,
+      filenamePrefix: String,
+      orderBy: Seq[Column],
+      svc: Sinks.SheetService,
+      sheets: Seq[SheetTarget]): ExportResult = {
+    val merged = new MultiSourceAdEtl(config).run(spark, rawDir, capitalize)
+    val fileName = A1.makeDateFilename(filenamePrefix, merged)
+    val csvPath = Paths.get(processedDir, fileName).toString
+    Sinks.writeCsvWithBom(merged, csvPath, orderBy)
+    sheets.foreach(t => Sinks.uploadDataFrame(svc, merged, t.sheetKey, t.sheetName, orderBy))
+    ExportResult(csvPath, merged.count(), sheets)
+  }
+}

@@ -214,6 +214,29 @@ object Relational {
         .agg(round(sum("o_totalprice"), 2))
         .orderBy("o_orderpriority")),
 
+    // Correlated subquery through the SQL surface — Catalyst decorrelates
+    // it into an aggregate + join (no per-row subquery execution).
+    "q_correlated_subquery" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT o_custkey, count(*) AS n_big
+          |FROM orders_v o
+          |WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders_v i
+          |                          WHERE i.o_custkey = o.o_custkey)
+          |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)
+    }),
+
+    // GROUPING SETS through the SQL surface (finer-grained than rollup/cube).
+    "q_grouping_sets" -> ((s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem_v")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+          |round(sum(l_quantity), 2) AS sum_qty
+          |FROM lineitem_v
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+    }),
+
     // Sketch-based distinct (HLL++) — no DuckDB oracle (approximate);
     // driver records a rows-only check.
     "q_approx_count_distinct" -> ((s, d) =>
@@ -284,6 +307,18 @@ object Relational {
     "q_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q_correlated_subquery" ->
+      """SELECT o_custkey, count(*) AS n_big
+        |FROM orders o
+        |WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders i
+        |                          WHERE i.o_custkey = o.o_custkey)
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        |round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
     "q_asof_join" ->
       """WITH od AS (
         |  SELECT o_custkey AS k, CAST(o_orderdate AS DATE) AS t, max(o_totalprice) AS p

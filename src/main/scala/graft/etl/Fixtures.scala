@@ -75,6 +75,62 @@ object Fixtures {
     dir
   }
 
+  /** podl pipeline raw dir (FIXTURES.md §1.2): raw headers, NO capitalize
+    * step — exact mixed case matters ("Ad Set Name", "Checkouts Initiated").
+    */
+  def writePodlRaw(dir: Path): Path = {
+    write(dir, "meta.csv", Seq(
+      "Day,Campaign name,Ad Set Name,Ad name,Gender,Age,Amount spent (USD),Impressions,Frequency,Reach,Unique outbound clicks,Link clicks,Video plays,Video plays at 25%,Video plays at 50%,Video plays at 75%,Video plays at 100%,Adds to cart,Checkouts Initiated,Purchases,Purchases conversion value",
+      "2025-08-01,camp_p1,set_p1,ad_p1,female,25-34,80.0,9000,1.2,7500,140,210,3000,2200,1500,900,600,30,18,7,512.5",
+      "2025-08-02,camp_p1,set_p1,ad_p2,male,35-44,66.5,7400,1.3,5700,120,180,2500,1800,1200,700,450,22,12,5,388.0"
+    ))
+    // row 2 is the "Total" summary in the raw FIRST column (post-Source
+    // stamp it is columns[1], the cleaner's key)
+    write(dir, "tiktok.csv", Seq(
+      "By Day,Campaign name,Ad group name,Ad name,Cost,Impressions,Frequency,Reach,Clicks (destination),Video views,Video views at 25%,Video views at 50%,Video views at 75%,Video views at 100%,Adds to cart (website),Checkouts initiated (website),Purchases (website),Purchase value (website)",
+      "Total of 1 campaigns,,,,55.0,6100,1.1,5200,130,2100,1500,1000,600,380,19,11,4,298.0",
+      "2025-08-01,camp_pt1,grp_pt1,ad_pt1,55.0,6100,1.1,5200,130,2100,1500,1000,600,380,19,11,4,298.0"
+    ))
+    dir
+  }
+
+  /** mnb pipeline raw dir (FIXTURES.md §1.3): exercises the WIRED X cleaner
+    * path — "Average frequency" maps to the standard "Frequency", so the
+    * `-` placeholder must flow clean("-"→"0") → cast → 0.0. "Objective" is
+    * detection-only (unmapped, dropped by conform).
+    */
+  def writeMnbRaw(dir: Path): Path = {
+    write(dir, "meta.csv", Seq(
+      "Day,Campaign name,Ad Set Name,Ad name,Gender,Age,Link (ad settings),Amount spent (USD),Impressions,Frequency,Reach,Clicks (all),ThruPlays,3-second video plays,Registrations Completed,Purchases,Purchases conversion value,Video plays",
+      "2025-08-01,camp_n1,set_n1,ad_n1,female,18-24,https://m.ex/a,92.0,10500,1.4,7600,260,800,1900,14,6,610.0,2600"
+    ))
+    write(dir, "x.csv", Seq(
+      "Time period,Campaign name,Spend,Impressions,Average frequency,Total audience reach,Clicks,Video completions,3s/100% video views,Leads,Purchases,Purchases - sale amount,Video views,Objective",
+      "2025-08-01,camp_nx1,45.0,5200,1.5,4100,110,300,900,12,3,240.0,1500,ENGAGEMENT",
+      "2025-08-02,camp_nx2,38.0,4600,-,3800,95,260,800,9,2,180.0,1300,ENGAGEMENT"
+    ))
+    dir
+  }
+
+  /** kcon demo config raw dir (FIXTURES.md §1.5): currency-agnostic —
+    * `Amount spent (Raw)` stays String, `Currency` carried through.
+    */
+  def writeKconRaw(dir: Path): Path = {
+    write(dir, "meta.csv", Seq(
+      "Day,Campaign name,Ad Set Name,Ad name,Gender,Age,Amount spent (KRW),Currency,Impressions,Clicks (all),Link clicks",
+      "2025-08-01,camp_k1,set_k1,ad_k1,female,25-34,120000,KRW,15000,420,300"
+    ))
+    write(dir, "tiktok.csv", Seq(
+      "By Day,Campaign name,Ad group name,Ad name,Gender,Age,Cost,Currency,Impressions,Clicks (all),Clicks (destination)",
+      "2025-08-01,camp_kt1,grp_kt1,ad_kt1,male,18-24,98000,KRW,12000,350,250"
+    ))
+    write(dir, "x.csv", Seq(
+      "Time period,Campaign name,Ad Group name,Ad name,Spend,Currency,Impressions,Clicks,Link clicks",
+      "2025-08-01,camp_kx1,grp_kx1,ad_kx1,75.5,USD,8000,210,160"
+    ))
+    dir
+  }
+
   /** Materialize a named fixture set under the system temp dir (idempotent —
     * rewrites the same deterministic bytes) and return its path.
     */
@@ -83,6 +139,9 @@ object Fixtures {
     name match {
       case "apsl"     => writeApslRaw(dir)
       case "like_eat" => writeLikeEatRaw(dir)
+      case "podl"     => writePodlRaw(dir)
+      case "mnb"      => writeMnbRaw(dir)
+      case "kcon"     => writeKconRaw(dir)
       case other      => throw new IllegalArgumentException(s"unknown fixture set: $other")
     }
     dir.toString

@@ -28,6 +28,10 @@ object EtlSurface {
       new MultiSourceAdEtl(graft.etl.Configs.likeEat)
         .run(s, graft.etl.Fixtures.materialize("like_eat"), capitalize = true)
         .orderBy("Source", "일")),
+    "etl_pipeline_mnb" -> ((s, _) =>
+      new MultiSourceAdEtl(graft.etl.Configs.mnb)
+        .run(s, graft.etl.Fixtures.materialize("mnb"), capitalize = false)
+        .orderBy("Source", "Day")),
 
     // P8/E1: Polars `remove` translation — rows with a NULL predicate are
     // KEPT (filter(!coalesce(pred, false))), via the engine's removeRows.

@@ -100,6 +100,45 @@ class MultiSourceAdEtlSpec extends SparkSpec {
     assert(e.getMessage.contains("Mystery"))
   }
 
+  test("podl e2e: no-capitalize pipeline, Total row removed, never-mapped column is null") {
+    val out = new MultiSourceAdEtl(Configs.podl)
+      .run(spark, Fixtures.materialize("podl"), capitalize = false).cache()
+    assertConforms(out.schema, Configs.podl.standardSchema)
+    val bySource = out.groupBy("Source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySource == Map("Meta" -> 2L, "TikTok" -> 1L))
+    // "Website URL" exists in the schema but no source maps it → always null
+    assert(out.filter(out("Website URL").isNotNull).count() == 0)
+  }
+
+  test("mnb e2e: wired X cleaner turns '-' Average frequency into Frequency 0.0") {
+    val out = new MultiSourceAdEtl(Configs.mnb)
+      .run(spark, Fixtures.materialize("mnb"), capitalize = false).cache()
+    assertConforms(out.schema, Configs.mnb.standardSchema)
+    assert(out.count() == 3)
+    // the placeholder row: cleaner "-"→"0", standardize casts to 0.0
+    val f = out.filter(out("Source") === "X (Twitter)" && out("Day") === "2025-08-02")
+      .select("Frequency").head().getDouble(0)
+    assert(f == 0.0)
+    // the numeric row survives untouched
+    val f1 = out.filter(out("Source") === "X (Twitter)" && out("Day") === "2025-08-01")
+      .select("Frequency").head().getDouble(0)
+    assert(f1 == 1.5)
+    // "Objective" was detection-only: not in the standard schema
+    assert(!out.columns.contains("Objective"))
+  }
+
+  test("kcon e2e: currency-agnostic config keeps Amount spent (Raw) as String") {
+    val out = new MultiSourceAdEtl(Configs.kcon)
+      .run(spark, Fixtures.materialize("kcon"), capitalize = false).cache()
+    assertConforms(out.schema, Configs.kcon.standardSchema)
+    assert(out.count() == 3)
+    val amounts = out.select("Source", "Amount spent (Raw)", "Currency").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(amounts == Set(
+      ("Meta", "120000", "KRW"), ("TikTok", "98000", "KRW"), ("X (Twitter)", "75.5", "USD")))
+  }
+
   test("strict rename: mapped raw columns missing from the frame raise (Polars rename parity)") {
     val engine = new MultiSourceAdEtl(Configs.apsl)
     import scala.jdk.CollectionConverters._

@@ -30,11 +30,20 @@ object PipelineRunner {
       orderBy: Seq[Column],
       svc: Sinks.SheetService,
       sheets: Seq[SheetTarget]): ExportResult = {
-    val merged = new MultiSourceAdEtl(config).run(spark, rawDir, capitalize)
-    val fileName = A1.makeDateFilename(filenamePrefix, merged)
-    val csvPath = Paths.get(processedDir, fileName).toString
-    Sinks.writeCsvWithBom(merged, csvPath, orderBy)
-    sheets.foreach(t => Sinks.uploadDataFrame(svc, merged, t.sheetKey, t.sheetName, orderBy))
-    ExportResult(csvPath, merged.count(), sheets)
+    // persist before the first action: the filename agg, CSV write, each
+    // sheet collect, and the row count are separate actions — uncached they
+    // would re-read and re-clean the raw dir per action, and a file landing
+    // mid-run would make filename/CSV/sheet reflect different data
+    val merged = new MultiSourceAdEtl(config).run(spark, rawDir, capitalize).persist()
+    try {
+      val rowCount = merged.count()
+      if (rowCount == 0) throw new IllegalStateException(
+        s"Pipeline produced 0 rows from $rawDir — refusing to export an empty artifact")
+      val fileName = A1.makeDateFilename(filenamePrefix, merged)
+      val csvPath = Paths.get(processedDir, fileName).toString
+      Sinks.writeCsvWithBom(merged, csvPath, orderBy)
+      sheets.foreach(t => Sinks.uploadDataFrame(svc, merged, t.sheetKey, t.sheetName, orderBy))
+      ExportResult(csvPath, rowCount, sheets)
+    } finally merged.unpersist()
   }
 }

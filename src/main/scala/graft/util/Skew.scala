@@ -30,7 +30,7 @@ object Skew {
       joinType: String = "inner"): DataFrame = {
     require(salts > 0, s"salts must be positive, got $salts")
     // right/full would emit `salts` copies of every unmatched dim row
-    val supported = Set("inner", "left", "left_outer", "leftouter", "cross",
+    val supported = Set("inner", "left", "left_outer", "leftouter",
       "left_semi", "leftsemi", "semi", "left_anti", "leftanti", "anti")
     require(supported.contains(joinType.toLowerCase.replace(" ", "")),
       s"saltedJoin supports inner/left/semi/anti join types, got '$joinType' " +

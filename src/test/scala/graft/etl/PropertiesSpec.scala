@@ -27,11 +27,13 @@ class PropertiesSpec extends SparkSpec {
     StructField("Clicks", LongType), StructField("Spend", DoubleType)))
 
   test("conform invariant: any column subset/order conforms to the declared schema") {
+    // permutation derived from ScalaCheck's own randomness (sort keys), so
+    // failing samples reproduce from the reported seed
     val genCols = for {
       subset <- Gen.someOf("Day", "Name", "Clicks", "Spend", "Extra1", "Extra2")
-      shuffled <- Gen.const(scala.util.Random.shuffle(subset.toList))
-      if shuffled.nonEmpty
-    } yield shuffled
+      if subset.nonEmpty
+      keys <- Gen.listOfN(subset.size, Gen.choose(0, Int.MaxValue))
+    } yield subset.toList.zip(keys).sortBy(_._2).map(_._1)
     check(Prop.forAll(genCols) { cols =>
       import scala.jdk.CollectionConverters._
       val df = spark.createDataFrame(
@@ -50,7 +52,7 @@ class PropertiesSpec extends SparkSpec {
         (0 until n).map(j => (s"s$i", j)).toDF("src", "v")
       }
       val engine = new MultiSourceAdEtl(Configs.podl)
-      sizes.sum == 0 || engine.merge(dfs).count() == sizes.sum
+      engine.merge(dfs).count() == sizes.sum
     })
   }
 

@@ -79,7 +79,22 @@ object Text {
     "t_fingerprint" -> ((s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"), md5(normText(col("text"))).as("fp"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Corpus-wide top-20 bigrams: explode adjacent token pairs → count.
+    // Map-side partial aggregation absorbs the explosion; top-k is a
+    // TakeOrdered, not a full sort.
+    "t_bigram_topk" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(tokens(col("text")).as("sp"))
+        .filter(size(col("sp")) >= 2)
+        .select(expr(
+          "explode(transform(sequence(0, size(sp) - 2), i -> concat(sp[i], ' ', sp[i + 1])))")
+          .as("bigram"))
+        .groupBy("bigram")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("bigram"))
+        .limit(20))
   )
 
   val oracles: Map[String, String] = Map(
@@ -111,6 +126,13 @@ object Text {
         |SELECT lang_guess, count(*) AS cnt FROM g GROUP BY 1 ORDER BY lang_guess""".stripMargin,
     "t_fingerprint" ->
       """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t_bigram_topk" ->
+      """WITH toks AS (SELECT string_split_regex(trim(text), '\s+') AS sp FROM documents),
+        |bg AS (SELECT unnest(list_transform(range(1, greatest(len(sp), 1)),
+        |                     i -> sp[CAST(i AS INT)] || ' ' || sp[CAST(i AS INT) + 1])) AS bigram
+        |       FROM toks WHERE len(sp) >= 2)
+        |SELECT bigram, count(*) AS cnt FROM bg
+        |GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin
   )
 }

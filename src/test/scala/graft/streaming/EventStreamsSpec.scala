@@ -60,6 +60,27 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("clickToPurchase stream-stream interval join attributes within the hour only") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Event]
+    val q = clickToPurchase(mem.toDF().withColumnRenamed("event_type", "event_type"))
+      .writeStream.format("memory").queryName("attr_test")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        Event(1, ts(0), 7, "click", 0.0),
+        Event(2, ts(30), 7, "purchase", 9.99),   // within 1h of click 1 → joins
+        Event(3, ts(90), 7, "purchase", 5.0),    // 90min after click 1 → no join
+        Event(4, ts(30), 8, "purchase", 3.0))    // other user, no click → no join
+      q.processAllAvailable()
+      val rows = spark.table("attr_test")
+        .select("user_id", "purchase_id", "click_id")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(rows == Set((7L, 2L, 1L)))
+    } finally q.stop()
+  }
+
   test("dedupStream drops duplicate event_ids across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -125,6 +125,24 @@ object Dedup {
         .orderBy("bucket")
     }),
 
+    // Embedding-cosine near-dup: pairs above a cosine threshold, via the
+    // native codegen'd cosine_sim expression. Bounded here to a 300-vector
+    // candidate set for the oracle; the scale path feeds LSH-bucket
+    // candidates (s_ann_lsh_buckets) into the same verify expression.
+    "d_embed_neardup" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val emb = t(s, d, "embeddings").filter(col("vec_id") < 300)
+        .select(col("vec_id"), col("embedding"))
+      val a = emb.as("a")
+      val b = emb.as("b")
+      a.join(b, col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+          round(graft.functions.GraftFunctions.cosineSim(
+            col("a.embedding"), col("b.embedding")), 4).as("cos"))
+        .filter(col("cos") >= 0.3)
+        .orderBy("id_a", "id_b")
+    }),
+
     // Exact 3-gram Jaccard over a bounded candidate set (doc_id < 30 pairs).
     "d_ngram_jaccard" -> ((s, d) => {
       val docs = t(s, d, "documents").filter(col("doc_id") < 30)
@@ -155,6 +173,16 @@ object Dedup {
         |  FROM dups GROUP BY 1)
         |SELECT n_copies, count(*) AS n_groups, min(keep_id) AS min_keep
         |FROM grp GROUP BY n_copies ORDER BY n_copies""".stripMargin,
+    "d_embed_neardup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings WHERE vec_id < 300)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_dot_product(a.v, b.v) /
+        |        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos
+        |FROM e a, e b WHERE a.vec_id < b.vec_id
+        |  AND round(list_dot_product(a.v, b.v) /
+        |        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
     "d_ngram_jaccard" ->
       """WITH g AS (
         |  SELECT doc_id,

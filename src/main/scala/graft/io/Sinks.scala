@@ -59,6 +59,27 @@ object Sinks {
     }: _*)
   }
 
+  /** Large-scale columnar sink: parquet partitioned by low-cardinality
+    * key(s), sorted within partitions for locality/compression, and
+    * re-bucketed to a bounded file count per partition via repartition on
+    * the partition keys (avoids the many-small-files failure mode when
+    * every task writes every partition value).
+    */
+  def writePartitionedParquet(
+      df: DataFrame,
+      path: String,
+      partitionBy: Seq[String],
+      sortWithin: Seq[String],
+      filesPerPartition: Int = 1): Unit = {
+    require(partitionBy.nonEmpty, "partitionBy must not be empty")
+    val keyCols = partitionBy.map(df(_))
+    df.repartition(filesPerPartition * 8, keyCols: _*)
+      .sortWithinPartitions((partitionBy ++ sortWithin).map(df(_)): _*)
+      .write.mode("overwrite")
+      .partitionBy(partitionBy: _*)
+      .parquet(path)
+  }
+
   /** Spreadsheet transport abstraction. The reference talks to Google Sheets
     * over HTTP (`google_cloud_client.py`); that network client is out of
     * scope offline (SURVEY §7.5), so the engine depends on this trait and

@@ -81,6 +81,23 @@ object Text {
         .select(col("doc_id"), md5(normText(col("text"))).as("fp"))
         .orderBy("doc_id")),
 
+    // Composite keep/drop training-data filter: length bounds + punctuation
+    // ceiling + minimum stopword signal, the standard pre-training corpus
+    // gate. Survivor stats per lang.
+    "t_quality_filter" -> ((s, d) => {
+      val txt = col("text")
+      val toks = tokens(lower(txt))
+      val nTok = size(toks)
+      val punctRatio = (length(txt) - length(regexp_replace(txt, "[.,!?;:]", ""))).cast("double") / length(txt)
+      val stopRatio = size(filter(toks, w => w.isInCollection(stopwords))).cast("double") / nTok
+      t(s, d, "documents")
+        .filter(col("n_chars").between(100, 2000) &&
+          nTok >= 20 && punctRatio <= 0.1 && stopRatio >= 0.01)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("kept"), round(avg("n_chars"), 2).as("avg_chars"))
+        .orderBy("lang")
+    }),
+
     // Corpus-wide top-20 bigrams: explode adjacent token pairs → count.
     // Map-side partial aggregation absorbs the explosion; top-k is a
     // TakeOrdered, not a full sort.
@@ -127,6 +144,21 @@ object Text {
     "t_fingerprint" ->
       """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t_quality_filter" ->
+      """WITH q AS (
+        |  SELECT lang, n_chars,
+        |    len(string_split_regex(trim(lower(text)), '\s+')) AS n_tok,
+        |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+        |      / length(text) AS punct_ratio,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |         w -> w IN ('the','a','of','and','to','in'))) AS DOUBLE)
+        |      / len(string_split_regex(trim(lower(text)), '\s+')) AS stop_ratio
+        |  FROM documents)
+        |SELECT lang, count(*) AS kept, round(avg(n_chars),2) AS avg_chars
+        |FROM q
+        |WHERE n_chars BETWEEN 100 AND 2000 AND n_tok >= 20
+        |  AND punct_ratio <= 0.1 AND stop_ratio >= 0.01
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "t_bigram_topk" ->
       """WITH toks AS (SELECT string_split_regex(trim(text), '\s+') AS sp FROM documents),
         |bg AS (SELECT unnest(list_transform(range(1, greatest(len(sp), 1)),

@@ -8,6 +8,23 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DateType, LongType}
 
 class SinksSpec extends SparkSpec {
+
+  test("writePartitionedParquet: hive-style lang partitions, bounded file count, round-trips") {
+    val docs = graft.queries.Tables.t(spark, graft.TestSpark.sf0001, "documents")
+    val out = java.nio.file.Files.createTempDirectory("part-out").resolve("docs").toString
+    Sinks.writePartitionedParquet(docs, out, partitionBy = Seq("lang"),
+      sortWithin = Seq("doc_id"))
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq == Seq("lang=de", "lang=en", "lang=es", "lang=fr", "lang=zh"))
+    // bounded files per partition (no every-task-writes-every-partition blowup)
+    dirs.foreach { d =>
+      val files = new java.io.File(s"$out/$d").listFiles().count(_.getName.endsWith(".parquet"))
+      assert(files >= 1 && files <= 8, s"$d has $files files")
+    }
+    val back = spark.read.parquet(out)
+    assert(back.count() == docs.count())
+    assert(back.columns.toSet == docs.columns.toSet)
+  }
   import spark.implicits._
 
   test("writeCsvWithBom produces one headered CSV starting with the UTF-8 BOM") {

@@ -214,6 +214,18 @@ object Relational {
         .agg(round(sum("o_totalprice"), 2))
         .orderBy("o_orderpriority")),
 
+    // Exact percentiles (median / p90) per group — single-pass sort-based
+    // aggregation; the approximate path at extreme scale is
+    // approx_percentile (same API shape).
+    "q_percentile" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 2).as("median_price"),
+          round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90_price"),
+          count(lit(1)).as("cnt"))
+        .orderBy("o_orderpriority")),
+
     // Correlated subquery through the SQL surface — Catalyst decorrelates
     // it into an aggregate + join (no per-row subquery execution).
     "q_correlated_subquery" -> ((s, d) => {
@@ -307,6 +319,12 @@ object Relational {
     "q_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q_percentile" ->
+      """SELECT o_orderpriority,
+        |round(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
+        |round(quantile_cont(o_totalprice, 0.9), 2) AS p90_price,
+        |count(*) AS cnt
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_correlated_subquery" ->
       """SELECT o_custkey, count(*) AS n_big
         |FROM orders o

@@ -17,8 +17,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * loop inside whole-stage codegen — the hot inner loop of brute-force ANN
   * at 100 TB. Single pass computes dot product and both norms.
   *
-  * Null semantics: null if either array is null, if lengths differ, or if
-  * either norm is zero.
+  * Null semantics: null if either array is null, if lengths differ, if any
+  * element is null, or if either norm is zero — matching the higher-order
+  * formulation, where a null element propagates through zip_with/aggregate.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -46,6 +47,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = x.getFloat(i).toDouble
       val yv = y.getFloat(i).toDouble
       dot += xv * yv; nx += xv * xv; ny += yv * yv
@@ -72,15 +74,18 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |} else {
          |  double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    double $xv = (double) $a.getFloat($i);
          |    double $yv = (double) $b.getFloat($i);
          |    $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
          |  }
-         |  double $denom = java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny);
-         |  if ($denom == 0.0) {
-         |    ${ev.isNull} = true;
-         |  } else {
-         |    ${ev.value} = $dot / $denom;
+         |  if (!${ev.isNull}) {
+         |    double $denom = java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny);
+         |    if ($denom == 0.0) {
+         |      ${ev.isNull} = true;
+         |    } else {
+         |      ${ev.value} = $dot / $denom;
+         |    }
          |  }
          |}
        """.stripMargin

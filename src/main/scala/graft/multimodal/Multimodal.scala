@@ -1,7 +1,5 @@
 package graft.multimodal
 
-import java.nio.charset.StandardCharsets
-
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -96,7 +94,6 @@ object Multimodal {
     */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m_media_features" -> ((s, d) => {
-      import s.implicits._
       val decoded = sampleFrames(resize(decodeAndFeaturize(mediaFromDocuments(s, d)), 256), 4)
       decoded.toDF()
         .select(col("media_id"), col("kind"), col("width"), col("height"), col("n_frames"),

@@ -9,10 +9,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 /** Structured-Streaming forms of the `graft.queries.Events` batch operators.
   * Each takes a (possibly streaming) DataFrame of the `events` schema
   * (event_id long, ts timestamp, user_id long, event_type string,
-  * value double, props string) and returns a transformed frame that works
+  * value double, props string). The windowed aggregations and dedup work
   * identically under `readStream` (incremental, watermarked state) and
-  * `read` (batch) — the batch oracle checks in `queries.Events` therefore
-  * validate these plans too.
+  * `read` (batch) — the batch oracle checks in `queries.Events` validate
+  * those plans. [[sessionizeStateful]] is the exception: streaming-only
+  * (see its doc); its batch counterpart is [[sessionWindows]].
   *
   * Scale notes: watermarks bound the aggregation state; the grouping keys
   * (window×type, session_window×user) shuffle once; state lives in the
@@ -68,14 +69,15 @@ object EventStreams {
         col("purchase_ts"), col("click_ts"), col("value"))
   }
 
-  /** Streaming exact dedup: drop events whose `event_id` was already seen,
-    * with state bounded by the watermark (late duplicates beyond 2h are
-    * outside the guarantee — the training-data ingestion contract).
+  /** Exact dedup on event_id: in streaming, state is bounded by the
+    * watermark (late duplicates beyond 2h are outside the guarantee — the
+    * training-data ingestion contract); in batch, a plain dropDuplicates
+    * (dropDuplicatesWithinWatermark analyzes only on streams).
     */
   def dedupStream(events: DataFrame): DataFrame =
-    events
-      .withWatermark("ts", "2 hours")
-      .dropDuplicatesWithinWatermark("event_id")
+    if (events.isStreaming)
+      events.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark("event_id")
+    else events.dropDuplicates("event_id")
 
   // ---- custom state: flatMapGroupsWithState sessionization ----
 
@@ -89,6 +91,16 @@ object EventStreams {
     * point): closes a user's session when no event arrives within `gapMs`
     * of the last one (event time). Emits closed sessions; open sessions
     * stay in state until the watermark passes their timeout.
+    *
+    * STREAMING-ONLY: batch execution never fires timeouts, so each user's
+    * trailing open session would stay in (discarded) state — use
+    * [[sessionWindows]] (built-in `session_window`) for batch semantics.
+    *
+    * Out-of-order events that slip past the late-row filter (admitted
+    * against the previous watermark) are handled explicitly: an event
+    * inside or gap-adjacent to the open session extends it (possibly
+    * backwards); one older than `start - gapMs` is emitted as its own
+    * immediately-closed session rather than corrupting the open one.
     */
   def sessionizeStateful(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
     import events.sparkSession.implicits._
@@ -107,8 +119,14 @@ object EventStreams {
         for (e <- sorted) {
           val t = e.ts.getTime
           st match {
-            case Some(s) if t - s.last <= gapMs =>
-              st = Some(s.copy(last = math.max(s.last, t), n = s.n + 1))
+            case Some(s) if t >= s.start - gapMs && t - s.last <= gapMs =>
+              // in or adjacent to the open session (t may be a straggler
+              // before s.start: extend backwards rather than miscount)
+              st = Some(SessionState(math.min(s.start, t), math.max(s.last, t), s.n + 1))
+            case Some(s) if t < s.start - gapMs =>
+              // straggler older than the open session entirely: its own
+              // session, already closed by the events we hold in state
+              out :+= Session(userId, new Timestamp(t), new Timestamp(t), 1)
             case Some(s) =>
               out :+= Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.n)
               st = Some(SessionState(t, t, 1))
@@ -118,7 +136,10 @@ object EventStreams {
         }
         st.foreach { s =>
           state.update(s)
-          state.setTimeoutTimestamp(s.last + gapMs)
+          // the eviction watermark may already be past last+gap (timeouts
+          // below the current watermark throw) — clamp so the session
+          // closes on the next trigger instead of crashing the query
+          state.setTimeoutTimestamp(math.max(s.last + gapMs, state.getCurrentWatermarkMs + 1))
         }
       }
       out.iterator

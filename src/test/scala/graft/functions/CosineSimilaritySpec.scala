@@ -27,14 +27,25 @@ class CosineSimilaritySpec extends SparkSpec {
     GraftFunctions.ensureRegistered(spark)
     import spark.implicits._
     val df = Seq(
-      (Some(Seq(1f, 2f)), Some(Seq(1f, 2f))),   // 1.0
-      (None, Some(Seq(1f, 2f))),                // null (null input)
-      (Some(Seq(1f, 2f, 3f)), Some(Seq(1f, 2f))), // null (length mismatch)
-      (Some(Seq(0f, 0f)), Some(Seq(1f, 2f)))    // null (zero norm)
+      (Some(Seq(Some(1f), Some(2f))), Some(Seq(Some(1f), Some(2f)))),   // 1.0
+      (None, Some(Seq(Some(1f), Some(2f)))),                            // null input
+      (Some(Seq(Some(1f), Some(2f), Some(3f))), Some(Seq(Some(1f), Some(2f)))), // length mismatch
+      (Some(Seq(Some(0f), Some(0f))), Some(Seq(Some(1f), Some(2f)))),   // zero norm
+      (Some(Seq(Some(1f), None)), Some(Seq(Some(1f), Some(2f))))        // null ELEMENT
     ).toDF("a", "b")
     val out = df.select(GraftFunctions.cosineSim(col("a"), col("b"))).collect()
     assert(math.abs(out(0).getDouble(0) - 1.0) < 1e-12)
     assert(out(1).isNullAt(0) && out(2).isNullAt(0) && out(3).isNullAt(0))
+    // null element → null, matching cosineHof where it propagates through
+    // zip_with/aggregate (hof compared on that row only: on the zero-norm
+    // row the HOF form throws ANSI DIVIDE_BY_ZERO where the native
+    // expression returns null — the native semantics are the safe ones)
+    assert(out(4).isNullAt(0))
+    val hof = df.limit(5).filter(col("b").isNotNull && col("a").isNotNull)
+      .filter(size(col("a")) === size(col("b")))
+      .filter(!(col("a")(0) === 0f && col("a")(1) === 0f))
+      .select(Similarity.cosineHof(col("a"), col("b"))).collect()
+    assert(hof.exists(_.isNullAt(0)))
   }
 
   test("codegen path compiles (no interpreted fallback)") {

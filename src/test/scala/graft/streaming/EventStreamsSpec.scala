@@ -97,6 +97,38 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizeStateful survives a straggler whose timeout lands below the eviction watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Event]
+    val q = sessionizeStateful(mem.toDS(), gapMs = 30 * 60000L).writeStream
+      .format("memory").queryName("clamp_test").outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(Event(1, ts(0), 5, "click", 1.0))
+      q.processAllAvailable()
+      // same batch: a far-future event (jumps the eviction watermark to
+      // ts(480)) + a straggler for user 5 at ts(30) — admitted against the
+      // PREVIOUS watermark, but its session timeout ts(60) is below the
+      // updated eviction watermark: unclamped setTimeoutTimestamp throws
+      // and kills the query
+      mem.addData(Event(2, ts(600), 6, "view", 1.0), Event(3, ts(30), 5, "click", 1.0))
+      q.processAllAvailable()
+      // next trigger fires the clamped timeout and closes user 5's session
+      mem.addData(Event(4, ts(1200), 6, "view", 1.0))
+      q.processAllAvailable()
+      val u5 = spark.table("clamp_test").as[Session].collect().filter(_.user_id == 5)
+      assert(u5.toSeq == Seq(Session(5, ts(0), ts(30), 2)))
+    } finally q.stop()
+  }
+
+  test("dedupStream on a batch frame falls back to plain dropDuplicates") {
+    import spark.implicits._
+    val batch = Seq(
+      Event(1, ts(0), 1, "click", 1.0), Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(5), 1, "view", 2.0)).toDF()
+    assert(dedupStream(batch).count() == 2)
+  }
+
   test("batch/stream equivalence: hourlyCounts on batch events == e_hourly_window query") {
     val batch = hourlyCounts(Tables.events(spark, TestSpark.sf0001))
       .orderBy("hour_ts", "event_type")

@@ -20,7 +20,12 @@ object Cleaners {
     */
   val cleanXAvgFrequency: DataFrame => DataFrame = { df =>
     val c = "Average frequency"
-    if (df.schema.fieldNames.contains(c) && df.schema(c).dataType == StringType)
+    // absent column raises (reference parity: df.schema["Average frequency"]
+    // is a KeyError — a renamed export header must surface, not be skipped)
+    require(df.schema.fieldNames.contains(c),
+      s"""cleaner clean_x_avg_frequency: column "$c" not found """ +
+        s"(columns: ${df.columns.mkString(", ")})")
+    if (df.schema(c).dataType == StringType)
       df.withColumn(c, when(col(s"`$c`") === "-", lit("0")).otherwise(col(s"`$c`")))
     else df
   }

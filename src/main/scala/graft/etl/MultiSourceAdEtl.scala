@@ -113,9 +113,12 @@ object MultiSourceAdEtl {
 
   /** Python `str.capitalize` semantics: first char upper, ALL others lower
     * (`multi_source_ad_etl.py:121`). Identity on non-cased (e.g. Korean)
-    * characters.
+    * characters. Locale.ROOT: Python's capitalize is locale-independent —
+    * a tr-TR default locale would otherwise produce dotless-ı names that
+    * match no criteria or mapping.
     */
-  def capitalizeName(s: String): String = s.toLowerCase.capitalize
+  def capitalizeName(s: String): String =
+    s.toLowerCase(java.util.Locale.ROOT).capitalize
 
   /** Conform a frame to a declared schema in ONE projection: missing
     * columns become typed nulls, extras are dropped, order is schema order,

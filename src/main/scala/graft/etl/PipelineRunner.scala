@@ -42,7 +42,11 @@ object PipelineRunner {
       val fileName = A1.makeDateFilename(filenamePrefix, merged)
       val csvPath = Paths.get(processedDir, fileName).toString
       Sinks.writeCsvWithBom(merged, csvPath, orderBy)
-      sheets.foreach(t => Sinks.uploadDataFrame(svc, merged, t.sheetKey, t.sheetName, orderBy))
+      if (sheets.nonEmpty) {
+        // one sorted serial-dated collect, fanned out to every sheet target
+        val (header, rows) = Sinks.collectSheetPayload(merged, orderBy)
+        sheets.foreach(t => Sinks.uploadPayload(svc, header, rows, t.sheetKey, t.sheetName))
+      }
       ExportResult(csvPath, rowCount, sheets)
     } finally merged.unpersist()
   }

@@ -32,14 +32,21 @@ object Sinks {
     try {
       val ordered = if (orderBy.nonEmpty) df.orderBy(orderBy: _*) else df
       ordered.coalesce(1).write.mode("overwrite").option("header", "true")
+        // RFC-4180 quote doubling ("" not \") — Excel, the BOM's whole
+        // purpose, mis-parses backslash escapes
+        .option("escape", "\"")
         .csv(tmp.resolve("out").toString)
       val part = scala.util.Using.resource(Files.list(tmp.resolve("out")))(
         _.iterator().asScala.find(_.getFileName.toString.startsWith("part-")))
         .getOrElse(throw new IllegalStateException(s"no part file under $tmp"))
       Files.deleteIfExists(out)
-      Files.write(out, Utf8Bom, StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
-      val body = Files.readAllBytes(part)
-      Files.write(out, body, StandardOpenOption.APPEND)
+      // stream the part file after the BOM — readAllBytes would hold the
+      // whole CSV on the driver heap
+      scala.util.Using.resource(Files.newOutputStream(out,
+          StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)) { os =>
+        os.write(Utf8Bom)
+        Files.copy(part, os)
+      }
     } finally {
       scala.util.Using.resource(Files.walk(tmp))(
         _.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_)))
@@ -72,8 +79,16 @@ object Sinks {
       sortWithin: Seq[String],
       filesPerPartition: Int = 1): Unit = {
     require(partitionBy.nonEmpty, "partitionBy must not be empty")
+    require(filesPerPartition > 0, s"filesPerPartition must be positive, got $filesPerPartition")
     val keyCols = partitionBy.map(df(_))
-    df.repartition(filesPerPartition * 8, keyCols: _*)
+    // repartitioning on the keys alone routes each partition VALUE to one
+    // task (one giant file, one hot executor at scale) — a bounded salt
+    // spreads every value across exactly filesPerPartition tasks
+    val salt = pmod(xxhash64(monotonically_increasing_id()), lit(filesPerPartition.toLong))
+    // enough shuffle buckets that distinct (value, salt) pairs rarely
+    // collide into the same task — collisions only reduce the file count,
+    // never exceed filesPerPartition files per partition value
+    df.repartition(filesPerPartition * 32, (keyCols :+ salt): _*)
       .sortWithinPartitions((partitionBy ++ sortWithin).map(df(_)): _*)
       .write.mode("overwrite")
       .partitionBy(partitionBy: _*)
@@ -122,14 +137,26 @@ object Sinks {
       sheetKey: String,
       sheetName: String,
       orderBy: Seq[Column]): Unit = {
+    val (header, rows) = collectSheetPayload(df, orderBy)
+    uploadPayload(svc, header, rows, sheetKey, sheetName)
+  }
+
+  /** One sorted serial-dated collect — callers with several sheet targets
+    * collect once and fan the payload out via [[uploadPayload]].
+    */
+  def collectSheetPayload(df: DataFrame, orderBy: Seq[Column]): (Seq[Any], Seq[Seq[Any]]) = {
     val serial = withExcelSerialDates(if (orderBy.nonEmpty) df.orderBy(orderBy: _*) else df)
-    val collected = serial.collect().map(_.toSeq).toSeq
-    val header: Seq[Any] = serial.columns.toSeq
-    svc.clearRange(sheetKey, sheetName, A1.range(collected.length.toLong, header.length, "column_range"))
+    (serial.columns.toSeq, serial.collect().map(_.toSeq).toSeq)
+  }
+
+  /** Clear the column range then upload header + rows (driver-side only). */
+  def uploadPayload(svc: SheetService, header: Seq[Any], rows: Seq[Seq[Any]],
+      sheetKey: String, sheetName: String): Unit = {
+    svc.clearRange(sheetKey, sheetName, A1.range(rows.length.toLong, header.length, "column_range"))
     svc.update(
       sheetKey, sheetName,
-      A1.range(collected.length.toLong, header.length, "full_range"),
-      header +: collected)
+      A1.range(rows.length.toLong, header.length, "full_range"),
+      header +: rows)
   }
 
   /** Inverse path: fetch a range and build the all-String row frame

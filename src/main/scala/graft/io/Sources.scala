@@ -43,6 +43,13 @@ object Sources {
     spark.read
       .option("header", "true")
       .option("inferSchema", "true")
+      // quoted fields may contain newlines (ad names); Polars parses them by
+      // default — without this Spark splits them into corrupt rows. Costs
+      // file-level splittability, irrelevant for per-file daily exports.
+      .option("multiLine", "true")
+      // RFC-4180 quote doubling ("" inside quoted fields) — platform CSV
+      // exports use it; Spark's default backslash escape mis-parses it
+      .option("escape", "\"")
       .csv(file.toString)
 
   /** Build an all-String, row-oriented DataFrame from an in-memory

@@ -40,8 +40,16 @@ object Xlsx {
       val sheetEntry = firstSheetEntry(zip)
       val cells = parseSheet(zip.getInputStream(sheetEntry), shared)
       require(cells.nonEmpty, s"empty worksheet in $file")
-      val header = cells.head.map(_.orNull).takeWhile(_ != null)
-      require(header.nonEmpty, s"no header row in $file")
+      // keep columns through interior header gaps (decorative/merged spacer
+      // cells): trim trailing blanks only, name interior blanks like Polars'
+      // __UNNAMED__{i} placeholders
+      val rawHeader = cells.head.map(_.orNull)
+      val lastNamed = rawHeader.lastIndexWhere(_ != null)
+      require(lastNamed >= 0, s"no header row in $file")
+      val header = rawHeader.take(lastNamed + 1).zipWithIndex.map {
+        case (null, i) => s"__UNNAMED__$i"
+        case (h, _)    => h
+      }
       val rows = cells.tail.map { r =>
         (0 until header.length).map(i => if (i < r.length) r(i).orNull else null).toSeq
       }
@@ -85,11 +93,12 @@ object Xlsx {
 
   private def firstSheetEntry(zip: ZipFile) =
     Option(zip.getEntry("xl/worksheets/sheet1.xml")).getOrElse {
-      // fall back to the lowest-numbered worksheet present
+      // fall back to the lowest-numbered worksheet present (numeric sort —
+      // lexicographic would put sheet10 before sheet2)
       import scala.jdk.CollectionConverters._
       zip.entries().asScala.toSeq
         .filter(e => e.getName.matches("xl/worksheets/sheet\\d+\\.xml"))
-        .sortBy(_.getName)
+        .sortBy(e => e.getName.replaceAll("\\D", "").toInt)
         .headOption
         .getOrElse(throw new IllegalArgumentException("no worksheet in xlsx"))
     }
@@ -106,12 +115,17 @@ object Xlsx {
     val out = Vector.newBuilder[String]
     val r = newReader(in)
     var inSi = false
+    var phoneticDepth = 0 // skip <rPh>/<phoneticPr> runs (furigana) — only real text
     val sb = new StringBuilder
     while (r.hasNext) {
       r.next() match {
         case XMLStreamConstants.START_ELEMENT if r.getLocalName == "si" =>
-          inSi = true; sb.clear()
-        case XMLStreamConstants.START_ELEMENT if inSi && r.getLocalName == "t" =>
+          inSi = true; phoneticDepth = 0; sb.clear()
+        case XMLStreamConstants.START_ELEMENT if inSi && (r.getLocalName == "rPh" || r.getLocalName == "phoneticPr") =>
+          phoneticDepth += 1
+        case XMLStreamConstants.END_ELEMENT if inSi && (r.getLocalName == "rPh" || r.getLocalName == "phoneticPr") =>
+          phoneticDepth -= 1
+        case XMLStreamConstants.START_ELEMENT if inSi && phoneticDepth == 0 && r.getLocalName == "t" =>
           sb.append(r.getElementText)
         case XMLStreamConstants.END_ELEMENT if r.getLocalName == "si" =>
           inSi = false; out += sb.toString

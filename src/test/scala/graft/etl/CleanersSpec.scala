@@ -21,6 +21,13 @@ class CleanersSpec extends SparkSpec {
     assert(out == Seq("1.4", "0", null))
   }
 
+  test("clean_x_avg_frequency raises when the column is absent (reference KeyError parity)") {
+    import spark.implicits._
+    val df = Seq(("x", 1)).toDF("Other", "N")
+    val e = intercept[IllegalArgumentException] { Cleaners.cleanXAvgFrequency(df) }
+    assert(e.getMessage.contains("Average frequency"))
+  }
+
   test("clean_x_avg_frequency is a no-op on numeric column (schema gate)") {
     val df = spark.createDataFrame(
       Seq(Row(1.4), Row(2.0)).asJava,

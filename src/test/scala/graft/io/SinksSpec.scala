@@ -9,6 +9,27 @@ import org.apache.spark.sql.types.{DateType, LongType}
 
 class SinksSpec extends SparkSpec {
 
+  test("writeCsvWithBom escapes embedded quotes RFC-4180 style (doubling, not backslash)") {
+    import spark.implicits._
+    val df = Seq(("""ACME "Summer" Sale""", 1)).toDF("name", "n")
+    val out = java.nio.file.Files.createTempDirectory("csv-q").resolve("q.csv")
+    Sinks.writeCsvWithBom(df, out.toString)
+    val body = new String(java.nio.file.Files.readAllBytes(out), "UTF-8")
+    assert(body.contains("\"ACME \"\"Summer\"\" Sale\""))
+    assert(!body.contains("\\\""))
+  }
+
+  test("writePartitionedParquet: filesPerPartition > 1 actually spreads a partition over tasks") {
+    val docs = graft.queries.Tables.t(spark, graft.TestSpark.sf0001, "documents")
+    val out = java.nio.file.Files.createTempDirectory("part-salt").resolve("docs").toString
+    Sinks.writePartitionedParquet(docs, out, partitionBy = Seq("lang"),
+      sortWithin = Seq("doc_id"), filesPerPartition = 4)
+    val en = new java.io.File(s"$out/lang=en")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(en > 1 && en <= 4, s"lang=en has $en files")
+    assert(spark.read.parquet(out).count() == docs.count())
+  }
+
   test("writePartitionedParquet: hive-style lang partitions, bounded file count, round-trips") {
     val docs = graft.queries.Tables.t(spark, graft.TestSpark.sf0001, "documents")
     val out = java.nio.file.Files.createTempDirectory("part-out").resolve("docs").toString

@@ -104,6 +104,17 @@ class XlsxSpec extends SparkSpec {
     assert(df.count() == 2)
   }
 
+  test("interior header gap keeps right-hand columns (placeholder name, no truncation)") {
+    val f = Files.createTempDirectory("xlsx").resolve("gap.xlsx")
+    XlsxTestWriter.write(f,
+      header = Seq("A", null, "C"),
+      rows = Seq(Seq("a1", "b1", "c1")))
+    val df = Xlsx.read(spark, f)
+    assert(df.columns.toSeq == Seq("A", "__UNNAMED__1", "C"))
+    val r = df.head()
+    assert(r.getString(0) == "a1" && r.getString(2) == "c1")
+  }
+
   test("sparse rows: missing cells become nulls aligned by cell reference") {
     val f = Files.createTempDirectory("xlsx").resolve("sparse.xlsx")
     // row 2 omits column B entirely (no <c> element)

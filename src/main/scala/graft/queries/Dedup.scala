@@ -33,19 +33,20 @@ object Dedup {
         col(textCol))
       .select(col(idCol), expr(s"substring($textCol, i, $k)").as("sh"))
 
-  /** Corpus with synthetic duplicates: every 5th doc appears twice (ids
-    * offset by 100000) so dedup queries have real work at any SF.
-    * Single scan: rows self-replicate via an exploded offset array instead
-    * of a union of two scans (halves the read at scale).
+  /** Corpus with synthetic duplicates: every 5th doc appears twice, with
+    * collision-free ids at ANY corpus size (id = doc_id*2 + copy, a
+    * bijection — a fixed additive offset would alias real doc_ids once the
+    * corpus outgrows it). Single scan: rows self-replicate via an exploded
+    * copy array instead of a union of two scans (halves the read at scale).
     */
   def corpusWithDups(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents")
     docs
-      .withColumn("__off",
-        explode(when(col("doc_id") % 5 === 0, array(lit(0L), lit(100000L)))
+      .withColumn("__copy",
+        explode(when(col("doc_id") % 5 === 0, array(lit(0L), lit(1L)))
           .otherwise(array(lit(0L)))))
-      .withColumn("doc_id", col("doc_id") + col("__off"))
-      .drop("__off")
+      .withColumn("doc_id", col("doc_id") * 2 + col("__copy"))
+      .drop("__copy")
   }
 
   val queries: Map[String, Q] = Map(
@@ -163,9 +164,9 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "d_exact_dedup" ->
       """WITH dups AS (
-        |  SELECT * FROM documents
+        |  SELECT doc_id * 2 AS doc_id, text, lang, source, n_chars FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars
+        |  SELECT doc_id * 2 + 1 AS doc_id, text, lang, source, n_chars
         |  FROM documents WHERE doc_id % 5 = 0),
         |grp AS (
         |  SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,

@@ -29,7 +29,8 @@ object Similarity {
     * kept as the pure-builtin reference; the hot path uses the native
     * codegen'd [[graft.functions.CosineSimilarity]] expression instead.
     */
-  def cosineHof(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosineHof(a: Column, b: Column): Column =
+    dot(a, b) / nullif(norm(a) * norm(b), lit(0.0))
 
   val queries: Map[String, Q] = Map(
     // Exact brute-force cosine top-k against one query vector (vec_id 0).

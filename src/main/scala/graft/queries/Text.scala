@@ -54,7 +54,7 @@ object Text {
       t(s, d, "documents")
         .select(
           col("doc_id"),
-          round((length(txt) - length(regexp_replace(txt, "[.,!?;:]", ""))).cast("double") / length(txt), 4).as("punct_ratio"),
+          round((length(txt) - length(regexp_replace(txt, "[.,!?;:]", ""))).cast("double") / nullif(length(txt), lit(0)), 4).as("punct_ratio"),
           round(stopCnt.cast("double") / nTok, 4).as("stop_ratio"),
           round((length(regexp_replace(txt, "\\s+", "")).cast("double")) / nTok, 4).as("avg_tok_len"))
         .orderBy("doc_id")
@@ -88,7 +88,7 @@ object Text {
       val txt = col("text")
       val toks = tokens(lower(txt))
       val nTok = size(toks)
-      val punctRatio = (length(txt) - length(regexp_replace(txt, "[.,!?;:]", ""))).cast("double") / length(txt)
+      val punctRatio = (length(txt) - length(regexp_replace(txt, "[.,!?;:]", ""))).cast("double") / nullif(length(txt), lit(0))
       val stopRatio = size(filter(toks, w => w.isInCollection(stopwords))).cast("double") / nTok
       t(s, d, "documents")
         .filter(col("n_chars").between(100, 2000) &&
@@ -126,7 +126,7 @@ object Text {
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "t_quality_score" ->
       """SELECT doc_id,
-        |round(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text), 4) AS punct_ratio,
+        |round(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / NULLIF(length(text), 0), 4) AS punct_ratio,
         |round(CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
         |      w -> w IN ('the','a','of','and','to','in'))) AS DOUBLE)
         |      / len(string_split_regex(trim(lower(text)), '\s+')), 4) AS stop_ratio,
@@ -149,7 +149,7 @@ object Text {
         |  SELECT lang, n_chars,
         |    len(string_split_regex(trim(lower(text)), '\s+')) AS n_tok,
         |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
-        |      / length(text) AS punct_ratio,
+        |      / NULLIF(length(text), 0) AS punct_ratio,
         |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
         |         w -> w IN ('the','a','of','and','to','in'))) AS DOUBLE)
         |      / len(string_split_regex(trim(lower(text)), '\s+')) AS stop_ratio

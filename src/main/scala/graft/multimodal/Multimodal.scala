@@ -1,17 +1,28 @@
 package graft.multimodal
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal columns: image/audio/video carried as opaque `binary` columns
   * with typed metadata, processed partition-wise in bounded batches.
   *
-  * The decode step is a STUB — this environment has no image/audio codecs —
-  * implemented as a deterministic fake (dimensions/features derived from the
-  * content bytes) so results are reproducible and testable. Everything
-  * around it is the real production shape:
-  * - schema: (media_id long, kind string, content binary) → fixed-dim
-  *   feature vectors + typed metadata;
+  * Decoders are REAL and JDK-only (no external deps):
+  * - images: `javax.imageio.ImageIO` (PNG/JPEG/BMP/GIF) → true width/height
+  *   and a 16-dim luminance-grid feature vector computed from decoded pixels;
+  * - audio: a RIFF/WAVE header + PCM parse → true sample rate, channels,
+  *   duration, and a 16-segment RMS-energy feature vector;
+  * - video: the JDK ships no video codec, so video rows use a clearly-marked
+  *   deterministic fake (metadata derived from content bytes). This is the
+  *   only remaining stub and it is documented as such.
+  *
+  * Production shape (unchanged from round 1):
+  * - schema: (media_id long, kind string, content binary) → typed metadata +
+  *   fixed-dim feature vectors;
   * - `mapPartitions` with `grouped(batchSize)` bounds per-batch memory the
   *   way Arrow record batches do for vectorized Python UDFs;
   * - downstream (feature vectors) plugs into `graft.queries.Similarity`.
@@ -27,22 +38,157 @@ object Multimodal {
   final case class Media(media_id: Long, kind: String, content: Array[Byte])
   final case class Decoded(
       media_id: Long, kind: String, width: Int, height: Int, n_frames: Int,
+      sample_rate: Int, channels: Int, duration_ms: Double,
       features: Array[Float])
 
-  /** STUB decode. A real implementation calls the codec (JPEG/PNG/WAV/MP4)
-    * here and this is the only line that changes. Deterministic fake:
-    * metadata and features are pure functions of the bytes.
+  // ---------------------------------------------------------------- images
+
+  /** Real image decode via ImageIO (headless-safe; PNG/JPEG/BMP/GIF in every
+    * JDK). Returns (width, height, 16-dim features): features are the mean
+    * luminance of a 4×4 spatial grid over the decoded pixels — a genuine
+    * (if simple) visual descriptor, deterministic across JVMs.
     */
-  private[multimodal] def stubDecode(m: Media): Decoded = {
+  private[multimodal] def decodeImage(bytes: Array[Byte]): (Int, Int, Array[Float]) = {
+    ImageIO.setUseCache(false) // no temp-file cache on executors
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    require(img != null, s"undecodable image bytes (${bytes.length} bytes)")
+    val w = img.getWidth
+    val h = img.getHeight
+    val sums = new Array[Double](FeatureDim)
+    val counts = new Array[Int](FeatureDim)
+    var y = 0
+    while (y < h) {
+      val gy = math.min(3, y * 4 / h)
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+          (rgb & 0xFF) * 114) / (255.0 * 1000.0)
+        val cell = gy * 4 + math.min(3, x * 4 / w)
+        sums(cell) += lum
+        counts(cell) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val features = Array.tabulate(FeatureDim) { i =>
+      if (counts(i) == 0) 0.0f else (sums(i) / counts(i)).toFloat
+    }
+    (w, h, features)
+  }
+
+  // ----------------------------------------------------------------- audio
+
+  final case class WavInfo(
+      sampleRate: Int, channels: Int, bitsPerSample: Int, nSamples: Int,
+      durationMs: Double, features: Array[Float])
+
+  private def le16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8)
+  private def le32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
+      ((b(off + 2) & 0xFF) << 16) | ((b(off + 3) & 0xFF) << 24)
+  private def fourCC(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** Real RIFF/WAVE parse: walks the chunk list for `fmt ` and `data`,
+    * validates PCM, and computes 16-segment RMS energy features from the
+    * 16-bit samples (channel-mixed). Rejects malformed containers loudly.
+    */
+  private[multimodal] def decodeWav(bytes: Array[Byte]): WavInfo = {
+    require(bytes.length >= 44, s"WAV too short (${bytes.length} bytes)")
+    require(fourCC(bytes, 0) == "RIFF" && fourCC(bytes, 8) == "WAVE",
+      "not a RIFF/WAVE container")
+    var off = 12
+    var sampleRate = -1
+    var channels = -1
+    var bits = -1
+    var dataOff = -1
+    var dataLen = -1
+    while (off + 8 <= bytes.length && (sampleRate < 0 || dataOff < 0)) {
+      val id = fourCC(bytes, off)
+      val size = le32(bytes, off + 4)
+      require(size >= 0 && off + 8 + size <= bytes.length,
+        s"truncated chunk '$id' at offset $off")
+      if (id == "fmt ") {
+        require(size >= 16, "fmt chunk too small")
+        val audioFormat = le16(bytes, off + 8)
+        require(audioFormat == 1, s"only PCM supported, got format $audioFormat")
+        channels = le16(bytes, off + 10)
+        sampleRate = le32(bytes, off + 12)
+        bits = le16(bytes, off + 22)
+        require(channels > 0 && sampleRate > 0, "invalid fmt values")
+        require(bits == 16, s"only 16-bit PCM supported, got $bits")
+      } else if (id == "data") {
+        dataOff = off + 8
+        dataLen = size
+      }
+      off += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    require(sampleRate > 0, "missing fmt chunk")
+    require(dataOff >= 0, "missing data chunk")
+    val bytesPerFrame = channels * 2
+    val nSamples = dataLen / bytesPerFrame
+    val durationMs = nSamples * 1000.0 / sampleRate
+    // 16-segment RMS energy over channel-mixed samples, normalized to [0, 1]
+    val sums = new Array[Double](FeatureDim)
+    val counts = new Array[Int](FeatureDim)
+    var i = 0
+    while (i < nSamples) {
+      var mix = 0.0
+      var c = 0
+      while (c < channels) {
+        val s = le16(bytes, dataOff + i * bytesPerFrame + c * 2).toShort
+        mix += s / 32768.0
+        c += 1
+      }
+      mix /= channels
+      val seg = if (nSamples <= 1) 0 else math.min(FeatureDim - 1, i * FeatureDim / nSamples)
+      sums(seg) += mix * mix
+      counts(seg) += 1
+      i += 1
+    }
+    val features = Array.tabulate(FeatureDim) { k =>
+      if (counts(k) == 0) 0.0f else math.sqrt(sums(k) / counts(k)).toFloat
+    }
+    WavInfo(sampleRate, channels, bits, nSamples, durationMs, features)
+  }
+
+  // ----------------------------------------------------------------- video
+
+  /** STUB — the JDK ships no video codec. Deterministic fake: metadata and
+    * features are pure functions of the content bytes, so results are
+    * reproducible and testable. A real implementation would hand the bytes
+    * to a demuxer here; this is the only line that changes.
+    */
+  private[multimodal] def stubDecodeVideo(m: Media): Decoded = {
     val n = m.content.length
     val h = m.content.foldLeft(1125899906842597L)((acc, b) => 31 * acc + b)
     val features = Array.tabulate(FeatureDim) { i =>
-      // spread bytes across the feature dims; bounded [-1, 1]
       val x = java.lang.Long.rotateLeft(h, i * 4) ^ (i * 0x9E3779B97F4A7C15L)
       (x % 1000).toFloat / 1000.0f
     }
     Decoded(m.media_id, m.kind, width = 1 + (n % 512), height = 1 + ((n / 7) % 512),
-      n_frames = if (m.kind == "video") 1 + (n % 30) else 1, features = features)
+      n_frames = 1 + (n % 30), sample_rate = 0, channels = 0, duration_ms = 0.0,
+      features = features)
+  }
+
+  /** Dispatch by kind: real decoders for image/audio, documented stub for
+    * video. Unknown kinds fail loudly (fail-fast, like the reference's
+    * config validation).
+    */
+  private[multimodal] def decode(m: Media): Decoded = m.kind match {
+    case "image" =>
+      val (w, h, feats) = decodeImage(m.content)
+      Decoded(m.media_id, m.kind, width = w, height = h, n_frames = 1,
+        sample_rate = 0, channels = 0, duration_ms = 0.0, features = feats)
+    case "audio" =>
+      val info = decodeWav(m.content)
+      Decoded(m.media_id, m.kind, width = 0, height = 0, n_frames = 1,
+        sample_rate = info.sampleRate, channels = info.channels,
+        duration_ms = info.durationMs, features = info.features)
+    case "video" => stubDecodeVideo(m)
+    case other => throw new IllegalArgumentException(s"unknown media kind: $other")
   }
 
   /** Decode + featurize, partition-wise in bounded batches (the Arrow-batch
@@ -53,18 +199,23 @@ object Multimodal {
     media.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         // a real impl hands `batch` to the codec as one vectorized call
-        batch.map(stubDecode)
+        batch.map(decode)
       }
     }
   }
 
-  /** STUB resize: real impl scales pixel data; fake scales metadata only. */
+  /** Resize: scales metadata (and would scale pixel data in a pixel-carrying
+    * pipeline; features here are scale-invariant grid statistics).
+    */
   def resize(decoded: Dataset[Decoded], maxSide: Int): Dataset[Decoded] = {
     import decoded.sparkSession.implicits._
     decoded.map { d =>
-      val scale = math.min(1.0, maxSide.toDouble / math.max(d.width, d.height))
-      d.copy(width = math.max(1, (d.width * scale).toInt),
-        height = math.max(1, (d.height * scale).toInt))
+      if (d.width <= 0 || d.height <= 0) d
+      else {
+        val scale = math.min(1.0, maxSide.toDouble / math.max(d.width, d.height))
+        d.copy(width = math.max(1, (d.width * scale).toInt),
+          height = math.max(1, (d.height * scale).toInt))
+      }
     }
   }
 
@@ -76,33 +227,107 @@ object Multimodal {
     decoded.map(d => d.copy(n_frames = math.max(1, (d.n_frames + stride - 1) / stride)))
   }
 
-  /** Synthetic media table derived from `documents` (text bytes as opaque
-    * content) so the plumbing runs against real testdata at any SF.
+  // ----------------------------------------- synthetic real-encoded content
+
+  /** Deterministic real PNG bytes: a small image whose pixels are a pure
+    * function of `seed`, encoded through the actual ImageIO PNG writer — so
+    * the decode path exercises a genuine codec round-trip.
+    */
+  private[multimodal] def syntheticPng(seed: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = java.lang.Long.rotateLeft(seed + x * 31L + y * 131L, (x + y) % 61)
+        img.setRGB(x, y, (v & 0xFFFFFF).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new ByteArrayOutputStream()
+    ImageIO.setUseCache(false)
+    require(ImageIO.write(img, "png", baos), "PNG writer unavailable")
+    baos.toByteArray
+  }
+
+  /** Deterministic real WAV bytes: 16-bit PCM mono sine wave whose frequency
+    * and length derive from `seed`, with a correct RIFF header.
+    */
+  private[multimodal] def syntheticWav(seed: Long, sampleRate: Int, nSamples: Int): Array[Byte] = {
+    val dataLen = nSamples * 2
+    val out = new Array[Byte](44 + dataLen)
+    def putStr(off: Int, s: String): Unit = {
+      val b = s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      System.arraycopy(b, 0, out, off, 4)
+    }
+    def put32(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xFF).toByte; out(off + 1) = ((v >> 8) & 0xFF).toByte
+      out(off + 2) = ((v >> 16) & 0xFF).toByte; out(off + 3) = ((v >> 24) & 0xFF).toByte
+    }
+    def put16(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xFF).toByte; out(off + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    putStr(0, "RIFF"); put32(4, 36 + dataLen); putStr(8, "WAVE")
+    putStr(12, "fmt "); put32(16, 16); put16(20, 1); put16(22, 1)
+    put32(24, sampleRate); put32(28, sampleRate * 2); put16(32, 2); put16(34, 16)
+    putStr(36, "data"); put32(40, dataLen)
+    val freq = 110.0 + (math.abs(seed) % 880)
+    var i = 0
+    while (i < nSamples) {
+      val s = (math.sin(2 * math.Pi * freq * i / sampleRate) * 12000).toInt
+      put16(44 + i * 2, s & 0xFFFF)
+      i += 1
+    }
+    out
+  }
+
+  /** Media table derived from `documents`: REAL encoded PNG/WAV content per
+    * row (pixels/samples a deterministic function of doc_id), plus fake
+    * container bytes for the video kind. Generation is a narrow map; at
+    * production scale this stage is replaced by reading actual media files.
     */
   def mediaFromDocuments(spark: SparkSession, dir: String): Dataset[Media] = {
     import spark.implicits._
     graft.queries.Tables.t(spark, dir, "documents")
-      .select(col("doc_id").as("media_id"),
-        element_at(array(lit("image"), lit("audio"), lit("video")),
-          (col("doc_id") % 3 + 1).cast("int")).as("kind"),
-        encode(col("text"), "UTF-8").as("content"))
-      .as[Media]
+      .select(col("doc_id").cast("long").as("doc_id"))
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          (id % 3) match {
+            case 0 =>
+              Media(id, "image",
+                syntheticPng(id, 4 + (id % 29).toInt, 4 + (id % 17).toInt))
+            case 1 =>
+              Media(id, "audio",
+                syntheticWav(id, sampleRate = 8000, nSamples = 400 + (id % 800).toInt))
+            case _ =>
+              val n = 32 + (id % 96).toInt
+              val fake = Array.tabulate(n)(i => ((id * 131 + i * 31) % 251).toByte)
+              Media(id, "video", fake)
+          }
+        }
+      }
   }
 
-  /** Rows-only corpus query: decode → resize → frame-sample → per-kind
-    * feature statistics. Exercises the full multimodal plumbing.
+  /** Rows-only corpus query: generate real encoded media → decode → resize →
+    * frame-sample → per-kind statistics over REAL decoded metadata (width/
+    * height from ImageIO, duration from the WAV parse).
     */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m_media_features" -> ((s, d) => {
       val decoded = sampleFrames(resize(decodeAndFeaturize(mediaFromDocuments(s, d)), 256), 4)
       decoded.toDF()
         .select(col("media_id"), col("kind"), col("width"), col("height"), col("n_frames"),
+          col("sample_rate"), col("duration_ms"),
           graft.queries.Similarity.norm(col("features")).as("feat_norm"))
         .groupBy("kind")
         .agg(count(lit(1)).as("cnt"),
           round(avg("feat_norm"), 4).as("avg_feat_norm"),
           max("width").as("max_w"), max("height").as("max_h"),
-          max("n_frames").as("max_frames"))
+          max("n_frames").as("max_frames"),
+          max("sample_rate").as("max_sample_rate"),
+          round(max("duration_ms"), 3).as("max_duration_ms"))
         .orderBy("kind")
     })
   )

@@ -6,15 +6,75 @@ class MultimodalSpec extends SparkSpec {
 
   import Multimodal._
 
+  private def img(w: Int, h: Int, seed: Long = 7L) = syntheticPng(seed, w, h)
+  private def zeroFeat = Array.fill(FeatureDim)(0f)
+
+  test("decodeImage: real ImageIO decode returns true dimensions and pixel features") {
+    val (w, h, feats) = decodeImage(img(23, 11))
+    assert(w == 23 && h == 11)
+    assert(feats.length == FeatureDim)
+    // luminance means are in [0, 1] and not all equal (pixels vary)
+    assert(feats.forall(f => f >= 0f && f <= 1f))
+    assert(feats.toSet.size > 1)
+    // different pixels → different features; same pixels → same features
+    val (_, _, feats2) = decodeImage(img(23, 11, seed = 8L))
+    assert(feats.toSeq != feats2.toSeq)
+    assert(decodeImage(img(23, 11))._3.toSeq == feats.toSeq)
+  }
+
+  test("decodeImage: rejects non-image bytes") {
+    intercept[IllegalArgumentException](decodeImage("not an image".getBytes))
+  }
+
+  test("decodeWav: real RIFF parse returns header values and duration") {
+    // 8000 Hz mono, 4000 samples → exactly 500 ms
+    val wav = syntheticWav(42L, sampleRate = 8000, nSamples = 4000)
+    val info = decodeWav(wav)
+    assert(info.sampleRate == 8000 && info.channels == 1 && info.bitsPerSample == 16)
+    assert(info.nSamples == 4000)
+    assert(math.abs(info.durationMs - 500.0) < 1e-9)
+    // sine wave has non-zero RMS energy in every segment
+    assert(info.features.length == FeatureDim)
+    assert(info.features.forall(_ > 0f))
+  }
+
+  test("decodeWav: handles extra chunks before data and rejects malformed input") {
+    // build a WAV with a LIST chunk between fmt and data
+    val base = syntheticWav(1L, 8000, 100)
+    val listChunk = "LIST".getBytes ++ Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes
+    val withList = base.slice(0, 36) ++ listChunk ++ base.slice(36, base.length)
+    // fix RIFF size field
+    val riffSize = withList.length - 8
+    withList(4) = (riffSize & 0xFF).toByte
+    withList(5) = ((riffSize >> 8) & 0xFF).toByte
+    val info = decodeWav(withList)
+    assert(info.sampleRate == 8000 && info.nSamples == 100)
+
+    intercept[IllegalArgumentException](decodeWav("RIFFxxxxNOPE".getBytes))
+    intercept[IllegalArgumentException](decodeWav(Array[Byte](1, 2, 3)))
+    // truncated data chunk fails loudly rather than silently under-reading
+    intercept[IllegalArgumentException](decodeWav(base.slice(0, base.length - 10)))
+  }
+
+  test("decode dispatch: image and audio use real decoders, video is the documented stub") {
+    val i = decode(Media(1, "image", img(9, 5)))
+    assert(i.width == 9 && i.height == 5 && i.sample_rate == 0)
+    val a = decode(Media(2, "audio", syntheticWav(2L, 8000, 800)))
+    assert(a.sample_rate == 8000 && math.abs(a.duration_ms - 100.0) < 1e-9)
+    assert(a.width == 0 && a.height == 0)
+    val v = decode(Media(3, "video", Array.tabulate(40)(_.toByte)))
+    assert(v.n_frames >= 1 && v.width >= 1)
+    intercept[IllegalArgumentException](decode(Media(4, "hologram", Array[Byte]())))
+  }
+
   test("decodeAndFeaturize: deterministic, fixed-dim features, narrow plan") {
     import spark.implicits._
     val media = Seq(
-      Media(1, "image", "aaaa".getBytes), Media(2, "video", "bbbbbbbb".getBytes),
-      Media(3, "audio", Array[Byte]())).toDS()
+      Media(1, "image", img(12, 8)), Media(2, "video", "bbbbbbbb".getBytes),
+      Media(3, "audio", syntheticWav(3L, 8000, 200))).toDS()
     val out = decodeAndFeaturize(media, batchSize = 2).collect().sortBy(_.media_id)
     assert(out.map(_.features.length).toSet == Set(FeatureDim))
-    assert(out.forall(d => d.width >= 1 && d.height >= 1 && d.n_frames >= 1))
-    // deterministic: same bytes → same features
+    // deterministic: same bytes → same features regardless of batch size
     val again = decodeAndFeaturize(media, batchSize = 1).collect().sortBy(_.media_id)
     assert(out.map(_.features.toSeq).toSeq == again.map(_.features.toSeq).toSeq)
     // no shuffle in the decode stage
@@ -23,19 +83,26 @@ class MultimodalSpec extends SparkSpec {
 
   test("resize caps the longest side preserving aspect; sampleFrames divides frames") {
     import spark.implicits._
-    val d = Seq(Decoded(1, "image", 512, 256, 1, Array.fill(FeatureDim)(0f)),
-      Decoded(2, "video", 100, 50, 30, Array.fill(FeatureDim)(0f))).toDS()
+    val d = Seq(Decoded(1, "image", 512, 256, 1, 0, 0, 0.0, zeroFeat),
+      Decoded(2, "video", 100, 50, 30, 0, 0, 0.0, zeroFeat),
+      Decoded(3, "audio", 0, 0, 1, 8000, 1, 100.0, zeroFeat)).toDS()
     val r = resize(d, 256).collect().sortBy(_.media_id)
     assert(r(0).width == 256 && r(0).height == 128)
     assert(r(1).width == 100 && r(1).height == 50)
+    assert(r(2).width == 0 && r(2).height == 0) // audio untouched
     val f = sampleFrames(d, 4).collect().sortBy(_.media_id)
     assert(f(1).n_frames == 8)
   }
 
-  test("m_media_features corpus query: three kinds, non-empty, bounded dims") {
+  test("m_media_features corpus query: three kinds with real decoded metadata") {
     val out = Multimodal.queries("m_media_features")(spark, TestSpark.sf0001).collect()
     assert(out.map(_.getString(0)).toSet == Set("image", "audio", "video"))
     assert(out.forall(_.getLong(1) > 0))
-    assert(out.forall(r => r.getInt(3) <= 256 && r.getInt(4) <= 256))
+    val byKind = out.map(r => r.getString(0) -> r).toMap
+    // image rows carry real ImageIO dimensions (4..32 per the generator)
+    assert(byKind("image").getInt(3) >= 4 && byKind("image").getInt(3) <= 32)
+    // audio rows carry a real sample rate and positive duration from the WAV parse
+    assert(byKind("audio").getInt(6) == 8000)
+    assert(byKind("audio").getDouble(7) > 0.0)
   }
 }

@@ -107,8 +107,9 @@ object Sinks {
   }
 
   /** Test double for [[SheetService]]: stores the last uploaded payload per
-    * (key, sheet) and replays the FULL payload for `get` — it does not crop
-    * to the requested A1 sub-rectangle like the real Sheets API would.
+    * (key, sheet); `get` crops the stored payload to the requested A1
+    * rectangle (the payload is anchored at A1), matching the real Sheets
+    * API's range semantics.
     */
   final class InMemorySheetService extends SheetService {
     val cleared = mutable.ArrayBuffer.empty[(String, String, String)]
@@ -120,9 +121,16 @@ object Sinks {
     override def update(sheetKey: String, sheetName: String, a1Range: String, rows: Seq[Seq[Any]]): Unit =
       store((sheetKey, sheetName)) = rows
 
-    override def get(sheetKey: String, sheetName: String, a1Range: String): Seq[Seq[String]] =
-      store.getOrElse((sheetKey, sheetName), Seq.empty)
-        .map(_.map(v => if (v == null) "" else v.toString))
+    override def get(sheetKey: String, sheetName: String, a1Range: String): Seq[Seq[String]] = {
+      val (colStart, rowStart, colEnd, rowEnd) = A1.parseRange(a1Range)
+      val full = store.getOrElse((sheetKey, sheetName), Seq.empty)
+      val rows = (rowStart, rowEnd) match {
+        case (Some(s), Some(e)) => full.slice((s - 1).toInt, e.toInt)
+        case (Some(s), None)    => full.drop((s - 1).toInt)
+        case _                  => full
+      }
+      rows.map(_.slice(colStart - 1, colEnd).map(v => if (v == null) "" else v.toString))
+    }
   }
 
   /** Clear the sheet's column range, then upload header + rows with Date

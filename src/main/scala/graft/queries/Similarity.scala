@@ -80,13 +80,24 @@ object Similarity {
     // candidate set. Rows-only check (bucketing is hash-specific).
     "s_ann_lsh_buckets" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
-      // hyperplane h(p, i) = xxhash64(p, i) scaled to [-1, 1] — deterministic
+      // hyperplane h(p, i) = xxhash64(p, i) scaled to [-1, 1] — deterministic.
+      // The 16×64 matrix is CONSTANT, so it is evaluated ONCE driver-side
+      // (same Catalyst XxHash64 code path → bit-identical to the previous
+      // per-row form) and shipped as array<double> literals; per-row work is
+      // just zip_with multiply-accumulate, with no hash calls in the loop.
       val planes = 16
+      val dim = 64
+      val planeMatrix: IndexedSeq[Array[Double]] = (0 until planes).map { p =>
+        Array.tabulate(dim) { i =>
+          import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+          val h = XxHash64(Seq(Literal(p), Literal(i)), 42L).eval(null).asInstanceOf[Long]
+          (h % 1000).toDouble / 1000.0
+        }
+      }
       val sig = (0 until planes).map { p =>
         val proj = aggregate(
-          zip_with(col("embedding"), sequence(lit(0), lit(63)),
-            (x, i) => x.cast("double") *
-              ((xxhash64(lit(p), i) % 1000).cast("double") / 1000.0)),
+          zip_with(col("embedding"), typedLit(planeMatrix(p)),
+            (x, w) => x.cast("double") * w),
           lit(0.0), (acc, x) => acc + x)
         when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
       }.reduce((a, b) => a.bitwiseOR(b))

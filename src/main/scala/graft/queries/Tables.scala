@@ -11,15 +11,22 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
 
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects — read nanos as long (legacy conf) and convert to a
-    * microsecond TimestampType column (truncating, matching how other
-    * engines downcast ns → µs).
+    * reader rejects — the SESSION must be built with
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (Verify/Bench/TestSpark all
+    * do); this reader asserts that instead of mutating shared conf
+    * mid-plan. The ns → µs downcast uses exact integer floor division
+    * (`(ts - pmod(ts, 1000)) div 1000`), matching the floor-based downcast
+    * other engines use — correct for pre-1970 values too, with no
+    * double-precision loss on 18-digit nanosecond values.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(
+      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
+      "session must set spark.sql.legacy.parquet.nanosAsLong=true at build " +
+        "time (events.ts is parquet TIMESTAMP(NANOS))")
     t(spark, dir, "events")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+        org.apache.spark.sql.functions.expr("(ts - pmod(ts, 1000)) div 1000")))
   }
 
   type Q = (SparkSession, String) => DataFrame

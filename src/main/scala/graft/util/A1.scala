@@ -46,6 +46,27 @@ object A1 {
     }
   }
 
+  private val RangeRe = "^([A-Z]+)([0-9]*)(?::([A-Z]+)([0-9]*))?$".r
+
+  /** Parse an A1 range back to 1-based bounds:
+    * `(colStart, rowStart, colEnd, rowEnd)` — row bounds are None for a
+    * column-only range ("A:Q"); a single cell ("B2") is its own end.
+    * Inverse of [[range]] (property-tested round trip).
+    */
+  def parseRange(a1: String): (Int, Option[Long], Int, Option[Long]) = a1 match {
+    case RangeRe(c1, r1, c2, r2) =>
+      val colStart = bijectiveBase26ToInt(c1)
+      val rowStart = if (r1 == null || r1.isEmpty) None else Some(r1.toLong)
+      val colEnd = if (c2 == null) colStart else bijectiveBase26ToInt(c2)
+      val rowEnd =
+        if (c2 == null) rowStart
+        else if (r2 == null || r2.isEmpty) None else Some(r2.toLong)
+      require(colEnd >= colStart && rowEnd.zip(rowStart).forall { case (e, s) => e >= s },
+        s"inverted A1 range: $a1")
+      (colStart, rowStart, colEnd, rowEnd)
+    case other => throw new IllegalArgumentException(s"malformed A1 range: $other")
+  }
+
   /** A1 range of a DataFrame — `df.shape` is a count() action (reference M4,
     * `utils.py:38-41`); call once per sink, not per stage.
     */

@@ -88,6 +88,21 @@ class SinksSpec extends SparkSpec {
       Seq(("a", "1"), ("b", "2")))
   }
 
+  test("InMemorySheetService.get crops to the requested A1 rectangle like the real API") {
+    val svc = new Sinks.InMemorySheetService
+    svc.update("k", "s", "A1:C4", Seq(
+      Seq("h1", "h2", "h3"), Seq("a", "1", "x"), Seq("b", "2", "y"), Seq("c", "3", "z")))
+    // interior sub-rectangle
+    assert(svc.get("k", "s", "B2:C3") == Seq(Seq("1", "x"), Seq("2", "y")))
+    // column-only range keeps all rows, crops columns
+    assert(svc.get("k", "s", "B:C") ==
+      Seq(Seq("h2", "h3"), Seq("1", "x"), Seq("2", "y"), Seq("3", "z")))
+    // single cell
+    assert(svc.get("k", "s", "C4") == Seq(Seq("z")))
+    // range larger than the payload just returns what exists
+    assert(svc.get("k", "s", "A1:Z99").map(_.length).toSet == Set(3))
+  }
+
   test("makeDateFilename uses first Date column and an en-dash") {
     val df = Seq("2025-08-01", "2025-08-03", "2025-08-02").toDF("Day")
       .select(col("Day").cast(DateType).as("Day"))

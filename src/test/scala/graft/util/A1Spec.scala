@@ -38,4 +38,24 @@ class A1Spec extends AnyFunSuite {
   test("unknown range mode raises") {
     intercept[IllegalArgumentException] { A1.range(1, 1, "diagonal") }
   }
+
+  test("parseRange goldens: rectangle, column range, single cell, open-ended") {
+    assert(A1.parseRange("A1:E6") == ((1, Some(1L), 5, Some(6L))))
+    assert(A1.parseRange("C2:R102") == ((3, Some(2L), 18, Some(102L))))
+    assert(A1.parseRange("A:E") == ((1, None, 5, None)))
+    assert(A1.parseRange("B2") == ((2, Some(2L), 2, Some(2L))))
+    assert(A1.parseRange("B2:D") == ((2, Some(2L), 4, None)))
+    intercept[IllegalArgumentException] { A1.parseRange("2A:4B") }
+    intercept[IllegalArgumentException] { A1.parseRange("E1:A5") }
+  }
+
+  test("round-trip property: range -> parseRange") {
+    check(Prop.forAll(Gen.choose(0L, 10000L), Gen.choose(1, 800),
+        Gen.choose(0, 50), Gen.choose(0, 50)) { (rows, cols, vo, ho) =>
+      val full = A1.parseRange(A1.range(rows, cols, "full_range", vo, ho))
+      val colr = A1.parseRange(A1.range(rows, cols, "column_range", vo, ho))
+      full == ((1 + ho, Some(1L + vo), cols + ho, Some(rows + 1 + vo))) &&
+        colr == ((1 + ho, None, cols + ho, None))
+    })
+  }
 }

@@ -49,6 +49,73 @@ object Dedup {
       .drop("__copy")
   }
 
+  /** MinHash-LSH near-dup pairs over the dup corpus: 16 hashes × 4 bands of
+    * 4 → explode band signatures → equi-join on (band, bsig) → verify
+    * candidates by estimated Jaccard (fraction of equal minhashes) ≥ 0.7.
+    * At scale this is a shuffle on bucket key, never an O(n²) cross join.
+    */
+  def minhashPairs(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val bands = 4
+    val rows = 4
+    val n = bands * rows
+    // explode shingle positions → hash each shingle ONCE → derive the
+    // 16-member hash family by re-hashing the 64-bit value with the seed
+    // (fixed-width long input — far cheaper than 16 string hashes; affine
+    // mixing would be cheaper still but wrapping arithmetic trips ANSI
+    // overflow checks) → 16 min-aggregates per doc. Whole-stage codegen,
+    // map-side partial aggregation.
+    def mix(j: Int) = xxhash64(col("h"), lit(j))
+    val sig = explodedShingles(corpusWithDups(s, d), "doc_id", "text")
+      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+      .groupBy("doc_id")
+      .agg(min(mix(0)).as("m0"),
+        (1 until n).map(j => min(mix(j)).as(s"m$j")): _*)
+      .select(col("doc_id"), array((0 until n).map(j => col(s"m$j")): _*).as("mh"))
+      .select(col("doc_id"), col("mh"), posexplode(
+        array((0 until bands).map(b =>
+          xxhash64((0 until rows).map(r => col("mh")(b * rows + r)): _*)): _*)
+      ).as(Seq("band", "bsig")))
+    // alias-based self-join: both sides are the SAME canonical subplan, so
+    // the shuffle on (band, bsig) is computed once and the second side is
+    // a ReusedExchange — at 100 TB this halves the dominant stage
+    val a = sig.as("a")
+    val b = sig.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.mh").as("mh_a"), col("b.mh").as("mh_b"))
+      .groupBy("id_a", "id_b")
+      .agg(max(
+        size(filter(zip_with(col("mh_a"), col("mh_b"), (x, y) => x === y), p => p))
+          .cast("double") / n).as("est_sim"))
+      .filter(col("est_sim") >= 0.7)
+  }
+
+  /** SimHash signatures over the dup corpus: 64 conditional bit sums from
+    * token hashes (partial-agg friendly), folded to one 64-bit signature.
+    */
+  def simhashSigs(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val toks = Text.tokens(Text.normText(col("text")))
+    val hashed = corpusWithDups(s, d)
+      .select(col("doc_id"), explode(toks).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b"))
+    hashed.groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(b =>
+          when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
+          .reduce((x, y) => x.bitwiseOR(y)).as("simhash"))
+  }
+
+  /** Planted ground-truth pairs: corpusWithDups duplicates every 5th doc as
+    * ids (2k, 2k+1) — exact duplicates, Jaccard 1.0 by construction.
+    */
+  private def plantedPairs(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    t(s, d, "documents").filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") * 2).as("id_a"), (col("doc_id") * 2 + 1).as("id_b"))
+
   val queries: Map[String, Q] = Map(
     // Exact dedup: first-per-fingerprint via min(doc_id) groupBy (scales as
     // a single hash aggregation; no window needed).
@@ -60,70 +127,48 @@ object Dedup {
         .agg(count(lit(1)).as("n_groups"), min("keep_id").as("min_keep"))
         .orderBy("n_copies")),
 
-    // MinHash-LSH near-dup pairs: 16 hashes × 4 bands of 4 → explode band
-    // signatures → equi-join on (band, bsig) → verify candidates by
-    // estimated Jaccard (fraction of equal minhashes) ≥ 0.7.
-    // At scale this is a shuffle on bucket key, never an O(n²) cross join.
-    // No DuckDB oracle (hash-function specific) → rows-only check.
-    "d_minhash_lsh" -> ((s, d) => {
-      val bands = 4
-      val rows = 4
-      val n = bands * rows
-      // explode shingle positions → hash each shingle ONCE → derive the
-      // 16-member hash family by re-hashing the 64-bit value with the seed
-      // (fixed-width long input — far cheaper than 16 string hashes; affine
-      // mixing would be cheaper still but wrapping arithmetic trips ANSI
-      // overflow checks) → 16 min-aggregates per doc. Whole-stage codegen,
-      // map-side partial aggregation.
-      def mix(j: Int) = xxhash64(col("h"), lit(j))
-      val sig = explodedShingles(corpusWithDups(s, d), "doc_id", "text")
-        .select(col("doc_id"), xxhash64(col("sh")).as("h"))
-        .groupBy("doc_id")
-        .agg(min(mix(0)).as("m0"),
-          (1 until n).map(j => min(mix(j)).as(s"m$j")): _*)
-        .select(col("doc_id"), array((0 until n).map(j => col(s"m$j")): _*).as("mh"))
-        .select(col("doc_id"), col("mh"), posexplode(
-          array((0 until bands).map(b =>
-            xxhash64((0 until rows).map(r => col("mh")(b * rows + r)): _*)): _*)
-        ).as(Seq("band", "bsig")))
-      // alias-based self-join: both sides are the SAME canonical subplan, so
-      // the shuffle on (band, bsig) is computed once and the second side is
-      // a ReusedExchange — at 100 TB this halves the dominant stage
-      val a = sig.as("a")
-      val b = sig.as("b")
-      a.join(b, col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig"))
-        .filter(col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-          col("a.mh").as("mh_a"), col("b.mh").as("mh_b"))
-        .groupBy("id_a", "id_b")
-        .agg(max(
-          size(filter(zip_with(col("mh_a"), col("mh_b"), (x, y) => x === y), p => p))
-            .cast("double") / n).as("est_sim"))
-        .filter(col("est_sim") >= 0.7)
-        .orderBy("id_a", "id_b")
+    // Near-dup pair listing (hash-specific → rows-only check); the
+    // oracle-checked recall companion is d_minhash_recall below.
+    "d_minhash_lsh" -> ((s, d) => minhashPairs(s, d).orderBy("id_a", "id_b")),
+
+    // SELF-VERIFYING: recall of the planted exact-dup pairs. An exact
+    // duplicate has an identical shingle set → identical minhash signature →
+    // identical band signatures → guaranteed candidate with est_sim = 1.0,
+    // so recall is deterministically 1.0 for ANY corpus and ANY hash — which
+    // makes this fully DuckDB-oracle-checkable despite LSH being
+    // hash-specific.
+    "d_minhash_recall" -> ((s, d) => {
+      val found = minhashPairs(s, d)
+      plantedPairs(s, d).join(found, Seq("id_a", "id_b"), "left")
+        .agg(count(lit(1)).as("n_truth"), count(col("est_sim")).as("n_found"))
+        .select(col("n_truth"), col("n_found"),
+          round(col("n_found").cast("double") / col("n_truth").cast("double"), 4).as("recall"),
+          (col("n_found") === col("n_truth")).as("pass"))
     }),
 
-    // SimHash: 64-bit signature from token hashes; near-dups bucket by
-    // 16-bit chunks. Rows-only check (hash-function specific).
-    "d_simhash" -> ((s, d) => {
-      val toks = Text.tokens(Text.normText(col("text")))
-      val hashed = corpusWithDups(s, d)
-        .select(col("doc_id"), explode(toks).as("tok"))
-        .withColumn("h", xxhash64(col("tok")))
-      val bitSums = (0 until 64).map(b =>
-        sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b"))
-      val sim = hashed.groupBy("doc_id")
-        .agg(bitSums.head, bitSums.tail: _*)
-        .select(col("doc_id"),
-          (0 until 64).map(b =>
-            when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
-            .reduce((x, y) => x.bitwiseOR(y)).as("simhash"))
-      // bucket by high 16 bits — same-bucket docs are near-dup candidates
-      sim.withColumn("bucket", shiftright(col("simhash"), 48))
+    // SimHash: near-dups bucket by the high 16 bits of the 64-bit signature.
+    // Rows-only check (hash-function specific); oracle-checked recall
+    // companion is d_simhash_recall below.
+    "d_simhash" -> ((s, d) =>
+      simhashSigs(s, d).withColumn("bucket", shiftright(col("simhash"), 48))
         .groupBy("bucket")
         .agg(count(lit(1)).as("n_docs"))
         .filter(col("n_docs") > 1)
-        .orderBy("bucket")
+        .orderBy("bucket")),
+
+    // SELF-VERIFYING: planted exact dups tokenize identically → identical
+    // bit sums → identical signature, so signature-equality recall is
+    // deterministically 1.0 → oracle-checkable.
+    "d_simhash_recall" -> ((s, d) => {
+      val sig = simhashSigs(s, d)
+      plantedPairs(s, d)
+        .join(sig.select(col("doc_id").as("id_a"), col("simhash").as("sig_a")), "id_a")
+        .join(sig.select(col("doc_id").as("id_b"), col("simhash").as("sig_b")), "id_b")
+        .agg(count(lit(1)).as("n_truth"),
+          sum(when(col("sig_a") === col("sig_b"), 1L).otherwise(0L)).as("n_found"))
+        .select(col("n_truth"), col("n_found"),
+          round(col("n_found").cast("double") / col("n_truth").cast("double"), 4).as("recall"),
+          (col("n_found") === col("n_truth")).as("pass"))
     }),
 
     // Embedding-cosine near-dup: pairs above a cosine threshold, via the
@@ -162,6 +207,21 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = Map(
+    // recall of planted exact-dup pairs is 1.0 by construction (identical
+    // text → identical signatures → guaranteed LSH collision), so the
+    // expected output is plain SQL over `documents`
+    "d_minhash_recall" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_truth,
+        |       CAST(count(*) AS BIGINT) AS n_found,
+        |       CAST(1.0 AS DOUBLE) AS recall,
+        |       CAST(1 AS BOOLEAN) AS pass
+        |FROM documents WHERE doc_id % 5 = 0""".stripMargin,
+    "d_simhash_recall" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_truth,
+        |       CAST(count(*) AS BIGINT) AS n_found,
+        |       CAST(1.0 AS DOUBLE) AS recall,
+        |       CAST(1 AS BOOLEAN) AS pass
+        |FROM documents WHERE doc_id % 5 = 0""".stripMargin,
     "d_exact_dedup" ->
       """WITH dups AS (
         |  SELECT doc_id * 2 AS doc_id, text, lang, source, n_chars FROM documents

@@ -249,16 +249,32 @@ object Relational {
           |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
     }),
 
-    // Sketch-based distinct (HLL++) — no DuckDB oracle (approximate);
-    // driver records a rows-only check.
-    "q_approx_count_distinct" -> ((s, d) =>
+    // Sketch-based distinct (HLL++), SELF-VERIFYING: the sketch value is
+    // approximation-specific, so the OUTPUT is the exact distinct count plus
+    // a within-tolerance boolean (|approx−exact|/exact ≤ 3×rsd) — which makes
+    // the check fully DuckDB-oracle-checkable. At 100 TB only the sketch
+    // aggregation runs (one pass, bounded memory); the exact countDistinct
+    // here exists to grade the sketch, computed in the same single
+    // aggregation pass.
+    "q_approx_count_distinct" -> ((s, d) => {
+      val rsd = 0.05
       t(s, d, "lineitem")
         .groupBy("l_returnflag")
-        .agg(approx_count_distinct("l_partkey").as("approx_parts"))
-        .orderBy("l_returnflag"))
+        .agg(approx_count_distinct("l_partkey", rsd).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("n_parts"))
+        .select(col("l_returnflag"), col("n_parts"),
+          (abs(col("approx_parts") - col("n_parts")).cast("double") /
+            col("n_parts").cast("double") <= 3 * rsd).as("within_tol"))
+        .orderBy("l_returnflag")
+    })
   )
 
   val oracles: Map[String, String] = Map(
+    // the sketch is graded in-query; expected output is exact + pass=true
+    "q_approx_count_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        |CAST(1 AS BOOLEAN) AS within_tol
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |round(sum(l_quantity),2) AS sum_qty,

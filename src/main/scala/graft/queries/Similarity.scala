@@ -32,6 +32,27 @@ object Similarity {
   def cosineHof(a: Column, b: Column): Column =
     dot(a, b) / nullif(norm(a) * norm(b), lit(0.0))
 
+  /** Deterministic pseudo-random hyperplane `p` over `dim` components in
+    * [-1, 1]: evaluated ONCE driver-side through the same Catalyst XxHash64
+    * code path the per-row form used (bit-identical results), then shipped
+    * to executors as an array<double> literal.
+    */
+  private[queries] def hyperplane(p: Int, dim: Int = 64): Array[Double] =
+    Array.tabulate(dim) { i =>
+      import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+      val h = XxHash64(Seq(Literal(p), Literal(i)), 42L).eval(null).asInstanceOf[Long]
+      (h % 1000).toDouble / 1000.0
+    }
+
+  /** Signed projection of `embedding` onto hyperplane `p`: plain
+    * multiply-accumulate per row, no hash calls in the loop.
+    */
+  private def planeProj(p: Int): Column =
+    aggregate(
+      zip_with(col("embedding"), typedLit(hyperplane(p)),
+        (x, w) => x.cast("double") * w),
+      lit(0.0), (acc, x) => acc + x)
+
   val queries: Map[String, Q] = Map(
     // Exact brute-force cosine top-k against one query vector (vec_id 0).
     // The query side is a 1-row broadcast; the scan side stays narrow.
@@ -80,32 +101,63 @@ object Similarity {
     // candidate set. Rows-only check (bucketing is hash-specific).
     "s_ann_lsh_buckets" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
-      // hyperplane h(p, i) = xxhash64(p, i) scaled to [-1, 1] — deterministic.
-      // The 16×64 matrix is CONSTANT, so it is evaluated ONCE driver-side
-      // (same Catalyst XxHash64 code path → bit-identical to the previous
-      // per-row form) and shipped as array<double> literals; per-row work is
-      // just zip_with multiply-accumulate, with no hash calls in the loop.
+      // 16 constant hyperplanes (see [[hyperplane]] — precomputed
+      // driver-side, shipped as literals; per-row work is multiply-
+      // accumulate only)
       val planes = 16
-      val dim = 64
-      val planeMatrix: IndexedSeq[Array[Double]] = (0 until planes).map { p =>
-        Array.tabulate(dim) { i =>
-          import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
-          val h = XxHash64(Seq(Literal(p), Literal(i)), 42L).eval(null).asInstanceOf[Long]
-          (h % 1000).toDouble / 1000.0
-        }
-      }
       val sig = (0 until planes).map { p =>
-        val proj = aggregate(
-          zip_with(col("embedding"), typedLit(planeMatrix(p)),
-            (x, w) => x.cast("double") * w),
-          lit(0.0), (acc, x) => acc + x)
-        when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+        when(planeProj(p) > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
       }.reduce((a, b) => a.bitwiseOR(b))
       emb.select(col("vec_id"), col("label"), sig.as("bucket"))
         .groupBy("bucket")
         .agg(count(lit(1)).as("n_vecs"), countDistinct("label").as("n_labels"))
         .filter(col("n_vecs") > 1)
         .orderBy("bucket")
+    }),
+
+    // SELF-VERIFYING ANN: multi-table hyperplane LSH (16 tables × 4 planes,
+    // OR-amplified) → same-bucket candidates for query vec 0 → recall@10
+    // against the brute-force cosine top-k (the oracle-matched ground truth
+    // of s_cosine_topk). The testdata embeddings are near-uniform (top-10
+    // cosine ≈ 0.27–0.40 — ANN's adversarial case), so the floor is set
+    // conservatively; the LSH hash is deterministic, so measured recall is
+    // stable per dataset. Output exposes candidate-set size so pruning is
+    // visible, hence rows-only (n_candidates is hash-specific) — the pass
+    // boolean is additionally asserted in QueriesSelfCheckSpec.
+    "s_ann_recall" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val tables = 16
+      val planesPer = 4
+      val emb = t(s, d, "embeddings")
+      // per-table bucket id: 4 sign bits from this table's private planes
+      val bucketVals = (0 until tables).map { tb =>
+        (0 until planesPer).map { j =>
+          when(planeProj(tb * planesPer + j) > 0, lit(1 << j)).otherwise(lit(0))
+        }.reduce(_ + _)
+      }
+      val buckets = emb.select(col("vec_id"),
+        posexplode(array(bucketVals: _*)).as(Seq("tbl", "bucket")))
+      val qb = buckets.filter(col("vec_id") === 0)
+        .select(col("tbl").as("qtbl"), col("bucket").as("qbucket"))
+      // candidates = vectors sharing ANY table-bucket with the query — an
+      // equi-join on (table, bucket) against a 16-row broadcast, never a
+      // cross join
+      val candidates = buckets.filter(col("vec_id") =!= 0)
+        .join(broadcast(qb), col("tbl") === col("qtbl") && col("bucket") === col("qbucket"))
+        .select("vec_id").distinct()
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+      val top10 = emb.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          graft.functions.GraftFunctions.cosineSim(col("embedding"), col("qvec")).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(10)
+      top10.join(candidates.withColumn("hit", lit(1L)), Seq("vec_id"), "left")
+        .agg(count(lit(1)).as("k"), sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .crossJoin(candidates.agg(count(lit(1)).as("n_candidates")))
+        .select(col("k"), col("n_candidates"), col("n_hit"),
+          round(col("n_hit").cast("double") / col("k").cast("double"), 4).as("recall"),
+          (col("n_hit").cast("double") / col("k").cast("double") >= 0.5).as("pass"))
     })
   )
 

@@ -1,0 +1,53 @@
+package graft.queries
+
+import graft.{SparkSpec, TestSpark}
+
+/** Self-verifying checks for the approximate / hash-specific operators
+  * (VERDICT round 1, item 2): each query grades itself against exact ground
+  * truth computed in the same plan; tolerances are recorded here.
+  *
+  * - d_minhash_recall / d_simhash_recall: recall of planted exact-dup pairs
+  *   must be exactly 1.0 (identical text → identical signatures → guaranteed
+  *   collision) — also DuckDB-oracle-checked in the corpus.
+  * - s_ann_recall: multi-table LSH recall@10 vs brute-force cosine top-k;
+  *   floor 0.5 (measured 0.7–0.9 across sf0.001/0.01/0.1 on the near-uniform
+  *   testdata embeddings — ANN's adversarial case; hash is deterministic so
+  *   the measurement is stable per dataset).
+  * - q_approx_count_distinct: HLL++ estimate within 3×rsd (rsd = 0.05 →
+  *   ±15%) of exact per group — also DuckDB-oracle-checked.
+  */
+class SelfCheckSpec extends SparkSpec {
+
+  private val sf = TestSpark.sf0001
+
+  test("d_minhash_recall: planted exact-dup pairs are always found (recall = 1.0)") {
+    val r = Dedup.queries("d_minhash_recall")(spark, sf).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("n_truth") > 0)
+    assert(r(0).getAs[Double]("recall") == 1.0)
+    assert(r(0).getAs[Boolean]("pass"))
+  }
+
+  test("d_simhash_recall: planted exact-dup pairs hash to identical signatures") {
+    val r = Dedup.queries("d_simhash_recall")(spark, sf).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Double]("recall") == 1.0)
+    assert(r(0).getAs[Boolean]("pass"))
+  }
+
+  test("s_ann_recall: LSH bucket recall@10 of the brute-force top-k >= 0.5 floor") {
+    val r = Similarity.queries("s_ann_recall")(spark, sf).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("k") == 10)
+    // pruning actually happened: candidate set is a strict subset of corpus
+    assert(r(0).getAs[Long]("n_candidates") < 499)
+    assert(r(0).getAs[Double]("recall") >= 0.5)
+    assert(r(0).getAs[Boolean]("pass"))
+  }
+
+  test("q_approx_count_distinct: HLL++ within 3×rsd of exact for every group") {
+    val r = Relational.queries("q_approx_count_distinct")(spark, sf).collect()
+    assert(r.nonEmpty)
+    assert(r.forall(_.getAs[Boolean]("within_tol")))
+  }
+}

@@ -22,6 +22,7 @@ object XlsxTestWriter {
     val strings = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     def sIdx(s: String): Int = strings.getOrElseUpdate(s, strings.size)
 
+    val serialEpoch = java.time.LocalDate.of(1899, 12, 30)
     def cellXml(rowIdx: Int, c: Int, v: Any): String = {
       val ref = s"${colRef(c)}${rowIdx + 1}"
       v match {
@@ -30,6 +31,15 @@ object XlsxTestWriter {
         case n: Long => s"""<c r="$ref"><v>$n</v></c>"""
         case n: Double => s"""<c r="$ref"><v>$n</v></c>"""
         case b: Boolean => s"""<c r="$ref" t="b"><v>${if (b) 1 else 0}</v></c>"""
+        // native Excel date: serial number + builtin date style (xf index 1)
+        case d: java.time.LocalDate =>
+          val serial = java.time.temporal.ChronoUnit.DAYS.between(serialEpoch, d)
+          s"""<c r="$ref" s="1"><v>$serial</v></c>"""
+        // native datetime: fractional serial + custom date style (xf index 2)
+        case dt: java.time.LocalDateTime =>
+          val days = java.time.temporal.ChronoUnit.DAYS.between(serialEpoch, dt.toLocalDate)
+          val frac = dt.toLocalTime.toSecondOfDay / 86400.0
+          s"""<c r="$ref" s="2"><v>${days + frac}</v></c>"""
         case s: String => s"""<c r="$ref" t="s"><v>${sIdx(s)}</v></c>"""
         case other => s"""<c r="$ref" t="s"><v>${sIdx(other.toString)}</v></c>"""
       }
@@ -55,6 +65,14 @@ object XlsxTestWriter {
     val contentTypes =
       """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
         |<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"><Default Extension="xml" ContentType="application/xml"/><Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/></Types>""".stripMargin
+    // xf 0: general; xf 1: builtin date (numFmtId 14 = m/d/yyyy);
+    // xf 2: custom datetime format (numFmtId 164)
+    val stylesXml =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+        |<numFmts count="1"><numFmt numFmtId="164" formatCode="yyyy\-mm\-dd\ hh:mm:ss"/></numFmts>
+        |<cellXfs count="3"><xf numFmtId="0"/><xf numFmtId="14" applyNumberFormat="1"/><xf numFmtId="164" applyNumberFormat="1"/></cellXfs>
+        |</styleSheet>""".stripMargin
 
     val zos = new ZipOutputStream(Files.newOutputStream(file))
     def put(name: String, content: String): Unit = {
@@ -67,6 +85,7 @@ object XlsxTestWriter {
       put("xl/workbook.xml", workbookXml)
       put("xl/_rels/workbook.xml.rels", relsXml)
       put("xl/worksheets/sheet1.xml", sheetXml)
+      put("xl/styles.xml", stylesXml)
       put("xl/sharedStrings.xml", sstXml)
     } finally zos.close()
     file
@@ -126,6 +145,85 @@ class XlsxSpec extends SparkSpec {
     assert(rows.length == 2)
     val sparse = rows.find(_.getString(0) == "only-a").get
     assert(sparse.isNullAt(1) && sparse.getString(2) == "c3")
+  }
+
+  test("native Excel dates: styled serial cells arrive as DateType / TimestampType") {
+    val f = Files.createTempDirectory("xlsx").resolve("native.xlsx")
+    XlsxTestWriter.write(f,
+      header = Seq("Day", "Stamp", "Serial"),
+      rows = Seq(
+        Seq(java.time.LocalDate.of(2025, 8, 1),
+          java.time.LocalDateTime.of(2025, 8, 1, 12, 30, 45), 45870),
+        Seq(java.time.LocalDate.of(2025, 8, 2),
+          java.time.LocalDateTime.of(2025, 8, 2, 0, 0, 1), 45871)))
+    val df = Xlsx.read(spark, f)
+    assert(df.schema("Day").dataType == DateType)
+    assert(df.schema("Stamp").dataType == TimestampType)
+    // an UNstyled serial number stays numeric — style drives the conversion
+    assert(df.schema("Serial").dataType == LongType)
+    val r = df.orderBy("Day").head()
+    assert(r.getDate(0).toString == "2025-08-01")
+    assert(r.getTimestamp(1).toString == "2025-08-01 12:30:45.0")
+  }
+
+  test("native-date cell round-trips through the ETL pipeline to DateType") {
+    val dir = Files.createTempDirectory("native-raw")
+    // TikTok-shaped export where By Day is a NATIVE date cell (what real
+    // ad-platform exports ship), not a string
+    XlsxTestWriter.write(dir.resolve("tiktok.xlsx"),
+      header = Seq("By Day", "Account Name", "Campaign Name", "Ad Group Name", "Ad Name",
+        "Cost", "Impressions", "Frequency", "Reach", "Clicks (Destination)",
+        "Adds To Cart (Website)", "Checkouts Initiated (Website)", "Purchases (Website)",
+        "Purchase Value (Website)"),
+      rows = Seq(
+        Seq(java.time.LocalDate.of(2025, 8, 1), "acct_t", "camp_t1", "grp_t1", "promo",
+          101.0, 9500, 1.25, 7600, 250, 26, 15, 6, 455.0)))
+    val engine = new graft.etl.MultiSourceAdEtl(graft.etl.Configs.apsl)
+    val out = engine.run(spark, dir.toString, capitalize = true)
+    assert(out.schema("Day").dataType == DateType)
+    assert(out.select("Day").head().getDate(0).toString == "2025-08-01")
+  }
+
+  test("isDateFormatCode: date tokens outside quotes/brackets/escapes only") {
+    assert(Xlsx.isDateFormatCode("yyyy-mm-dd"))
+    assert(Xlsx.isDateFormatCode("m/d/yy h:mm"))
+    assert(Xlsx.isDateFormatCode("[$-409]d-mmm-yy"))
+    assert(Xlsx.isDateFormatCode("yyyy\\-mm\\-dd"))
+    // time-only, currency, and quoted-literal lookalikes are NOT dates
+    assert(!Xlsx.isDateFormatCode("hh:mm:ss"))
+    assert(!Xlsx.isDateFormatCode("#,##0.00"))
+    assert(!Xlsx.isDateFormatCode("0.00\" dollars\""))
+    assert(!Xlsx.isDateFormatCode("[Red]0.0%"))
+  }
+
+  test("serialToIso: whole serials are dates, fractional are datetimes, text passes") {
+    assert(Xlsx.serialToIso("45870") == "2025-08-01")
+    assert(Xlsx.serialToIso("45870.5") == "2025-08-01 12:00:00")
+    assert(Xlsx.serialToIso("45870.999999") == "2025-08-02") // rounds to midnight
+    assert(Xlsx.serialToIso("2025-08-01") == "2025-08-01")   // t="d" cells pass through
+  }
+
+  test("a data cell beyond the header width fails loudly instead of dropping data") {
+    val f = Files.createTempDirectory("xlsx").resolve("wide.xlsx")
+    XlsxTestWriter.write(f,
+      header = Seq("A", "B"),
+      rows = Seq(Seq("a1", "b1", "ORPHAN")))
+    val e = intercept[IllegalArgumentException](Xlsx.parse(f))
+    assert(e.getMessage.contains("beyond"))
+  }
+
+  test("explicit empty-string cells stay \"\" in string columns, null under typed casts") {
+    val f = Files.createTempDirectory("xlsx").resolve("empties.xlsx")
+    XlsxTestWriter.write(f,
+      header = Seq("Name", "Count"),
+      rows = Seq(Seq("", 1), Seq("x", "")))
+    val (_, rows) = Xlsx.parse(f)
+    assert(rows(0)(0) == "" && rows(1)(1) == "")
+    val df = Xlsx.read(spark, f)
+    assert(df.schema("Count").dataType == LongType) // "" doesn't block inference
+    val byName = df.collect().map(r => Option(r.get(0)).getOrElse("∅") -> r).toMap
+    assert(byName("").getLong(1) == 1L) // "" kept as a string value
+    assert(byName("x").isNullAt(1))     // "" nulled before the strict cast
   }
 
   test("ETL pipeline over a mixed CSV + XLSX raw dir (reference S2 dispatch)") {

@@ -32,6 +32,14 @@ object EtlSurface {
       new MultiSourceAdEtl(graft.etl.Configs.mnb)
         .run(s, graft.etl.Fixtures.materialize("mnb"), capitalize = false)
         .orderBy("Source", "Day")),
+    "etl_pipeline_podl" -> ((s, _) =>
+      new MultiSourceAdEtl(graft.etl.Configs.podl)
+        .run(s, graft.etl.Fixtures.materialize("podl"), capitalize = false)
+        .orderBy("Source", "Day")),
+    "etl_pipeline_kcon" -> ((s, _) =>
+      new MultiSourceAdEtl(graft.etl.Configs.kcon)
+        .run(s, graft.etl.Fixtures.materialize("kcon"), capitalize = false)
+        .orderBy("Source", "Day")),
 
     // P8/E1: Polars `remove` translation — rows with a NULL predicate are
     // KEPT (filter(!coalesce(pred, false))), via the engine's removeRows.

@@ -45,6 +45,20 @@ object Events {
         .orderBy("user_id")
     }),
 
+    // Batch form of the STREAMING interval join (EventStreams.clickToPurchase
+    // — the same function, same plan shape) so stream-plan parity is
+    // hash-checked against DuckDB, not just spec-checked: purchases
+    // attributed to same-user clicks within the preceding hour, aggregated
+    // per user. Gap arithmetic is exact microseconds on both sides.
+    "e_click_attrib" -> ((s, d) =>
+      graft.streaming.EventStreams.clickToPurchase(Tables.events(s, d))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct("purchase_id").as("n_purchases"),
+          round(sum("value"), 2).as("attributed_value"),
+          max(unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))).as("max_gap_us"))
+        .orderBy("user_id")),
+
     // Daily top event type by count (window over aggregate).
     "e_daily_top_type" -> ((s, d) => {
       val daily = Tables.events(s, d)
@@ -80,6 +94,17 @@ object Events {
         |SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
         |count(*) AS n_events
         |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // µs-domain comparisons (not raw ns) mirror Spark's timestamp precision
+    // after the ns→µs downcast in Tables.events
+    "e_click_attrib" ->
+      """WITH c AS (SELECT user_id AS cu, epoch_us(ts) AS cus FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id AS pu, epoch_us(ts) AS pus, event_id AS pid, value FROM events WHERE event_type = 'purchase')
+        |SELECT pu AS user_id, count(*) AS n_pairs,
+        |  count(DISTINCT pid) AS n_purchases,
+        |  round(sum(value), 2) AS attributed_value,
+        |  CAST(max(pus - cus) AS BIGINT) AS max_gap_us
+        |FROM p JOIN c ON pu = cu AND pus >= cus AND pus - cus <= 3600000000
+        |GROUP BY pu ORDER BY user_id""".stripMargin,
     "e_daily_top_type" ->
       """WITH daily AS (
         |  SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS cnt

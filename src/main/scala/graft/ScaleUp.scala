@@ -1,0 +1,98 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-factor multiplier for the driver's testdata: replicates every fact
+  * table N× with referential-integrity-preserving key offsets, so the
+  * engine's linear-scaling claim can be MEASURED (Verify + Bench at sf1)
+  * instead of argued.
+  *
+  * Design:
+  * - one copy index k ∈ [0, N): every key column gets `+ k * Base`
+  *   (Base = 10¹⁰ — above any real key, divisible by 2/3/5 so the corpus
+  *   queries' `id % m` semantics are preserved per copy). References are
+  *   intra-copy, so offsetting ALL key columns by the same base keeps every
+  *   FK join valid (customer(k) ↔ orders(k) ↔ lineitem(k), …).
+  * - fixed dimensions (region, nation) are copied once — realistic:
+  *   dimensions don't grow with fact volume.
+  * - events.ts converts from TIMESTAMP(NANOS)-as-long to true µs timestamps
+  *   (identical floor-division downcast the readers use), so the scaled
+  *   dataset is readable by vanilla Spark AND DuckDB without legacy confs.
+  * - one parquet FILE per table (matching the driver's layout so the same
+  *   Verify/Bench/check_oracle tooling runs unchanged).
+  *
+  * Usage: runMain graft.ScaleUp [srcDir dstDir copies]
+  */
+object ScaleUp {
+
+  val Base = 10000000000L
+
+  private val keyCols: Map[String, Seq[String]] = Map(
+    "region" -> Seq.empty,
+    "nation" -> Seq.empty,
+    "customer" -> Seq("c_custkey"),
+    "supplier" -> Seq("s_suppkey"),
+    "part" -> Seq("p_partkey"),
+    "orders" -> Seq("o_orderkey", "o_custkey"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+    "events" -> Seq("event_id", "user_id"),
+    "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"))
+
+  def main(args: Array[String]): Unit = {
+    val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val dst = args.lift(1).getOrElse("/tmp/sf1")
+    val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    require(copies >= 1 && copies * Base > 0, s"bad copy count $copies")
+
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName("graft-scaleup")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    Files.createDirectories(Paths.get(dst))
+    keyCols.foreach { case (name, keys) =>
+      val raw0 = spark.read.parquet(s"$src/$name.parquet")
+      val raw =
+        if (name == "events" && raw0.schema("ts").dataType ==
+            org.apache.spark.sql.types.LongType)
+          raw0.withColumn("ts",
+            timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
+        else raw0
+      val scaled =
+        if (keys.isEmpty) raw
+        else raw
+          .withColumn("__k", explode(typedLit((0 until copies).map(_.toLong))))
+          .select(raw.columns.toIndexedSeq.map { c =>
+            if (keys.contains(c)) (col(c) + col("__k") * Base).as(c) else col(c)
+          }: _*)
+      val stage = s"$dst/.stage_$name"
+      // single FILE (the driver's layout) but many ROW GROUPS: an 8 MB block
+      // size keeps the file splittable, so scan stages parallelize — a
+      // one-row-group 77 MB lineitem file serializes every scan (measured
+      // 34× on q_distinct at 10× data before this)
+      scaled.coalesce(1).write.mode("overwrite")
+        .option("parquet.block.size", (8 * 1024 * 1024).toString)
+        .parquet(stage)
+      val part = scala.util.Using.resource(Files.list(Paths.get(stage)))(
+        _.iterator().asScala.find(_.getFileName.toString.startsWith("part-")))
+        .getOrElse(throw new IllegalStateException(s"no part file for $name"))
+      Files.move(part, Paths.get(s"$dst/$name.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      scala.util.Using.resource(Files.walk(Paths.get(stage)))(
+        _.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_)))
+      println(s"scaled $name -> $dst/$name.parquet")
+    }
+    spark.stop()
+  }
+}

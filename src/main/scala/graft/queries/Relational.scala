@@ -362,11 +362,13 @@ object Relational {
         |FROM e ASOF LEFT JOIN od ON e.user_id = od.k AND e.d >= od.t
         |ORDER BY event_id""".stripMargin,
     "q_range_join" ->
+      // band predicate (not abs(date_diff)) so DuckDB can plan an efficient
+      // join — same result, >100× faster at sf1
       """WITH o AS (SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS dy FROM orders),
         |c AS (SELECT a.o_orderkey, count(b.o_orderkey) AS n_within
         |      FROM o a LEFT JOIN o b ON a.o_custkey = b.o_custkey
         |        AND b.o_orderkey <> a.o_orderkey
-        |        AND abs(date_diff('day', b.dy, a.dy)) <= 7
+        |        AND b.dy >= a.dy - INTERVAL 7 DAY AND b.dy <= a.dy + INTERVAL 7 DAY
         |      GROUP BY 1)
         |SELECT n_within, count(*) AS n_orders FROM c GROUP BY 1 ORDER BY n_within""".stripMargin,
     "q_pivot" ->

@@ -24,9 +24,15 @@ object Tables {
       spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
       "session must set spark.sql.legacy.parquet.nanosAsLong=true at build " +
         "time (events.ts is parquet TIMESTAMP(NANOS))")
-    t(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("(ts - pmod(ts, 1000)) div 1000")))
+    val raw = t(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      // driver testdata: TIMESTAMP(NANOS) read as long ns → downcast
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("(ts - pmod(ts, 1000)) div 1000")))
+      // scaled-up datasets (graft.ScaleUp) carry µs timestamps already
+      case _ => raw
+    }
   }
 
   type Q = (SparkSession, String) => DataFrame

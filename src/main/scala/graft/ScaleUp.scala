@@ -14,10 +14,11 @@ import org.apache.spark.sql.functions._
   *
   * Design:
   * - one copy index k ∈ [0, N): every key column gets `+ k * Base`
-  *   (Base = 10¹⁰ — above any real key, divisible by 2/3/5 so the corpus
-  *   queries' `id % m` semantics are preserved per copy). References are
-  *   intra-copy, so offsetting ALL key columns by the same base keeps every
-  *   FK join valid (customer(k) ↔ orders(k) ↔ lineitem(k), …).
+  *   (Base = 1.2×10¹⁰ — above any real key, divisible by 2/3/5 so the
+  *   corpus queries' `id % m` semantics — dup planting %5, media kind %3 —
+  *   are preserved per copy). References are intra-copy, so offsetting ALL
+  *   key columns by the same base keeps every FK join valid
+  *   (customer(k) ↔ orders(k) ↔ lineitem(k), …).
   * - fixed dimensions (region, nation) are copied once — realistic:
   *   dimensions don't grow with fact volume.
   * - events.ts converts from TIMESTAMP(NANOS)-as-long to true µs timestamps
@@ -30,7 +31,7 @@ import org.apache.spark.sql.functions._
   */
 object ScaleUp {
 
-  val Base = 10000000000L
+  val Base = 12000000000L
 
   private val keyCols: Map[String, Seq[String]] = Map(
     "region" -> Seq.empty,

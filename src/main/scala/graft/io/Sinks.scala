@@ -127,7 +127,8 @@ object Sinks {
       val rows = (rowStart, rowEnd) match {
         case (Some(s), Some(e)) => full.slice((s - 1).toInt, e.toInt)
         case (Some(s), None)    => full.drop((s - 1).toInt)
-        case _                  => full
+        case (None, Some(e))    => full.take(e.toInt) // "A:Q5"
+        case (None, None)       => full
       }
       rows.map(_.slice(colStart - 1, colEnd).map(v => if (v == null) "" else v.toString))
     }

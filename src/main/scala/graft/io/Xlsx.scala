@@ -44,7 +44,7 @@ object Xlsx {
         .getOrElse(Vector.empty)
       val dateStyles = Option(zip.getEntry("xl/styles.xml"))
         .map(e => parseStyles(zip.getInputStream(e)))
-        .getOrElse(Set.empty[Int])
+        .getOrElse(Map.empty[Int, Boolean])
       val sheetEntry = firstSheetEntry(zip)
       val cells = parseSheet(zip.getInputStream(sheetEntry), shared, dateStyles)
       require(cells.nonEmpty, s"empty worksheet in $file")
@@ -122,24 +122,37 @@ object Xlsx {
     */
   private val BuiltinDateFmts: Set[Int] = ((14 to 22) ++ (27 to 36) ++ (50 to 58)).toSet
 
+  /** Builtin ids whose format includes a TIME component (datetime, not just
+    * date): 22 is m/d/yy h:mm.
+    */
+  private val BuiltinDateTimeFmts: Set[Int] = Set(22)
+
+  private def cleanFormatCode(code: String): String = code
+    .replaceAll("\"[^\"]*\"", "")
+    .replaceAll("\\\\.", "")
+    .replaceAll("\\[[^\\]]*\\]", "")
+    .toLowerCase(java.util.Locale.ROOT)
+
   /** Is a custom format code a date format? Strip quoted literals, escaped
     * chars, and bracketed sections ([Red], [$-409], [h]); a remaining `y` or
     * `d` token means a calendar date (a lone `m`/`h`/`s` is time-only).
     */
-  private[io] def isDateFormatCode(code: String): Boolean = {
-    val cleaned = code
-      .replaceAll("\"[^\"]*\"", "")
-      .replaceAll("\\\\.", "")
-      .replaceAll("\\[[^\\]]*\\]", "")
-      .toLowerCase(java.util.Locale.ROOT)
-    cleaned.exists(c => c == 'y' || c == 'd')
+  private[io] def isDateFormatCode(code: String): Boolean =
+    cleanFormatCode(code).exists(c => c == 'y' || c == 'd')
+
+  /** A date format with an additional time token renders as a datetime. */
+  private[io] def isDateTimeFormatCode(code: String): Boolean = {
+    val cleaned = cleanFormatCode(code)
+    isDateFormatCode(code) && cleaned.exists(c => c == 'h' || c == 's')
   }
 
   /** Style indices (cellXfs order — what a cell's `s` attribute points at)
-    * whose number format is a date format.
+    * whose number format is a date format; value = format includes a time
+    * component (drives date vs datetime rendering — a midnight datetime must
+    * still render "… 00:00:00" so its column stays uniformly datetime).
     */
-  private def parseStyles(in: InputStream): Set[Int] = {
-    val customDate = mutable.Set.empty[Int]
+  private def parseStyles(in: InputStream): Map[Int, Boolean] = {
+    val customDate = mutable.Map.empty[Int, Boolean] // numFmtId -> hasTime
     val styleFmts = Vector.newBuilder[Int]
     var inCellXfs = false
     val r = newReader(in)
@@ -152,7 +165,7 @@ object Xlsx {
                 id <- Option(r.getAttributeValue(null, "numFmtId")).flatMap(_.toIntOption)
                 code <- Option(r.getAttributeValue(null, "formatCode"))
                 if isDateFormatCode(code)
-              } customDate += id
+              } customDate(id) = isDateTimeFormatCode(code)
             case "cellXfs" => inCellXfs = true
             case "xf" if inCellXfs =>
               styleFmts += Option(r.getAttributeValue(null, "numFmtId"))
@@ -166,32 +179,38 @@ object Xlsx {
     }
     r.close()
     styleFmts.result().zipWithIndex.collect {
-      case (fmt, i) if BuiltinDateFmts(fmt) || customDate(fmt) => i
-    }.toSet
+      case (fmt, i) if BuiltinDateFmts(fmt) || customDate.contains(fmt) =>
+        i -> (BuiltinDateTimeFmts(fmt) || customDate.getOrElse(fmt, false))
+    }.toMap
   }
 
   private val SerialEpoch = java.time.LocalDate.of(1899, 12, 30)
   private val DateTimeFmt =
     java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
 
-  /** Excel serial → ISO string: whole serials become dates, fractional ones
-    * datetimes (second resolution). Pre-1900-03-01 serials inherit Excel's
+  /** Excel serial → ISO string. The STYLE decides the rendering, not the
+    * value: a datetime-styled cell always gets "yyyy-MM-dd HH:mm:ss" (a
+    * midnight row must not degrade the column to mixed date/datetime →
+    * StringType), a date-styled cell always gets the date (time fraction
+    * truncated, like fastexcel). Pre-1900-03-01 serials inherit Excel's
     * 1900-leap-year fiction (same 1899-12-30 epoch all libraries use) —
-    * irrelevant for real exports. Non-numeric input passes through (covers
-    * ISO-typed `t="d"` cells).
+    * irrelevant for real exports. Non-numeric input passes through with the
+    * ISO 'T' separator normalized (covers ISO-typed `t="d"` cells).
     */
-  private[io] def serialToIso(raw: String): String =
+  private[io] def serialToIso(raw: String, withTime: Boolean): String =
     raw.trim.toDoubleOption match {
       case Some(serial) =>
         val days = math.floor(serial).toLong
         val frac = serial - days
         val date = SerialEpoch.plusDays(days)
         val secs = math.round(frac * 86400.0)
-        if (secs == 0L) date.toString
-        else if (secs >= 86400L) date.plusDays(1).toString
+        val (d2, s2) = if (secs >= 86400L) (date.plusDays(1), 0L) else (date, secs)
+        if (!withTime) d2.toString
         else java.time.LocalDateTime
-          .of(date, java.time.LocalTime.ofSecondOfDay(secs)).format(DateTimeFmt)
-      case None => raw
+          .of(d2, java.time.LocalTime.ofSecondOfDay(s2)).format(DateTimeFmt)
+      case None =>
+        if (raw.matches("\\d{4}-\\d{2}-\\d{2}T.*")) raw.replaceFirst("T", " ")
+        else raw
     }
 
   private def firstSheetEntry(zip: ZipFile) =
@@ -244,7 +263,7 @@ object Xlsx {
     * style is a date format are converted from Excel serials to ISO strings.
     */
   private def parseSheet(in: InputStream, shared: Vector[String],
-      dateStyles: Set[Int]): Vector[Vector[Option[String]]] = {
+      dateStyles: Map[Int, Boolean]): Vector[Vector[Option[String]]] = {
     val rows = Vector.newBuilder[Vector[Option[String]]]
     val r = newReader(in)
     var row = mutable.ArrayBuffer.empty[Option[String]]
@@ -283,8 +302,8 @@ object Xlsx {
                 case ("b", Some(v))   => Some(if (v.trim == "1") "true" else "false")
                 // numeric (default / "n") or ISO ("d") cell with a
                 // date-format style → ISO date/datetime string
-                case (t, Some(v)) if dateStyles(cellStyle) && (t == "" || t == "n" || t == "d") =>
-                  Some(serialToIso(v))
+                case (t, Some(v)) if dateStyles.contains(cellStyle) && (t == "" || t == "n" || t == "d") =>
+                  Some(serialToIso(v, withTime = dateStyles(cellStyle)))
                 case (_, v) => v
               }
               while (row.length <= cellCol) row += None

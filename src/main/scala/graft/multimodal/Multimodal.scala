@@ -143,7 +143,10 @@ object Multimodal {
         c += 1
       }
       mix /= channels
-      val seg = if (nSamples <= 1) 0 else math.min(FeatureDim - 1, i * FeatureDim / nSamples)
+      // long arithmetic: i * FeatureDim overflows Int beyond ~134M frames
+      val seg =
+        if (nSamples <= 1) 0
+        else math.min(FeatureDim - 1, (i.toLong * FeatureDim / nSamples).toInt)
       sums(seg) += mix * mix
       counts(seg) += 1
       i += 1

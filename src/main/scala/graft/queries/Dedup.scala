@@ -161,9 +161,13 @@ object Dedup {
     // deterministically 1.0 → oracle-checkable.
     "d_simhash_recall" -> ((s, d) => {
       val sig = simhashSigs(s, d)
+      // LEFT joins: a doc that produces no tokens (and so no signature) must
+      // count as a MISSED pair, not silently drop out of n_truth
       plantedPairs(s, d)
-        .join(sig.select(col("doc_id").as("id_a"), col("simhash").as("sig_a")), "id_a")
-        .join(sig.select(col("doc_id").as("id_b"), col("simhash").as("sig_b")), "id_b")
+        .join(sig.select(col("doc_id").as("id_a"), col("simhash").as("sig_a")),
+          Seq("id_a"), "left")
+        .join(sig.select(col("doc_id").as("id_b"), col("simhash").as("sig_b")),
+          Seq("id_b"), "left")
         .agg(count(lit(1)).as("n_truth"),
           sum(when(col("sig_a") === col("sig_b"), 1L).otherwise(0L)).as("n_found"))
         .select(col("n_truth"), col("n_found"),

@@ -252,10 +252,10 @@ object Relational {
     // Sketch-based distinct (HLL++), SELF-VERIFYING: the sketch value is
     // approximation-specific, so the OUTPUT is the exact distinct count plus
     // a within-tolerance boolean (|approx−exact|/exact ≤ 3×rsd) — which makes
-    // the check fully DuckDB-oracle-checkable. At 100 TB only the sketch
-    // aggregation runs (one pass, bounded memory); the exact countDistinct
-    // here exists to grade the sketch, computed in the same single
-    // aggregation pass.
+    // the check fully DuckDB-oracle-checkable. NOTE the exact countDistinct
+    // here exists only to GRADE the sketch and is the expensive side (it
+    // plans an Expand + distinct shuffle); a production caller at 100 TB
+    // uses approx_count_distinct alone — one pass, bounded sketch memory.
     "q_approx_count_distinct" -> ((s, d) => {
       val rsd = 0.05
       t(s, d, "lineitem")

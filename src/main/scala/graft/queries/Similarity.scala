@@ -152,12 +152,18 @@ object Similarity {
           graft.functions.GraftFunctions.cosineSim(col("embedding"), col("qvec")).as("cos"))
         .orderBy(col("cos").desc, col("vec_id"))
         .limit(10)
-      top10.join(candidates.withColumn("hit", lit(1L)), Seq("vec_id"), "left")
-        .agg(count(lit(1)).as("k"), sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
-        .crossJoin(candidates.agg(count(lit(1)).as("n_candidates")))
-        .select(col("k"), col("n_candidates"), col("n_hit"),
-          round(col("n_hit").cast("double") / col("k").cast("double"), 4).as("recall"),
-          (col("n_hit").cast("double") / col("k").cast("double") >= 0.5).as("pass"))
+      // single pass over the (dominant) candidates subplan: left-join the
+      // 10-row broadcast truth onto it, count hits and size together. k is
+      // the fixed top-k (corpus always has > k+1 vectors).
+      val k = 10
+      candidates
+        .join(broadcast(top10.select(col("vec_id"), lit(1L).as("is_top"))),
+          Seq("vec_id"), "left")
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(coalesce(col("is_top"), lit(0L))).as("n_hit"))
+        .select(lit(k.toLong).as("k"), col("n_candidates"), col("n_hit"),
+          round(col("n_hit").cast("double") / k, 4).as("recall"),
+          (col("n_hit").cast("double") / k >= 0.5).as("pass"))
     })
   )
 

@@ -99,6 +99,8 @@ class SinksSpec extends SparkSpec {
       Seq(Seq("h2", "h3"), Seq("1", "x"), Seq("2", "y"), Seq("3", "z")))
     // single cell
     assert(svc.get("k", "s", "C4") == Seq(Seq("z")))
+    // column range with a bottom row bound ("A:B3" = first 3 rows)
+    assert(svc.get("k", "s", "A:B3") == Seq(Seq("h1", "h2"), Seq("a", "1"), Seq("b", "2")))
     // range larger than the payload just returns what exists
     assert(svc.get("k", "s", "A1:Z99").map(_.length).toSet == Set(3))
   }

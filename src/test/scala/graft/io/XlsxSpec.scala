@@ -194,13 +194,37 @@ class XlsxSpec extends SparkSpec {
     assert(!Xlsx.isDateFormatCode("#,##0.00"))
     assert(!Xlsx.isDateFormatCode("0.00\" dollars\""))
     assert(!Xlsx.isDateFormatCode("[Red]0.0%"))
+    // date + time tokens = datetime; date-only = not
+    assert(Xlsx.isDateTimeFormatCode("yyyy-mm-dd hh:mm:ss"))
+    assert(Xlsx.isDateTimeFormatCode("m/d/yy h:mm"))
+    assert(!Xlsx.isDateTimeFormatCode("yyyy-mm-dd"))
+    assert(!Xlsx.isDateTimeFormatCode("hh:mm:ss")) // time-only is not a date at all
   }
 
-  test("serialToIso: whole serials are dates, fractional are datetimes, text passes") {
-    assert(Xlsx.serialToIso("45870") == "2025-08-01")
-    assert(Xlsx.serialToIso("45870.5") == "2025-08-01 12:00:00")
-    assert(Xlsx.serialToIso("45870.999999") == "2025-08-02") // rounds to midnight
-    assert(Xlsx.serialToIso("2025-08-01") == "2025-08-01")   // t="d" cells pass through
+  test("serialToIso: the STYLE decides date vs datetime rendering") {
+    assert(Xlsx.serialToIso("45870", withTime = false) == "2025-08-01")
+    // a midnight serial in a datetime style keeps its time — the column must
+    // stay uniformly datetime, not degrade to mixed strings
+    assert(Xlsx.serialToIso("45870", withTime = true) == "2025-08-01 00:00:00")
+    assert(Xlsx.serialToIso("45870.5", withTime = true) == "2025-08-01 12:00:00")
+    // a fractional serial in a DATE style truncates to the date (fastexcel)
+    assert(Xlsx.serialToIso("45870.5", withTime = false) == "2025-08-01")
+    assert(Xlsx.serialToIso("45870.999999", withTime = true) == "2025-08-02 00:00:00")
+    // t="d" cells pass through, ISO 'T' normalized to the engine's separator
+    assert(Xlsx.serialToIso("2025-08-01", withTime = false) == "2025-08-01")
+    assert(Xlsx.serialToIso("2025-08-01T12:30:45", withTime = true) == "2025-08-01 12:30:45")
+  }
+
+  test("a midnight row does not degrade a datetime column to StringType") {
+    val f = Files.createTempDirectory("xlsx").resolve("midnight.xlsx")
+    XlsxTestWriter.write(f,
+      header = Seq("Stamp"),
+      rows = Seq(
+        Seq(java.time.LocalDateTime.of(2025, 8, 1, 13, 0, 0)),
+        Seq(java.time.LocalDateTime.of(2025, 8, 2, 0, 0, 0))))
+    val df = Xlsx.read(spark, f)
+    assert(df.schema("Stamp").dataType == TimestampType)
+    assert(df.count() == 2)
   }
 
   test("a data cell beyond the header width fails loudly instead of dropping data") {

@@ -61,6 +61,43 @@ class PlanSpec extends SparkSpec {
       Set("lang", "n_chars"))
   }
 
+  test("d_minhash_lsh: band self-join reuses one shuffle (ReusedExchange after execution)") {
+    // disable auto-broadcast: at test SF AQE broadcasts the tiny sig side
+    // (fine there), but the 100 TB shape is the SMJ whose second side must
+    // reuse the first side's shuffle — that's what this guards
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("d_minhash_lsh")(spark, TestSpark.sf0001)
+      df.collect() // the final AQE plan only materializes on df's own execution
+      assert(df.queryExecution.executedPlan.toString.contains("ReusedExchange"),
+        "both sides of the band equi-join must share one canonical shuffle")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("e_click_attrib: interval join plans as an equi-join, never a nested loop") {
+    val p = plan("e_click_attrib").toString
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      "time-bounded same-user join must shuffle on user, not cross-join")
+  }
+
+  test("q_range_join / q_asof_join: no nested-loop or cartesian fallback") {
+    for (q <- Seq("q_range_join", "q_asof_join")) {
+      val p = plan(q).toString
+      assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+        s"$q must stay an equi-join shape")
+    }
+  }
+
+  test("s_ann_recall: query-side joins broadcast; candidates meet via hash join") {
+    assert(plan("s_ann_recall").toString.contains("BroadcastHashJoin"))
+  }
+
+  test("m_media_features: documents scan pruned to doc_id before media generation") {
+    assert(scanOf("m_media_features", "documents").requiredSchema.fieldNames.toSet ==
+      Set("doc_id"))
+  }
+
   test("etl pipeline: conform collapses to a single Project per source branch (no shuffle)") {
     val engine = new graft.etl.MultiSourceAdEtl(graft.etl.Configs.apsl)
     val p = engine.run(spark, graft.etl.Fixtures.materialize("apsl"), capitalize = true)

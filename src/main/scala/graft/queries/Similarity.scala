@@ -115,6 +115,46 @@ object Similarity {
         .orderBy("bucket")
     }),
 
+    // IVF search — the OTHER scale path (SURVEY: "an IVF or LSH-bucketed
+    // variant"): coarse-quantize every vector to its nearest centroid cell
+    // (label-centroids as the trained codebook — the s_centroid_udaf
+    // aggregation IS the training pass), probe the nprobe cells nearest the
+    // query, exact-rerank only those cells' members. Plan shape at 100 TB:
+    // one centroid aggregation (tiny output), then narrow 10-row-broadcast
+    // assignment, a broadcast semi-join on probed cells, and TakeOrdered —
+    // no all-pairs anywhere. Fully deterministic → DuckDB-oracle-checked.
+    "s_ivf_topk" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val nprobe = 3
+      val emb = t(s, d, "embeddings")
+      val vecMean = graft.functions.VectorMean(64)
+      val cents = emb.groupBy(col("label").as("cell"))
+        .agg(vecMean(col("embedding")).as("centroid"))
+      // centroid comparisons use the HOF cosine (double accumulation in
+      // index order — the exact arithmetic DuckDB's list_dot_product does,
+      // so near-tie argmax/probe decisions agree); the float-vector rerank
+      // uses the native codegen'd expression
+      val assigned = emb.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("embedding"), col("cell"),
+          cosineHof(col("embedding"), col("centroid")).as("c2c"))
+        .groupBy("vec_id")
+        .agg(first("embedding").as("embedding"),
+          max_by(col("cell"), col("c2c")).as("cell"))
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+      val probed = cents.crossJoin(broadcast(q))
+        .select(col("cell"), cosineHof(col("centroid"), col("qvec")).as("qc"))
+        .orderBy(col("qc").desc, col("cell"))
+        .limit(nprobe)
+        .select("cell")
+      assigned.filter(col("vec_id") =!= 0)
+        .join(broadcast(probed), "cell")
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(graft.functions.GraftFunctions.cosineSim(col("embedding"), col("qvec")), 4).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(10)
+    }),
+
     // SELF-VERIFYING ANN: multi-table hyperplane LSH (16 tables × 4 planes,
     // OR-amplified) → same-bucket candidates for query vec 0 → recall@10
     // against the brute-force cosine top-k (the oracle-matched ground truth
@@ -168,6 +208,37 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    // same IVF pipeline in SQL: centroids → nearest-cell assignment →
+    // probe top-nprobe cells for the query → exact rerank. Raw-double
+    // cosines on both sides use the same sequential summation order, so
+    // argmax/probe decisions agree; only the output cosine is rounded.
+    "s_ivf_topk" ->
+      """WITH m AS (
+        |  SELECT label AS cell, CAST(r.i AS INT) AS pos,
+        |         avg(CAST(embedding[CAST(r.i AS INT) + 1] AS DOUBLE)) AS v
+        |  FROM embeddings, range(64) r(i) GROUP BY label, pos),
+        |c AS (SELECT cell, list(v ORDER BY pos) AS centroid FROM m GROUP BY cell),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |scored AS (
+        |  SELECT e.vec_id, e.v, c.cell,
+        |    list_dot_product(e.v, c.centroid) /
+        |      (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.centroid, c.centroid))) AS c2c
+        |  FROM e, c),
+        |assign AS (
+        |  SELECT vec_id, any_value(v) AS v, arg_max(cell, c2c) AS cell
+        |  FROM scored GROUP BY vec_id),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |probe AS (
+        |  SELECT cell FROM c, q
+        |  ORDER BY list_dot_product(centroid, qv) /
+        |    (sqrt(list_dot_product(centroid, centroid)) * sqrt(list_dot_product(qv, qv))) DESC, cell
+        |  LIMIT 3)
+        |SELECT a.vec_id,
+        |  round(list_dot_product(a.v, q.qv) /
+        |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos
+        |FROM assign a, q
+        |WHERE a.vec_id <> 0 AND a.cell IN (SELECT cell FROM probe)
+        |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
     "s_cosine_topk" ->
       """WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
         |SELECT vec_id,

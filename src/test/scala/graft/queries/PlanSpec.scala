@@ -93,6 +93,12 @@ class PlanSpec extends SparkSpec {
     assert(plan("s_ann_recall").toString.contains("BroadcastHashJoin"))
   }
 
+  test("s_ivf_topk: probed-cell join broadcasts, top-k is TakeOrdered not a full sort") {
+    val p = plan("s_ivf_topk").toString
+    assert(p.contains("BroadcastHashJoin"), "cell membership must be a broadcast hash join")
+    assert(p.contains("TakeOrderedAndProject"), "rerank top-k must not full-sort")
+  }
+
   test("m_media_features: documents scan pruned to doc_id before media generation") {
     assert(scanOf("m_media_features", "documents").requiredSchema.fieldNames.toSet ==
       Set("doc_id"))

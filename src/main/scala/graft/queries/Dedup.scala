@@ -63,7 +63,10 @@ object Dedup {
     // (fixed-width long input — far cheaper than 16 string hashes; affine
     // mixing would be cheaper still but wrapping arithmetic trips ANSI
     // overflow checks) → 16 min-aggregates per doc. Whole-stage codegen,
-    // map-side partial aggregation.
+    // map-side partial aggregation. Measured vs the no-shuffle array-HOF
+    // form (array_min ∘ transform per doc): explode+groupBy 2.1 s vs HOF
+    // 3.4 s at sf0.1 — HOF lambdas are interpreted per element, codegen
+    // wins even while paying the aggregation.
     def mix(j: Int) = xxhash64(col("h"), lit(j))
     val sig = explodedShingles(corpusWithDups(s, d), "doc_id", "text")
       .select(col("doc_id"), xxhash64(col("sh")).as("h"))

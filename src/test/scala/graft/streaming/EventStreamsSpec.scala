@@ -39,6 +39,29 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hourlyCounts over a real FILE stream source matches the batch plan") {
+    import spark.implicits._
+    // file streaming sources need a DIRECTORY: stage the real sf0.001 events
+    // (µs-converted) as a parquet dir, then readStream over it — the actual
+    // production shape (files dropped into a watched directory)
+    val dir = java.nio.file.Files.createTempDirectory("events-stream").toString
+    val batchDf = Tables.events(spark, TestSpark.sf0001)
+    batchDf.write.mode("overwrite").parquet(dir)
+    val streamed = spark.readStream.schema(batchDf.schema).parquet(dir)
+    val q = hourlyCounts(streamed).writeStream
+      .format("memory").queryName("hourly_file_test")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      q.processAllAvailable()
+      val streamRows = spark.table("hourly_file_test")
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      val batchRows = hourlyCounts(batchDf)
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      assert(streamRows == batchRows)
+      assert(streamRows.nonEmpty)
+    } finally q.stop()
+  }
+
   test("sessionizeStateful: closes a session only after the gap passes the watermark") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

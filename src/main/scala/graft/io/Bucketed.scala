@@ -30,8 +30,8 @@ object Bucketed {
       sortCols: Seq[String] = Nil): Unit = {
     require(bucketCols.nonEmpty, "bucketCols must not be empty")
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
-    val spark = df.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    // mode("overwrite").saveAsTable drops and recreates an existing table
+    // itself (including bucket-spec changes) — no explicit DROP needed
     val sorted = if (sortCols.isEmpty) bucketCols else sortCols
     df.write.mode("overwrite")
       .format("parquet")

@@ -44,25 +44,34 @@ final class HttpSheetService(
     s"$baseUrl/v4/spreadsheets/${enc(sheetKey)}/values/${enc(s"$sheetName!$a1Range")}"
 
   private def send(builder: HttpRequest.Builder): String = {
-    val req = builder
-      .header("Authorization", s"Bearer ${tokenProvider()}")
-      .header("Content-Type", "application/json")
-      .timeout(Duration.ofSeconds(30))
-      .build()
     var attempt = 0
     while (true) {
-      val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
-      val code = resp.statusCode()
-      if (code / 100 == 2) return resp.body()
-      val retryable = code == 429 || code / 100 == 5
-      if (retryable && attempt < maxRetries) {
-        Thread.sleep(retryBaseMs << attempt) // 200, 400, 800 ms
-        attempt += 1
-      } else {
-        throw new java.io.IOException(
-          s"Sheets API ${req.method()} ${req.uri()} failed: HTTP $code " +
-            s"${resp.body().take(300)}")
+      // (re)build per attempt: the token is re-fetched so a provider that
+      // refreshes expired credentials takes effect on retry
+      val req = builder.copy()
+        .header("Authorization", s"Bearer ${tokenProvider()}")
+        .header("Content-Type", "application/json")
+        .timeout(Duration.ofSeconds(30))
+        .build()
+      // connection-level failures (connect timeout, reset) are as transient
+      // as a 503 — they retry on the same budget
+      val outcome: Either[java.io.IOException, HttpResponse[String]] =
+        try Right(client.send(req, HttpResponse.BodyHandlers.ofString()))
+        catch { case e: java.io.IOException => Left(e) }
+      outcome match {
+        case Right(resp) if resp.statusCode() / 100 == 2 => return resp.body()
+        case Right(resp) =>
+          val code = resp.statusCode()
+          val retryable = code == 429 || code / 100 == 5
+          if (!retryable || attempt >= maxRetries)
+            throw new java.io.IOException(
+              s"Sheets API ${req.method()} ${req.uri()} failed: HTTP $code " +
+                s"${resp.body().take(300)}")
+        case Left(e) =>
+          if (attempt >= maxRetries) throw e
       }
+      Thread.sleep(retryBaseMs << attempt) // 200, 400, 800 ms
+      attempt += 1
     }
     throw new IllegalStateException("unreachable")
   }
@@ -78,12 +87,17 @@ final class HttpSheetService(
     rows.foreach { r =>
       val row = values.addArray()
       r.foreach {
-        case null        => row.add("")
-        case v: Int      => row.add(v)
-        case v: Long     => row.add(v)
-        case v: Double   => row.add(v)
-        case v: Boolean  => row.add(v)
-        case v           => row.add(v.toString)
+        case null                     => row.add("")
+        case v: Int                   => row.add(v)
+        case v: Long                  => row.add(v)
+        case v: Double                => row.add(v)
+        case v: Float                 => row.add(v)
+        case v: Short                 => row.add(v.toInt)
+        case v: Byte                  => row.add(v.toInt)
+        case v: java.math.BigDecimal  => row.add(v) // DecimalType collects as this
+        case v: scala.math.BigDecimal => row.add(v.bigDecimal)
+        case v: Boolean               => row.add(v)
+        case v                        => row.add(v.toString)
       }
     }
     mapper.writeValueAsString(root)

@@ -130,19 +130,23 @@ object Similarity {
       val vecMean = graft.functions.VectorMean(64)
       val cents = emb.groupBy(col("label").as("cell"))
         .agg(vecMean(col("embedding")).as("centroid"))
-      // centroid comparisons use the HOF cosine (double accumulation in
-      // index order — the exact arithmetic DuckDB's list_dot_product does,
-      // so near-tie argmax/probe decisions agree); the float-vector rerank
-      // uses the native codegen'd expression
+      // Centroid comparisons use the HOF cosine (double accumulation in
+      // index order, DuckDB's list_dot_product arithmetic) AND are rounded
+      // to 9 decimals before any discrete decision: the centroids come from
+      // order-dependent double summation (VectorMean partition order vs
+      // DuckDB avg scan order), so raw cosines can differ in the last ulp —
+      // rounding absorbs that, and the max-of-(cosine, cell)-struct argmax
+      // breaks exact ties deterministically on both engines. The
+      // float-vector rerank uses the native codegen'd expression.
       val assigned = emb.crossJoin(broadcast(cents))
         .select(col("vec_id"), col("embedding"), col("cell"),
-          cosineHof(col("embedding"), col("centroid")).as("c2c"))
+          round(cosineHof(col("embedding"), col("centroid")), 9).as("c2c"))
         .groupBy("vec_id")
         .agg(first("embedding").as("embedding"),
-          max_by(col("cell"), col("c2c")).as("cell"))
+          max(struct(col("c2c"), col("cell"))).getField("cell").as("cell"))
       val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
       val probed = cents.crossJoin(broadcast(q))
-        .select(col("cell"), cosineHof(col("centroid"), col("qvec")).as("qc"))
+        .select(col("cell"), round(cosineHof(col("centroid"), col("qvec")), 9).as("qc"))
         .orderBy(col("qc").desc, col("cell"))
         .limit(nprobe)
         .select("cell")
@@ -209,9 +213,11 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     // same IVF pipeline in SQL: centroids → nearest-cell assignment →
-    // probe top-nprobe cells for the query → exact rerank. Raw-double
-    // cosines on both sides use the same sequential summation order, so
-    // argmax/probe decisions agree; only the output cosine is rounded.
+    // probe top-nprobe cells for the query → exact rerank. Cosines feeding
+    // the argmax/probe decisions are rounded to 9 decimals on BOTH sides
+    // (centroid averaging is summation-order-dependent, so raw values can
+    // differ in the last ulp between engines) and exact ties break on the
+    // larger cell via max-of-struct.
     "s_ivf_topk" ->
       """WITH m AS (
         |  SELECT label AS cell, CAST(r.i AS INT) AS pos,
@@ -221,17 +227,18 @@ object Similarity {
         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |scored AS (
         |  SELECT e.vec_id, e.v, c.cell,
-        |    list_dot_product(e.v, c.centroid) /
-        |      (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.centroid, c.centroid))) AS c2c
+        |    round(list_dot_product(e.v, c.centroid) /
+        |      (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.centroid, c.centroid))), 9) AS c2c
         |  FROM e, c),
         |assign AS (
-        |  SELECT vec_id, any_value(v) AS v, arg_max(cell, c2c) AS cell
+        |  SELECT vec_id, any_value(v) AS v,
+        |         (max({'c': c2c, 'cell': cell})).cell AS cell
         |  FROM scored GROUP BY vec_id),
         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
         |probe AS (
         |  SELECT cell FROM c, q
-        |  ORDER BY list_dot_product(centroid, qv) /
-        |    (sqrt(list_dot_product(centroid, centroid)) * sqrt(list_dot_product(qv, qv))) DESC, cell
+        |  ORDER BY round(list_dot_product(centroid, qv) /
+        |    (sqrt(list_dot_product(centroid, centroid)) * sqrt(list_dot_product(qv, qv))), 9) DESC, cell
         |  LIMIT 3)
         |SELECT a.vec_id,
         |  round(list_dot_product(a.v, q.qv) /

@@ -30,10 +30,11 @@ class BucketedSpec extends SparkSpec {
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("cnt"))
 
+      // no Exchange on EITHER join key anywhere in the plan: both sides are
+      // pre-hashed at write time (plan children print below the join node,
+      // so the check must be whole-plan, not a prefix slice)
       val plan = joined.queryExecution.executedPlan.toString
-      val joinShuffles = plan.split("SortMergeJoin|ShuffledHashJoin").head
-      // no Exchange feeds the join: both sides are pre-hashed at write time
-      assert(!joinShuffles.contains("Exchange hashpartitioning(l_orderkey") &&
+      assert(!plan.contains("Exchange hashpartitioning(l_orderkey") &&
         !plan.contains("Exchange hashpartitioning(o_orderkey"),
         s"bucketed join must not shuffle its inputs:\n$plan")
 

@@ -142,6 +142,27 @@ class HttpSheetsSpec extends AnyFunSuite {
     }
   }
 
+  test("token provider is re-invoked on every attempt so refresh takes effect mid-retry") {
+    val srv = new FakeSheetsServer
+    try {
+      var calls = 0
+      val svc = new HttpSheetService(srv.baseUrl, () => { calls += 1; "test-token" },
+        retryBaseMs = 1L)
+      srv.failNextWith = List(429)
+      svc.get("k", "s", "A1:A1")
+      assert(calls == 2) // initial + one retry, fresh token each
+    } finally srv.stop()
+  }
+
+  test("connection-level failures retry on the same budget, then surface") {
+    var calls = 0
+    // port 1 refuses connections → IOException before any HTTP status
+    val dead = new HttpSheetService("http://127.0.0.1:1", () => { calls += 1; "t" },
+      maxRetries = 2, retryBaseMs = 1L)
+    intercept[java.io.IOException](dead.get("k", "s", "A1:A1"))
+    assert(calls == 3) // initial + 2 retries — connect failures are transient too
+  }
+
   test("plugs into the engine's upload path as a drop-in SheetService") {
     withServer { (srv, svc) =>
       Sinks.uploadPayload(svc, Seq("Day", "Spend"),

@@ -132,6 +132,23 @@ object Relational {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // RANGE window frame (value-based, vs q_window_moving's ROWS frame):
+    // 30-day sliding spend per customer — the frame is defined by the ORDER
+    // expression's VALUE distance, so gaps in order dates behave correctly
+    // (a ROWS frame would silently span arbitrary time). Same single
+    // shuffle on the partition key as any window.
+    "q_window_range" -> ((s, d) => {
+      val withDay = t(s, d, "orders")
+        .withColumn("day_n",
+          datediff(to_date(col("o_orderdate")), to_date(lit("1970-01-01"))))
+      val w = Window.partitionBy("o_custkey").orderBy(col("day_n"))
+        .rangeBetween(-30, 0)
+      withDay
+        .withColumn("sum_30d", round(sum("o_totalprice").over(w), 2))
+        .select("o_orderkey", "o_custkey", "day_n", "sum_30d")
+        .orderBy("o_orderkey")
+    }),
+
     // Top-k: Catalyst plans orderBy+limit as TakeOrderedAndProject (no full sort).
     "q_topk" -> ((s, d) =>
       t(s, d, "orders")
@@ -325,6 +342,16 @@ object Relational {
         |         row_number() OVER (PARTITION BY o_orderpriority
         |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |  FROM orders) WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin,
+    "q_window_range" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS INT) AS day_n
+        |  FROM orders)
+        |SELECT o_orderkey, o_custkey, day_n,
+        |  round(sum(o_totalprice) OVER (
+        |    PARTITION BY o_custkey ORDER BY day_n
+        |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2) AS sum_30d
+        |FROM o ORDER BY o_orderkey""".stripMargin,
     "q_window_moving" ->
       """SELECT o_custkey, o_orderkey,
         |round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey

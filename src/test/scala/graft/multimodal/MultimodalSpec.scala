@@ -56,21 +56,41 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException](decodeWav(base.slice(0, base.length - 10)))
   }
 
-  test("decode dispatch: image and audio use real decoders, video is the documented stub") {
+  test("decodeAvi: real MJPEG-AVI demux returns true dimensions, frames, duration") {
+    val avi = syntheticAvi(5L, w = 16, h = 12, nFrames = 4, fps = 10)
+    val info = decodeAvi(avi)
+    assert(info.width == 16 && info.height == 12)
+    assert(info.nFrames == 4)
+    assert(math.abs(info.durationMs - 400.0) < 1e-9) // 4 frames @ 10 fps
+    assert(info.features.length == FeatureDim)
+    // frame-averaged features vary with content
+    val info2 = decodeAvi(syntheticAvi(6L, 16, 12, 4))
+    assert(info.features.toSeq != info2.features.toSeq)
+  }
+
+  test("decodeAvi: rejects non-AVI and truncated containers") {
+    intercept[IllegalArgumentException](decodeAvi("RIFFxxxxWAVE".getBytes))
+    intercept[IllegalArgumentException](decodeAvi(Array[Byte](1, 2, 3)))
+    val avi = syntheticAvi(7L, 8, 8, 2)
+    intercept[IllegalArgumentException](decodeAvi(avi.slice(0, avi.length - 20)))
+  }
+
+  test("decode dispatch: all three kinds use real decoders") {
     val i = decode(Media(1, "image", img(9, 5)))
     assert(i.width == 9 && i.height == 5 && i.sample_rate == 0)
     val a = decode(Media(2, "audio", syntheticWav(2L, 8000, 800)))
     assert(a.sample_rate == 8000 && math.abs(a.duration_ms - 100.0) < 1e-9)
     assert(a.width == 0 && a.height == 0)
-    val v = decode(Media(3, "video", Array.tabulate(40)(_.toByte)))
-    assert(v.n_frames >= 1 && v.width >= 1)
+    val v = decode(Media(3, "video", syntheticAvi(3L, 10, 6, 3)))
+    assert(v.width == 10 && v.height == 6 && v.n_frames == 3)
+    assert(math.abs(v.duration_ms - 300.0) < 1e-9)
     intercept[IllegalArgumentException](decode(Media(4, "hologram", Array[Byte]())))
   }
 
   test("decodeAndFeaturize: deterministic, fixed-dim features, narrow plan") {
     import spark.implicits._
     val media = Seq(
-      Media(1, "image", img(12, 8)), Media(2, "video", "bbbbbbbb".getBytes),
+      Media(1, "image", img(12, 8)), Media(2, "video", syntheticAvi(2L, 8, 8, 2)),
       Media(3, "audio", syntheticWav(3L, 8000, 200))).toDS()
     val out = decodeAndFeaturize(media, batchSize = 2).collect().sortBy(_.media_id)
     assert(out.map(_.features.length).toSet == Set(FeatureDim))

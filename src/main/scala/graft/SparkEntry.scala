@@ -21,12 +21,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     EtlSurface.queries ++ Relational.queries ++ Text.queries ++
       Dedup.queries ++ Similarity.queries ++ Events.queries ++
-      graft.multimodal.Multimodal.queries
+      Curation.queries ++ graft.multimodal.Multimodal.queries
 
   /** DuckDB-equivalent SQL per query; keys absent here get a weaker
     * rows-only check (approximate / hash-function-specific operators).
     */
   def oracleSql: Map[String, String] =
     EtlSurface.oracles ++ Relational.oracles ++ Text.oracles ++
-      Dedup.oracles ++ Similarity.oracles ++ Events.oracles
+      Dedup.oracles ++ Similarity.oracles ++ Events.oracles ++
+      Curation.oracles
 }

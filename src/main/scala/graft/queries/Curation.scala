@@ -1,0 +1,389 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import Tables._
+
+/** Training-data curation operators over `documents` — the preprocessing a
+  * large-scale LLM pipeline runs between raw crawl and tokenizer:
+  *
+  *  - PII redaction (email / phone / IPv4 → placeholder tokens)
+  *  - HTML/boilerplate stripping
+  *  - Gopher-style quality signals (word stats, top-word fraction,
+  *    distinct-word fraction) with keep/drop gates
+  *  - repetition metrics (duplicate word / bigram fractions)
+  *  - benchmark-contamination detection (shared word n-grams against a
+  *    held-out benchmark set, broadcast semi-join — the scalable shape)
+  *  - deterministic hash sampling (uniform + per-language stratified):
+  *    reproducible across runs/engines because the "random" draw is
+  *    md5(text), not an RNG
+  *  - sequence packing: greedy fixed-order chunking of documents into
+  *    context-window bins via a per-shard running token sum
+  *  - shard assignment: the deterministic global-shuffle primitive for
+  *    writing training shards
+  *
+  * Everything is pure codegen'd expressions (no UDFs), narrow maps plus one
+  * partial-aggregating shuffle each; the contamination semi-join broadcasts
+  * the (small, distinct) benchmark n-gram set. At 100 TB each operator
+  * scales linearly with executors; the only windows are partitioned by a
+  * shard key whose cardinality the caller controls.
+  *
+  * No analogue in the reference (its scope stops at ad-report ETL —
+  * `/root/reference/README.md:3`); these extend the engine the way
+  * SURVEY.md §2-ext describes.
+  */
+object Curation {
+
+  // ------------------------------------------------------------ primitives
+
+  /** RE2-safe patterns (java.util.regex ∩ DuckDB RE2 — no lookaround). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b\\d{3}-\\d{4}\\b"
+  val Ipv4Re = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
+
+  /** Redact PII in-place: email → [EMAIL], IPv4 → [IP], phone → [PHONE].
+    * IP before phone so `10.0.42.7` is consumed whole, never partially as a
+    * phone-shaped `nnn-nnnn` remainder.
+    */
+  def redactPii(c: Column): Column = {
+    val e = regexp_replace(c, EmailRe, "[EMAIL]")
+    val i = regexp_replace(e, Ipv4Re, "[IP]")
+    regexp_replace(i, PhoneRe, "[PHONE]")
+  }
+
+  /** Strip markup: drop tags, collapse the leftover whitespace. */
+  def stripHtml(c: Column): Column =
+    trim(regexp_replace(regexp_replace(c, "<[^>]+>", " "), "\\s+", " "))
+
+  /** Whitespace tokens (same definition as [[Text.tokens]]). */
+  def tokens(c: Column): Column = Text.tokens(c)
+
+  /** Adjacent word n-grams of a token array (n ≥ 2), joined with spaces.
+    * Empty for arrays shorter than n (guarded: `sequence(0, size-n)` would
+    * otherwise run DESCENDING and hit index 0, an ANSI error).
+    */
+  def wordNgrams(sp: Column, n: Int): Column =
+    when(size(sp) >= n,
+      transform(sequence(lit(0), size(sp) - n),
+        i => concat_ws(" ", (0 until n).map(k => element_at(sp, i + k + 1)): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  // ---------------------------------------------------------------- corpus
+
+  val queries: Map[String, Q] = Map(
+    // PII redaction. The synthetic corpus has no PII, so both engines embed
+    // the SAME deterministic contact block (a pure function of doc_id) and
+    // the redactor is exercised against real email/phone/IP shapes.
+    "c_pii_redact" -> ((s, d) => {
+      val dirty = concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com or call 555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+        lit(" from 10.0."), pmod(col("doc_id"), lit(256)),
+        lit("."), pmod(col("doc_id"), lit(100)))
+      val clean = redactPii(dirty)
+      t(s, d, "documents")
+        .select(col("lang"), dirty.as("dirty"), clean.as("clean"))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(regexp_count(col("dirty"), lit(EmailRe))).cast("bigint").as("n_email"),
+          sum(regexp_count(col("dirty"), lit(Ipv4Re))).cast("bigint").as("n_ip"),
+          sum(regexp_count(col("clean"), lit(PhoneRe))).cast("bigint").as("n_phone_left"),
+          sum(length(col("dirty")) - length(col("clean"))).cast("bigint").as("chars_redacted"))
+        .orderBy("lang")
+    }),
+
+    // Markup stripping: wrap each doc in a deterministic HTML shell (same
+    // construction in the oracle), strip tags, report size reduction.
+    "c_html_strip" -> ((s, d) => {
+      val html = concat(lit("<html><body><p>"), col("text"),
+        lit("</p><br/><a href=\"https://ex.invalid/"), col("doc_id"),
+        lit("\">doc</a></body></html>"))
+      val clean = stripHtml(html)
+      t(s, d, "documents")
+        .select(col("lang"), html.as("html"), clean.as("clean"))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(length(col("html"))).cast("bigint").as("html_chars"),
+          sum(length(col("clean"))).cast("bigint").as("clean_chars"),
+          round(avg(length(col("clean")).cast("double") / length(col("html"))), 4).as("avg_keep_ratio"))
+        .orderBy("lang")
+    }),
+
+    // Gopher-style quality gates: word count, mean word length, top-word
+    // fraction, distinct-word fraction → keep/drop. One explode for the
+    // per-word counts, partial-agg absorbed; everything else is narrow.
+    "c_gopher_quality" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), tokens(col("text")).as("sp"))
+        .select(col("doc_id"), col("lang"), col("sp"),
+          size(col("sp")).as("n_words"),
+          size(array_distinct(col("sp"))).as("n_distinct"))
+      val topWord = docs
+        .select(col("doc_id"), explode(col("sp")).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max(col("c")).as("top_cnt"))
+      docs.join(topWord, "doc_id")
+        .select(col("lang"), col("n_words"),
+          (col("top_cnt").cast("double") / col("n_words")).as("top_frac"),
+          (col("n_distinct").cast("double") / col("n_words")).as("distinct_frac"),
+          (col("n_words") >= 20 &&
+            col("top_cnt").cast("double") / col("n_words") <= 0.15).as("pass"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("pass"), 1L).otherwise(0L)).cast("bigint").as("n_pass"),
+          round(avg("top_frac"), 4).as("avg_top_frac"),
+          round(avg("distinct_frac"), 4).as("avg_distinct_frac"))
+        .orderBy("lang")
+    }),
+
+    // Repetition metrics per document — duplicate-word and duplicate-bigram
+    // fractions, computed with array ops only (no explode, no shuffle
+    // beyond the final sort).
+    "c_repetition" -> ((s, d) => {
+      val sp = tokens(col("text"))
+      val bi = wordNgrams(sp, 2)
+      t(s, d, "documents")
+        .select(col("doc_id"), sp.as("sp"), bi.as("bi"))
+        .select(col("doc_id"),
+          size(col("sp")).cast("bigint").as("n_words"),
+          round(lit(1.0) - size(array_distinct(col("sp"))).cast("double") / size(col("sp")), 4).as("dup_word_frac"),
+          when(size(col("bi")) >= 1,
+            round(lit(1.0) - size(array_distinct(col("bi"))).cast("double") / size(col("bi")), 4))
+            .otherwise(lit(null)).as("dup_bigram_frac"))
+        .orderBy("doc_id")
+    }),
+
+    // Benchmark contamination: docs sharing any word-trigram with the
+    // held-out "benchmark" slice (doc_id % 7 = 0). The benchmark trigram
+    // set is distinct'd then broadcast — at 100 TB the corpus side stays a
+    // narrow scan + explode feeding a broadcast LEFT SEMI join, no shuffle
+    // of the big side. (Real pipelines use 8-13-grams; the synthetic vocab
+    // is ~30 words, so trigrams give a non-degenerate overlap rate.)
+    "c_contamination" -> ((s, d) => {
+      val grams = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          explode(array_distinct(wordNgrams(tokens(col("text")), 3))).as("gram"))
+      val benchGrams = grams.filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select("gram").distinct()
+      val contaminated = grams.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+        .join(broadcast(benchGrams), Seq("gram"), "left_semi")
+        .select("doc_id", "lang").distinct()
+        .groupBy("lang").agg(count(lit(1)).as("contaminated"))
+      val totals = t(s, d, "documents")
+        .filter(pmod(col("doc_id"), lit(7)) =!= 0)
+        .groupBy("lang").agg(count(lit(1)).as("total_docs"))
+      totals.join(contaminated, Seq("lang"), "left")
+        .select(col("lang"), col("total_docs"),
+          coalesce(col("contaminated"), lit(0L)).as("contaminated"),
+          round(coalesce(col("contaminated"), lit(0L)).cast("double") / col("total_docs"), 4).as("frac"))
+        .orderBy("lang")
+    }),
+
+    // Deterministic ~10% uniform sample: keep when the first md5(text) byte
+    // is ≤ 0x19 (26/256). Reproducible across engines and runs — the
+    // training-data sampling primitive (no RNG, no seed drift).
+    "c_hash_sample" -> ((s, d) => {
+      val keep = substring(md5(col("text")), 1, 2) <= "19"
+      t(s, d, "documents")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("total"),
+          sum(when(keep, 1L).otherwise(0L)).cast("bigint").as("kept"),
+          round(sum(when(keep, 1L).otherwise(0L)).cast("double") / count(lit(1)), 4).as("rate"))
+        .orderBy("lang")
+    }),
+
+    // Stratified sampling: per-language rates (en down-sampled to ~5%,
+    // the rest kept at ~20%) via the same md5 draw — domain/language
+    // mixing for a training corpus, deterministic.
+    "c_stratified_sample" -> ((s, d) => {
+      val threshold = when(col("lang") === "en", lit("0c")).otherwise(lit("33"))
+      val keep = substring(md5(col("text")), 1, 2) <= threshold
+      t(s, d, "documents")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("total"),
+          sum(when(keep, 1L).otherwise(0L)).cast("bigint").as("kept"),
+          round(sum(when(keep, 1L).otherwise(0L)).cast("double") / count(lit(1)), 4).as("rate"))
+        .orderBy("lang")
+    }),
+
+    // Sequence packing: shard by doc_id (8 shards here; cardinality is the
+    // caller's parallelism knob), then within each shard chunk docs in
+    // doc_id order into 512-token context bins via a running token sum.
+    // The window partitions on the shard key, so state per task is one
+    // running sum — no global sort, no single-partition window.
+    "c_pack_sequences" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ctx = 512
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), pmod(col("doc_id"), lit(8)).as("shard"),
+          size(tokens(col("text"))).cast("bigint").as("n_tokens"))
+      val w = Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val binned = docs
+        .withColumn("cum", sum("n_tokens").over(w))
+        .withColumn("bin", expr(s"(cum - n_tokens) div $ctx"))
+      binned.groupBy("shard", "bin")
+        .agg(sum("n_tokens").as("bin_tokens"), count(lit(1)).as("n_docs"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_bins"),
+          max("bin_tokens").cast("bigint").as("max_bin_tokens"),
+          round(avg("bin_tokens"), 2).as("avg_bin_tokens"),
+          sum("n_docs").cast("bigint").as("n_docs"))
+        .orderBy("shard")
+    }),
+
+    // Deterministic global shuffle / shard assignment: shard on the first
+    // md5(text) nibble (16 shards). Balance stats per shard prove the
+    // assignment spreads bytes evenly — the write-side primitive for
+    // training shards.
+    "c_shard_assign" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(substring(md5(col("text")), 1, 1).as("shard"),
+          col("doc_id"), col("n_chars"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").cast("bigint").as("sum_chars"),
+          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+        .orderBy("shard"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "c_pii_redact" ->
+      """WITH dirty AS (
+        |  SELECT lang,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or call 555-'
+        |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |      || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR) AS dirty
+        |  FROM documents),
+        |red AS (
+        |  SELECT lang, dirty,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(dirty, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |        '\b\d{1,3}(\.\d{1,3}){3}\b', '[IP]', 'g'),
+        |      '\b\d{3}-\d{4}\b', '[PHONE]', 'g') AS clean
+        |  FROM dirty)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(len(regexp_extract_all(dirty, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS BIGINT) AS n_email,
+        |  CAST(sum(len(regexp_extract_all(dirty, '\b\d{1,3}(\.\d{1,3}){3}\b'))) AS BIGINT) AS n_ip,
+        |  CAST(sum(len(regexp_extract_all(clean, '\b\d{3}-\d{4}\b'))) AS BIGINT) AS n_phone_left,
+        |  CAST(sum(length(dirty) - length(clean)) AS BIGINT) AS chars_redacted
+        |FROM red GROUP BY lang ORDER BY lang""".stripMargin,
+    "c_html_strip" ->
+      """WITH h AS (
+        |  SELECT lang,
+        |    '<html><body><p>' || text || '</p><br/><a href="https://ex.invalid/'
+        |      || CAST(doc_id AS VARCHAR) || '">doc</a></body></html>' AS html
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang, html,
+        |    trim(regexp_replace(regexp_replace(html, '<[^>]+>', ' ', 'g'), '\s+', ' ', 'g')) AS clean
+        |  FROM h)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(length(html)) AS BIGINT) AS html_chars,
+        |  CAST(sum(length(clean)) AS BIGINT) AS clean_chars,
+        |  round(avg(CAST(length(clean) AS DOUBLE) / length(html)), 4) AS avg_keep_ratio
+        |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
+    "c_gopher_quality" ->
+      """WITH docs AS (
+        |  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS sp
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, lang, len(sp) AS n_words, len(list_distinct(sp)) AS n_distinct
+        |  FROM docs),
+        |words AS (SELECT doc_id, unnest(sp) AS w FROM docs),
+        |top AS (
+        |  SELECT doc_id, max(c) AS top_cnt FROM
+        |    (SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w)
+        |  GROUP BY doc_id),
+        |j AS (
+        |  SELECT b.lang, b.n_words,
+        |    CAST(t.top_cnt AS DOUBLE) / b.n_words AS top_frac,
+        |    CAST(b.n_distinct AS DOUBLE) / b.n_words AS distinct_frac,
+        |    (b.n_words >= 20 AND CAST(t.top_cnt AS DOUBLE) / b.n_words <= 0.15) AS pass
+        |  FROM base b JOIN top t USING (doc_id))
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+        |  round(avg(top_frac), 4) AS avg_top_frac,
+        |  round(avg(distinct_frac), 4) AS avg_distinct_frac
+        |FROM j GROUP BY lang ORDER BY lang""".stripMargin,
+    "c_repetition" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS sp FROM documents),
+        |b AS (
+        |  SELECT doc_id, sp,
+        |    list_transform(range(1, greatest(len(sp), 1)),
+        |      i -> sp[CAST(i AS INT)] || ' ' || sp[CAST(i AS INT) + 1]) AS bi
+        |  FROM d)
+        |SELECT doc_id,
+        |  CAST(len(sp) AS BIGINT) AS n_words,
+        |  round(1.0 - CAST(len(list_distinct(sp)) AS DOUBLE) / len(sp), 4) AS dup_word_frac,
+        |  CASE WHEN len(bi) >= 1
+        |    THEN round(1.0 - CAST(len(list_distinct(bi)) AS DOUBLE) / len(bi), 4)
+        |    ELSE NULL END AS dup_bigram_frac
+        |FROM b ORDER BY doc_id""".stripMargin,
+    "c_contamination" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS sp
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, lang, unnest(list_distinct(
+        |    list_transform(range(1, greatest(len(sp) - 1, 1)),
+        |      i -> sp[CAST(i AS INT)] || ' ' || sp[CAST(i AS INT) + 1] || ' ' || sp[CAST(i AS INT) + 2]))) AS gram
+        |  FROM d WHERE len(sp) >= 3),
+        |bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 7 = 0),
+        |cont AS (
+        |  SELECT lang, count(*) AS contaminated FROM
+        |    (SELECT DISTINCT doc_id, lang FROM g
+        |     WHERE doc_id % 7 <> 0 AND gram IN (SELECT gram FROM bg))
+        |  GROUP BY lang),
+        |tot AS (
+        |  SELECT lang, count(*) AS total_docs FROM documents
+        |  WHERE doc_id % 7 <> 0 GROUP BY lang)
+        |SELECT t.lang, t.total_docs,
+        |  COALESCE(c.contaminated, 0) AS contaminated,
+        |  round(CAST(COALESCE(c.contaminated, 0) AS DOUBLE) / t.total_docs, 4) AS frac
+        |FROM tot t LEFT JOIN cont c USING (lang) ORDER BY lang""".stripMargin,
+    "c_hash_sample" ->
+      """SELECT lang, count(*) AS total,
+        |  CAST(sum(CASE WHEN substr(md5(text), 1, 2) <= '19' THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+        |  round(CAST(sum(CASE WHEN substr(md5(text), 1, 2) <= '19' THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS rate
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "c_stratified_sample" ->
+      """WITH k AS (
+        |  SELECT lang,
+        |    substr(md5(text), 1, 2) <= (CASE WHEN lang = 'en' THEN '0c' ELSE '33' END) AS keep
+        |  FROM documents)
+        |SELECT lang, count(*) AS total,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+        |  round(CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS rate
+        |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
+    "c_pack_sequences" ->
+      """WITH docs AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |cum AS (
+        |  SELECT shard, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM docs),
+        |bins AS (
+        |  SELECT shard, (cum - n_tokens) // 512 AS bin,
+        |    sum(n_tokens) AS bin_tokens, count(*) AS n_docs
+        |  FROM cum GROUP BY shard, bin)
+        |SELECT shard, count(*) AS n_bins,
+        |  CAST(max(bin_tokens) AS BIGINT) AS max_bin_tokens,
+        |  round(avg(bin_tokens), 2) AS avg_bin_tokens,
+        |  CAST(sum(n_docs) AS BIGINT) AS n_docs
+        |FROM bins GROUP BY shard ORDER BY shard""".stripMargin,
+    "c_shard_assign" ->
+      """SELECT substr(md5(text), 1, 1) AS shard, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM documents GROUP BY shard ORDER BY shard""".stripMargin
+  )
+}

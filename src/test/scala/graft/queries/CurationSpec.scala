@@ -1,0 +1,103 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, TestSpark}
+
+/** Semantic assertions for the training-data curation suite (beyond the
+  * DuckDB-oracle hash checks): redaction completeness, strip idempotence,
+  * sampling determinism, packing invariants.
+  */
+class CurationSpec extends SparkSpec {
+
+  private val sf = TestSpark.sf0001
+
+  test("redactPii removes every email/phone/IPv4 occurrence") {
+    import spark.implicits._
+    val dirty = Seq(
+      "mail a.b+c@sub.example.org now",
+      "dial 555-0199 or 123-4567 twice",
+      "host 192.168.0.1 and 10.0.255.100 up",
+      "mixed x@y.io 1.2.3.4 999-0000 end",
+      "clean text with no pii at all").toDF("t")
+    val clean = dirty.select(Curation.redactPii(col("t")).as("c"))
+    val leftovers = clean.filter(
+      col("c").rlike(Curation.EmailRe) ||
+        col("c").rlike(Curation.PhoneRe) ||
+        col("c").rlike(Curation.Ipv4Re)).count()
+    assert(leftovers == 0)
+    val row = clean.collect().map(_.getString(0))
+    assert(row(0) == "mail [EMAIL] now")
+    assert(row(1) == "dial [PHONE] or [PHONE] twice")
+    assert(row(2) == "host [IP] and [IP] up")
+    assert(row(3) == "mixed [EMAIL] [IP] [PHONE] end")
+    assert(row(4) == "clean text with no pii at all")
+  }
+
+  test("stripHtml removes all tags and is idempotent") {
+    import spark.implicits._
+    val html = Seq(
+      "<html><body><p>a  b</p><br/><a href=\"u\">c</a></body></html>",
+      "no markup here").toDF("t")
+    val once = html.select(Curation.stripHtml(col("t")).as("c"))
+    assert(once.filter(col("c").rlike("<[^>]+>")).count() == 0)
+    val twice = once.select(Curation.stripHtml(col("c")).as("c"))
+    assert(once.collect().map(_.getString(0)).toSeq ==
+      twice.collect().map(_.getString(0)).toSeq)
+    assert(once.collect()(0).getString(0) == "a b c")
+  }
+
+  test("wordNgrams: correct n-grams, empty (not error) on short arrays") {
+    import spark.implicits._
+    val df = Seq("a b c d", "a b", "only").toDF("t")
+      .select(Curation.wordNgrams(Curation.tokens(col("t")), 3).as("g"))
+    val rows = df.collect().map(_.getSeq[String](0))
+    assert(rows(0) == Seq("a b c", "b c d"))
+    assert(rows(1) == Seq.empty)
+    assert(rows(2) == Seq.empty)
+  }
+
+  test("c_pii_redact: zero phone patterns survive redaction at sf0.001") {
+    val r = Curation.queries("c_pii_redact")(spark, sf).collect()
+    assert(r.nonEmpty)
+    assert(r.forall(_.getAs[Long]("n_phone_left") == 0L))
+    // one synthetic email + one IP per doc
+    assert(r.forall(row => row.getAs[Long]("n_email") == row.getAs[Long]("n_docs")))
+    assert(r.forall(row => row.getAs[Long]("n_ip") == row.getAs[Long]("n_docs")))
+  }
+
+  test("c_hash_sample is deterministic and near the 26/256 target rate") {
+    val a = Curation.queries("c_hash_sample")(spark, sf).collect()
+    val b = Curation.queries("c_hash_sample")(spark, sf).collect()
+    assert(a.toSeq == b.toSeq)
+    val kept = a.map(_.getAs[Long]("kept")).sum.toDouble
+    val total = a.map(_.getAs[Long]("total")).sum.toDouble
+    assert(math.abs(kept / total - 26.0 / 256) < 0.08)
+  }
+
+  test("c_stratified_sample: en rate below non-en rate") {
+    val r = Curation.queries("c_stratified_sample")(spark, sf).collect()
+    val en = r.find(_.getAs[String]("lang") == "en").get.getAs[Double]("rate")
+    val others = r.filter(_.getAs[String]("lang") != "en").map(_.getAs[Double]("rate"))
+    assert(others.nonEmpty && en < others.max)
+  }
+
+  test("c_pack_sequences: every doc lands in exactly one bin; fills are sane") {
+    val docs = Tables.t(spark, sf, "documents").count()
+    val r = Curation.queries("c_pack_sequences")(spark, sf).collect()
+    assert(r.map(_.getAs[Long]("n_docs")).sum == docs)
+    // a bin overfills by at most one document's tokens (greedy chunking):
+    // max observed fill stays under ctx + max doc tokens
+    val maxTokensPerDoc = Tables.t(spark, sf, "documents")
+      .select(max(size(Curation.tokens(col("text"))))).collect()(0).getInt(0)
+    assert(r.forall(_.getAs[Long]("max_bin_tokens") <= 512L + maxTokensPerDoc))
+  }
+
+  test("c_contamination: benchmark slice itself is excluded from candidates") {
+    val r = Curation.queries("c_contamination")(spark, sf).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getAs[Long]("contaminated") <= row.getAs[Long]("total_docs"))
+    }
+  }
+}

@@ -104,6 +104,26 @@ class PlanSpec extends SparkSpec {
       Set("doc_id"))
   }
 
+  test("c_contamination: benchmark n-gram set meets the corpus via broadcast left-semi") {
+    val p = plan("c_contamination").toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      "the big side must not shuffle; the distinct benchmark grams broadcast")
+  }
+
+  test("c_pack_sequences: window partitions on shard (no single-partition global sort)") {
+    val p = plan("c_pack_sequences").toString
+    assert(p.contains("Window"))
+    assert(!p.contains("SinglePartition"),
+      "running-sum window must partition by shard, never collapse to one partition")
+  }
+
+  test("c_hash_sample / c_shard_assign: documents scan pruned to referenced columns") {
+    assert(scanOf("c_hash_sample", "documents").requiredSchema.fieldNames.toSet ==
+      Set("lang", "text"))
+    assert(scanOf("c_shard_assign", "documents").requiredSchema.fieldNames.toSet ==
+      Set("doc_id", "text", "n_chars"))
+  }
+
   test("etl pipeline: conform collapses to a single Project per source branch (no shuffle)") {
     val engine = new graft.etl.MultiSourceAdEtl(graft.etl.Configs.apsl)
     val p = engine.run(spark, graft.etl.Fixtures.materialize("apsl"), capitalize = true)

@@ -112,6 +112,42 @@ object Dedup {
           .reduce((x, y) => x.bitwiseOR(y)).as("simhash"))
   }
 
+  /** Connected components by iterative min-label propagation: each round
+    * every node takes the minimum label among itself and its neighbors;
+    * converges in O(graph diameter) rounds. `nodes` must have column `v`,
+    * `edges` columns `src`/`dst` (one direction is enough).
+    *
+    * This is the missing middle of a dedup pipeline at scale: LSH emits
+    * PAIRS, but deletion needs CLUSTERS (keep one canonical doc per
+    * component). Each round is one distributed join + aggregate — no
+    * driver-side graph. `localCheckpoint` truncates the lineage so plans
+    * don't grow per round (the standard iterative-algorithm discipline);
+    * the driver-side loop iterates ROUNDS (≤ diameter), never rows. For
+    * graphs with whale components the two-phase large-star/small-star
+    * variant (Kiveris et al., "Connected Components in MapReduce") drops in
+    * with the same interface.
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val bidir = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    var labels = nodes.select(col("v"), col("v").as("lbl")).localCheckpoint()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      val prop = bidir.join(labels, bidir("src") === labels("v"))
+        .select(col("dst").as("v"), col("lbl"))
+        .union(labels)
+        .groupBy("v").agg(min("lbl").as("nlbl"))
+      val joined = labels.join(prop, "v")
+        .select(col("v"), col("lbl"), col("nlbl")).localCheckpoint()
+      changed = joined.filter(col("nlbl") < col("lbl")).count()
+      labels = joined.select(col("v"), col("nlbl").as("lbl"))
+      it += 1
+    }
+    require(changed == 0, s"connectedComponents did not converge in $maxIter rounds")
+    labels.select(col("v"), col("lbl").as("root"))
+  }
+
   /** Planted ground-truth pairs: corpusWithDups duplicates every 5th doc as
     * ids (2k, 2k+1) — exact duplicates, Jaccard 1.0 by construction.
     */
@@ -196,6 +232,31 @@ object Dedup {
         .orderBy("id_a", "id_b")
     }),
 
+    // Near-dup CLUSTERS: exact 3-gram Jaccard pairs (> 0.65, bounded
+    // candidate set for the oracle; at scale the LSH pair stream feeds the
+    // same loop) → connected components → cluster-size distribution. The
+    // doc to KEEP per cluster is its root (min doc_id) — the canonical-doc
+    // selection rule of d_exact_dedup extended to near-dups.
+    "d_dup_clusters" -> ((s, d) => {
+      val docs = t(s, d, "documents").filter(col("doc_id") < 60)
+        .select(col("doc_id"), Dedup.shingles("text", 3).as("g"))
+      val a = docs.select(col("doc_id").as("id_a"), col("g").as("ga"))
+      val b = docs.select(col("doc_id").as("id_b"), col("g").as("gb"))
+      val inter = size(array_intersect(col("ga"), col("gb")))
+      val pairs = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(inter.cast("double") /
+            (size(col("ga")) + size(col("gb")) - inter), 4).as("jaccard"))
+        .filter(col("jaccard") > 0.65)
+      val cc = connectedComponents(
+        docs.select(col("doc_id").as("v")),
+        pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+      cc.groupBy("root").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(count(lit(1)).as("n_clusters"), min("root").as("min_root"))
+        .orderBy("cluster_size")
+    }),
+
     // Exact 3-gram Jaccard over a bounded candidate set (doc_id < 30 pairs).
     "d_ngram_jaccard" -> ((s, d) => {
       val docs = t(s, d, "documents").filter(col("doc_id") < 30)
@@ -251,6 +312,28 @@ object Dedup {
         |  AND round(list_dot_product(a.v, b.v) /
         |        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
+    "d_dup_clusters" ->
+      """WITH g AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(length(text) - 2, 1) + 1),
+        |    i -> substring(text, CAST(i AS INT), 3))) AS gr
+        |  FROM documents WHERE doc_id < 60),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM g a, g b WHERE a.doc_id < b.doc_id
+        |   AND round(CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE) /
+        |       (len(a.gr) + len(b.gr) - len(list_intersect(a.gr, b.gr))), 4) > 0.65),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
+        |n AS (SELECT doc_id AS v FROM documents WHERE doc_id < 60),
+        |comp AS (
+        |  WITH RECURSIVE r(v, lbl) AS (
+        |    SELECT v, v FROM n
+        |    UNION
+        |    SELECT e.dst, r.lbl FROM r JOIN e ON e.src = r.v)
+        |  SELECT v, min(lbl) AS root FROM r GROUP BY v),
+        |cs AS (SELECT root, count(*) AS cluster_size FROM comp GROUP BY root)
+        |SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+        |       count(*) AS n_clusters, min(root) AS min_root
+        |FROM cs GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
     "d_ngram_jaccard" ->
       """WITH g AS (
         |  SELECT doc_id,

@@ -159,6 +159,37 @@ object Similarity {
         .limit(10)
     }),
 
+    // K-means (Lloyd) clustering — the trained-codebook upgrade over the
+    // label-derived IVF cells of s_ivf_topk: deterministic seeds (the first
+    // k vectors), 2 assignment/update rounds, output cluster sizes +
+    // centroid norms. Each round is one broadcast of k tiny centroids
+    // against a narrow scan + one partial-agg groupBy — at 100 TB the
+    // per-round cost is a single pass over the data, and rounds are a
+    // driver-side LOOP over iterations, never over rows. Cosines feeding
+    // the argmax are rounded to 9 dp on both engines (centroid averaging is
+    // summation-order-dependent), ties break on the larger cluster id via
+    // max-of-struct — the s_ivf_topk parity discipline.
+    "s_kmeans" -> ((s, d) => {
+      val k = 8
+      val emb = t(s, d, "embeddings")
+      val vecMean = graft.functions.VectorMean(64)
+      def assign(cents: org.apache.spark.sql.DataFrame) =
+        emb.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("embedding"), col("cl"),
+            round(cosineHof(col("embedding"), col("cent")), 9).as("c"))
+          .groupBy("vec_id")
+          .agg(first("embedding").as("embedding"),
+            max(struct(col("c"), col("cl"))).getField("cl").as("cl"))
+      val seeds = emb.filter(col("vec_id") < k)
+        .select(col("vec_id").as("cl"), col("embedding").as("cent"))
+      val cent1 = assign(seeds).groupBy("cl").agg(vecMean(col("embedding")).as("cent"))
+      assign(cent1).groupBy("cl")
+        .agg(count(lit(1)).as("n_members"), vecMean(col("embedding")).as("cent2"))
+        .select(col("cl"), col("n_members"),
+          round(norm(col("cent2")), 4).as("centroid_norm"))
+        .orderBy("cl")
+    }),
+
     // SELF-VERIFYING ANN: multi-table hyperplane LSH (16 tables × 4 planes,
     // OR-amplified) → same-bucket candidates for query vec 0 → recall@10
     // against the brute-force cosine top-k (the oracle-matched ground truth
@@ -246,6 +277,34 @@ object Similarity {
         |FROM assign a, q
         |WHERE a.vec_id <> 0 AND a.cell IN (SELECT cell FROM probe)
         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+    "s_kmeans" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |seeds AS (SELECT vec_id AS cl, v AS cent FROM e WHERE vec_id < 8),
+        |a1 AS (
+        |  SELECT vec_id, any_value(v) AS v, (max({'c': c, 'cl': cl})).cl AS cl FROM
+        |    (SELECT e.vec_id, e.v, s.cl,
+        |       round(list_dot_product(e.v, s.cent) /
+        |         (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(s.cent, s.cent))), 9) AS c
+        |     FROM e, seeds s)
+        |  GROUP BY vec_id),
+        |m1 AS (
+        |  SELECT cl, CAST(r.i AS INT) AS pos, avg(v[CAST(r.i AS INT) + 1]) AS mv
+        |  FROM a1, range(64) r(i) GROUP BY cl, pos),
+        |c1 AS (SELECT cl, list(mv ORDER BY pos) AS cent FROM m1 GROUP BY cl),
+        |a2 AS (
+        |  SELECT vec_id, any_value(v) AS v, (max({'c': c, 'cl': cl})).cl AS cl FROM
+        |    (SELECT e.vec_id, e.v, c1.cl,
+        |       round(list_dot_product(e.v, c1.cent) /
+        |         (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c1.cent, c1.cent))), 9) AS c
+        |     FROM e, c1)
+        |  GROUP BY vec_id),
+        |m2 AS (
+        |  SELECT cl, CAST(r.i AS INT) AS pos, avg(v[CAST(r.i AS INT) + 1]) AS mv
+        |  FROM a2, range(64) r(i) GROUP BY cl, pos),
+        |nrm AS (SELECT cl, round(sqrt(sum(mv * mv)), 4) AS centroid_norm FROM m2 GROUP BY cl),
+        |n AS (SELECT cl, count(*) AS n_members FROM a2 GROUP BY cl)
+        |SELECT CAST(n.cl AS BIGINT) AS cl, n.n_members, nrm.centroid_norm
+        |FROM n JOIN nrm USING (cl) ORDER BY cl""".stripMargin,
     "s_cosine_topk" ->
       """WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
         |SELECT vec_id,

@@ -1,0 +1,54 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, TestSpark}
+
+/** Unit + invariant tests for the iterative operators: connected components
+  * (min-label propagation) and k-means (Lloyd) clustering.
+  */
+class ClusteringSpec extends SparkSpec {
+
+  private val sf = TestSpark.sf0001
+
+  test("connectedComponents: path, pair, cycle and isolated node resolve to min-id roots") {
+    import spark.implicits._
+    // components: {1,2,3} (path), {4,5} (pair), {6} (isolated), {7,8,9} (cycle)
+    val nodes = (1L to 9L).toDF("v")
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L), (7L, 8L), (8L, 9L), (9L, 7L))
+      .toDF("src", "dst")
+    val cc = Dedup.connectedComponents(nodes, edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L,
+      6L -> 6L, 7L -> 7L, 8L -> 7L, 9L -> 7L))
+  }
+
+  test("connectedComponents: long chain converges (diameter-bound iterations)") {
+    import spark.implicits._
+    val n = 30L
+    val nodes = (1L to n).toDF("v")
+    val edges = (1L until n).map(i => (i, i + 1)).toDF("src", "dst")
+    val cc = Dedup.connectedComponents(nodes, edges).collect()
+    assert(cc.forall(_.getLong(1) == 1L))
+  }
+
+  test("d_dup_clusters: sizes partition the bounded doc set") {
+    val r = Dedup.queries("d_dup_clusters")(spark, sf).collect()
+    val docs = Tables.t(spark, sf, "documents")
+      .filter(col("doc_id") < 60).count()
+    val covered = r.map(row =>
+      row.getAs[Long]("cluster_size") * row.getAs[Long]("n_clusters")).sum
+    assert(covered == docs)
+    assert(r.exists(_.getAs[Long]("cluster_size") > 1), "expect at least one real cluster")
+  }
+
+  test("s_kmeans: deterministic, clusters cover every vector, k bounded") {
+    val a = Similarity.queries("s_kmeans")(spark, sf).collect()
+    val b = Similarity.queries("s_kmeans")(spark, sf).collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+    val total = Tables.t(spark, sf, "embeddings").count()
+    assert(a.map(_.getAs[Long]("n_members")).sum == total)
+    assert(a.length <= 8 && a.nonEmpty)
+    assert(a.forall(_.getAs[Double]("centroid_norm") > 0.0))
+  }
+}

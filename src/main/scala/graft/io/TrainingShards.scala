@@ -1,0 +1,43 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.StructType
+
+/** JSONL training-shard layout: the interchange format LLM data pipelines
+  * feed to tokenizers — one JSON object per line, sharded into directories
+  * by a deterministic shard key (see `graft.queries.Curation` c_shard_assign
+  * for the key derivation).
+  *
+  * Scale notes:
+  * - `repartition(shardCol)` first, so each shard's rows co-locate and the
+  *   writer emits one file set per shard directory instead of
+  *   numPartitions × numShards fragments (the classic small-files explosion
+  *   at 1000 executors);
+  * - `partitionBy` gives Hive-style `shard=<v>/` directories, so a reader
+  *   that wants shards 0-3 of 256 partition-prunes the rest at the source;
+  * - compression is codec-pluggable (gzip for interchange, none for
+  *   tokenizer-local reads); JSONL+gzip is splittable per FILE (not per
+  *   block) which is exactly right when each shard directory holds many
+  *   medium files — file-granular parallelism without giant-file stragglers;
+  * - `readJsonl` takes an explicit schema: at 100 TB schema inference is a
+  *   full extra pass over the data, so it is never implicit here.
+  */
+object TrainingShards {
+
+  /** Write one JSONL directory per value of `shardCol` under `path`. */
+  def writeJsonl(df: DataFrame, path: String, shardCol: String,
+      compression: String = "none"): Unit =
+    df.repartition(col(shardCol))
+      .write
+      .mode("overwrite")
+      .option("compression", compression)
+      .partitionBy(shardCol)
+      .json(path)
+
+  /** Read a JSONL shard tree with a REQUIRED schema (no inference pass).
+    * The shard partition column comes back from the directory names.
+    */
+  def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+}

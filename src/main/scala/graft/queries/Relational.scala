@@ -19,6 +19,24 @@ import Tables._
   */
 object Relational {
 
+  /** Morton/Z-order value: interleave the low `bits` bits of `x` (even
+    * positions) and `y` (odd positions). Non-overlapping shifted bits, so
+    * plain addition assembles the key exactly (no overflow below 32
+    * interleaved bits).
+    */
+  def zValue(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column,
+      bits: Int): org.apache.spark.sql.Column =
+    (0 until bits).map { b =>
+      shiftleft(shiftright(x, b).bitwiseAND(lit(1L)), 2 * b) +
+        shiftleft(shiftright(y, b).bitwiseAND(lit(1L)), 2 * b + 1)
+    }.reduce(_ + _)
+
+  /** The same interleave as SQL text (for the DuckDB oracle). */
+  private def zValueSql(x: String, y: String, bits: Int): String =
+    (0 until bits).map { b =>
+      s"((($x >> $b) & 1) << ${2 * b}) + ((($y >> $b) & 1) << ${2 * b + 1})"
+    }.mkString(" + ")
+
   val queries: Map[String, Q] = Map(
     // TPC-H-Q1-shaped pricing summary: scan → filter → partial+final agg.
     "q1_agg" -> ((s, d) => {
@@ -273,6 +291,64 @@ object Relational {
     // here exists only to GRADE the sketch and is the expensive side (it
     // plans an Expand + distinct shuffle); a production caller at 100 TB
     // uses approx_count_distinct alone — one pass, bounded sketch memory.
+    // Column profiler (the Deequ/"analyze table" shape): one summary row
+    // per column — null count, exact distinct count, typed min/max (numeric
+    // columns as rounded doubles; string/date columns as strings, so no
+    // engine-specific float formatting leaks into the hash). Each branch is
+    // a one-column pruned scan + partial-agg; the 6-branch union is how a
+    // profiler keeps per-column pushdown at 100 TB (columnar scans make the
+    // extra passes cheap; a single unpivot pass would read every column to
+    // profile any of them).
+    "q_profile" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      def num(c: String, scale: Int) = o.agg(
+        count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count(col(c))).as("n_nulls"),
+        countDistinct(col(c)).as("n_distinct"),
+        round(min(col(c)).cast("double"), scale).as("min_num"),
+        round(max(col(c)).cast("double"), scale).as("max_num"),
+        lit(null).cast("string").as("min_s"),
+        lit(null).cast("string").as("max_s"))
+        .select(lit(c).as("col_name"), col("*"))
+      def str(c: org.apache.spark.sql.Column, name: String) = o.agg(
+        count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count(c)).as("n_nulls"),
+        countDistinct(c).as("n_distinct"),
+        lit(null).cast("double").as("min_num"),
+        lit(null).cast("double").as("max_num"),
+        min(c).cast("string").as("min_s"),
+        max(c).cast("string").as("max_s"))
+        .select(lit(name).as("col_name"), col("*"))
+      num("o_orderkey", 0)
+        .union(num("o_custkey", 0))
+        .union(str(col("o_orderstatus"), "o_orderstatus"))
+        .union(num("o_totalprice", 2))
+        .union(str(col("o_orderdate").cast("date"), "o_orderdate"))
+        .union(str(col("o_orderpriority"), "o_orderpriority"))
+        .orderBy("col_name")
+    }),
+
+    // Z-order layout: interleave the bits of two cluster keys into one
+    // sort key, so range filters on EITHER key prune contiguous runs —
+    // the data-layout primitive behind multi-column file skipping. The
+    // query buckets orders by high z-bits and shows each bucket spans a
+    // bounded range of BOTH keys (locality proof). At scale: write with
+    // repartitionByRange(zValue) + sortWithinPartitions so parquet
+    // min/max stats prune on both columns.
+    "q_zorder" -> ((s, d) => {
+      val x = pmod(col("o_custkey"), lit(65536L))
+      val y = datediff(col("o_orderdate").cast("date"), lit("1992-01-01").cast("date"))
+        .cast("bigint")
+      t(s, d, "orders")
+        .select(x.as("x"), y.as("y"))
+        .select(col("x"), col("y"), zValue(col("x"), col("y"), 16).as("z"))
+        .groupBy(shiftright(col("z"), 18).as("z_bucket"))
+        .agg(count(lit(1)).as("n"),
+          min("x").as("min_x"), max("x").as("max_x"),
+          min("y").as("min_y"), max("y").as("max_y"))
+        .orderBy("z_bucket")
+    }),
+
     "q_approx_count_distinct" -> ((s, d) => {
       val rsd = 0.05
       t(s, d, "lineitem")
@@ -288,6 +364,56 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     // the sketch is graded in-query; expected output is exact + pass=true
+    "q_profile" ->
+      """WITH
+        |k AS (SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+        |  CAST(count(*) - count(o_orderkey) AS BIGINT) AS n_nulls,
+        |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+        |  round(CAST(min(o_orderkey) AS DOUBLE), 0) AS min_num,
+        |  round(CAST(max(o_orderkey) AS DOUBLE), 0) AS max_num,
+        |  CAST(NULL AS VARCHAR) AS min_s, CAST(NULL AS VARCHAR) AS max_s FROM orders),
+        |c AS (SELECT 'o_custkey', count(*),
+        |  CAST(count(*) - count(o_custkey) AS BIGINT),
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT),
+        |  round(CAST(min(o_custkey) AS DOUBLE), 0),
+        |  round(CAST(max(o_custkey) AS DOUBLE), 0),
+        |  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM orders),
+        |s AS (SELECT 'o_orderstatus', count(*),
+        |  CAST(count(*) - count(o_orderstatus) AS BIGINT),
+        |  CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+        |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        |  min(o_orderstatus), max(o_orderstatus) FROM orders),
+        |p AS (SELECT 'o_totalprice', count(*),
+        |  CAST(count(*) - count(o_totalprice) AS BIGINT),
+        |  CAST(count(DISTINCT o_totalprice) AS BIGINT),
+        |  round(CAST(min(o_totalprice) AS DOUBLE), 2),
+        |  round(CAST(max(o_totalprice) AS DOUBLE), 2),
+        |  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM orders),
+        |d AS (SELECT 'o_orderdate', count(*),
+        |  CAST(count(*) - count(o_orderdate) AS BIGINT),
+        |  CAST(count(DISTINCT CAST(o_orderdate AS DATE)) AS BIGINT),
+        |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        |  CAST(min(CAST(o_orderdate AS DATE)) AS VARCHAR),
+        |  CAST(max(CAST(o_orderdate AS DATE)) AS VARCHAR) FROM orders),
+        |pr AS (SELECT 'o_orderpriority', count(*),
+        |  CAST(count(*) - count(o_orderpriority) AS BIGINT),
+        |  CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+        |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        |  min(o_orderpriority), max(o_orderpriority) FROM orders)
+        |SELECT * FROM k UNION ALL SELECT * FROM c UNION ALL SELECT * FROM s
+        |UNION ALL SELECT * FROM p UNION ALL SELECT * FROM d UNION ALL SELECT * FROM pr
+        |ORDER BY col_name""".stripMargin,
+    "q_zorder" -> {
+      val z = zValueSql("x", "y", 16)
+      s"""WITH xy AS (
+         |  SELECT o_custkey % 65536 AS x,
+         |    CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS y
+         |  FROM orders),
+         |z AS (SELECT x, y, ($z) AS z FROM xy)
+         |SELECT z >> 18 AS z_bucket, count(*) AS n,
+         |  min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
+         |FROM z GROUP BY z_bucket ORDER BY z_bucket""".stripMargin
+    },
     "q_approx_count_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
         |CAST(1 AS BOOLEAN) AS within_tol

@@ -52,9 +52,13 @@ object Curation {
     regexp_replace(i, PhoneRe, "[PHONE]")
   }
 
-  /** Strip markup: drop tags, collapse the leftover whitespace. */
+  /** Strip markup: drop tags, collapse the leftover whitespace. The
+    * whitespace class is EXPLICIT because java.util.regex `\s` includes
+    * `\x0B` while DuckDB's RE2 `\s` does not — a vertical tab in a document
+    * would otherwise break cross-engine parity.
+    */
   def stripHtml(c: Column): Column =
-    trim(regexp_replace(regexp_replace(c, "<[^>]+>", " "), "\\s+", " "))
+    trim(regexp_replace(regexp_replace(c, "<[^>]+>", " "), "[ \\t\\n\\x0B\\f\\r]+", " "))
 
   /** Whitespace tokens (same definition as [[Text.tokens]]). */
   def tokens(c: Column): Column = Text.tokens(c)
@@ -280,7 +284,7 @@ object Curation {
         |  FROM documents),
         |c AS (
         |  SELECT lang, html,
-        |    trim(regexp_replace(regexp_replace(html, '<[^>]+>', ' ', 'g'), '\s+', ' ', 'g')) AS clean
+        |    trim(regexp_replace(regexp_replace(html, '<[^>]+>', ' ', 'g'), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS clean
         |  FROM h)
         |SELECT lang, count(*) AS n_docs,
         |  CAST(sum(length(html)) AS BIGINT) AS html_chars,

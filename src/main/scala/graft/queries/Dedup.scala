@@ -128,8 +128,11 @@ object Dedup {
     * with the same interface.
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    // Materialized once: without the checkpoint every round would re-run the
+    // whole edges lineage (for d_dup_clusters that is the crossJoin+Jaccard).
     val bidir = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
     var labels = nodes.select(col("v"), col("v").as("lbl")).localCheckpoint()
     var changed = 1L
     var it = 0

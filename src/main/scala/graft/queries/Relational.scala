@@ -310,9 +310,13 @@ object Relational {
         lit(null).cast("string").as("min_s"),
         lit(null).cast("string").as("max_s"))
         .select(lit(c).as("col_name"), col("*"))
-      def str(c: org.apache.spark.sql.Column, name: String) = o.agg(
+      // n_nulls counts on the RAW column: the oracle profiles the varchar as
+      // stored, and a non-castable value would null out (or throw under
+      // ANSI) only on the Spark side if counted after the cast.
+      def str(c: org.apache.spark.sql.Column, name: String,
+              raw: org.apache.spark.sql.Column) = o.agg(
         count(lit(1)).as("n_rows"),
-        (count(lit(1)) - count(c)).as("n_nulls"),
+        (count(lit(1)) - count(raw)).as("n_nulls"),
         countDistinct(c).as("n_distinct"),
         lit(null).cast("double").as("min_num"),
         lit(null).cast("double").as("max_num"),
@@ -321,10 +325,10 @@ object Relational {
         .select(lit(name).as("col_name"), col("*"))
       num("o_orderkey", 0)
         .union(num("o_custkey", 0))
-        .union(str(col("o_orderstatus"), "o_orderstatus"))
+        .union(str(col("o_orderstatus"), "o_orderstatus", col("o_orderstatus")))
         .union(num("o_totalprice", 2))
-        .union(str(col("o_orderdate").cast("date"), "o_orderdate"))
-        .union(str(col("o_orderpriority"), "o_orderpriority"))
+        .union(str(col("o_orderdate").cast("date"), "o_orderdate", col("o_orderdate")))
+        .union(str(col("o_orderpriority"), "o_orderpriority", col("o_orderpriority")))
         .orderBy("col_name")
     }),
 

@@ -128,8 +128,13 @@ object Similarity {
       val nprobe = 3
       val emb = t(s, d, "embeddings")
       val vecMean = graft.functions.VectorMean(64)
+      // Centroid COMPONENTS are rounded to 9 dp on both engines before any
+      // cosine: averaging is summation-order-dependent, and a last-ulp
+      // difference exactly at a cosine rounding boundary would flip a
+      // discrete assignment. Bit-identical inputs remove the boundary case.
       val cents = emb.groupBy(col("label").as("cell"))
-        .agg(vecMean(col("embedding")).as("centroid"))
+        .agg(vecMean(col("embedding")).as("c0"))
+        .select(col("cell"), transform(col("c0"), x => round(x, 9)).as("centroid"))
       // Centroid comparisons use the HOF cosine (double accumulation in
       // index order, DuckDB's list_dot_product arithmetic) AND are rounded
       // to 9 decimals before any discrete decision: the centroids come from
@@ -182,7 +187,12 @@ object Similarity {
             max(struct(col("c"), col("cl"))).getField("cl").as("cl"))
       val seeds = emb.filter(col("vec_id") < k)
         .select(col("vec_id").as("cl"), col("embedding").as("cent"))
-      val cent1 = assign(seeds).groupBy("cl").agg(vecMean(col("embedding")).as("cent"))
+      // Round-1 centroid components rounded to 9 dp on both engines, so the
+      // round-2 assignment inputs are bit-identical (not just ulp-close) —
+      // otherwise a cosine landing exactly on the 9-dp rounding boundary
+      // could flip one assignment and fail the hash check.
+      val cent1 = assign(seeds).groupBy("cl").agg(vecMean(col("embedding")).as("c0"))
+        .select(col("cl"), transform(col("c0"), x => round(x, 9)).as("cent"))
       assign(cent1).groupBy("cl")
         .agg(count(lit(1)).as("n_members"), vecMean(col("embedding")).as("cent2"))
         .select(col("cl"), col("n_members"),
@@ -254,7 +264,7 @@ object Similarity {
         |  SELECT label AS cell, CAST(r.i AS INT) AS pos,
         |         avg(CAST(embedding[CAST(r.i AS INT) + 1] AS DOUBLE)) AS v
         |  FROM embeddings, range(64) r(i) GROUP BY label, pos),
-        |c AS (SELECT cell, list(v ORDER BY pos) AS centroid FROM m GROUP BY cell),
+        |c AS (SELECT cell, list(round(v, 9) ORDER BY pos) AS centroid FROM m GROUP BY cell),
         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |scored AS (
         |  SELECT e.vec_id, e.v, c.cell,
@@ -290,7 +300,7 @@ object Similarity {
         |m1 AS (
         |  SELECT cl, CAST(r.i AS INT) AS pos, avg(v[CAST(r.i AS INT) + 1]) AS mv
         |  FROM a1, range(64) r(i) GROUP BY cl, pos),
-        |c1 AS (SELECT cl, list(mv ORDER BY pos) AS cent FROM m1 GROUP BY cl),
+        |c1 AS (SELECT cl, list(round(mv, 9) ORDER BY pos) AS cent FROM m1 GROUP BY cl),
         |a2 AS (
         |  SELECT vec_id, any_value(v) AS v, (max({'c': c, 'cl': cl})).cl AS cl FROM
         |    (SELECT e.vec_id, e.v, c1.cl,

@@ -66,6 +66,13 @@ object Curation {
   /** Adjacent word n-grams of a token array (n ≥ 2), joined with spaces.
     * Empty for arrays shorter than n (guarded: `sequence(0, size-n)` would
     * otherwise run DESCENDING and hit index 0, an ANSI error).
+    *
+    * `sp` MUST be a materialized column (AttributeReference), not a raw
+    * `split(...)` expression: the lambda embeds `sp` once per n-gram
+    * position, and higher-order-function lambdas re-evaluate embedded
+    * expressions PER ELEMENT — passing the split itself turns a linear
+    * scan into O(tokens²) regex splits per document (measured 11 s → 0.6 s
+    * on c_repetition at sf0.1).
     */
   def wordNgrams(sp: Column, n: Int): Column =
     when(size(sp) >= n,
@@ -147,10 +154,12 @@ object Curation {
     // fractions, computed with array ops only (no explode, no shuffle
     // beyond the final sort).
     "c_repetition" -> ((s, d) => {
-      val sp = tokens(col("text"))
-      val bi = wordNgrams(sp, 2)
+      // tokens materialize at a projection boundary BEFORE the n-gram
+      // lambda sees them (see wordNgrams scaladoc: passing the split
+      // expression itself re-runs the regex per element)
       t(s, d, "documents")
-        .select(col("doc_id"), sp.as("sp"), bi.as("bi"))
+        .select(col("doc_id"), tokens(col("text")).as("sp"))
+        .select(col("doc_id"), col("sp"), wordNgrams(col("sp"), 2).as("bi"))
         .select(col("doc_id"),
           size(col("sp")).cast("bigint").as("n_words"),
           round(lit(1.0) - size(array_distinct(col("sp"))).cast("double") / size(col("sp")), 4).as("dup_word_frac"),
@@ -168,8 +177,9 @@ object Curation {
     // is ~30 words, so trigrams give a non-degenerate overlap rate.)
     "c_contamination" -> ((s, d) => {
       val grams = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), tokens(col("text")).as("sp"))
         .select(col("doc_id"), col("lang"),
-          explode(array_distinct(wordNgrams(tokens(col("text")), 3))).as("gram"))
+          explode(array_distinct(wordNgrams(col("sp"), 3))).as("gram"))
       val benchGrams = grams.filter(pmod(col("doc_id"), lit(7)) === 0)
         .select("gram").distinct()
       val contaminated = grams.filter(pmod(col("doc_id"), lit(7)) =!= 0)

@@ -105,8 +105,22 @@ object GraftFunctions {
       s"cosine_sim expects 2 arguments, got ${other.size}")
   }
 
+  /** `unicode_norm(str)` defaults to NFC; `unicode_norm(str, 'NFKC')` takes
+    * any of the four forms as a foldable string literal.
+    */
+  val unicodeNormBuilder: Seq[Expression] => Expression = {
+    case Seq(c) => NormalizeUnicode(c, "NFC")
+    case Seq(c, f) if f.foldable =>
+      NormalizeUnicode(c, String.valueOf(f.eval(null)))
+    case other => throw new IllegalArgumentException(
+      s"unicode_norm expects (str[, form-literal]), got ${other.size} arguments")
+  }
+
   private def info = new ExpressionInfo(
     classOf[CosineSimilarity].getCanonicalName, "cosine_sim")
+
+  private def unInfo = new ExpressionInfo(
+    classOf[NormalizeUnicode].getCanonicalName, "unicode_norm")
 
   /** Idempotent runtime registration into an existing session. */
   def ensureRegistered(spark: SparkSession): Unit = {
@@ -115,10 +129,18 @@ object GraftFunctions {
     if (!registry.functionExists(id)) {
       registry.registerFunction(id, info, cosineSimBuilder)
     }
+    val un = FunctionIdentifier("unicode_norm")
+    if (!registry.functionExists(un)) {
+      registry.registerFunction(un, unInfo, unicodeNormBuilder)
+    }
   }
 
   /** Column API: `cosineSim(a, b)` after `ensureRegistered`. */
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+
+  /** Column API: `unicodeNorm(c, "NFC")` after `ensureRegistered`. */
+  def unicodeNorm(c: Column, form: String = "NFC"): Column =
+    call_function("unicode_norm", c, org.apache.spark.sql.functions.lit(form))
 }
 
 /** `spark.sql.extensions=graft.functions.GraftSessionExtensions` path
@@ -129,5 +151,8 @@ class GraftSessionExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getCanonicalName, "cosine_sim"),
       GraftFunctions.cosineSimBuilder))
+    ext.injectFunction((FunctionIdentifier("unicode_norm"),
+      new ExpressionInfo(classOf[NormalizeUnicode].getCanonicalName, "unicode_norm"),
+      GraftFunctions.unicodeNormBuilder))
   }
 }

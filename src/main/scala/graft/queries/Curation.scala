@@ -261,7 +261,88 @@ object Curation {
         .agg(count(lit(1)).as("n_docs"),
           sum("n_chars").cast("bigint").as("sum_chars"),
           min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
-        .orderBy("shard"))
+        .orderBy("shard")),
+
+    // Unicode NFC normalization via the native codegen'd `unicode_norm`
+    // expression (graft.functions.NormalizeUnicode): a crawl mixes
+    // precomposed ("é", U+00E9) and decomposed ("e"+U+0301) spellings of
+    // the same text, which breaks exact-dedup fingerprints and token
+    // stats. The corpus is ASCII, so each engine appends the SAME
+    // deterministic suffix (decomposed / precomposed / plain, by doc_id%3)
+    // and the normalizer is exercised against real combining sequences.
+    "c_unicode_norm" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val decomposed = " cafe\u0301" // e + COMBINING ACUTE ACCENT (not NFC)
+      val precomposed = " caf\u00e9" // single-codepoint LATIN SMALL E ACUTE (already NFC)
+      val suffix = when(pmod(col("doc_id"), lit(3)) === 0, lit(decomposed))
+        .when(pmod(col("doc_id"), lit(3)) === 1, lit(precomposed))
+        .otherwise(lit(" cafe"))
+      val dirty = concat(col("text"), suffix)
+      t(s, d, "documents")
+        .select(col("lang"), dirty.as("dirty"))
+        .select(col("lang"), col("dirty"),
+          graft.functions.GraftFunctions.unicodeNorm(col("dirty")).as("nrm"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("nrm") =!= col("dirty"), 1L).otherwise(0L)).cast("bigint").as("n_changed"),
+          sum(length(col("dirty"))).cast("bigint").as("chars_raw"),
+          sum(length(col("nrm"))).cast("bigint").as("chars_nfc"))
+        .orderBy("lang")
+    }),
+
+    // Temperature-based language rebalancing (the multilingual mixing rule:
+    // p_l ∝ (n_l/N)^α, α=0.5): up-weights low-resource languages when
+    // drawing a training mix. sqrt (correctly rounded in IEEE, unlike pow)
+    // keeps the per-language weights bit-identical across engines; weights
+    // are rounded to 9 dp before the normalizing sum. Two tiny broadcasts
+    // over a lang-cardinality aggregate — nothing scales with corpus size.
+    "c_lang_mix" -> ((s, d) => {
+      val counts = t(s, d, "documents").groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      val tot = counts.agg(sum("n_docs").as("n_total"))
+      val w = counts.crossJoin(broadcast(tot))
+        .select(col("lang"), col("n_docs"), col("n_total"),
+          round(sqrt(col("n_docs").cast("double") / col("n_total")), 9).as("w"))
+      val z = w.agg(sum("w").as("z"))
+      w.crossJoin(broadcast(z))
+        .select(col("lang"), col("n_docs").cast("bigint").as("n_docs"),
+          round(col("w") / col("z"), 4).as("p_sample"),
+          round(col("w") / col("z") * col("n_total"), 2).as("target_docs"))
+        .orderBy("lang")
+    }),
+
+    // Bloom-style contamination prefilter: hash each benchmark n-gram into
+    // a 2^22 bucket space and semi-join the corpus on BUCKET ids instead of
+    // strings — at 100 TB the broadcast set shrinks from gram strings to
+    // distinct longs, and the exact string check runs only on survivors.
+    // A one-hash Bloom filter has NO false negatives, so every
+    // exact-contaminated doc must appear in the candidate set: the query
+    // outputs that assertion (n_missed = 0), making a hash-specific
+    // structure fully oracle-checkable.
+    "c_contam_bloom" -> ((s, d) => {
+      val m = (1L << 22)
+      val grams = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), tokens(col("text")).as("sp"))
+        .select(col("doc_id"), col("lang"),
+          explode(array_distinct(wordNgrams(col("sp"), 3))).as("gram"))
+      val bench = grams.filter(pmod(col("doc_id"), lit(7)) === 0)
+      val corpus = grams.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+      val benchBuckets = bench
+        .select(pmod(xxhash64(col("gram")), lit(m)).as("bkt")).distinct()
+      val candidates = corpus
+        .join(broadcast(benchBuckets),
+          pmod(xxhash64(col("gram")), lit(m)) === col("bkt"), "left_semi")
+        .select("doc_id").distinct()
+      val exact = corpus
+        .join(broadcast(bench.select("gram").distinct()), Seq("gram"), "left_semi")
+        .select("doc_id", "lang").distinct()
+      val missed = exact.join(candidates, Seq("doc_id"), "left_anti")
+      exact.groupBy("lang").agg(count(lit(1)).as("n_exact"))
+        .join(missed.groupBy("lang").agg(count(lit(1)).as("nm")), Seq("lang"), "left")
+        .select(col("lang"), col("n_exact"),
+          coalesce(col("nm"), lit(0L)).as("n_missed"),
+          (coalesce(col("nm"), lit(0L)) === 0).as("pass"))
+        .orderBy("lang")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -398,6 +479,47 @@ object Curation {
       """SELECT substr(md5(text), 1, 1) AS shard, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
-        |FROM documents GROUP BY shard ORDER BY shard""".stripMargin
+        |FROM documents GROUP BY shard ORDER BY shard""".stripMargin,
+    // chr(101)||chr(769) = decomposed e+combining-acute, chr(233) = é
+    "c_unicode_norm" ->
+      """WITH dirty AS (
+        |  SELECT lang, text || (CASE WHEN doc_id % 3 = 0 THEN ' caf' || chr(101) || chr(769)
+        |                             WHEN doc_id % 3 = 1 THEN ' caf' || chr(233)
+        |                             ELSE ' cafe' END) AS dirty
+        |  FROM documents),
+        |n AS (SELECT lang, dirty, nfc_normalize(dirty) AS nrm FROM dirty)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN nrm <> dirty THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+        |  CAST(sum(length(dirty)) AS BIGINT) AS chars_raw,
+        |  CAST(sum(length(nrm)) AS BIGINT) AS chars_nfc
+        |FROM n GROUP BY lang ORDER BY lang""".stripMargin,
+    "c_lang_mix" ->
+      """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+        |t AS (SELECT sum(n_docs) AS n_total FROM c),
+        |w AS (SELECT lang, n_docs, n_total,
+        |        round(sqrt(CAST(n_docs AS DOUBLE) / n_total), 9) AS w FROM c, t),
+        |z AS (SELECT sum(w) AS z FROM w)
+        |SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+        |  round(w / z, 4) AS p_sample,
+        |  round(w / z * n_total, 2) AS target_docs
+        |FROM w, z ORDER BY lang""".stripMargin,
+    // the bucket prefilter is hash-specific, but a one-hash Bloom has no
+    // false negatives, so n_missed/pass are deterministic and n_exact is
+    // the plain exact-contamination count
+    "c_contam_bloom" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS sp
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, lang, unnest(list_distinct(
+        |    list_transform(range(1, greatest(len(sp) - 1, 1)),
+        |      i -> sp[CAST(i AS INT)] || ' ' || sp[CAST(i AS INT) + 1] || ' ' || sp[CAST(i AS INT) + 2]))) AS gram
+        |  FROM d WHERE len(sp) >= 3),
+        |bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 7 = 0)
+        |SELECT lang, count(*) AS n_exact,
+        |  CAST(0 AS BIGINT) AS n_missed, CAST(1 AS BOOLEAN) AS pass
+        |FROM (SELECT DISTINCT doc_id, lang FROM g
+        |      WHERE doc_id % 7 <> 0 AND gram IN (SELECT gram FROM bg))
+        |GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

@@ -363,6 +363,31 @@ object Relational {
           (abs(col("approx_parts") - col("n_parts")).cast("double") /
             col("n_parts").cast("double") <= 3 * rsd).as("within_tol"))
         .orderBy("l_returnflag")
+    }),
+
+    // SCD2 merge — the incremental-ingest primitive: a stream of per-key
+    // change events (here: each customer's orders as status observations)
+    // becomes a slowly-changing-dimension version table with
+    // valid_from/valid_to ranges. Change detection via lag(), range close
+    // via lead() — BOTH windows share one (partition, order) spec, so the
+    // whole operator is a single shuffle + sort per key at any scale; the
+    // order includes the unique orderkey so same-day events are
+    // deterministic. No MERGE loop, no driver state.
+    "q_scd2_merge" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = t(s, d, "orders").select(
+        col("o_custkey").as("k"), col("o_orderdate").cast("date").as("dt"),
+        col("o_orderkey").as("ok"), col("o_orderstatus").as("st"))
+      val w = Window.partitionBy("k").orderBy(col("dt"), col("ok"))
+      val changes = o.withColumn("prev", lag(col("st"), 1).over(w))
+        .filter(col("prev").isNull || col("st") =!= col("prev"))
+      val vers = changes.withColumn("valid_to", lead(col("dt"), 1).over(w))
+      vers.groupBy("st").agg(
+        count(lit(1)).as("n_versions"),
+        sum(when(col("valid_to").isNull, 1L).otherwise(0L)).cast("bigint").as("n_current"),
+        min(col("dt")).cast("string").as("first_from"),
+        max(coalesce(col("valid_to"), lit("9999-12-31").cast("date"))).cast("string").as("last_to"))
+        .orderBy("st")
     })
   )
 
@@ -540,6 +565,23 @@ object Relational {
     "q_except" ->
       """SELECT c_custkey AS k FROM customer
         |EXCEPT SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'P'
-        |ORDER BY k""".stripMargin
+        |ORDER BY k""".stripMargin,
+    "q_scd2_merge" ->
+      """WITH o AS (
+        |  SELECT o_custkey AS k, CAST(o_orderdate AS DATE) AS dt,
+        |         o_orderkey AS ok, o_orderstatus AS st
+        |  FROM orders),
+        |ch AS (
+        |  SELECT k, dt, ok, st, lag(st) OVER (PARTITION BY k ORDER BY dt, ok) AS prev
+        |  FROM o),
+        |f AS (SELECT k, dt, ok, st FROM ch WHERE prev IS NULL OR st <> prev),
+        |v AS (
+        |  SELECT k, st, dt, lead(dt) OVER (PARTITION BY k ORDER BY dt, ok) AS valid_to
+        |  FROM f)
+        |SELECT st, count(*) AS n_versions,
+        |  CAST(sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_current,
+        |  CAST(min(dt) AS VARCHAR) AS first_from,
+        |  CAST(max(COALESCE(valid_to, DATE '9999-12-31')) AS VARCHAR) AS last_to
+        |FROM v GROUP BY st ORDER BY st""".stripMargin
   )
 }

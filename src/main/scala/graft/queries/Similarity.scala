@@ -249,6 +249,36 @@ object Similarity {
         .select(lit(k.toLong).as("k"), col("n_candidates"), col("n_hit"),
           round(col("n_hit").cast("double") / k, 4).as("recall"),
           (col("n_hit").cast("double") / k >= 0.5).as("pass"))
+    }),
+
+    // Scalar int8 quantization of the embedding table — the 4× memory
+    // compression that lets an ANN index hold 4× more vectors per
+    // executor. Per-dimension min/max (64-row aggregate, broadcast back),
+    // affine quantize to 0..255, then reconstruction-error audit. Every
+    // per-element double op is order-independent IEEE arithmetic written
+    // identically in both engines (sqrt-free, single division), so q and
+    // max_err are bit-exact; only avg_err crosses a summation order and is
+    // rounded. mx = mn (a constant dimension) quantizes to 0 by definition
+    // on both sides rather than dividing by zero.
+    "s_quantize_int8" -> ((s, d) => {
+      val ex = t(s, d, "embeddings")
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "xf")))
+        .select(col("vec_id"), col("pos"), col("xf").cast("double").as("x"))
+      val stats = ex.groupBy("pos").agg(min("x").as("mn"), max("x").as("mx"))
+      val q = ex.join(broadcast(stats), "pos")
+        .withColumn("q",
+          when(col("mx") === col("mn"), lit(0L))
+            .otherwise(least(lit(255.0), greatest(lit(0.0),
+              floor((col("x") - col("mn")) / (col("mx") - col("mn")) * 255.0 + 0.5)))
+              .cast("bigint")))
+        .withColumn("recon",
+          col("mn") + (col("q").cast("double") * (col("mx") - col("mn"))) / 255.0)
+        .withColumn("err", abs(col("x") - col("recon")))
+      q.groupBy(expr("CAST(q div 32 AS BIGINT)").as("q_bucket"))
+        .agg(count(lit(1)).as("n"),
+          round(max("err"), 9).as("max_err"),
+          round(avg("err"), 6).as("avg_err"))
+        .orderBy("q_bucket")
     })
   )
 
@@ -340,6 +370,23 @@ object Similarity {
         |m AS (SELECT label, pos, avg(v) AS mean_v FROM ex GROUP BY label, pos)
         |SELECT label, round(sqrt(sum(mean_v * mean_v)), 4) AS centroid_norm,
         |CAST(count(*) / 64 AS BIGINT) AS dim_check
-        |FROM m GROUP BY label ORDER BY label""".stripMargin
+        |FROM m GROUP BY label ORDER BY label""".stripMargin,
+    "s_quantize_int8" ->
+      """WITH ex AS (
+        |  SELECT vec_id, CAST(r.i AS INT) AS pos,
+        |         CAST(embedding[CAST(r.i AS INT) + 1] AS DOUBLE) AS x
+        |  FROM embeddings, range(64) r(i)),
+        |st AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM ex GROUP BY pos),
+        |qv AS (
+        |  SELECT vec_id, ex.pos, x, mn, mx,
+        |    CASE WHEN mx = mn THEN 0
+        |         ELSE CAST(least(255.0, greatest(0.0,
+        |                floor((x - mn) / (mx - mn) * 255.0 + 0.5))) AS BIGINT) END AS q
+        |  FROM ex JOIN st ON ex.pos = st.pos),
+        |e AS (SELECT q, abs(x - (mn + (CAST(q AS DOUBLE) * (mx - mn)) / 255.0)) AS err
+        |      FROM qv)
+        |SELECT CAST(q // 32 AS BIGINT) AS q_bucket, count(*) AS n,
+        |  round(max(err), 9) AS max_err, round(avg(err), 6) AS avg_err
+        |FROM e GROUP BY q_bucket ORDER BY q_bucket""".stripMargin
   )
 }

@@ -112,6 +112,37 @@ object Text {
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("bigram"))
         .limit(20))
+        ,
+
+    // TF-IDF: top-3 terms per language by summed tf·idf. Plan shape at
+    // scale: ONE explode feeds two partial aggregations — (lang, term)
+    // occurrence counts and per-term document frequency; df is vocab-sized,
+    // so it broadcasts back onto the (lang, term) side, and the per-lang
+    // top-k is a window over vocab-sized input (never over documents).
+    // score = occ · ln(N/df) with the integer sum factored OUT of the log
+    // product, so the double arithmetic is a single multiply per term —
+    // order-independent, cross-engine safe. Ranking compares 9-dp-rounded
+    // scores (ln can differ in the last ulp between libm and Math.log) with
+    // a term tiebreak, the same discipline as the kmeans/IVF argmaxes.
+    "t_tfidf_top" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), tokens(col("text")).as("sp"))
+        .select(col("doc_id"), col("lang"), explode(col("sp")).as("term"))
+      val lt = w.groupBy("lang", "term").agg(count(lit(1)).as("occ"))
+      val df = w.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+      val n = t(s, d, "documents").agg(count(lit(1)).as("n_total"))
+      val scored = lt.join(broadcast(df), "term").crossJoin(broadcast(n))
+        .select(col("lang"), col("term"),
+          round(col("occ").cast("double") *
+            log(col("n_total").cast("double") / col("df")), 9).as("tfidf9"))
+      val byLang = Window.partitionBy("lang").orderBy(col("tfidf9").desc, col("term"))
+      scored.withColumn("rk", row_number().over(byLang))
+        .filter(col("rk") <= 3)
+        .select(col("lang"), col("rk").cast("bigint").as("rk"), col("term"),
+          round(col("tfidf9"), 4).as("tfidf"))
+        .orderBy("lang", "rk")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -165,6 +196,24 @@ object Text {
         |                     i -> sp[CAST(i AS INT)] || ' ' || sp[CAST(i AS INT) + 1])) AS bigram
         |       FROM toks WHERE len(sp) >= 2)
         |SELECT bigram, count(*) AS cnt FROM bg
-        |GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin
+        |GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin,
+    "t_tfidf_top" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS sp
+        |  FROM documents),
+        |w AS (SELECT doc_id, lang, unnest(sp) AS term FROM d),
+        |lt AS (SELECT lang, term, count(*) AS occ FROM w GROUP BY lang, term),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM w GROUP BY term),
+        |n AS (SELECT count(*) AS n_total FROM documents),
+        |sc AS (
+        |  SELECT lang, lt.term,
+        |    round(CAST(occ AS DOUBLE) * ln(CAST(n_total AS DOUBLE) / df), 9) AS tfidf9
+        |  FROM lt JOIN df ON lt.term = df.term CROSS JOIN n),
+        |rk AS (
+        |  SELECT lang, term, tfidf9,
+        |    row_number() OVER (PARTITION BY lang ORDER BY tfidf9 DESC, term) AS rk
+        |  FROM sc)
+        |SELECT lang, CAST(rk AS BIGINT) AS rk, term, round(tfidf9, 4) AS tfidf
+        |FROM rk WHERE rk <= 3 ORDER BY lang, rk""".stripMargin
   )
 }

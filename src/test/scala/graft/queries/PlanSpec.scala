@@ -124,6 +124,43 @@ class PlanSpec extends SparkSpec {
       Set("doc_id", "text", "n_chars"))
   }
 
+  test("t_tfidf_top: vocab-sized df side broadcasts; top-k window never sees documents") {
+    val p = plan("t_tfidf_top").toString
+    assert(p.contains("BroadcastHashJoin"),
+      "per-term document frequency must broadcast back onto (lang, term) counts")
+    assert(p.contains("partial_count"), "occurrence counts must partial-aggregate map-side")
+  }
+
+  test("c_contam_bloom: bucket prefilter and exact check are both broadcast semi-joins") {
+    val p = plan("c_contam_bloom").toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      "corpus side must never shuffle; bucket set and gram set broadcast")
+    assert(p.contains("LeftAnti"), "the no-false-negative audit is an anti-join")
+  }
+
+  test("s_quantize_int8: 64-row per-dimension stats broadcast onto the exploded values") {
+    assert(plan("s_quantize_int8").toString.contains("BroadcastHashJoin"),
+      "min/max stats must broadcast — re-shuffling the exploded values would dominate")
+  }
+
+  test("q_scd2_merge: lag and lead share one window spec — exactly one shuffle") {
+    val p = plan("q_scd2_merge")
+    val exchanges = p.toString.linesIterator.count(_.trim.startsWith("Exchange"))
+    // one hashpartitioning(k) exchange for both windows + one for the final
+    // single-partition orderBy of the 3-row aggregate
+    assert(exchanges <= 3, s"expected the two windows to share a shuffle, got:\n$p")
+    assert(p.toString.contains("Window"))
+  }
+
+  test("c_unicode_norm: native expression stays inside whole-stage codegen") {
+    val df = SparkEntry.queries("c_unicode_norm")(spark, TestSpark.sf0001)
+    df.collect() // AQE: codegen spans only appear in the FINAL executed plan
+    val ws = df.queryExecution.executedPlan.toString
+    // the compact tree marks codegen'd operators with a "*(stage)" prefix
+    assert("""\*\(\d+\) Project \[[^\n]*unicode_norm""".r.findFirstIn(ws).isDefined,
+      s"unicode_norm's Project must carry the WholeStageCodegen marker:\n$ws")
+  }
+
   test("etl pipeline: conform collapses to a single Project per source branch (no shuffle)") {
     val engine = new graft.etl.MultiSourceAdEtl(graft.etl.Configs.apsl)
     val p = engine.run(spark, graft.etl.Fixtures.materialize("apsl"), capitalize = true)

@@ -388,6 +388,55 @@ object Relational {
         min(col("dt")).cast("string").as("first_from"),
         max(coalesce(col("valid_to"), lit("9999-12-31").cast("date"))).cast("string").as("last_to"))
         .orderBy("st")
+    }),
+
+    // Incremental aggregation — materialized-view maintenance: a daily 100 TB
+    // pipeline never re-aggregates history; it keeps mergeable PARTIAL state
+    // (count/sum/min/max — every algebraic aggregate) per group and folds
+    // each new partition in. Here the "existing view" is pre-1996 orders and
+    // the "arriving partition" is the rest; the query merges the two states
+    // and the oracle proves merged state == full recompute, which is the
+    // correctness invariant incremental maintenance depends on.
+    "q_incr_agg" -> ((s, d) => {
+      val o = t(s, d, "orders").select(col("o_orderpriority").as("prio"),
+        col("o_totalprice").as("price"),
+        (col("o_orderdate").cast("date") < lit("1996-01-01").cast("date")).as("is_old"))
+      def state(df: org.apache.spark.sql.DataFrame) = df.groupBy("prio").agg(
+        count(lit(1)).as("n"), sum("price").as("s"),
+        min("price").as("mn"), max("price").as("mx"))
+      val merged = state(o.filter(col("is_old")))
+        .unionByName(state(o.filter(!col("is_old"))))
+        .groupBy("prio").agg(
+          sum("n").as("n_orders"), sum("s").as("sum_price"),
+          min("mn").as("min_price"), max("mx").as("max_price"))
+      merged.select(col("prio"), col("n_orders").cast("bigint").as("n_orders"),
+        round(col("sum_price"), 2).as("sum_price"),
+        round(col("min_price"), 2).as("min_price"),
+        round(col("max_price"), 2).as("max_price"))
+        .orderBy("prio")
+    }),
+
+    // Misra-Gries heavy hitters (Spark's stat.freqItems): the sketch's
+    // membership is partition-order specific, but its GUARANTEE is not —
+    // every item with frequency > n/k MUST appear. The query asserts that
+    // guarantee against the exact heavy-hitter set, so an approximate
+    // sketch gets a deterministic, DuckDB-checkable output (the
+    // q_approx_count_distinct discipline).
+    "q_freq_items" -> ((s, d) => {
+      val k = 20
+      val o = t(s, d, "orders")
+      val total = o.agg(count(lit(1)).as("n_total"))
+      val sketch = o.stat.freqItems(Seq("o_orderpriority"), 1.0 / k)
+        .select(explode(col("o_orderpriority_freqItems")).as("item"))
+      val exactHeavy = o.groupBy(col("o_orderpriority").as("item"))
+        .agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(total))
+        .filter(col("cnt").cast("double") > col("n_total").cast("double") / k)
+      exactHeavy.join(broadcast(sketch), Seq("item"), "left_semi")
+        .agg(count(lit(1)).as("n_found"))
+        .crossJoin(broadcast(exactHeavy.agg(count(lit(1)).as("n_heavy"))))
+        .select(col("n_heavy"), col("n_found"),
+          (col("n_found") === col("n_heavy")).as("pass"))
     })
   )
 

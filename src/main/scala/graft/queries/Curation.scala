@@ -313,11 +313,12 @@ object Curation {
     // Bloom-style contamination prefilter: hash each benchmark n-gram into
     // a 2^22 bucket space and semi-join the corpus on BUCKET ids instead of
     // strings — at 100 TB the broadcast set shrinks from gram strings to
-    // distinct longs, and the exact string check runs only on survivors.
-    // A one-hash Bloom filter has NO false negatives, so every
-    // exact-contaminated doc must appear in the candidate set: the query
-    // outputs that assertion (n_missed = 0), making a hash-specific
-    // structure fully oracle-checkable.
+    // distinct longs, and a production variant would run the exact string
+    // check only on the bucket-join survivors. HERE the exact pass
+    // deliberately scans the FULL corpus: it is the audit that proves the
+    // prefilter's no-false-negative guarantee (a one-hash Bloom filter
+    // cannot miss), so the query outputs that assertion (n_missed = 0),
+    // making a hash-specific structure fully oracle-checkable.
     "c_contam_bloom" -> ((s, d) => {
       val m = (1L << 22)
       val grams = t(s, d, "documents")
@@ -384,7 +385,7 @@ object Curation {
         |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
     "c_gopher_quality" ->
       """WITH docs AS (
-        |  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS sp
+        |  SELECT doc_id, lang, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS sp
         |  FROM documents),
         |base AS (
         |  SELECT doc_id, lang, len(sp) AS n_words, len(list_distinct(sp)) AS n_distinct
@@ -407,7 +408,7 @@ object Curation {
         |FROM j GROUP BY lang ORDER BY lang""".stripMargin,
     "c_repetition" ->
       """WITH d AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS sp FROM documents),
+        |  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS sp FROM documents),
         |b AS (
         |  SELECT doc_id, sp,
         |    list_transform(range(1, greatest(len(sp), 1)),
@@ -422,7 +423,7 @@ object Curation {
         |FROM b ORDER BY doc_id""".stripMargin,
     "c_contamination" ->
       """WITH d AS (
-        |  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS sp
+        |  SELECT doc_id, lang, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS sp
         |  FROM documents),
         |g AS (
         |  SELECT doc_id, lang, unnest(list_distinct(
@@ -459,7 +460,7 @@ object Curation {
     "c_pack_sequences" ->
       """WITH docs AS (
         |  SELECT doc_id, doc_id % 8 AS shard,
-        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |    CAST(len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS BIGINT) AS n_tokens
         |  FROM documents),
         |cum AS (
         |  SELECT shard, n_tokens,
@@ -508,7 +509,7 @@ object Curation {
     // the plain exact-contamination count
     "c_contam_bloom" ->
       """WITH d AS (
-        |  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS sp
+        |  SELECT doc_id, lang, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS sp
         |  FROM documents),
         |g AS (
         |  SELECT doc_id, lang, unnest(list_distinct(

@@ -300,7 +300,7 @@ object Dedup {
         |  SELECT doc_id * 2 + 1 AS doc_id, text, lang, source, n_chars
         |  FROM documents WHERE doc_id % 5 = 0),
         |grp AS (
-        |  SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+        |  SELECT md5(lower(trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')))) AS fp,
         |         min(doc_id) AS keep_id, count(*) AS n_copies
         |  FROM dups GROUP BY 1)
         |SELECT n_copies, count(*) AS n_groups, min(keep_id) AS min_keep

@@ -163,7 +163,7 @@ object EtlSurface {
         |count(*) AS cnt
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "etl_regex_replace" ->
-      """SELECT regexp_replace(regexp_replace(p_name, '\s+', ' ', 'g'), ' (gizmo|widget)$', ' item') AS name_norm,
+      """SELECT regexp_replace(regexp_replace(p_name, '[ \t\n\x0B\f\r]+', ' ', 'g'), ' (gizmo|widget)$', ' item') AS name_norm,
         |count(*) AS cnt FROM part GROUP BY 1 ORDER BY name_norm""".stripMargin,
     "etl_regex_extract" ->
       """WITH e AS (

@@ -394,9 +394,10 @@ object Relational {
     // pipeline never re-aggregates history; it keeps mergeable PARTIAL state
     // (count/sum/min/max — every algebraic aggregate) per group and folds
     // each new partition in. Here the "existing view" is pre-1996 orders and
-    // the "arriving partition" is the rest; the query merges the two states
-    // and the oracle proves merged state == full recompute, which is the
-    // correctness invariant incremental maintenance depends on.
+    // the "arriving partition" is the rest; the query merges the two states,
+    // and the DuckDB oracle is the plain single-pass group-by — so the gate
+    // itself proves merged state == full recompute, which is the correctness
+    // invariant incremental maintenance depends on.
     "q_incr_agg" -> ((s, d) => {
       val o = t(s, d, "orders").select(col("o_orderpriority").as("prio"),
         col("o_totalprice").as("price"),
@@ -496,6 +497,23 @@ object Relational {
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
         |CAST(1 AS BOOLEAN) AS within_tol
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // the oracle IS the full recompute: merged partial state must equal it
+    "q_incr_agg" ->
+      """SELECT o_orderpriority AS prio, CAST(count(*) AS BIGINT) AS n_orders,
+        |round(sum(o_totalprice), 2) AS sum_price,
+        |round(min(o_totalprice), 2) AS min_price,
+        |round(max(o_totalprice), 2) AS max_price
+        |FROM orders GROUP BY 1 ORDER BY prio""".stripMargin,
+    // Misra-Gries guarantees no false negatives for items above n/k, so
+    // n_found == n_heavy deterministically; the oracle computes the exact
+    // heavy-hitter count and hardcodes the guaranteed pass.
+    "q_freq_items" ->
+      """WITH tot AS (SELECT count(*) AS n FROM orders),
+        |h AS (SELECT o_orderpriority AS item, count(*) AS cnt FROM orders GROUP BY 1),
+        |hh AS (SELECT count(*) AS n_heavy FROM h, tot
+        |       WHERE CAST(cnt AS DOUBLE) > CAST(n AS DOUBLE) / 20)
+        |SELECT CAST(n_heavy AS BIGINT) AS n_heavy, CAST(n_heavy AS BIGINT) AS n_found,
+        |CAST(1 AS BOOLEAN) AS pass FROM hh""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |round(sum(l_quantity),2) AS sum_qty,

@@ -13,13 +13,24 @@ import Tables._
   */
 object Text {
 
+  /** Explicit whitespace class, spelled identically for Java regex (Spark)
+    * and RE2 (the DuckDB oracle). A bare `\s` silently diverges between the
+    * engines: Java's includes vertical tab (\x0B), RE2's does not — so every
+    * token-based query here uses this class on BOTH sides and stays
+    * byte-identical even on VT input.
+    */
+  val wsRe = "[ \\t\\n\\x0B\\f\\r]+"
+
+  /** Same class, negated-usable single-char form (for use inside `[^...]`). */
+  val wsChars = " \\t\\n\\x0B\\f\\r"
+
   /** Whitespace tokenization of normalized text. */
-  def tokens(c: Column): Column = split(trim(c), "\\s+")
+  def tokens(c: Column): Column = split(trim(c), wsRe)
 
   /** Normalized form used for fingerprinting/dedup: collapse whitespace,
     * lowercase, trim.
     */
-  def normText(c: Column): Column = lower(trim(regexp_replace(c, "\\s+", " ")))
+  def normText(c: Column): Column = lower(trim(regexp_replace(c, wsRe, " ")))
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
 
@@ -32,7 +43,7 @@ object Text {
           size(tokens(col("text"))).cast("bigint").as("n_tokens"),
           // BPE-ish: count word / punctuation token matches (RE2-safe —
           // the DuckDB oracle can't do lookbehind splits)
-          regexp_count(col("text"), lit("\\w+|[^\\w\\s]")).cast("bigint").as("n_bpeish"))
+          regexp_count(col("text"), lit("\\w+|[^\\w" + wsChars + "]")).cast("bigint").as("n_bpeish"))
         .orderBy("doc_id")),
 
     // Language × source breakdown with char statistics.
@@ -56,7 +67,7 @@ object Text {
           col("doc_id"),
           round((length(txt) - length(regexp_replace(txt, "[.,!?;:]", ""))).cast("double") / nullif(length(txt), lit(0)), 4).as("punct_ratio"),
           round(stopCnt.cast("double") / nTok, 4).as("stop_ratio"),
-          round((length(regexp_replace(txt, "\\s+", "")).cast("double")) / nTok, 4).as("avg_tok_len"))
+          round((length(regexp_replace(txt, wsRe, "")).cast("double")) / nTok, 4).as("avg_tok_len"))
         .orderBy("doc_id")
     }),
 
@@ -116,9 +127,13 @@ object Text {
 
     // TF-IDF: top-3 terms per language by summed tf·idf. Plan shape at
     // scale: ONE explode feeds two partial aggregations — (lang, term)
-    // occurrence counts and per-term document frequency; df is vocab-sized,
-    // so it broadcasts back onto the (lang, term) side, and the per-lang
-    // top-k is a window over vocab-sized input (never over documents).
+    // occurrence counts and per-term document frequency; df is vocab-sized
+    // and broadcasts back onto the (lang, term) side at this corpus size.
+    // (A web-scale vocabulary — billions of distinct terms — exceeds any
+    // broadcast threshold; there the same plan degrades gracefully to a
+    // shuffle hash join on `term`, still one shuffle of vocab-sized data.)
+    // The per-lang top-k is a window over vocab-sized input (never over
+    // documents).
     // score = occ · ln(N/df) with the integer sum factored OUT of the log
     // product, so the double arithmetic is a single multiply per term —
     // order-independent, cross-engine safe. Ranking compares 9-dp-rounded
@@ -148,8 +163,8 @@ object Text {
   val oracles: Map[String, String] = Map(
     "t_token_count" ->
       """SELECT doc_id,
-        |CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
-        |CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_bpeish
+        |CAST(len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS BIGINT) AS n_tokens,
+        |CAST(len(regexp_extract_all(text, '\w+|[^\w \t\n\x0B\f\r]')) AS BIGINT) AS n_bpeish
         |FROM documents ORDER BY doc_id""".stripMargin,
     "t_lang_stats" ->
       """SELECT lang, count(*) AS cnt, round(avg(n_chars),2) AS avg_chars,
@@ -158,11 +173,11 @@ object Text {
     "t_quality_score" ->
       """SELECT doc_id,
         |round(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / NULLIF(length(text), 0), 4) AS punct_ratio,
-        |round(CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |round(CAST(len(list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'),
         |      w -> w IN ('the','a','of','and','to','in'))) AS DOUBLE)
-        |      / len(string_split_regex(trim(lower(text)), '\s+')), 4) AS stop_ratio,
-        |round(CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
-        |      / len(string_split_regex(trim(text), '\s+')), 4) AS avg_tok_len
+        |      / len(string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+')), 4) AS stop_ratio,
+        |round(CAST(length(regexp_replace(text, '[ \t\n\x0B\f\r]+', '', 'g')) AS DOUBLE)
+        |      / len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')), 4) AS avg_tok_len
         |FROM documents ORDER BY doc_id""".stripMargin,
     "t_lang_id" ->
       """WITH g AS (SELECT CASE
@@ -173,17 +188,17 @@ object Text {
         |  ELSE 'en' END AS lang_guess FROM documents)
         |SELECT lang_guess, count(*) AS cnt FROM g GROUP BY 1 ORDER BY lang_guess""".stripMargin,
     "t_fingerprint" ->
-      """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+      """SELECT doc_id, md5(lower(trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
     "t_quality_filter" ->
       """WITH q AS (
         |  SELECT lang, n_chars,
-        |    len(string_split_regex(trim(lower(text)), '\s+')) AS n_tok,
+        |    len(string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+')) AS n_tok,
         |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
         |      / NULLIF(length(text), 0) AS punct_ratio,
-        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |    CAST(len(list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'),
         |         w -> w IN ('the','a','of','and','to','in'))) AS DOUBLE)
-        |      / len(string_split_regex(trim(lower(text)), '\s+')) AS stop_ratio
+        |      / len(string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+')) AS stop_ratio
         |  FROM documents)
         |SELECT lang, count(*) AS kept, round(avg(n_chars),2) AS avg_chars
         |FROM q
@@ -191,7 +206,7 @@ object Text {
         |  AND punct_ratio <= 0.1 AND stop_ratio >= 0.01
         |GROUP BY lang ORDER BY lang""".stripMargin,
     "t_bigram_topk" ->
-      """WITH toks AS (SELECT string_split_regex(trim(text), '\s+') AS sp FROM documents),
+      """WITH toks AS (SELECT string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS sp FROM documents),
         |bg AS (SELECT unnest(list_transform(range(1, greatest(len(sp), 1)),
         |                     i -> sp[CAST(i AS INT)] || ' ' || sp[CAST(i AS INT) + 1])) AS bigram
         |       FROM toks WHERE len(sp) >= 2)
@@ -199,7 +214,7 @@ object Text {
         |GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin,
     "t_tfidf_top" ->
       """WITH d AS (
-        |  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS sp
+        |  SELECT doc_id, lang, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS sp
         |  FROM documents),
         |w AS (SELECT doc_id, lang, unnest(sp) AS term FROM d),
         |lt AS (SELECT lang, term, count(*) AS occ FROM w GROUP BY lang, term),

@@ -343,6 +343,59 @@ object Curation {
           coalesce(col("nm"), lit(0L)).as("n_missed"),
           (coalesce(col("nm"), lit(0L)) === 0).as("pass"))
         .orderBy("lang")
+    }),
+
+    // Line-level dedup (the C4 / RefinedWeb rule): drop every repeated
+    // "line" corpus-wide, keeping only the first occurrence. The corpus
+    // text has no newlines, so a line is a fixed 10-token chunk —
+    // position-preserving and deterministic on both engines. First
+    // occurrence = min (doc_id, pos) per chunk via ONE window whose
+    // partition is the chunk itself: group sizes are the duplication
+    // factor (small), so the sort inside each group is trivial at any
+    // corpus size, and the only shuffle is on the chunk hash. Reports
+    // per-lang removal stats rather than the (huge) surviving text.
+    "c_line_dedup" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val chunks = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), tokens(col("text")).as("sp"))
+        .filter(size(col("sp")) >= 10)
+        .select(col("doc_id"), col("lang"),
+          posexplode(expr(
+            "transform(sequence(0, cast(size(sp) / 10 as int) - 1), " +
+              "i -> array_join(slice(sp, i * 10 + 1, 10), ' '))")))
+        .withColumnRenamed("col", "chunk")
+      val w = Window.partitionBy("chunk").orderBy(col("doc_id"), col("pos"))
+      chunks.withColumn("rn", row_number().over(w))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("rn") > 1, 1L).otherwise(0L)).cast("bigint").as("n_removed"),
+          countDistinct(when(col("rn") > 1, col("doc_id"))).as("docs_affected"),
+          coalesce(sum(when(col("rn") > 1, length(col("chunk")))), lit(0L))
+            .cast("bigint").as("chars_removed"))
+        .orderBy("lang")
+    }),
+
+    // Token-budget sampling: per language, greedily keep the
+    // largest-token-count docs until a fixed token budget fills (the
+    // "best docs under a budget" curation draw). One window per lang with
+    // a deterministic (n_tok desc, doc_id) order; the running sum is a
+    // ROWS frame — a single shuffle on lang and a streaming cumsum, no
+    // self-join. Budget utilization is exact integer arithmetic.
+    "c_token_budget" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val budget = 3000L
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(tokens(col("text"))).cast("bigint").as("n_tok"))
+      val w = Window.partitionBy("lang").orderBy(col("n_tok").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs.withColumn("cum_tok", sum("n_tok").over(w))
+        .filter(col("cum_tok") <= budget)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs_kept"),
+          max("cum_tok").as("tokens_used"),
+          round(max("cum_tok").cast("double") / budget * 100, 2).as("util_pct"))
+        .orderBy("lang")
     })
   )
 
@@ -521,6 +574,39 @@ object Curation {
         |  CAST(0 AS BIGINT) AS n_missed, CAST(1 AS BOOLEAN) AS pass
         |FROM (SELECT DISTINCT doc_id, lang FROM g
         |      WHERE doc_id % 7 <> 0 AND gram IN (SELECT gram FROM bg))
-        |GROUP BY lang ORDER BY lang""".stripMargin
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "c_line_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS sp
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang,
+        |    unnest(range(0, len(sp) // 10)) AS pos,
+        |    unnest(list_transform(range(0, len(sp) // 10),
+        |      i -> array_to_string(sp[(CAST(i AS INT) * 10 + 1):(CAST(i AS INT) * 10 + 10)], ' '))) AS chunk
+        |  FROM d WHERE len(sp) >= 10),
+        |r AS (
+        |  SELECT lang, doc_id, chunk,
+        |    row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+        |  FROM c)
+        |SELECT lang, count(*) AS n_chunks,
+        |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |  count(DISTINCT CASE WHEN rn > 1 THEN doc_id END) AS docs_affected,
+        |  CAST(coalesce(sum(CASE WHEN rn > 1 THEN length(chunk) END), 0) AS BIGINT) AS chars_removed
+        |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
+    "c_token_budget" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang, n_tok,
+        |    sum(n_tok) OVER (PARTITION BY lang ORDER BY n_tok DESC, doc_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+        |  FROM d)
+        |SELECT lang, count(*) AS n_docs_kept,
+        |  CAST(max(cum_tok) AS BIGINT) AS tokens_used,
+        |  round(CAST(max(cum_tok) AS DOUBLE) / 3000 * 100, 2) AS util_pct
+        |FROM c WHERE cum_tok <= 3000 GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

@@ -69,6 +69,45 @@ object Events {
         .filter(col("rn") === 1)
         .select("day", "event_type", "cnt")
         .orderBy("day")
+    }),
+
+    // Conversion funnel view → click → purchase: ONE conditional-min
+    // aggregation per user computes every stage timestamp (no per-stage
+    // join), then a single global roll-up counts strictly-ordered
+    // completions. Stage comparisons are exact microseconds on both
+    // engines (events.ts is ns in parquet; Spark truncates to µs, so the
+    // oracle must compare in the µs domain too, not raw ns).
+    "e_funnel" -> ((s, d) => {
+      val stages = Tables.events(s, d).groupBy("user_id").agg(
+        min(when(col("event_type") === "view", unix_micros(col("ts")))).as("t_view"),
+        min(when(col("event_type") === "click", unix_micros(col("ts")))).as("t_click"),
+        min(when(col("event_type") === "purchase", unix_micros(col("ts")))).as("t_purchase"))
+      stages.agg(
+        count(lit(1)).as("n_users"),
+        sum(when(col("t_view").isNotNull, 1L).otherwise(0L)).cast("bigint").as("n_view"),
+        sum(when(col("t_view").isNotNull && col("t_click") > col("t_view"), 1L)
+          .otherwise(0L)).cast("bigint").as("n_view_click"),
+        sum(when(col("t_view").isNotNull && col("t_click") > col("t_view") &&
+            col("t_purchase") > col("t_click"), 1L)
+          .otherwise(0L)).cast("bigint").as("n_full_funnel"))
+        .select(col("n_users"), col("n_view"), col("n_view_click"), col("n_full_funnel"),
+          round(col("n_full_funnel").cast("double") /
+            nullif(col("n_view").cast("double"), lit(0.0)), 6).as("conv_rate"))
+    }),
+
+    // Cohort retention: day-offset activity counts relative to each user's
+    // first-seen day. Two aggregations — per-user first day (tiny,
+    // broadcast back) and distinct (user, day) activity — so the fact
+    // stream is scanned once and never self-joined row-to-row.
+    "e_cohort_retention" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val firstDay = e.groupBy("user_id").agg(min(to_date(col("ts"))).as("first_day"))
+      val active = e.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      active.join(broadcast(firstDay), "user_id")
+        .select(datediff(col("day"), col("first_day")).cast("bigint").as("day_offset"))
+        .groupBy("day_offset")
+        .agg(count(lit(1)).as("n_user_days"))
+        .orderBy("day_offset")
     })
   )
 
@@ -112,6 +151,32 @@ object Events {
         |r AS (SELECT day, event_type, cnt,
         |  row_number() OVER (PARTITION BY day ORDER BY cnt DESC, event_type) AS rn
         |  FROM daily)
-        |SELECT day, event_type, cnt FROM r WHERE rn = 1 ORDER BY day""".stripMargin
+        |SELECT day, event_type, cnt FROM r WHERE rn = 1 ORDER BY day""".stripMargin,
+    "e_funnel" ->
+      """WITH s AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view,
+        |    min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t_click,
+        |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_purchase
+        |  FROM events GROUP BY user_id),
+        |f AS (
+        |  SELECT count(*) AS n_users,
+        |    CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+        |    CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+        |    CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view AND t_purchase > t_click
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+        |  FROM s)
+        |SELECT n_users, n_view, n_view_click, n_full_funnel,
+        |  round(CAST(n_full_funnel AS DOUBLE) / nullif(CAST(n_view AS DOUBLE), 0.0), 6) AS conv_rate
+        |FROM f""".stripMargin,
+    "e_cohort_retention" ->
+      """WITH fd AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS first_day FROM events GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+        |SELECT CAST(date_diff('day', first_day, day) AS BIGINT) AS day_offset,
+        |  count(*) AS n_user_days
+        |FROM a JOIN fd USING (user_id)
+        |GROUP BY 1 ORDER BY day_offset""".stripMargin
   )
 }

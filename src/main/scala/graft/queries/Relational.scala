@@ -438,7 +438,61 @@ object Relational {
         .crossJoin(broadcast(exactHeavy.agg(count(lit(1)).as("n_heavy"))))
         .select(col("n_heavy"), col("n_found"),
           (col("n_found") === col("n_heavy")).as("pass"))
-    })
+    }),
+
+    // Distribution windows: ntile / percent_rank / cume_dist per priority.
+    // All three share ONE (partition, order) spec — a single shuffle + sort
+    // at any scale; the unique orderkey tiebreak makes tile assignment
+    // deterministic. Both engines hand remainder rows to the first tiles,
+    // so quartile membership is bit-identical cross-engine.
+    "q_window_ntile" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, d, "orders")
+        .select(col("o_orderpriority").as("prio"),
+          col("o_totalprice").as("price"),
+          ntile(4).over(w).cast("bigint").as("quartile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .groupBy("prio", "quartile")
+        .agg(count(lit(1)).as("n"),
+          round(min("price"), 2).as("min_price"),
+          round(max("price"), 2).as("max_price"),
+          round(avg("pr"), 6).as("avg_pct_rank"),
+          round(avg("cd"), 6).as("avg_cume_dist"))
+        .orderBy("prio", "quartile")
+    }),
+
+    // Unpivot (melt): wide per-priority aggregate → long (prio, metric,
+    // value) triples via Dataset.unpivot — Catalyst's Expand node, a
+    // narrow row-multiplying map with NO shuffle beyond the feeding
+    // aggregation. Metrics are cast to a common double before melting
+    // (unpivot requires a single value type).
+    "q_unpivot" -> ((s, d) => {
+      val wide = t(s, d, "orders").groupBy(col("o_orderpriority").as("prio"))
+        .agg(round(sum("o_totalprice"), 2).as("sum_price"),
+          round(avg("o_totalprice"), 4).as("avg_price"),
+          count(lit(1)).cast("double").as("n_orders"))
+      wide.unpivot(
+          Array(col("prio")),
+          Array(col("sum_price"), col("avg_price"), col("n_orders")),
+          "metric", "value")
+        .orderBy("prio", "metric")
+    }),
+
+    // Salted two-phase aggregation (util.Skew.saltedSum) as a corpus entry:
+    // the oracle is the PLAIN group-by, so the gate proves the salt →
+    // partial-agg → merge rewrite is semantics-preserving. This is the
+    // shape that keeps one hot group key from pinning a single reducer at
+    // 100 TB — the hot key spreads over `salts` partitions in phase 1 and
+    // phase 2 merges `salts` tiny rows per key.
+    "q_salted_agg" -> ((s, d) =>
+      graft.util.Skew.saltedSum(t(s, d, "lineitem"), "l_returnflag", "l_quantity", 8)
+        .select(col("l_returnflag"),
+          round(col("sum_l_quantity"), 2).as("sum_qty"),
+          col("cnt").cast("bigint").as("cnt"))
+        .orderBy("l_returnflag"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -514,6 +568,34 @@ object Relational {
         |       WHERE CAST(cnt AS DOUBLE) > CAST(n AS DOUBLE) / 20)
         |SELECT CAST(n_heavy AS BIGINT) AS n_heavy, CAST(n_heavy AS BIGINT) AS n_found,
         |CAST(1 AS BOOLEAN) AS pass FROM hh""".stripMargin,
+    "q_window_ntile" ->
+      """WITH w AS (
+        |  SELECT o_orderpriority AS prio, o_totalprice AS price,
+        |    CAST(ntile(4) OVER win AS BIGINT) AS quartile,
+        |    percent_rank() OVER win AS pr,
+        |    cume_dist() OVER win AS cd
+        |  FROM orders
+        |  WINDOW win AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey))
+        |SELECT prio, quartile, count(*) AS n,
+        |  round(min(price), 2) AS min_price, round(max(price), 2) AS max_price,
+        |  round(avg(pr), 6) AS avg_pct_rank, round(avg(cd), 6) AS avg_cume_dist
+        |FROM w GROUP BY prio, quartile ORDER BY prio, quartile""".stripMargin,
+    "q_unpivot" ->
+      """WITH wide AS (
+        |  SELECT o_orderpriority AS prio,
+        |    round(sum(o_totalprice), 2) AS sum_price,
+        |    round(avg(o_totalprice), 4) AS avg_price,
+        |    CAST(count(*) AS DOUBLE) AS n_orders
+        |  FROM orders GROUP BY 1)
+        |SELECT prio, 'sum_price' AS metric, sum_price AS value FROM wide
+        |UNION ALL SELECT prio, 'avg_price', avg_price FROM wide
+        |UNION ALL SELECT prio, 'n_orders', n_orders FROM wide
+        |ORDER BY prio, metric""".stripMargin,
+    // the oracle is the UNSALTED aggregation: gate-checks the rewrite
+    "q_salted_agg" ->
+      """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+        |CAST(count(*) AS BIGINT) AS cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |round(sum(l_quantity),2) AS sum_qty,

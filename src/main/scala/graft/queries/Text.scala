@@ -157,6 +157,59 @@ object Text {
         .select(col("lang"), col("rk").cast("bigint").as("rk"), col("term"),
           round(col("tfidf9"), 4).as("tfidf"))
         .orderBy("lang", "rk")
+    }),
+
+    // URL extraction + per-domain stats. The corpus text carries no URLs,
+    // so deterministic URL-shaped suffixes are synthesized from doc_id
+    // (the c_unicode_norm discipline: dirty input derived in-query, both
+    // engines see identical bytes). regexp_extract_all is a narrow
+    // codegen'd map; the only shuffle is the final domain roll-up.
+    "t_url_extract" -> ((s, d) => {
+      val dirty = concat(col("text"),
+        lit(" see http://site"), pmod(col("doc_id"), lit(13)).cast("string"),
+        lit(".example.com/p/"), pmod(col("doc_id"), lit(97)).cast("string"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit(" and https://cdn"), pmod(col("doc_id"), lit(5)).cast("string"),
+            lit(".assets.org/x.js"))).otherwise(lit("")))
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          explode(regexp_extract_all(dirty, lit("https?://[^ ]+"), lit(0))).as("url"))
+        .select(col("doc_id"), col("url"),
+          regexp_extract(col("url"), "^https?://([^/]+)", 1).as("domain"),
+          col("url").startsWith("https://").as("is_https"))
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_urls"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          sum(when(col("is_https"), 1L).otherwise(0L)).cast("bigint").as("n_https"))
+        .orderBy("domain")
+    }),
+
+    // Zipf rank-frequency slope over the term distribution: OLS fit of
+    // ln(freq) on ln(rank) for the top-100 terms. The global row_number
+    // window runs over a vocab-bounded aggregate (never over documents),
+    // and the OLS moments are computed from 9-dp-rounded coordinates so
+    // the 100-element double sums agree cross-engine at the 6-dp slope
+    // rounding. A natural-language corpus fits slope ≈ −1 (Zipf's law);
+    // the uniform word-soup here fits a shallower slope — either way the
+    // value is deterministic.
+    "t_zipf_slope" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val freq = t(s, d, "documents")
+        .select(explode(tokens(col("text"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("freq"))
+      val ranked = freq
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("freq").desc, col("term"))))
+        .filter(col("rank") <= 100)
+        .select(round(log(col("rank").cast("double")), 9).as("x"),
+          round(log(col("freq").cast("double")), 9).as("y"))
+      ranked.agg(count(lit(1)).as("n_terms"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("n_terms"),
+          round((col("n_terms") * col("sxy") - col("sx") * col("sy")) /
+            (col("n_terms") * col("sxx") - col("sx") * col("sx")), 6).as("zipf_slope"))
     })
   )
 
@@ -229,6 +282,35 @@ object Text {
         |    row_number() OVER (PARTITION BY lang ORDER BY tfidf9 DESC, term) AS rk
         |  FROM sc)
         |SELECT lang, CAST(rk AS BIGINT) AS rk, term, round(tfidf9, 4) AS tfidf
-        |FROM rk WHERE rk <= 3 ORDER BY lang, rk""".stripMargin
+        |FROM rk WHERE rk <= 3 ORDER BY lang, rk""".stripMargin,
+    "t_url_extract" ->
+      """WITH dirty AS (
+        |  SELECT doc_id, text || ' see http://site' || CAST(doc_id % 13 AS VARCHAR)
+        |    || '.example.com/p/' || CAST(doc_id % 97 AS VARCHAR)
+        |    || CASE WHEN doc_id % 3 = 0
+        |         THEN ' and https://cdn' || CAST(doc_id % 5 AS VARCHAR) || '.assets.org/x.js'
+        |         ELSE '' END AS d
+        |  FROM documents),
+        |u AS (SELECT doc_id, unnest(regexp_extract_all(d, 'https?://[^ ]+')) AS url FROM dirty),
+        |t AS (SELECT doc_id, url, regexp_extract(url, '^https?://([^/]+)', 1) AS domain,
+        |      starts_with(url, 'https://') AS is_https FROM u)
+        |SELECT domain, count(*) AS n_urls,
+        |  count(DISTINCT doc_id) AS n_docs,
+        |  CAST(sum(CASE WHEN is_https THEN 1 ELSE 0 END) AS BIGINT) AS n_https
+        |FROM t GROUP BY domain ORDER BY domain""".stripMargin,
+    "t_zipf_slope" ->
+      """WITH f AS (
+        |  SELECT term, count(*) AS freq FROM (
+        |    SELECT unnest(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS term
+        |    FROM documents) GROUP BY term),
+        |r AS (SELECT term, freq, row_number() OVER (ORDER BY freq DESC, term) AS rank FROM f),
+        |xy AS (SELECT round(ln(CAST(rank AS DOUBLE)), 9) AS x,
+        |              round(ln(CAST(freq AS DOUBLE)), 9) AS y
+        |       FROM r WHERE rank <= 100),
+        |m AS (SELECT count(*) AS n_terms, sum(x) AS sx, sum(y) AS sy,
+        |             sum(x*y) AS sxy, sum(x*x) AS sxx FROM xy)
+        |SELECT CAST(n_terms AS BIGINT) AS n_terms,
+        |  round((n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx), 6) AS zipf_slope
+        |FROM m""".stripMargin
   )
 }

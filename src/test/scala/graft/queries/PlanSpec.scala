@@ -161,6 +161,43 @@ class PlanSpec extends SparkSpec {
       s"unicode_norm's Project must carry the WholeStageCodegen marker:\n$ws")
   }
 
+  test("q_window_ntile: ntile/percent_rank/cume_dist share ONE Window node (one shuffle+sort)") {
+    val windows = plan("q_window_ntile").collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.size == 1,
+      s"all three ranking functions must evaluate in a single Window pass, got ${windows.size}")
+  }
+
+  test("q_unpivot: melt plans as an Expand node (narrow map, no extra shuffle)") {
+    val p = plan("q_unpivot").toString
+    assert(p.contains("Expand"), "unpivot must lower to Catalyst Expand")
+  }
+
+  test("c_line_dedup: documents scan pruned; dedup window partitions on chunk, not one partition") {
+    assert(scanOf("c_line_dedup", "documents").requiredSchema.fieldNames.toSet ==
+      Set("doc_id", "lang", "text"))
+    val p = plan("c_line_dedup").toString
+    assert(p.contains("Window"))
+    assert(!p.contains("SinglePartition"),
+      "first-occurrence ranking must shuffle on chunk hash, never collapse to one partition")
+  }
+
+  test("c_token_budget: running token sum partitions by lang (no single-partition collapse)") {
+    val p = plan("c_token_budget").toString
+    assert(p.contains("Window") && !p.contains("SinglePartition"),
+      "per-lang cumsum must stay partitioned by lang")
+  }
+
+  test("e_cohort_retention: per-user first-day aggregate broadcasts back onto activity") {
+    assert(plan("e_cohort_retention").toString.contains("BroadcastHashJoin"),
+      "the fact stream must not shuffle to meet the tiny first-day dim")
+  }
+
+  test("q_salted_agg: both phases partial-aggregate (map-side combine on (key, salt))") {
+    assert(plan("q_salted_agg").toString.contains("partial_sum"))
+  }
+
   test("etl pipeline: conform collapses to a single Project per source branch (no shuffle)") {
     val engine = new graft.etl.MultiSourceAdEtl(graft.etl.Configs.apsl)
     val p = engine.run(spark, graft.etl.Fixtures.materialize("apsl"), capitalize = true)

@@ -9,7 +9,9 @@ import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
-/** Native codegen'd cosine similarity over two float-array columns.
+/** Native codegen'd cosine similarity over two numeric-array columns
+  * (`array<float>` or `array<double>` on either side, mixed freely — the
+  * double side shows up when one input is an averaged centroid).
   *
   * The higher-order-function formulation (`aggregate(zip_with(...))`,
   * `graft.queries.Similarity.cosineHof`) evaluates its lambda interpreted,
@@ -26,13 +28,18 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(dt: DataType) = dt match {
-      case ArrayType(FloatType, _) => true
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
       case _ => false
     }
     if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires two array<float> arguments, got " +
+      s"$prettyName requires array<float|double> arguments, got " +
         s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
   }
 
   override def dataType: DataType = DoubleType
@@ -44,12 +51,13 @@ case class CosineSimilarity(left: Expression, right: Expression)
     val y = b.asInstanceOf[ArrayData]
     val n = x.numElements()
     if (n != y.numElements()) return null
+    val lf = isFloat(left); val rf = isFloat(right)
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
       if (x.isNullAt(i) || y.isNullAt(i)) return null
-      val xv = x.getFloat(i).toDouble
-      val yv = y.getFloat(i).toDouble
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       dot += xv * yv; nx += xv * xv; ny += yv * yv
       i += 1
     }
@@ -67,6 +75,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val xv = ctx.freshName("xv")
       val yv = ctx.freshName("yv")
       val denom = ctx.freshName("denom")
+      val getX = if (isFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val getY = if (isFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
          |int $n = $a.numElements();
          |if ($n != $b.numElements()) {
@@ -75,8 +85,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
          |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |    double $xv = (double) $a.getFloat($i);
-         |    double $yv = (double) $b.getFloat($i);
+         |    double $xv = $getX;
+         |    double $yv = $getY;
          |    $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
          |  }
          |  if (!${ev.isNull}) {
@@ -105,6 +115,12 @@ object GraftFunctions {
       s"cosine_sim expects 2 arguments, got ${other.size}")
   }
 
+  val dotProductBuilder: Seq[Expression] => Expression = {
+    case Seq(l, r) => DotProduct(l, r)
+    case other => throw new IllegalArgumentException(
+      s"dot_product expects 2 arguments, got ${other.size}")
+  }
+
   /** `unicode_norm(str)` defaults to NFC; `unicode_norm(str, 'NFKC')` takes
     * any of the four forms as a foldable string literal.
     */
@@ -122,6 +138,9 @@ object GraftFunctions {
   private def unInfo = new ExpressionInfo(
     classOf[NormalizeUnicode].getCanonicalName, "unicode_norm")
 
+  private def dotInfo = new ExpressionInfo(
+    classOf[DotProduct].getCanonicalName, "dot_product")
+
   /** Idempotent runtime registration into an existing session. */
   def ensureRegistered(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
@@ -133,10 +152,17 @@ object GraftFunctions {
     if (!registry.functionExists(un)) {
       registry.registerFunction(un, unInfo, unicodeNormBuilder)
     }
+    val dp = FunctionIdentifier("dot_product")
+    if (!registry.functionExists(dp)) {
+      registry.registerFunction(dp, dotInfo, dotProductBuilder)
+    }
   }
 
   /** Column API: `cosineSim(a, b)` after `ensureRegistered`. */
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+
+  /** Column API: `dotProduct(a, b)` after `ensureRegistered`. */
+  def dotProduct(a: Column, b: Column): Column = call_function("dot_product", a, b)
 
   /** Column API: `unicodeNorm(c, "NFC")` after `ensureRegistered`. */
   def unicodeNorm(c: Column, form: String = "NFC"): Column =
@@ -154,5 +180,8 @@ class GraftSessionExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("unicode_norm"),
       new ExpressionInfo(classOf[NormalizeUnicode].getCanonicalName, "unicode_norm"),
       GraftFunctions.unicodeNormBuilder))
+    ext.injectFunction((FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getCanonicalName, "dot_product"),
+      GraftFunctions.dotProductBuilder))
   }
 }

@@ -44,14 +44,15 @@ object Similarity {
       (h % 1000).toDouble / 1000.0
     }
 
-  /** Signed projection of `embedding` onto hyperplane `p`: plain
-    * multiply-accumulate per row, no hash calls in the loop.
+  /** Signed projection of `embedding` onto hyperplane `p` via the native
+    * codegen'd [[graft.functions.DotProduct]] expression — a tight Java
+    * loop, no interpreted lambda per element. Bit-identical to the
+    * higher-order `aggregate(zip_with(...))` form it replaced (same
+    * left-to-right accumulation from 0.0), so bucket signs are unchanged.
+    * Callers must `GraftFunctions.ensureRegistered` first.
     */
   private def planeProj(p: Int): Column =
-    aggregate(
-      zip_with(col("embedding"), typedLit(hyperplane(p)),
-        (x, w) => x.cast("double") * w),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.GraftFunctions.dotProduct(col("embedding"), typedLit(hyperplane(p)))
 
   val queries: Map[String, Q] = Map(
     // Exact brute-force cosine top-k against one query vector (vec_id 0).
@@ -100,6 +101,7 @@ object Similarity {
     // pseudo-random hyperplanes → 16-bit bucket; same-bucket pairs are the
     // candidate set. Rows-only check (bucketing is hash-specific).
     "s_ann_lsh_buckets" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
       val emb = t(s, d, "embeddings")
       // 16 constant hyperplanes (see [[hyperplane]] — precomputed
       // driver-side, shipped as literals; per-row work is multiply-
@@ -135,23 +137,25 @@ object Similarity {
       val cents = emb.groupBy(col("label").as("cell"))
         .agg(vecMean(col("embedding")).as("c0"))
         .select(col("cell"), transform(col("c0"), x => round(x, 9)).as("centroid"))
-      // Centroid comparisons use the HOF cosine (double accumulation in
-      // index order, DuckDB's list_dot_product arithmetic) AND are rounded
-      // to 9 decimals before any discrete decision: the centroids come from
-      // order-dependent double summation (VectorMean partition order vs
-      // DuckDB avg scan order), so raw cosines can differ in the last ulp —
-      // rounding absorbs that, and the max-of-(cosine, cell)-struct argmax
-      // breaks exact ties deterministically on both engines. The
-      // float-vector rerank uses the native codegen'd expression.
+      // Centroid comparisons use the native codegen'd cosine (double
+      // accumulation in index order — the same arithmetic as the HOF form
+      // and DuckDB's list_dot_product) AND are rounded to 9 decimals before
+      // any discrete decision: the centroids come from order-dependent
+      // double summation (VectorMean partition order vs DuckDB avg scan
+      // order), so raw cosines can differ in the last ulp — rounding
+      // absorbs that, and the max-of-(cosine, cell)-struct argmax breaks
+      // exact ties deterministically on both engines.
       val assigned = emb.crossJoin(broadcast(cents))
         .select(col("vec_id"), col("embedding"), col("cell"),
-          round(cosineHof(col("embedding"), col("centroid")), 9).as("c2c"))
+          round(graft.functions.GraftFunctions.cosineSim(
+            col("embedding"), col("centroid")), 9).as("c2c"))
         .groupBy("vec_id")
         .agg(first("embedding").as("embedding"),
           max(struct(col("c2c"), col("cell"))).getField("cell").as("cell"))
       val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
       val probed = cents.crossJoin(broadcast(q))
-        .select(col("cell"), round(cosineHof(col("centroid"), col("qvec")), 9).as("qc"))
+        .select(col("cell"), round(graft.functions.GraftFunctions.cosineSim(
+          col("centroid"), col("qvec")), 9).as("qc"))
         .orderBy(col("qc").desc, col("cell"))
         .limit(nprobe)
         .select("cell")
@@ -175,13 +179,15 @@ object Similarity {
     // summation-order-dependent), ties break on the larger cluster id via
     // max-of-struct — the s_ivf_topk parity discipline.
     "s_kmeans" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
       val k = 8
       val emb = t(s, d, "embeddings")
       val vecMean = graft.functions.VectorMean(64)
       def assign(cents: org.apache.spark.sql.DataFrame) =
         emb.crossJoin(broadcast(cents))
           .select(col("vec_id"), col("embedding"), col("cl"),
-            round(cosineHof(col("embedding"), col("cent")), 9).as("c"))
+            round(graft.functions.GraftFunctions.cosineSim(
+              col("embedding"), col("cent")), 9).as("c"))
           .groupBy("vec_id")
           .agg(first("embedding").as("embedding"),
             max(struct(col("c"), col("cl"))).getField("cl").as("cl"))

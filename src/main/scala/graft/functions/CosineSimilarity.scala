@@ -121,6 +121,24 @@ object GraftFunctions {
       s"dot_product expects 2 arguments, got ${other.size}")
   }
 
+  /** `minhash_sigs(text, k, n, seed)` — k/n/seed must be foldable ints. */
+  val minHashBuilder: Seq[Expression] => Expression = {
+    case Seq(c, k, n, s) if k.foldable && n.foldable && s.foldable =>
+      MinHashSigs(c,
+        k.eval(null).toString.toInt,
+        n.eval(null).toString.toInt,
+        s.eval(null).toString.toLong)
+    case other => throw new IllegalArgumentException(
+      s"minhash_sigs expects (text, k-lit, n-lit, seed-lit), got ${other.size} arguments")
+  }
+
+  val simHashBuilder: Seq[Expression] => Expression = {
+    case Seq(c, s) if s.foldable =>
+      SimHash64(c, s.eval(null).toString.toLong)
+    case other => throw new IllegalArgumentException(
+      s"simhash64 expects (text, seed-lit), got ${other.size} arguments")
+  }
+
   /** `unicode_norm(str)` defaults to NFC; `unicode_norm(str, 'NFKC')` takes
     * any of the four forms as a foldable string literal.
     */
@@ -156,6 +174,18 @@ object GraftFunctions {
     if (!registry.functionExists(dp)) {
       registry.registerFunction(dp, dotInfo, dotProductBuilder)
     }
+    val mh = FunctionIdentifier("minhash_sigs")
+    if (!registry.functionExists(mh)) {
+      registry.registerFunction(mh,
+        new ExpressionInfo(classOf[MinHashSigs].getCanonicalName, "minhash_sigs"),
+        minHashBuilder)
+    }
+    val sh = FunctionIdentifier("simhash64")
+    if (!registry.functionExists(sh)) {
+      registry.registerFunction(sh,
+        new ExpressionInfo(classOf[SimHash64].getCanonicalName, "simhash64"),
+        simHashBuilder)
+    }
   }
 
   /** Column API: `cosineSim(a, b)` after `ensureRegistered`. */
@@ -163,6 +193,18 @@ object GraftFunctions {
 
   /** Column API: `dotProduct(a, b)` after `ensureRegistered`. */
   def dotProduct(a: Column, b: Column): Column = call_function("dot_product", a, b)
+
+  /** Column API: n minhashes of k-char shingles, after `ensureRegistered`. */
+  def minhashSigs(text: Column, k: Int, n: Int, seed: Long = 42L): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function("minhash_sigs", text, lit(k), lit(n), lit(seed))
+  }
+
+  /** Column API: 64-bit simhash of space-separated tokens. */
+  def simhash64(text: Column, seed: Long = 42L): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function("simhash64", text, lit(seed))
+  }
 
   /** Column API: `unicodeNorm(c, "NFC")` after `ensureRegistered`. */
   def unicodeNorm(c: Column, form: String = "NFC"): Column =
@@ -183,5 +225,11 @@ class GraftSessionExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getCanonicalName, "dot_product"),
       GraftFunctions.dotProductBuilder))
+    ext.injectFunction((FunctionIdentifier("minhash_sigs"),
+      new ExpressionInfo(classOf[MinHashSigs].getCanonicalName, "minhash_sigs"),
+      GraftFunctions.minHashBuilder))
+    ext.injectFunction((FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getCanonicalName, "simhash64"),
+      GraftFunctions.simHashBuilder))
   }
 }

@@ -1,0 +1,149 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass document-sketch expressions.
+  *
+  * The DataFrame formulation of MinHash (explode k-shingles → xxhash64 per
+  * shingle → 16 min-aggregates per doc) materializes one ROW per shingle:
+  * ~600 rows and a 16-column hash-aggregate entry per average document.
+  * These expressions compute the same sketches in one tight loop per
+  * document — no explode, no aggregation, no shuffle — which turns the
+  * signature stage of near-dup pipelines into a narrow codegen'd map.
+  * Shingle hashing walks the UTF-8 bytes in place (char→byte offsets
+  * computed once per document, `XXH64.hashUnsafeBytes` per window) — zero
+  * allocation per shingle.
+  *
+  * The hash family (xxhash64 of shingle bytes, re-mixed per member with
+  * `XXH64.hashLong`) is deterministic, so planted exact duplicates get
+  * identical signatures — the property the oracle-checked recall queries
+  * (`d_minhash_recall` / `d_simhash_recall`) rely on, independent of the
+  * specific family.
+  */
+object Sketches {
+
+  /** All n minhashes of the k-char shingles of `text` in one pass.
+    * At least one shingle is always produced (a short text hashes whole),
+    * matching `Dedup.shingles`' `greatest(length - k + 1, 1)` contract.
+    */
+  def minhash(text: UTF8String, k: Int, n: Int, seed: Long): ArrayData = {
+    val bytes = text.getBytes // materialize once; offsets below are char-aligned
+    val numChars = text.numChars()
+    // char index -> byte offset (UTF-8 is variable width; shingles are CHAR
+    // windows, so precompute the boundaries in one scan)
+    val off = new Array[Int](numChars + 1)
+    var c = 0
+    var b = 0
+    while (c < numChars) {
+      off(c) = b
+      val first = bytes(b)
+      b += UTF8String.numBytesForFirstByte(first)
+      c += 1
+    }
+    off(numChars) = bytes.length
+    val numShingles = math.max(numChars - k + 1, 1)
+    val mins = Array.fill(n)(Long.MaxValue)
+    var i = 0
+    while (i < numShingles) {
+      val start = off(i)
+      val end = off(math.min(i + k, numChars))
+      val h = XXH64.hashUnsafeBytes(bytes,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + start, end - start, seed)
+      var j = 0
+      while (j < n) {
+        val m = XXH64.hashLong(h, j.toLong)
+        if (m < mins(j)) mins(j) = m
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** 64-bit SimHash over space-separated tokens of (already-normalized)
+    * `text`: per token, hash its bytes; bit b of the signature is set when
+    * the +1/−1 sum of token-hash bit b over all tokens is positive.
+    * Empty-token runs are skipped, so leading/trailing/repeated spaces are
+    * harmless even on un-collapsed input.
+    */
+  def simhash(text: UTF8String, seed: Long): Long = {
+    val bytes = text.getBytes
+    val counts = new Array[Int](64)
+    var start = 0
+    var i = 0
+    val len = bytes.length
+    while (i <= len) {
+      if (i == len || bytes(i) == ' '.toByte) {
+        if (i > start) {
+          val h = XXH64.hashUnsafeBytes(bytes,
+            org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + start, i - start, seed)
+          var bit = 0
+          while (bit < 64) {
+            if (((h >>> bit) & 1L) == 1L) counts(bit) += 1 else counts(bit) -= 1
+            bit += 1
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var bit = 0
+    while (bit < 64) {
+      if (counts(bit) > 0) sig |= (1L << bit)
+      bit += 1
+    }
+    sig
+  }
+}
+
+/** `minhash_sigs(text)` → array<bigint> of the n minhash family members. */
+case class MinHashSigs(child: Expression, k: Int, n: Int, seed: Long)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes() =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.catalogString}")
+  override def prettyName: String = "minhash_sigs"
+
+  override def nullSafeEval(input: Any): Any =
+    Sketches.minhash(input.asInstanceOf[UTF8String], k, n, seed)
+
+  // delegating codegen: the loop lives in Sketches.minhash (a static call
+  // from generated code — stays inside whole-stage codegen, no interpreted
+  // expression-tree fallback)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.Sketches.minhash($c, $k, $n, ${seed}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigs =
+    copy(child = newChild)
+}
+
+/** `simhash64(text)` → bigint signature. */
+case class SimHash64(child: Expression, seed: Long) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes() =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.catalogString}")
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any =
+    Sketches.simhash(input.asInstanceOf[UTF8String], seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Sketches.simhash($c, ${seed}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}

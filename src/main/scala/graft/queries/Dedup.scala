@@ -23,16 +23,6 @@ object Dedup {
     array_distinct(expr(
       s"transform(sequence(1, greatest(length($textCol) - ${k - 1}, 1)), i -> substring($textCol, i, $k))"))
 
-  /** Exploded k-shingles: (row per shingle) without materializing the array —
-    * `posexplode(sequence)` then a codegen'd substring. For min-aggregation
-    * pipelines duplicates don't matter, so no array_distinct pass either.
-    */
-  def explodedShingles(df: DataFrame, idCol: String, textCol: String, k: Int = 5): DataFrame =
-    df.select(col(idCol),
-        expr(s"explode(sequence(1, greatest(length($textCol) - ${k - 1}, 1)))").as("i"),
-        col(textCol))
-      .select(col(idCol), expr(s"substring($textCol, i, $k)").as("sh"))
-
   /** Corpus with synthetic duplicates: every 5th doc appears twice, with
     * collision-free ids at ANY corpus size (id = doc_id*2 + copy, a
     * bijection — a fixed additive offset would alias real doc_ids once the
@@ -55,25 +45,22 @@ object Dedup {
     * At scale this is a shuffle on bucket key, never an O(n²) cross join.
     */
   def minhashPairs(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
     val bands = 4
     val rows = 4
     val n = bands * rows
-    // explode shingle positions → hash each shingle ONCE → derive the
-    // 16-member hash family by re-hashing the 64-bit value with the seed
-    // (fixed-width long input — far cheaper than 16 string hashes; affine
-    // mixing would be cheaper still but wrapping arithmetic trips ANSI
-    // overflow checks) → 16 min-aggregates per doc. Whole-stage codegen,
-    // map-side partial aggregation. Measured vs the no-shuffle array-HOF
-    // form (array_min ∘ transform per doc): explode+groupBy 2.1 s vs HOF
-    // 3.4 s at sf0.1 — HOF lambdas are interpreted per element, codegen
-    // wins even while paying the aggregation.
-    def mix(j: Int) = xxhash64(col("h"), lit(j))
-    val sig = explodedShingles(corpusWithDups(s, d), "doc_id", "text")
-      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
-      .groupBy("doc_id")
-      .agg(min(mix(0)).as("m0"),
-        (1 until n).map(j => min(mix(j)).as(s"m$j")): _*)
-      .select(col("doc_id"), array((0 until n).map(j => col(s"m$j")): _*).as("mh"))
+    // Signature stage is the native single-pass [[graft.functions.MinHashSigs]]
+    // expression: one tight loop per document computes all 16 family
+    // members — no shingle explode, no 16-column aggregation, no shuffle
+    // until the band join. (History of this stage: array-HOF form 3.4 s →
+    // explode+groupBy 2.1 s → native expression; the HOF lambdas were
+    // interpreted per element, and the explode form materialized one row
+    // per shingle. The hash family changed with the rewrite — legal, since
+    // LSH membership is hash-specific and the recall oracle is
+    // construction-guaranteed for ANY deterministic family.)
+    val sig = corpusWithDups(s, d)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.minhashSigs(col("text"), 5, n).as("mh"))
       .select(col("doc_id"), col("mh"), posexplode(
         array((0 until bands).map(b =>
           xxhash64((0 until rows).map(r => col("mh")(b * rows + r)): _*)): _*)
@@ -94,22 +81,21 @@ object Dedup {
       .filter(col("est_sim") >= 0.7)
   }
 
-  /** SimHash signatures over the dup corpus: 64 conditional bit sums from
-    * token hashes (partial-agg friendly), folded to one 64-bit signature.
+  /** SimHash signatures over the dup corpus via the native single-pass
+    * [[graft.functions.SimHash64]] expression: tokenization (space runs of
+    * the normalized text), per-token hashing, the 64 ±1 bit sums, and the
+    * sign fold all happen in one loop per document — a narrow codegen'd
+    * map, replacing the token-explode + 64-column aggregation formulation
+    * (which materialized a row per token and a 64-int state per doc in the
+    * hash aggregate). Signature values changed with the rewrite — legal:
+    * bucket membership is hash-specific (rows-only check) and the recall
+    * oracle is construction-guaranteed for any deterministic family.
     */
   def simhashSigs(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
-    val toks = Text.tokens(Text.normText(col("text")))
-    val hashed = corpusWithDups(s, d)
-      .select(col("doc_id"), explode(toks).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map(b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b"))
-    hashed.groupBy("doc_id")
-      .agg(bitSums.head, bitSums.tail: _*)
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    corpusWithDups(s, d)
       .select(col("doc_id"),
-        (0 until 64).map(b =>
-          when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
-          .reduce((x, y) => x.bitwiseOR(y)).as("simhash"))
+        graft.functions.GraftFunctions.simhash64(Text.normText(col("text"))).as("simhash"))
   }
 
   /** Connected components by iterative min-label propagation: each round

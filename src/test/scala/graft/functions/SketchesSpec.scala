@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.BoundReference
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.SparkSpec
+
+class SketchesSpec extends SparkSpec {
+
+  test("minhash: identical text gives identical signatures; different text differs") {
+    GraftFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    val df = Seq((1L, "the quick brown fox"), (2L, "the quick brown fox"),
+      (3L, "a completely different document body")).toDF("id", "text")
+    val sigs = df.select(col("id"), GraftFunctions.minhashSigs(col("text"), 5, 16).as("mh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) == sigs(2L), "exact duplicates must collide on every member")
+    assert(sigs(1L) != sigs(3L))
+    assert(sigs(1L).length == 16)
+  }
+
+  test("minhash: near-duplicates share most members, disjoint texts almost none") {
+    GraftFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val near = base + " ok"
+    val far = "zxqwv kjhgf mnbvc poiuy trewq lkjhg fdsaz xcvbn"
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("id", "text")
+    val sigs = df.select(col("id"), GraftFunctions.minhashSigs(col("text"), 5, 64).as("mh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def overlap(a: Seq[Long], b: Seq[Long]) = a.zip(b).count { case (x, y) => x == y }
+    assert(overlap(sigs(1L), sigs(2L)) > overlap(sigs(1L), sigs(3L)),
+      "estimated Jaccard must order near-dup above unrelated")
+    assert(overlap(sigs(1L), sigs(2L)) >= 48, "J≈0.95 pair should share most of 64 members")
+  }
+
+  test("minhash: short text (< k chars) hashes whole; multi-byte chars shingle by CHAR") {
+    GraftFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    val df = Seq((1L, "ab"), (2L, "ab"), (3L, "한국어 문서입니다 테스트")).toDF("id", "text")
+    val out = df.select(col("id"), GraftFunctions.minhashSigs(col("text"), 5, 4).as("mh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(out(1L) == out(2L))
+    // CHAR-window shingles: "한국어 문" is 5 chars / 13 UTF-8 bytes — the
+    // expression must produce a signature without splitting a code point
+    assert(out(3L).length == 4)
+  }
+
+  test("simhash: identical normalized text collides; token-permuted text also collides") {
+    GraftFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    // simhash is bag-of-tokens: permutation preserves the bit sums exactly
+    val df = Seq((1L, "alpha beta gamma delta"), (2L, "delta gamma beta alpha"),
+      (3L, "epsilon zeta eta theta")).toDF("id", "text")
+    val out = df.select(col("id"), GraftFunctions.simhash64(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == out(2L))
+    assert(out(1L) != out(3L))
+  }
+
+  test("simhash: repeated/leading/trailing spaces are harmless; empty text is stable") {
+    GraftFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    val df = Seq((1L, "a b"), (2L, "  a   b  "), (3L, "")).toDF("id", "text")
+    val out = df.select(col("id"), GraftFunctions.simhash64(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == out(2L))
+    assert(out(3L) == 0L, "no tokens → all bit sums 0 → signature 0")
+  }
+
+  test("codegen path compiles and matches interpreted eval") {
+    val mh = MinHashSigs(BoundReference(0, StringType, nullable = true), 5, 8, 42L)
+    val sh = SimHash64(BoundReference(0, StringType, nullable = true), 42L)
+    val proj = GenerateUnsafeProjection.generate(Seq(mh, sh))
+    val row = org.apache.spark.sql.catalyst.InternalRow(
+      UTF8String.fromString("the quick brown fox"))
+    val out = proj(row)
+    val interpMh = mh.eval(row).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    assert(out.getArray(0).toLongArray.toSeq == interpMh.toLongArray.toSeq)
+    assert(out.getLong(1) == sh.eval(row))
+  }
+}

@@ -70,14 +70,19 @@ object Dedup {
     // a ReusedExchange — at 100 TB this halves the dominant stage
     val a = sig.as("a")
     val b = sig.as("b")
+    // est-Jaccard per candidate: fixed-width unrolled equality sum — pure
+    // codegen'd whens, no interpreted zip_with lambda (the pair stream is
+    // the VOLUME here: under heavy duplication true pairs grow faster than
+    // the corpus, so the per-pair verify must be branch-cheap)
+    val nEq = (0 until n)
+      .map(i => when(col("mh_a")(i) === col("mh_b")(i), 1).otherwise(0))
+      .reduce(_ + _)
     a.join(b, col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         col("a.mh").as("mh_a"), col("b.mh").as("mh_b"))
       .groupBy("id_a", "id_b")
-      .agg(max(
-        size(filter(zip_with(col("mh_a"), col("mh_b"), (x, y) => x === y), p => p))
-          .cast("double") / n).as("est_sim"))
+      .agg(max(nEq.cast("double") / n).as("est_sim"))
       .filter(col("est_sim") >= 0.7)
   }
 

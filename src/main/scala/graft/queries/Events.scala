@@ -108,6 +108,25 @@ object Events {
         .groupBy("day_offset")
         .agg(count(lit(1)).as("n_user_days"))
         .orderBy("day_offset")
+    }),
+
+    // Z-score anomaly detection on event values: per-type mean/stddev (one
+    // tiny aggregate, broadcast back), flag |z| > 3. The mean/stddev are
+    // order-dependent double aggregates, so z is rounded to 6 dp on BOTH
+    // engines before the threshold test and the max — the same
+    // boundary-absorbing discipline as the kmeans/IVF argmaxes.
+    "e_anomaly" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val stats = e.groupBy("event_type")
+        .agg(avg("value").as("mu"), stddev_samp("value").as("sd"))
+      e.join(broadcast(stats), "event_type")
+        .select(col("event_type"),
+          round((col("value") - col("mu")) / col("sd"), 6).as("z6"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(abs(col("z6")) > 3, 1L).otherwise(0L)).cast("bigint").as("n_anom"),
+          round(max(abs(col("z6"))), 3).as("max_abs_z"))
+        .orderBy("event_type")
     })
   )
 
@@ -177,6 +196,16 @@ object Events {
         |SELECT CAST(date_diff('day', first_day, day) AS BIGINT) AS day_offset,
         |  count(*) AS n_user_days
         |FROM a JOIN fd USING (user_id)
-        |GROUP BY 1 ORDER BY day_offset""".stripMargin
+        |GROUP BY 1 ORDER BY day_offset""".stripMargin,
+    "e_anomaly" ->
+      """WITH st AS (
+        |  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+        |  FROM events GROUP BY 1),
+        |z AS (SELECT e.event_type, round((value - mu) / sd, 6) AS z6
+        |      FROM events e JOIN st USING (event_type))
+        |SELECT event_type, count(*) AS n_total,
+        |  CAST(sum(CASE WHEN abs(z6) > 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_anom,
+        |  round(max(abs(z6)), 3) AS max_abs_z
+        |FROM z GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

@@ -210,6 +210,57 @@ object Text {
         .select(col("n_terms"),
           round((col("n_terms") * col("sxy") - col("sx") * col("sy")) /
             (col("n_terms") * col("sxx") - col("sx") * col("sx")), 6).as("zipf_slope"))
+    }),
+
+    // Bigram language-model document scoring — the perplexity-shaped
+    // quality signal of a pre-training pipeline, from corpus statistics
+    // alone: p(w2|w1) = C(w1,w2)/C(w1,·) over the whole corpus, each doc
+    // scored by its mean bigram log-probability. ONE bigram explode feeds
+    // both count aggregations; the model (vocab²-bounded) broadcasts back
+    // onto the doc-bigram stream at this vocab — beyond broadcast size the
+    // same plan degrades to a shuffle hash join on the bigram key. ln is
+    // taken on identical doubles on both engines; only the per-doc SUM is
+    // order-dependent, so the mean is rounded to 6 dp.
+    "t_doc_logprob" -> ((s, d) => {
+      val bi = t(s, d, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("sp"))
+        .filter(size(col("sp")) >= 2)
+        .select(col("doc_id"), expr(
+          "explode(transform(sequence(0, size(sp) - 2), i -> named_struct('w1', sp[i], 'w2', sp[i + 1])))")
+          .as("bg"))
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val pair = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val uni = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
+      val model = pair.join(uni, "w1")
+        .select(col("w1"), col("w2"),
+          log(col("c12").cast("double") / col("c1")).as("lp"))
+      bi.join(broadcast(model), Seq("w1", "w2"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg("lp"), 6).as("avg_logprob"))
+        .orderBy("doc_id")
+    }),
+
+    // Per-document token entropy — the diversity/repetition quality signal:
+    // H = −Σ p·ln p over the doc's token distribution. Two partial-agg
+    // shuffles ((doc, token) counts → per-doc entropy); the inner division
+    // happens on identical integers on both engines, and the per-doc sum is
+    // rounded to 6 dp (summation order).
+    "t_token_entropy" -> ((s, d) => {
+      val tok = t(s, d, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      val cnt = tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      val tot = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      cnt.join(tot, "doc_id")
+        .select(col("doc_id"), col("n"),
+          (col("c").cast("double") / col("n")).as("p"))
+        .groupBy("doc_id")
+        .agg(max(col("n")).as("n_tokens"),
+          // + 0.0 normalizes IEEE −0.0 (single-distinct-token doc) to 0.0
+          // identically on both engines
+          round(-sum(col("p") * log(col("p"))) + lit(0.0), 6).as("entropy"))
+        .select(col("doc_id"), col("n_tokens"), col("entropy"))
+        .orderBy("doc_id")
     })
   )
 
@@ -311,6 +362,32 @@ object Text {
         |             sum(x*y) AS sxy, sum(x*x) AS sxx FROM xy)
         |SELECT CAST(n_terms AS BIGINT) AS n_terms,
         |  round((n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx), 6) AS zipf_slope
-        |FROM m""".stripMargin
+        |FROM m""".stripMargin,
+    "t_doc_logprob" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS sp
+        |  FROM documents),
+        |bi AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(sp)), i -> sp[CAST(i AS INT)])) AS w1,
+        |    unnest(list_transform(range(1, len(sp)), i -> sp[CAST(i AS INT) + 1])) AS w2
+        |  FROM d WHERE len(sp) >= 2),
+        |pair AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+        |uni AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1),
+        |model AS (SELECT w1, w2, ln(CAST(c12 AS DOUBLE) / c1) AS lp
+        |          FROM pair JOIN uni USING (w1))
+        |SELECT doc_id, count(*) AS n_bigrams, round(avg(lp), 6) AS avg_logprob
+        |FROM bi JOIN model USING (w1, w2)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "t_token_entropy" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS tok
+        |  FROM documents),
+        |cnt AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+        |p AS (SELECT cnt.doc_id, n, CAST(c AS DOUBLE) / n AS p FROM cnt JOIN tot USING (doc_id))
+        |SELECT doc_id, CAST(max(n) AS BIGINT) AS n_tokens,
+        |  round(-sum(p * ln(p)) + 0.0, 6) AS entropy
+        |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

@@ -42,6 +42,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
     case _ => false
   }
 
+  // loop-invariant after binding; hoisted out of the per-row eval path
+  @transient private lazy val leftIsFloat = isFloat(left)
+  @transient private lazy val rightIsFloat = isFloat(right)
+
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "cosine_sim"
@@ -51,7 +55,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
     val y = b.asInstanceOf[ArrayData]
     val n = x.numElements()
     if (n != y.numElements()) return null
-    val lf = isFloat(left); val rf = isFloat(right)
+    val lf = leftIsFloat; val rf = rightIsFloat
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
@@ -121,22 +125,35 @@ object GraftFunctions {
       s"dot_product expects 2 arguments, got ${other.size}")
   }
 
-  /** `minhash_sigs(text, k, n, seed)` — k/n/seed must be foldable ints. */
+  /** Evaluates a foldable, non-null literal parameter or fails with a
+    * message naming the actual problem (arity errors say arity; literal
+    * errors say which parameter is not a literal).
+    */
+  private def litParam(fn: String, name: String, e: Expression): Long = {
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"$fn: parameter '$name' must be a literal, got ${e.sql}")
+    val v = e.eval(null)
+    if (v == null) throw new IllegalArgumentException(
+      s"$fn: parameter '$name' must not be NULL")
+    v.toString.toLong
+  }
+
+  /** `minhash_sigs(text, k, n, seed)` — k/n/seed must be int literals. */
   val minHashBuilder: Seq[Expression] => Expression = {
-    case Seq(c, k, n, s) if k.foldable && n.foldable && s.foldable =>
+    case Seq(c, k, n, s) =>
       MinHashSigs(c,
-        k.eval(null).toString.toInt,
-        n.eval(null).toString.toInt,
-        s.eval(null).toString.toLong)
+        litParam("minhash_sigs", "k", k).toInt,
+        litParam("minhash_sigs", "n", n).toInt,
+        litParam("minhash_sigs", "seed", s))
     case other => throw new IllegalArgumentException(
-      s"minhash_sigs expects (text, k-lit, n-lit, seed-lit), got ${other.size} arguments")
+      s"minhash_sigs expects 4 arguments (text, k, n, seed), got ${other.size}")
   }
 
   val simHashBuilder: Seq[Expression] => Expression = {
-    case Seq(c, s) if s.foldable =>
-      SimHash64(c, s.eval(null).toString.toLong)
+    case Seq(c, s) =>
+      SimHash64(c, litParam("simhash64", "seed", s))
     case other => throw new IllegalArgumentException(
-      s"simhash64 expects (text, seed-lit), got ${other.size} arguments")
+      s"simhash64 expects 2 arguments (text, seed), got ${other.size}")
   }
 
   /** `unicode_norm(str)` defaults to NFC; `unicode_norm(str, 'NFKC')` takes

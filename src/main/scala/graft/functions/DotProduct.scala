@@ -46,12 +46,16 @@ case class DotProduct(left: Expression, right: Expression)
     case _ => false
   }
 
+  // loop-invariant after binding; hoisted out of the per-row eval path
+  @transient private lazy val leftIsFloat = isFloat(left)
+  @transient private lazy val rightIsFloat = isFloat(right)
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = x.numElements()
     if (n != y.numElements()) return null
-    val lf = isFloat(left); val rf = isFloat(right)
+    val lf = leftIsFloat; val rf = rightIsFloat
     var dot = 0.0
     var i = 0
     while (i < n) {

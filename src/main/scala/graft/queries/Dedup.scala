@@ -98,7 +98,12 @@ object Dedup {
     */
   def simhashSigs(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(s)
+    // token-less docs are excluded (they have no signal — the native
+    // expression would give them all signature 0 and bucket them together
+    // as spurious "duplicates"), preserving the explode-era semantics
+    // where such docs produced no signature row
     corpusWithDups(s, d)
+      .filter(Text.normText(col("text")) =!= "")
       .select(col("doc_id"),
         graft.functions.GraftFunctions.simhash64(Text.normText(col("text"))).as("simhash"))
   }

@@ -96,14 +96,17 @@ object Events {
     }),
 
     // Cohort retention: day-offset activity counts relative to each user's
-    // first-seen day. Two aggregations — per-user first day (tiny,
-    // broadcast back) and distinct (user, day) activity — so the fact
-    // stream is scanned once and never self-joined row-to-row.
+    // first-seen day. Two aggregations — per-user first day and distinct
+    // (user, day) activity — so the fact stream is scanned once and never
+    // self-joined row-to-row. The join is UNHINTED: first-day cardinality
+    // is the USER count, which grows with the stream, so the planner must
+    // be free to shuffle both sides on user_id at scale (AQE broadcasts
+    // it at test SFs where it is small — asserted on the executed plan).
     "e_cohort_retention" -> ((s, d) => {
       val e = Tables.events(s, d)
       val firstDay = e.groupBy("user_id").agg(min(to_date(col("ts"))).as("first_day"))
       val active = e.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
-      active.join(broadcast(firstDay), "user_id")
+      active.join(firstDay, "user_id")
         .select(datediff(col("day"), col("first_day")).cast("bigint").as("day_offset"))
         .groupBy("day_offset")
         .agg(count(lit(1)).as("n_user_days"))

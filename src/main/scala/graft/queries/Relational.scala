@@ -441,10 +441,15 @@ object Relational {
     }),
 
     // Distribution windows: ntile / percent_rank / cume_dist per priority.
-    // All three share ONE (partition, order) spec — a single shuffle + sort
-    // at any scale; the unique orderkey tiebreak makes tile assignment
+    // All three share ONE (partition, order) spec — a single shuffle +
+    // sort; the unique orderkey tiebreak makes tile assignment
     // deterministic. Both engines hand remainder rows to the first tiles,
-    // so quartile membership is bit-identical cross-engine.
+    // so quartile membership is bit-identical cross-engine. NOTE the
+    // parallelism ceiling: ranking windows materialize each partition on
+    // one task, so it equals the partition key's cardinality (5 here) —
+    // at 100 TB you partition by a higher-cardinality key, or trade
+    // exactness for approx_percentile when only quantile BOUNDARIES are
+    // needed.
     "q_window_ntile" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("o_orderpriority")

@@ -127,13 +127,13 @@ object Text {
 
     // TF-IDF: top-3 terms per language by summed tf·idf. Plan shape at
     // scale: ONE explode feeds two partial aggregations — (lang, term)
-    // occurrence counts and per-term document frequency; df is vocab-sized
-    // and broadcasts back onto the (lang, term) side at this corpus size.
-    // (A web-scale vocabulary — billions of distinct terms — exceeds any
-    // broadcast threshold; there the same plan degrades gracefully to a
-    // shuffle hash join on `term`, still one shuffle of vocab-sized data.)
-    // The per-lang top-k is a window over vocab-sized input (never over
-    // documents).
+    // occurrence counts and per-term document frequency; df is vocab-sized,
+    // and the join is left UNHINTED so the planner picks: broadcast under
+    // the threshold (AQE does so at every test SF — asserted on the
+    // executed plan in PlanSpec), shuffle hash join on `term` beyond it
+    // (a web-scale vocabulary of billions of terms must not be forced to
+    // the driver by an explicit hint). The per-lang top-k is a window over
+    // vocab-sized input (never over documents).
     // score = occ · ln(N/df) with the integer sum factored OUT of the log
     // product, so the double arithmetic is a single multiply per term —
     // order-independent, cross-engine safe. Ranking compares 9-dp-rounded
@@ -147,7 +147,7 @@ object Text {
       val lt = w.groupBy("lang", "term").agg(count(lit(1)).as("occ"))
       val df = w.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
       val n = t(s, d, "documents").agg(count(lit(1)).as("n_total"))
-      val scored = lt.join(broadcast(df), "term").crossJoin(broadcast(n))
+      val scored = lt.join(df, "term").crossJoin(broadcast(n))
         .select(col("lang"), col("term"),
           round(col("occ").cast("double") *
             log(col("n_total").cast("double") / col("df")), 9).as("tfidf9"))
@@ -185,10 +185,13 @@ object Text {
     }),
 
     // Zipf rank-frequency slope over the term distribution: OLS fit of
-    // ln(freq) on ln(rank) for the top-100 terms. The global row_number
-    // window runs over a vocab-bounded aggregate (never over documents),
-    // and the OLS moments are computed from 9-dp-rounded coordinates so
-    // the 100-element double sums agree cross-engine at the 6-dp slope
+    // ln(freq) on ln(rank) for the top-100 terms. The top-100 cut is an
+    // orderBy+limit — TakeOrderedAndProject, never a full sort — so the
+    // only single-partition window ranks an input already bounded to 100
+    // rows (a vocab-sized global window would collapse the whole
+    // vocabulary onto one task, the exact shape PlanSpec forbids
+    // elsewhere). OLS moments are computed from 9-dp-rounded coordinates
+    // so the 100-element double sums agree cross-engine at the 6-dp slope
     // rounding. A natural-language corpus fits slope ≈ −1 (Zipf's law);
     // the uniform word-soup here fits a shallower slope — either way the
     // value is deterministic.
@@ -198,9 +201,9 @@ object Text {
         .select(explode(tokens(col("text"))).as("term"))
         .groupBy("term").agg(count(lit(1)).as("freq"))
       val ranked = freq
+        .orderBy(col("freq").desc, col("term")).limit(100)
         .withColumn("rank", row_number().over(
           Window.orderBy(col("freq").desc, col("term"))))
-        .filter(col("rank") <= 100)
         .select(round(log(col("rank").cast("double")), 9).as("x"),
           round(log(col("freq").cast("double")), 9).as("y"))
       ranked.agg(count(lit(1)).as("n_terms"),
@@ -216,11 +219,12 @@ object Text {
     // quality signal of a pre-training pipeline, from corpus statistics
     // alone: p(w2|w1) = C(w1,w2)/C(w1,·) over the whole corpus, each doc
     // scored by its mean bigram log-probability. ONE bigram explode feeds
-    // both count aggregations; the model (vocab²-bounded) broadcasts back
-    // onto the doc-bigram stream at this vocab — beyond broadcast size the
-    // same plan degrades to a shuffle hash join on the bigram key. ln is
-    // taken on identical doubles on both engines; only the per-doc SUM is
-    // order-dependent, so the mean is rounded to 6 dp.
+    // both count aggregations; the model join is UNHINTED — vocab² is
+    // unbounded at corpus scale, so the planner must stay free to pick a
+    // shuffle hash join on the bigram key (AQE broadcasts it at test SFs
+    // where it is small). ln is taken on identical doubles on both
+    // engines; only the per-doc SUM is order-dependent, so the mean is
+    // rounded to 6 dp.
     "t_doc_logprob" -> ((s, d) => {
       val bi = t(s, d, "documents")
         .select(col("doc_id"), tokens(col("text")).as("sp"))
@@ -234,7 +238,7 @@ object Text {
       val model = pair.join(uni, "w1")
         .select(col("w1"), col("w2"),
           log(col("c12").cast("double") / col("c1")).as("lp"))
-      bi.join(broadcast(model), Seq("w1", "w2"))
+      bi.join(model, Seq("w1", "w2"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_bigrams"),
           round(avg("lp"), 6).as("avg_logprob"))

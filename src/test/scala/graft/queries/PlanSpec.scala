@@ -124,11 +124,16 @@ class PlanSpec extends SparkSpec {
       Set("doc_id", "text", "n_chars"))
   }
 
-  test("t_tfidf_top: vocab-sized df side broadcasts; top-k window never sees documents") {
-    val p = plan("t_tfidf_top").toString
-    assert(p.contains("BroadcastHashJoin"),
-      "per-term document frequency must broadcast back onto (lang, term) counts")
-    assert(p.contains("partial_count"), "occurrence counts must partial-aggregate map-side")
+  test("t_tfidf_top: unhinted df join lets AQE broadcast at this SF; map-side partials") {
+    // the join is deliberately unhinted (a web-scale vocab must be able to
+    // shuffle) — AQE picks broadcast when the df side is actually small,
+    // which only shows in the EXECUTED plan
+    val df = SparkEntry.queries("t_tfidf_top")(spark, TestSpark.sf0001)
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "AQE must broadcast the small per-term document-frequency side")
+    assert(plan("t_tfidf_top").toString.contains("partial_count"),
+      "occurrence counts must partial-aggregate map-side")
   }
 
   test("c_contam_bloom: bucket prefilter and exact check are both broadcast semi-joins") {
@@ -189,9 +194,16 @@ class PlanSpec extends SparkSpec {
       "per-lang cumsum must stay partitioned by lang")
   }
 
-  test("e_cohort_retention: per-user first-day aggregate broadcasts back onto activity") {
-    assert(plan("e_cohort_retention").toString.contains("BroadcastHashJoin"),
-      "the fact stream must not shuffle to meet the tiny first-day dim")
+  test("e_cohort_retention: unhinted user-cardinality join; AQE broadcasts at this SF") {
+    // no broadcast hint — first-day cardinality grows with users, so the
+    // plan must stay free to shuffle on user_id at scale; AQE's own
+    // broadcast decision (small side here) appears in the executed plan
+    val df = SparkEntry.queries("e_cohort_retention")(spark, TestSpark.sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      "AQE should broadcast the small first-day side at test SF")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"))
   }
 
   test("q_salted_agg: both phases partial-aggregate (map-side combine on (key, salt))") {

@@ -396,6 +396,33 @@ object Curation {
           max("cum_tok").as("tokens_used"),
           round(max("cum_tok").cast("double") / budget * 100, 2).as("util_pct"))
         .orderBy("lang")
+    }),
+
+    // Weighted sampling without an RNG (Efraimidis–Spirakis A-ES): each doc
+    // draws u ∈ (0,1] from md5(text) — the c_hash_sample determinism
+    // discipline — and gets priority ln(u)/weight (log-domain u^(1/w),
+    // same ordering, no pow); the top-10 priorities per language are the
+    // sample. Longer docs (weight = n_chars) are proportionally likelier.
+    // One narrow map + a per-lang top-k window; priorities are rounded to
+    // 9 dp before ranking (ln differs in the last ulp between libm and
+    // Math.log) with a doc_id tiebreak.
+    "c_weighted_sample" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      // 16^12 = 2^48: the 12-hex-char prefix is exact in a double, and the
+      // division by a power of two is exact, so u is bit-identical on both
+      // engines
+      val u = (conv(substring(md5(col("text")), 1, 12), 16, 10).cast("double") + 1.0) /
+        281474976710656.0
+      val w = Window.partitionBy("lang")
+        .orderBy(col("priority").desc, col("doc_id"))
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          round(log(u) / col("n_chars"), 9).as("priority"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+        .select(col("lang"), col("rk").cast("bigint").as("rk"),
+          col("doc_id"), col("n_chars"))
+        .orderBy("lang", "rk")
     })
   )
 
@@ -607,6 +634,18 @@ object Curation {
         |SELECT lang, count(*) AS n_docs_kept,
         |  CAST(max(cum_tok) AS BIGINT) AS tokens_used,
         |  round(CAST(max(cum_tok) AS DOUBLE) / 3000 * 100, 2) AS util_pct
-        |FROM c WHERE cum_tok <= 3000 GROUP BY lang ORDER BY lang""".stripMargin
+        |FROM c WHERE cum_tok <= 3000 GROUP BY lang ORDER BY lang""".stripMargin,
+    "c_weighted_sample" ->
+      """WITH p AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    round(ln((CAST('0x' || substr(md5(text), 1, 12) AS BIGINT) + 1.0)
+        |              / 281474976710656.0) / n_chars, 9) AS priority
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY priority DESC, doc_id) AS rk
+        |  FROM p)
+        |SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, n_chars
+        |FROM r WHERE rk <= 10 ORDER BY lang, rk""".stripMargin
   )
 }

@@ -130,6 +130,27 @@ object Events {
           sum(when(abs(col("z6")) > 3, 1L).otherwise(0L)).cast("bigint").as("n_anom"),
           round(max(abs(col("z6"))), 3).as("max_abs_z"))
         .orderBy("event_type")
+    }),
+
+    // Time-series gap filling: generate the complete hourly spine between
+    // the stream's bounds (a 1-row aggregate exploded into the spine —
+    // spine length is the TIME RANGE, independent of data volume) and
+    // left-join sparse per-hour counts onto it, zero-filling the gaps.
+    // Here the sparse series is 'error' events, which do skip hours.
+    "e_gap_fill" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val hourly = e.filter(col("event_type") === "error")
+        .groupBy(date_trunc("HOUR", col("ts")).as("hour_ts"))
+        .agg(count(lit(1)).as("n_err"))
+      val spine = e.agg(
+          date_trunc("HOUR", min(col("ts"))).as("h0"),
+          date_trunc("HOUR", max(col("ts"))).as("h1"))
+        .select(explode(expr("sequence(h0, h1, interval 1 hour)")).as("hour_ts"))
+      spine.join(hourly, Seq("hour_ts"), "left")
+        .select(col("hour_ts"),
+          coalesce(col("n_err"), lit(0L)).as("n_err"),
+          col("n_err").isNull.as("was_gap"))
+        .orderBy("hour_ts")
     })
   )
 
@@ -209,6 +230,21 @@ object Events {
         |SELECT event_type, count(*) AS n_total,
         |  CAST(sum(CASE WHEN abs(z6) > 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_anom,
         |  round(max(abs(z6)), 3) AS max_abs_z
-        |FROM z GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM z GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "e_gap_fill" ->
+      """WITH b AS (
+        |  SELECT CAST(date_trunc('hour', min(ts)) AS TIMESTAMP) AS h0,
+        |         CAST(date_trunc('hour', max(ts)) AS TIMESTAMP) AS h1
+        |  FROM events),
+        |spine AS (
+        |  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour_ts FROM b),
+        |hourly AS (
+        |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts, count(*) AS n_err
+        |  FROM events WHERE event_type = 'error' GROUP BY 1)
+        |SELECT spine.hour_ts,
+        |  CAST(coalesce(n_err, 0) AS BIGINT) AS n_err,
+        |  n_err IS NULL AS was_gap
+        |FROM spine LEFT JOIN hourly USING (hour_ts)
+        |ORDER BY hour_ts""".stripMargin
   )
 }

@@ -497,7 +497,79 @@ object Relational {
         .select(col("l_returnflag"),
           round(col("sum_l_quantity"), 2).as("sum_qty"),
           col("cnt").cast("bigint").as("cnt"))
-        .orderBy("l_returnflag"))
+        .orderBy("l_returnflag")),
+
+    // Mergeable HLL sketches — incremental maintenance for DISTINCT counts
+    // (the q_incr_agg pattern where plain sum/min/max state is not enough):
+    // per-era sketches built independently (pre-/post-1996 orders), merged
+    // with hll_union_agg, estimate checked against the exact distinct. A
+    // daily 100 TB pipeline stores one ~4 KB sketch per partition and
+    // unions them at query time instead of re-scanning history. HLL is
+    // deterministic (no RNG), so the within-2% pass is stable per dataset
+    // and the output oracle-checkable (the q_approx_count_distinct
+    // discipline).
+    "q_hll_incr" -> ((s, d) => {
+      val o = t(s, d, "orders").select(col("o_custkey"),
+        (col("o_orderdate").cast("date") < lit("1996-01-01").cast("date")).as("is_old"))
+      val sketches = o.groupBy("is_old").agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+      val merged = sketches.agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      val exact = o.agg(countDistinct(col("o_custkey")).as("n_exact"))
+      // the estimate itself is sketch-config specific, so the comparable
+      // output is exact + the tolerance verdict (q_approx_count_distinct
+      // discipline)
+      merged.crossJoin(broadcast(exact))
+        .select(col("n_exact"),
+          (abs(col("est").cast("double") - col("n_exact").cast("double")) /
+            col("n_exact").cast("double") <= 0.02).as("within_tol"))
+    }),
+
+    // Latest-record-per-key compaction (the CDC upsert materialization):
+    // ONE max-of-struct aggregation — lexicographic struct comparison on
+    // (date, orderkey) picks the newest record deterministically, with
+    // map-side partial aggregation and no window sort. Same max-of-struct
+    // argmax discipline as the kmeans/IVF ties; DuckDB compares structs
+    // field-order-lexicographically exactly like Spark.
+    "q_latest_by_key" -> ((s, d) =>
+      t(s, d, "orders")
+        .select(col("o_custkey"),
+          struct(col("o_orderdate").cast("date").as("dt"),
+            col("o_orderkey").as("ok"),
+            col("o_orderstatus").as("st"),
+            col("o_totalprice").as("price")).as("rec"))
+        .groupBy("o_custkey")
+        .agg(max(col("rec")).as("r"))
+        .select(col("o_custkey"),
+          col("r.dt").cast("string").as("last_date"),
+          col("r.ok").as("last_orderkey"),
+          col("r.st").as("last_status"),
+          round(col("r.price"), 2).as("last_price"))
+        .orderBy("o_custkey"))
+,
+
+    // Full star-schema join (TPC-H Q5 shape): fact lineitem meets orders
+    // (fact-fact, sort-merge + AQE), then the dimension chain
+    // customer→nation→region rides broadcasts — the fact table never
+    // shuffles for a dimension. Catalyst's join reordering + pushdown
+    // prune region first so only matching nations/customers flow.
+    "q_star_join" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val o = t(s, d, "orders")
+      val c = t(s, d, "customer")
+      val n = t(s, d, "nation")
+      val r = t(s, d, "region").filter(col("r_name") === "ASIA")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"), year(col("o_orderdate").cast("date")).as("yr"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .select(col("n_name"), col("yr").cast("bigint").as("yr"),
+          col("revenue"), col("n_items"))
+        .orderBy("n_name", "yr")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -601,6 +673,32 @@ object Relational {
       """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
         |CAST(count(*) AS BIGINT) AS cnt
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // the sketch estimate is graded in-query; expected = exact + pass
+    "q_hll_incr" ->
+      """SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact,
+        |CAST(1 AS BOOLEAN) AS within_tol
+        |FROM orders""".stripMargin,
+    "q_star_join" ->
+      """SELECT n_name, CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS yr,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name, yr ORDER BY n_name, yr""".stripMargin,
+    "q_latest_by_key" ->
+      """WITH m AS (
+        |  SELECT o_custkey,
+        |    max({'dt': CAST(o_orderdate AS DATE), 'ok': o_orderkey,
+        |         'st': o_orderstatus, 'price': o_totalprice}) AS r
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT o_custkey, CAST(r.dt AS VARCHAR) AS last_date,
+        |  r.ok AS last_orderkey, r.st AS last_status,
+        |  round(r.price, 2) AS last_price
+        |FROM m ORDER BY o_custkey""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |round(sum(l_quantity),2) AS sum_qty,

@@ -210,6 +210,25 @@ class PlanSpec extends SparkSpec {
     assert(plan("q_salted_agg").toString.contains("partial_sum"))
   }
 
+  test("q_star_join: dimension chain broadcasts; region filter pushed to its scan") {
+    val p = plan("q_star_join").toString
+    assert(p.split("BroadcastHashJoin").length - 1 >= 3,
+      "customer, nation, and region must all ride broadcasts")
+    assert(scanOf("q_star_join", "region").metadata("PushedFilters")
+      .contains("EqualTo(r_name,ASIA)"))
+  }
+
+  test("q_latest_by_key: max-of-struct compaction partial-aggregates, no window sort") {
+    val p = plan("q_latest_by_key").toString
+    assert(p.contains("partial_max"), "CDC compaction must map-side combine")
+    assert(!p.contains("Window"), "latest-per-key must not need a window")
+  }
+
+  test("e_gap_fill: spine explode is driven by a 1-row aggregate, join stays equi") {
+    val p = plan("e_gap_fill").toString
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"))
+  }
+
   test("etl pipeline: conform collapses to a single Project per source branch (no shuffle)") {
     val engine = new graft.etl.MultiSourceAdEtl(graft.etl.Configs.apsl)
     val p = engine.run(spark, graft.etl.Fixtures.materialize("apsl"), capitalize = true)

@@ -132,10 +132,17 @@ object GraftFunctions {
   private def litParam(fn: String, name: String, e: Expression): Long = {
     if (!e.foldable) throw new IllegalArgumentException(
       s"$fn: parameter '$name' must be a literal, got ${e.sql}")
-    val v = e.eval(null)
-    if (v == null) throw new IllegalArgumentException(
-      s"$fn: parameter '$name' must not be NULL")
-    v.toString.toLong
+    e.eval(null) match {
+      case null => throw new IllegalArgumentException(
+        s"$fn: parameter '$name' must not be NULL")
+      case i: java.lang.Integer => i.toLong
+      case l: java.lang.Long => l
+      case s: java.lang.Short => s.toLong
+      case b: java.lang.Byte => b.toLong
+      case other => throw new IllegalArgumentException(
+        s"$fn: parameter '$name' must be an integer literal, " +
+          s"got ${e.sql} of type ${e.dataType.simpleString}")
+    }
   }
 
   /** `minhash_sigs(text, k, n, seed)` — k/n/seed must be int literals. */

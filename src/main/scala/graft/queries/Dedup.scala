@@ -100,8 +100,12 @@ object Dedup {
     graft.functions.GraftFunctions.ensureRegistered(s)
     // token-less docs are excluded (they have no signal — the native
     // expression would give them all signature 0 and bucket them together
-    // as spurious "duplicates"), preserving the explode-era semantics
-    // where such docs produced no signature row
+    // as spurious "duplicates"). NOTE: this intentionally CHANGES
+    // empty-doc handling relative to the explode form — split("") yields
+    // [""], so the old form emitted one empty-string token and DID
+    // produce a signature for whitespace-only docs; d_simhash row counts
+    // moved with this filter (legal: rows-only check, and the recall
+    // oracle is construction-guaranteed for any deterministic family)
     corpusWithDups(s, d)
       .filter(Text.normText(col("text")) =!= "")
       .select(col("doc_id"),

@@ -117,14 +117,18 @@ object Events {
     // tiny aggregate, broadcast back), flag |z| > 3. The mean/stddev are
     // order-dependent double aggregates, so z is rounded to 6 dp on BOTH
     // engines before the threshold test and the max — the same
-    // boundary-absorbing discipline as the kmeans/IVF argmaxes.
+    // boundary-absorbing discipline as the kmeans/IVF argmaxes. sd = 0
+    // (constant-valued group) divides by nullif(sd, 0) on BOTH engines:
+    // Spark's double x/0 yields NaN/±Inf and NaN sorts ABOVE every number
+    // (so abs(z) > 3 would flag every row), while DuckDB diverges — NULL
+    // z-scores are absorbed identically by both aggregates instead.
     "e_anomaly" -> ((s, d) => {
       val e = Tables.events(s, d)
       val stats = e.groupBy("event_type")
         .agg(avg("value").as("mu"), stddev_samp("value").as("sd"))
       e.join(broadcast(stats), "event_type")
         .select(col("event_type"),
-          round((col("value") - col("mu")) / col("sd"), 6).as("z6"))
+          round((col("value") - col("mu")) / nullif(col("sd"), lit(0)), 6).as("z6"))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_total"),
           sum(when(abs(col("z6")) > 3, 1L).otherwise(0L)).cast("bigint").as("n_anom"),
@@ -225,7 +229,7 @@ object Events {
       """WITH st AS (
         |  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
         |  FROM events GROUP BY 1),
-        |z AS (SELECT e.event_type, round((value - mu) / sd, 6) AS z6
+        |z AS (SELECT e.event_type, round((value - mu) / nullif(sd, 0), 6) AS z6
         |      FROM events e JOIN st USING (event_type))
         |SELECT event_type, count(*) AS n_total,
         |  CAST(sum(CASE WHEN abs(z6) > 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_anom,

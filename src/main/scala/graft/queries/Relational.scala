@@ -549,9 +549,13 @@ object Relational {
 
     // Full star-schema join (TPC-H Q5 shape): fact lineitem meets orders
     // (fact-fact, sort-merge + AQE), then the dimension chain
-    // customer→nation→region rides broadcasts — the fact table never
-    // shuffles for a dimension. Catalyst's join reordering + pushdown
-    // prune region first so only matching nations/customers flow.
+    // customer→nation→region. nation (25 rows) and region (5 rows) are
+    // bounded by the TPC-H spec regardless of SF, so they carry explicit
+    // broadcast hints; customer scales LINEARLY with SF (150k rows/SF) so
+    // it gets NO hint — an explicit broadcast() overrides every size
+    // threshold and would OOM the driver at large scale. At small SFs AQE
+    // broadcasts customer on its own (asserted on the executed plan in
+    // PlanSpec); at 100 TB it degrades gracefully to a shuffle join.
     "q_star_join" -> ((s, d) => {
       val li = t(s, d, "lineitem")
       val o = t(s, d, "orders")
@@ -559,7 +563,7 @@ object Relational {
       val n = t(s, d, "nation")
       val r = t(s, d, "region").filter(col("r_name") === "ASIA")
       li.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("n_name"), year(col("o_orderdate").cast("date")).as("yr"))

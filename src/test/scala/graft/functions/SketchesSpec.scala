@@ -71,6 +71,24 @@ class SketchesSpec extends SparkSpec {
     assert(out(3L) == 0L, "no tokens → all bit sums 0 → signature 0")
   }
 
+  test("builder errors name the offending parameter, including non-integral literals") {
+    GraftFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    val df = Seq("abc").toDF("text")
+    // non-integral literal must get the named-parameter message, not a
+    // raw NumberFormatException out of a toString.toLong coercion
+    val eDouble = intercept[IllegalArgumentException] {
+      df.selectExpr("minhash_sigs(text, 5.0, 16, 42)").collect()
+    }
+    assert(eDouble.getMessage.contains("'k'") &&
+      eDouble.getMessage.contains("integer literal"), eDouble.getMessage)
+    val eNonLit = intercept[IllegalArgumentException] {
+      df.selectExpr("minhash_sigs(text, length(text), 16, 42)").collect()
+    }
+    assert(eNonLit.getMessage.contains("'k'") &&
+      eNonLit.getMessage.contains("literal"), eNonLit.getMessage)
+  }
+
   test("codegen path compiles and matches interpreted eval") {
     val mh = MinHashSigs(BoundReference(0, StringType, nullable = true), 5, 8, 42L)
     val sh = SimHash64(BoundReference(0, StringType, nullable = true), 42L)

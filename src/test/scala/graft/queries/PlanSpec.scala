@@ -210,10 +210,18 @@ class PlanSpec extends SparkSpec {
     assert(plan("q_salted_agg").toString.contains("partial_sum"))
   }
 
-  test("q_star_join: dimension chain broadcasts; region filter pushed to its scan") {
-    val p = plan("q_star_join").toString
-    assert(p.split("BroadcastHashJoin").length - 1 >= 3,
-      "customer, nation, and region must all ride broadcasts")
+  test("q_star_join: bounded dims hinted, customer unhinted (AQE broadcasts at this SF)") {
+    // nation/region are spec-bounded (25/5 rows) and carry explicit hints;
+    // customer scales with SF so the static plan must stay free to shuffle
+    // it — AQE's own broadcast decision appears only in the executed plan
+    val sp = plan("q_star_join").toString
+    assert(sp.split("BroadcastHashJoin").length - 1 >= 2,
+      "nation and region must ride explicit broadcasts")
+    val df = SparkEntry.queries("q_star_join")(spark, TestSpark.sf0001)
+    df.collect()
+    val ep = df.queryExecution.executedPlan.toString
+    assert(ep.split("BroadcastHashJoin").length - 1 >= 3,
+      "AQE should also broadcast the small customer side at test SF")
     assert(scanOf("q_star_join", "region").metadata("PushedFilters")
       .contains("EqualTo(r_name,ASIA)"))
   }

@@ -423,6 +423,62 @@ object Curation {
         .select(col("lang"), col("rk").cast("bigint").as("rk"),
           col("doc_id"), col("n_chars"))
         .orderBy("lang", "rk")
+    }),
+
+    // URL canonicalization + dedup — the crawl-frontier merge step: raw
+    // URLs that differ only in scheme/host case, a `www.` prefix, a
+    // default port, utm_* tracking params, a fragment, or a trailing
+    // slash are the SAME resource and must collapse before fetch/dedup.
+    // Two deterministic raw variants per doc (messy + near-clean, the
+    // t_url_extract synthesis discipline — no URLs in the corpus text)
+    // canonicalize to one key; the whole op is a narrow regexp map plus
+    // one partial-agg'd groupBy on the canonical key. At 100 TB this is
+    // the exact-dedup shape: shuffle on canon, never pairwise.
+    "c_url_canon" -> ((s, d) => {
+      val a = pmod(col("doc_id"), lit(7)).cast("string")
+      val b = pmod(col("doc_id"), lit(11)).cast("string")
+      val c = pmod(col("doc_id"), lit(5)).cast("string")
+      val scheme = when(pmod(col("doc_id"), lit(2)) === 0, lit("HTTP"))
+        .otherwise(lit("https"))
+      val qRaw = when(pmod(col("doc_id"), lit(2)) === 0,
+          concat(lit("?utm_source=x&id="), c))
+        .when(pmod(col("doc_id"), lit(5)) === 0, concat(lit("?id="), c))
+        .otherwise(lit(""))
+      val qClean = when(pmod(col("doc_id"), lit(2)) === 0 ||
+          pmod(col("doc_id"), lit(5)) === 0, concat(lit("?id="), c))
+        .otherwise(lit(""))
+      val messy = concat(scheme, lit("://WWW.Site"), a, lit(".Example.COM"),
+        when(pmod(col("doc_id"), lit(3)) === 0, lit(":80")).otherwise(lit("")),
+        lit("/a/"), b,
+        when(pmod(col("doc_id"), lit(4)) === 0, lit("/")).otherwise(lit("")),
+        qRaw,
+        when(pmod(col("doc_id"), lit(6)) === 0, lit("#frag")).otherwise(lit("")))
+      val nearClean = concat(lower(scheme), lit("://site"), a,
+        lit(".example.com/a/"), b, qClean,
+        when(pmod(col("doc_id"), lit(6)) === 0, lit("#top")).otherwise(lit("")))
+      def canon(u: Column): Column = {
+        val noFrag = regexp_replace(u, "#.*$", "")
+        val sch = lower(regexp_extract(noFrag, "^([A-Za-z]+)://", 1))
+        val rest = regexp_replace(noFrag, "^[A-Za-z]+://", "")
+        val host = regexp_replace(regexp_replace(
+          lower(regexp_extract(rest, "^([^/?]+)", 1)),
+          "^www\\.", ""), ":(80|443)$", "")
+        val tail = regexp_replace(
+          regexp_replace(
+            regexp_replace(regexp_replace(rest, "^[^/?]+", ""),
+              "utm_[A-Za-z]+=[^&]*&?", ""),
+            "[?&]$", ""),
+          "/(\\?|$)", "$1")
+        concat(sch, lit("://"), host, tail)
+      }
+      t(s, d, "documents")
+        .select(col("doc_id"), explode(array(messy, nearClean)).as("url"))
+        .select(col("doc_id"), col("url"), canon(col("url")).as("canon"))
+        .groupBy("canon")
+        .agg(count(lit(1)).as("n_refs"),
+          countDistinct(col("url")).as("n_raw_forms"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy("canon")
     })
   )
 
@@ -646,6 +702,45 @@ object Curation {
         |    row_number() OVER (PARTITION BY lang ORDER BY priority DESC, doc_id) AS rk
         |  FROM p)
         |SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, n_chars
-        |FROM r WHERE rk <= 10 ORDER BY lang, rk""".stripMargin
+        |FROM r WHERE rk <= 10 ORDER BY lang, rk""".stripMargin,
+    "c_url_canon" ->
+      """WITH raw AS (
+        |  SELECT doc_id, unnest([
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END)
+        |      || '://WWW.Site' || CAST(doc_id % 7 AS VARCHAR) || '.Example.COM'
+        |      || (CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE '' END)
+        |      || '/a/' || CAST(doc_id % 11 AS VARCHAR)
+        |      || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+        |      || (CASE WHEN doc_id % 2 = 0 THEN '?utm_source=x&id=' || CAST(doc_id % 5 AS VARCHAR)
+        |               WHEN doc_id % 5 = 0 THEN '?id=' || CAST(doc_id % 5 AS VARCHAR)
+        |               ELSE '' END)
+        |      || (CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END),
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END)
+        |      || '://site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/a/'
+        |      || CAST(doc_id % 11 AS VARCHAR)
+        |      || (CASE WHEN doc_id % 2 = 0 OR doc_id % 5 = 0
+        |               THEN '?id=' || CAST(doc_id % 5 AS VARCHAR) ELSE '' END)
+        |      || (CASE WHEN doc_id % 6 = 0 THEN '#top' ELSE '' END)
+        |  ]) AS url FROM documents),
+        |c AS (
+        |  SELECT doc_id, url,
+        |    lower(regexp_extract(regexp_replace(url, '#.*$', ''), '^([A-Za-z]+)://', 1))
+        |      || '://'
+        |      || regexp_replace(regexp_replace(
+        |           lower(regexp_extract(
+        |             regexp_replace(regexp_replace(url, '#.*$', ''), '^[A-Za-z]+://', ''),
+        |             '^([^/?]+)', 1)),
+        |           '^www\.', ''), ':(80|443)$', '')
+        |      || regexp_replace(regexp_replace(regexp_replace(
+        |           regexp_replace(
+        |             regexp_replace(regexp_replace(url, '#.*$', ''), '^[A-Za-z]+://', ''),
+        |             '^[^/?]+', ''),
+        |           'utm_[A-Za-z]+=[^&]*&?', '', 'g'),
+        |           '[?&]$', ''), '/(\?|$)', '\1', 'g') AS canon
+        |  FROM raw)
+        |SELECT canon, count(*) AS n_refs,
+        |  CAST(count(DISTINCT url) AS BIGINT) AS n_raw_forms,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM c GROUP BY canon ORDER BY canon""".stripMargin
   )
 }

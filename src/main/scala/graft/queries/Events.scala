@@ -155,6 +155,46 @@ object Events {
           coalesce(col("n_err"), lit(0L)).as("n_err"),
           col("n_err").isNull.as("was_gap"))
         .orderBy("hour_ts")
+    }),
+
+    // Markov transition matrix over the per-user event stream: lag() gives
+    // the previous event type, then one partial-agg'd groupBy over at most
+    // |types|² = 25 pairs plus a window over those 25 rows for the
+    // row-normalized transition probability. The lag window partitions by
+    // user_id (per-user event counts are bounded, never a global sort);
+    // probabilities are bigint/bigint → double on both engines, rounded to
+    // 6 dp for hash stability.
+    "e_transition_matrix" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("prev_type", lag("event_type", 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p",
+          round(col("n") / sum("n").over(Window.partitionBy("prev_type")), 6))
+        .orderBy("prev_type", "next_type")
+    }),
+
+    // Batch form of the streaming dedup-within-watermark: keep the FIRST
+    // event per (user_id, event_type) inside each 10-minute tumbling
+    // window, report kept/dropped per type. The window id is integer
+    // microsecond arithmetic (floor(unix_micros/6e8)) so both engines
+    // bucket identically; row_number partitions by the dedup key — at
+    // 100 TB that's one shuffle on a high-cardinality composite key with
+    // bounded per-partition sort runs.
+    "e_dedup_window" -> ((s, d) => {
+      val winId = floor(unix_micros(col("ts")) / lit(600000000L)).cast("bigint")
+      val w = Window.partitionBy(col("user_id"), col("event_type"), col("win_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("win_id", winId)
+        .withColumn("rn", row_number().over(w))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("rn") === 1, 1L).otherwise(0L)).cast("bigint").as("n_kept"),
+          sum(when(col("rn") > 1, 1L).otherwise(0L)).cast("bigint").as("n_dupes"))
+        .orderBy("event_type")
     })
   )
 
@@ -249,6 +289,28 @@ object Events {
         |  CAST(coalesce(n_err, 0) AS BIGINT) AS n_err,
         |  n_err IS NULL AS was_gap
         |FROM spine LEFT JOIN hourly USING (hour_ts)
-        |ORDER BY hour_ts""".stripMargin
+        |ORDER BY hour_ts""".stripMargin,
+    "e_transition_matrix" ->
+      """WITH t AS (
+        |  SELECT event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |c AS (SELECT prev_type, event_type AS next_type, count(*) AS n
+        |      FROM t WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, next_type, n,
+        |  round(n / sum(n) OVER (PARTITION BY prev_type), 6) AS p
+        |FROM c ORDER BY prev_type, next_type""".stripMargin,
+    "e_dedup_window" ->
+      """WITH x AS (
+        |  SELECT event_type,
+        |    row_number() OVER (
+        |      PARTITION BY user_id, event_type,
+        |        CAST(floor(epoch_us(ts) / 600000000) AS BIGINT)
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dupes
+        |FROM x GROUP BY 1 ORDER BY event_type""".stripMargin
   )
 }

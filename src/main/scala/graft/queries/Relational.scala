@@ -573,7 +573,21 @@ object Relational {
         .select(col("n_name"), col("yr").cast("bigint").as("yr"),
           col("revenue"), col("n_items"))
         .orderBy("n_name", "yr")
-    })
+    }),
+
+    // Fixed-width histogram (data-profiling op): 20 buckets over a LITERAL
+    // [0, 600k) range, bucket id by floor division — one partial-agg'd
+    // groupBy over ≤21 groups, no data-dependent bounds pass, no sort
+    // until the 21-row result. Spelled as explicit floor arithmetic (not
+    // width_bucket) so both engines share one IEEE double expression.
+    "q_histogram" -> ((s, d) =>
+      t(s, d, "orders")
+        .select(least(floor(col("o_totalprice") / 30000.0).cast("bigint"),
+          lit(19L)).as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("lo", round(lit(30000.0) * col("bucket"), 1))
+        .orderBy("bucket"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -838,6 +852,11 @@ object Relational {
         |  CAST(sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_current,
         |  CAST(min(dt) AS VARCHAR) AS first_from,
         |  CAST(max(COALESCE(valid_to, DATE '9999-12-31')) AS VARCHAR) AS last_to
-        |FROM v GROUP BY st ORDER BY st""".stripMargin
+        |FROM v GROUP BY st ORDER BY st""".stripMargin,
+    "q_histogram" ->
+      """SELECT least(CAST(floor(o_totalprice / 30000.0) AS BIGINT), 19) AS bucket,
+        |  count(*) AS n,
+        |  round(CAST(30000.0 AS DOUBLE) * least(CAST(floor(o_totalprice / 30000.0) AS BIGINT), 19), 1) AS lo
+        |FROM orders GROUP BY 1, 3 ORDER BY bucket""".stripMargin
   )
 }

@@ -285,6 +285,53 @@ object Similarity {
           round(max("err"), 9).as("max_err"),
           round(avg("err"), 6).as("avg_err"))
         .orderBy("q_bucket")
+    }),
+
+    // Product quantization (PQ) — the memory-compression ANN path at
+    // 100 TB: each 64-float vector is stored as M=4 one-byte codes (one
+    // per 16-dim subspace), and query scoring is an ADC table lookup —
+    // 32 query·codeword dots computed ONCE, then a broadcast join against
+    // the codes; the original vectors are never touched at query time.
+    // Codebook here: per-subspace codewords = the first 8 vectors'
+    // subvectors (deterministic; a production build trains them with the
+    // s_kmeans loop per subspace). Assignment argmaxes 9-dp-rounded dot
+    // products with a code-id tiebreak (the IVF discipline); the 4
+    // per-subspace ADC terms are pivoted to columns and added in FIXED
+    // m-order so both engines sum bit-identically.
+    "s_pq_topk" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val dot = graft.functions.GraftFunctions.dotProduct _
+      val emb = t(s, d, "embeddings")
+      val M = 4; val sub = 16
+      def subspaces(v: Column, out: String): Column =
+        explode(array((0 until M).map(m =>
+          struct(lit(m).as("m"), slice(v, m * sub + 1, sub).as(out))): _*))
+      val cb = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("code"),
+          subspaces(col("embedding"), "cw").as("x"))
+        .select(col("x.m").as("m"), col("code"), col("x.cw").as("cw"))
+      val codes = emb.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), subspaces(col("embedding"), "sv").as("x"))
+        .select(col("vec_id"), col("x.m").as("m"), col("x.sv").as("sv"))
+        .join(broadcast(cb), "m")
+        .select(col("vec_id"), col("m"), col("code"),
+          round(dot(col("sv"), col("cw")), 9).as("dp"))
+        .groupBy("vec_id", "m")
+        .agg(max(struct(col("dp"), col("code"))).getField("code").as("code"))
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      val qlut = cb.crossJoin(broadcast(q))
+        .select(col("m"), col("code"),
+          round(dot(slice(col("qv"), col("m") * sub + 1, lit(sub)), col("cw")), 9).as("qd"))
+      codes.join(broadcast(qlut), Seq("m", "code"))
+        .groupBy("vec_id")
+        .agg(max(when(col("m") === 0, col("qd"))).as("d0"),
+          max(when(col("m") === 1, col("qd"))).as("d1"),
+          max(when(col("m") === 2, col("qd"))).as("d2"),
+          max(when(col("m") === 3, col("qd"))).as("d3"))
+        .select(col("vec_id"),
+          round(col("d0") + col("d1") + col("d2") + col("d3"), 4).as("approx_dot"))
+        .orderBy(col("approx_dot").desc, col("vec_id"))
+        .limit(10)
     })
   )
 
@@ -393,6 +440,32 @@ object Similarity {
         |      FROM qv)
         |SELECT CAST(q // 32 AS BIGINT) AS q_bucket, count(*) AS n,
         |  round(max(err), 9) AS max_err, round(avg(err), 6) AS avg_err
-        |FROM e GROUP BY q_bucket ORDER BY q_bucket""".stripMargin
+        |FROM e GROUP BY q_bucket ORDER BY q_bucket""".stripMargin,
+    // same PQ pipeline in SQL: codebook slices → per-subspace argmax
+    // assignment (9-dp-rounded dots, code tiebreak via max-of-struct) →
+    // ADC lookup join → fixed-order 4-term sum
+    "s_pq_topk" ->
+      """WITH ms AS (SELECT CAST(r.i AS INT) AS m FROM range(4) r(i)),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cb AS (SELECT m, CAST(vec_id AS INT) AS code, v[m*16+1 : m*16+16] AS cw
+        |       FROM e, ms WHERE vec_id < 8),
+        |sub AS (SELECT vec_id, m, v[m*16+1 : m*16+16] AS sv FROM e, ms WHERE vec_id <> 0),
+        |assign AS (
+        |  SELECT vec_id, sub.m,
+        |    (max({'d': round(list_dot_product(sv, cw), 9), 'code': code})).code AS code
+        |  FROM sub JOIN cb ON sub.m = cb.m GROUP BY vec_id, sub.m),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |qlut AS (SELECT m, code,
+        |         round(list_dot_product(qv[m*16+1 : m*16+16], cw), 9) AS qd
+        |         FROM cb, q),
+        |adc AS (
+        |  SELECT vec_id,
+        |    max(CASE WHEN m = 0 THEN qd END) AS d0,
+        |    max(CASE WHEN m = 1 THEN qd END) AS d1,
+        |    max(CASE WHEN m = 2 THEN qd END) AS d2,
+        |    max(CASE WHEN m = 3 THEN qd END) AS d3
+        |  FROM assign JOIN qlut USING (m, code) GROUP BY vec_id)
+        |SELECT vec_id, round(d0 + d1 + d2 + d3, 4) AS approx_dot
+        |FROM adc ORDER BY approx_dot DESC, vec_id LIMIT 10""".stripMargin
   )
 }

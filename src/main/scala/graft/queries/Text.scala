@@ -265,6 +265,26 @@ object Text {
           round(-sum(col("p") * log(col("p"))) + lit(0.0), 6).as("entropy"))
         .select(col("doc_id"), col("n_tokens"), col("entropy"))
         .orderBy("doc_id")
+    }),
+
+    // Vocabulary richness per language: type-token ratio + hapax-legomena
+    // fraction (the corpus-health signal that collapses when a crawl is
+    // template-dominated). One explode then two partial-agg'd groupBys —
+    // the (lang, term) aggregate is the heavy stage at 100 TB and
+    // map-side combines; the per-lang rollup is |langs| rows. Ratios are
+    // exact bigint/bigint → double divisions, rounded to 6 dp.
+    "t_hapax_ratio" -> ((s, d) => {
+      val terms = t(s, d, "documents")
+        .select(col("lang"), explode(tokens(col("text"))).as("term"))
+      terms.groupBy("lang", "term").agg(count(lit(1)).as("occ"))
+        .groupBy("lang")
+        .agg(sum("occ").cast("bigint").as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(when(col("occ") === 1, 1L).otherwise(0L)).cast("bigint").as("n_hapax"))
+        .select(col("lang"), col("n_tokens"), col("n_types"), col("n_hapax"),
+          round(col("n_types") / col("n_tokens"), 6).as("ttr"),
+          round(col("n_hapax") / col("n_types"), 6).as("hapax_ratio"))
+        .orderBy("lang")
     })
   )
 
@@ -392,6 +412,16 @@ object Text {
         |p AS (SELECT cnt.doc_id, n, CAST(c AS DOUBLE) / n AS p FROM cnt JOIN tot USING (doc_id))
         |SELECT doc_id, CAST(max(n) AS BIGINT) AS n_tokens,
         |  round(-sum(p * ln(p)) + 0.0, 6) AS entropy
-        |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "t_hapax_ratio" ->
+      """WITH w AS (
+        |  SELECT lang, unnest(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS term
+        |  FROM documents),
+        |c AS (SELECT lang, term, count(*) AS occ FROM w GROUP BY 1, 2)
+        |SELECT lang, CAST(sum(occ) AS BIGINT) AS n_tokens, count(*) AS n_types,
+        |  CAST(sum(CASE WHEN occ = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        |  round(count(*) / CAST(sum(occ) AS BIGINT), 6) AS ttr,
+        |  round(CAST(sum(CASE WHEN occ = 1 THEN 1 ELSE 0 END) AS BIGINT) / count(*), 6) AS hapax_ratio
+        |FROM c GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

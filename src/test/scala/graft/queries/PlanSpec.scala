@@ -244,4 +244,33 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), "reference-surface ETL must be shuffle-free")
     assert(p.contains("Union"))
   }
+
+  test("q_histogram: literal-bound buckets partial-aggregate; orders scan prunes to one column") {
+    val p = plan("q_histogram").toString
+    assert(p.contains("partial_count"), "histogram must map-side combine")
+    assert(scanOf("q_histogram", "orders").requiredSchema.fieldNames.toSeq ==
+      Seq("o_totalprice"))
+  }
+
+  test("e_transition_matrix / e_dedup_window: windows stay partitioned (no global sort)") {
+    assert(!plan("e_transition_matrix").toString.contains("SinglePartition"),
+      "lag window must partition by user_id; p-window by prev_type")
+    assert(!plan("e_dedup_window").toString.contains("SinglePartition"),
+      "dedup row_number must partition by (user, type, win)")
+  }
+
+  test("s_pq_topk: codebook and ADC lookup ride broadcasts; codes partial-aggregate") {
+    val p = plan("s_pq_topk").toString
+    assert(p.split("BroadcastHashJoin").length - 1 >= 2,
+      "cb join and qlut join must both be broadcast hash joins")
+    assert(p.contains("partial_max"), "per-subspace argmax must map-side combine")
+    assert(p.contains("TakeOrderedAndProject"), "top-10 must not globally sort")
+  }
+
+  test("c_url_canon / t_hapax_ratio: narrow maps + partial-agg'd groupBys, no nested loop") {
+    val pu = plan("c_url_canon").toString
+    assert(pu.contains("partial_count") && !pu.contains("NestedLoop"))
+    val ph = plan("t_hapax_ratio").toString
+    assert(ph.contains("partial_count") && !ph.contains("NestedLoop"))
+  }
 }

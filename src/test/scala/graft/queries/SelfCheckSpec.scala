@@ -50,4 +50,24 @@ class SelfCheckSpec extends SparkSpec {
     assert(r.nonEmpty)
     assert(r.forall(_.getAs[Boolean]("within_tol")))
   }
+
+  test("s_pq_topk: ADC top-10 overlaps the exact-dot top-10 (recall >= 0.2 floor)") {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val emb = Tables.t(spark, sf, "embeddings")
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val exact = emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        graft.functions.GraftFunctions.dotProduct(col("embedding"), col("qv")).as("dp"))
+      .orderBy(col("dp").desc, col("vec_id")).limit(10)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val pq = Similarity.queries("s_pq_topk")(spark, sf)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(pq.size == 10)
+    // 8-codeword sample codebook is deliberately crude — the floor catches
+    // a broken assignment/ADC join, not codebook quality (measured 0.4 at
+    // sf0.01 / 0.4-0.6 at sf0.001 on the near-uniform testdata embeddings)
+    assert(exact.intersect(pq).size >= 2,
+      s"PQ recall collapsed: ${exact.intersect(pq).size}/10")
+  }
 }

@@ -479,6 +479,31 @@ object Curation {
           countDistinct(col("url")).as("n_raw_forms"),
           countDistinct(col("doc_id")).as("n_docs"))
         .orderBy("canon")
+    }),
+
+    // Domain-blocklist filtering — the crawl-hygiene gate that runs before
+    // any content-level curation: documents whose source domain is on a
+    // deny list are dropped via a BROADCAST LEFT-ANTI join (the blocklist
+    // is thousands of rows against billions of docs — never a shuffle of
+    // the corpus, and never an `IN` list compiled into the plan, so the
+    // same plan serves a blocklist loaded from a table). Domains are
+    // doc_id-derived (the t_url_extract synthesis discipline).
+    "c_domain_blocklist" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          concat(lit("site"), pmod(col("doc_id"), lit(7)).cast("string"),
+            lit(".example.com")).as("domain"))
+      val bl = Seq("site1.example.com", "site3.example.com", "site5.example.com")
+        .toDF("domain")
+      val kept = docs.join(broadcast(bl), Seq("domain"), "left_anti")
+        .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+      docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+        .join(kept, Seq("lang"), "left")
+        .select(col("lang"), col("n_docs"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          (col("n_docs") - coalesce(col("n_kept"), lit(0L))).as("n_blocked"))
+        .orderBy("lang")
     })
   )
 
@@ -741,6 +766,20 @@ object Curation {
         |SELECT canon, count(*) AS n_refs,
         |  CAST(count(DISTINCT url) AS BIGINT) AS n_raw_forms,
         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
-        |FROM c GROUP BY canon ORDER BY canon""".stripMargin
+        |FROM c GROUP BY canon ORDER BY canon""".stripMargin,
+    "c_domain_blocklist" ->
+      """WITH docs AS (
+        |  SELECT doc_id, lang,
+        |    'site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS domain
+        |  FROM documents),
+        |bl AS (SELECT unnest(['site1.example.com', 'site3.example.com',
+        |                      'site5.example.com']) AS domain),
+        |kept AS (SELECT lang, count(*) AS n_kept FROM docs
+        |         WHERE domain NOT IN (SELECT domain FROM bl) GROUP BY lang),
+        |tot AS (SELECT lang, count(*) AS n_docs FROM docs GROUP BY lang)
+        |SELECT lang, n_docs,
+        |  CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+        |  CAST(n_docs - coalesce(n_kept, 0) AS BIGINT) AS n_blocked
+        |FROM tot LEFT JOIN kept USING (lang) ORDER BY lang""".stripMargin
   )
 }

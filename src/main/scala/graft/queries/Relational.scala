@@ -588,6 +588,35 @@ object Relational {
         .agg(count(lit(1)).as("n"))
         .withColumn("lo", round(lit(30000.0) * col("bucket"), 1))
         .orderBy("bucket"))
+,
+
+    // Interval-overlap via sweep line — max items simultaneously in
+    // transit, per year. The naive form is an interval self-join (O(n²)
+    // pairs); the scalable form is +1/−1 boundary events → per-day
+    // partial-agg'd deltas → ONE running sum over the per-day series.
+    // The running-sum window is ordered globally, but its input is the
+    // per-DAY aggregate: cardinality = the calendar span (~2.5k rows
+    // regardless of SF) — the t_zipf_slope bounded-window discipline,
+    // never a window over raw lineitem. Transit duration is derived
+    // deterministically from l_linenumber (the testdata carries no
+    // receipt date): 2–31 days.
+    "q_interval_overlap" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val deltas = li.select(to_date(col("l_shipdate")).as("day"), lit(1L).as("delta"))
+        .unionAll(li.select(
+          date_add(to_date(col("l_shipdate")),
+            (pmod(col("l_linenumber"), lit(30)) + lit(2)).cast("int")).as("day"),
+          lit(-1L).as("delta")))
+        .groupBy("day").agg(sum("delta").as("d"))
+      val w = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      deltas.withColumn("concurrent", sum("d").over(w))
+        .groupBy(year(col("day")).cast("bigint").as("yr"))
+        .agg(max("concurrent").as("peak_concurrent"),
+          round(avg("concurrent"), 2).as("avg_concurrent"),
+          count(lit(1)).as("n_days"))
+        .orderBy("yr")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -857,6 +886,21 @@ object Relational {
       """SELECT least(CAST(floor(o_totalprice / 30000.0) AS BIGINT), 19) AS bucket,
         |  count(*) AS n,
         |  round(CAST(30000.0 AS DOUBLE) * least(CAST(floor(o_totalprice / 30000.0) AS BIGINT), 19), 1) AS lo
-        |FROM orders GROUP BY 1, 3 ORDER BY bucket""".stripMargin
+        |FROM orders GROUP BY 1, 3 ORDER BY bucket""".stripMargin,
+    "q_interval_overlap" ->
+      """WITH deltas AS (
+        |  SELECT CAST(l_shipdate AS DATE) AS day, 1 AS delta FROM lineitem
+        |  UNION ALL
+        |  SELECT CAST(l_shipdate AS DATE) + CAST(l_linenumber % 30 + 2 AS INT), -1
+        |  FROM lineitem),
+        |g AS (SELECT day, sum(delta) AS d FROM deltas GROUP BY day),
+        |r AS (SELECT day, sum(d) OVER (
+        |        ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS concurrent
+        |      FROM g)
+        |SELECT CAST(year(day) AS BIGINT) AS yr,
+        |  CAST(max(concurrent) AS BIGINT) AS peak_concurrent,
+        |  round(avg(concurrent), 2) AS avg_concurrent,
+        |  count(*) AS n_days
+        |FROM r GROUP BY 1 ORDER BY yr""".stripMargin
   )
 }

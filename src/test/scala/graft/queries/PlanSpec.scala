@@ -273,4 +273,17 @@ class PlanSpec extends SparkSpec {
     val ph = plan("t_hapax_ratio").toString
     assert(ph.contains("partial_count") && !ph.contains("NestedLoop"))
   }
+
+  test("q_interval_overlap: deltas partial-aggregate before the bounded running-sum window") {
+    val p = plan("q_interval_overlap").toString
+    assert(p.contains("partial_sum"), "per-day deltas must map-side combine")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      "sweep line must never become an interval self-join")
+  }
+
+  test("c_domain_blocklist: deny list rides a broadcast left-anti join") {
+    val p = plan("c_domain_blocklist").toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      "blocklist must broadcast, corpus must not shuffle for the filter")
+  }
 }

@@ -1,7 +1,7 @@
 package graft.io
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
 import org.apache.spark.sql.types.StructType
 
 /** JSONL training-shard layout: the interchange format LLM data pipelines
@@ -40,4 +40,36 @@ object TrainingShards {
     */
   def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
+
+  /** Deterministic shard id in [0, nShards) from any key column —
+    * xxhash64, never an RNG, so re-runs and incremental backfills place
+    * every row identically.
+    */
+  def assignShard(key: Column, nShards: Int): Column = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    pmod(xxhash64(key), lit(nShards.toLong)).cast("int")
+  }
+
+  /** Write `df` as `path/shard=<k>/part-*.parquet`, sharded by
+    * `xxhash64(keyCol) % nShards`, optionally ordered within each shard
+    * (sequence packing and curriculum sampling both want stable order —
+    * `sortWithinPartitions` sorts each shard's co-located rows with NO
+    * extra shuffle beyond the placement repartition). At 100 TB, cap file
+    * sizes with `spark.sql.files.maxRecordsPerFile` rather than more
+    * shards: shard count should track the downstream LOADER's
+    * parallelism, not the writer's.
+    */
+  def writeParquetShards(
+      df: DataFrame,
+      keyCol: String,
+      path: String,
+      nShards: Int,
+      orderWithinShard: Seq[Column] = Nil): Unit = {
+    val sharded = df.withColumn("shard", assignShard(col(keyCol), nShards))
+      .repartition(col("shard"))
+    val placed =
+      if (orderWithinShard.isEmpty) sharded
+      else sharded.sortWithinPartitions(col("shard") +: orderWithinShard: _*)
+    placed.write.mode("overwrite").partitionBy("shard").parquet(path)
+  }
 }

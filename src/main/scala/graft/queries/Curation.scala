@@ -504,6 +504,28 @@ object Curation {
           coalesce(col("n_kept"), lit(0L)).as("n_kept"),
           (col("n_docs") - coalesce(col("n_kept"), lit(0L))).as("n_blocked"))
         .orderBy("lang")
+    }),
+
+    // Differentially-private group counts via the Laplace mechanism —
+    // what a pipeline publishes when corpus composition stats leave the
+    // trust boundary. Count queries have sensitivity 1, so noise ~
+    // Laplace(1/ε) via inverse-CDF: −(1/ε)·sign(u−½)·ln(1−2|u−½|). The
+    // "random" draw u is the c_weighted_sample discipline — a 48-bit
+    // md5 prefix of the group key (exact in a double, /2^48 exact), NOT
+    // an RNG — so the noise is reproducible across runs AND engines; the
+    // +0.5 offset keeps u strictly inside (0,1) so ln never sees 0. One
+    // tiny aggregate; noise is a 5-row map on the driver-bound result.
+    "c_dp_count" -> ((s, d) => {
+      val u = (conv(substring(md5(concat(col("lang"), lit("|dp-seed"))), 1, 12),
+        16, 10).cast("double") + 0.5) / 281474976710656.0
+      val noise = (lit(-1.0) * signum(u - 0.5) *
+        log(lit(1.0) - lit(2.0) * abs(u - 0.5)))
+      t(s, d, "documents")
+        .groupBy("lang").agg(count(lit(1)).as("n"))
+        .select(col("lang"),
+          round(col("n") + noise, 3).as("noisy_n"),
+          lit(1.0).as("epsilon"))
+        .orderBy("lang")
     })
   )
 
@@ -780,6 +802,16 @@ object Curation {
         |SELECT lang, n_docs,
         |  CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
         |  CAST(n_docs - coalesce(n_kept, 0) AS BIGINT) AS n_blocked
-        |FROM tot LEFT JOIN kept USING (lang) ORDER BY lang""".stripMargin
+        |FROM tot LEFT JOIN kept USING (lang) ORDER BY lang""".stripMargin,
+    "c_dp_count" ->
+      """WITH g AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |s AS (SELECT lang, n,
+        |  (CAST('0x' || substr(md5(lang || '|dp-seed'), 1, 12) AS BIGINT) + 0.5)
+        |    / 281474976710656.0 AS u
+        |  FROM g)
+        |SELECT lang,
+        |  round(n + (-1.0) * sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5)), 3) AS noisy_n,
+        |  CAST(1.0 AS DOUBLE) AS epsilon
+        |FROM s ORDER BY lang""".stripMargin
   )
 }

@@ -195,6 +195,34 @@ object Events {
           sum(when(col("rn") === 1, 1L).otherwise(0L)).cast("bigint").as("n_kept"),
           sum(when(col("rn") > 1, 1L).otherwise(0L)).cast("bigint").as("n_dupes"))
         .orderBy("event_type")
+    }),
+
+    // Out-of-orderness profile — the measurement that PICKS a streaming
+    // watermark delay: an event is late by (event-time high-water mark at
+    // its arrival) − (its own event time). The corpus records no arrival
+    // time (events are perfectly ordered), so arrival order is simulated
+    // by a DETERMINISTIC hash permutation of event_id (md5 — same bytes
+    // both engines, the c_hash_sample discipline), which models uniform
+    // network jitter. Running max over each user's arrival sequence
+    // (bounded partitions, never global), then exact per-type lateness
+    // percentiles — Spark `percentile` ≡ DuckDB `quantile_cont`, the
+    // q_percentile parity.
+    "e_lateness_profile" -> ((s, d) => {
+      val arrOrd = md5(col("event_id").cast("string"))
+      val wPrev = Window.partitionBy("user_id").orderBy(arrOrd, col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, d)
+        .withColumn("tsus", unix_micros(col("ts")))
+        .withColumn("hwm", max("tsus").over(wPrev))
+        .filter(col("hwm").isNotNull)
+        .withColumn("late_us", greatest(lit(0L), col("hwm") - col("tsus")))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("late_us") > 0, 1L).otherwise(0L)).cast("bigint").as("n_late"),
+          round(expr("percentile(late_us, 0.5)"), 1).as("p50_late_us"),
+          round(expr("percentile(late_us, 0.95)"), 1).as("p95_late_us"),
+          max("late_us").as("max_late_us"))
+        .orderBy("event_type")
     })
   )
 
@@ -311,6 +339,22 @@ object Events {
         |SELECT event_type, count(*) AS n_events,
         |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dupes
-        |FROM x GROUP BY 1 ORDER BY event_type""".stripMargin
+        |FROM x GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "e_lateness_profile" ->
+      """WITH x AS (
+        |  SELECT event_type, epoch_us(ts) AS tsus,
+        |    max(epoch_us(ts)) OVER (
+        |      PARTITION BY user_id
+        |      ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+        |  FROM events),
+        |l AS (SELECT event_type, greatest(0, hwm - tsus) AS late_us
+        |      FROM x WHERE hwm IS NOT NULL)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+        |  round(quantile_cont(late_us, 0.5), 1) AS p50_late_us,
+        |  round(quantile_cont(late_us, 0.95), 1) AS p95_late_us,
+        |  max(late_us) AS max_late_us
+        |FROM l GROUP BY 1 ORDER BY event_type""".stripMargin
   )
 }

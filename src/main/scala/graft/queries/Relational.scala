@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -616,6 +617,73 @@ object Relational {
           round(avg("concurrent"), 2).as("avg_concurrent"),
           count(lit(1)).as("n_days"))
         .orderBy("yr")
+    }),
+
+    // RFM customer segmentation — recency / frequency / monetary quintile
+    // scores without any global window: per-customer aggregates (one
+    // partial-agg'd shuffle), quintile BREAKPOINTS from a 1-row exact
+    // percentile aggregate broadcast back (the q_percentile parity:
+    // Spark `percentile` ≡ DuckDB `quantile_cont`), scores by comparison
+    // against the broadcast thresholds. ntile() would drag every
+    // customer into one sorted partition — the shape PlanSpec forbids.
+    "q_rfm_segment" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val maxDay = o.agg(max(to_date(col("o_orderdate"))).as("as_of"))
+      val rfm = o.groupBy("o_custkey")
+        .agg(max(to_date(col("o_orderdate"))).as("last_day"),
+          count(lit(1)).as("freq"),
+          // rounded to 2 dp BEFORE the quantile cut: the double sum is
+          // partition-order-dependent, and a score compares each value
+          // against a threshold interpolated from these same values —
+          // rounding makes value and threshold bit-identical cross-engine
+          round(sum(col("o_totalprice")), 2).as("monetary"))
+        .crossJoin(broadcast(maxDay))
+        .select(col("o_custkey"),
+          datediff(col("as_of"), col("last_day")).cast("double").as("rec"),
+          col("freq").cast("double").as("freq"), col("monetary"))
+      val cuts = rfm.agg(
+        expr("percentile(rec, array(0.2, 0.4, 0.6, 0.8))").as("rc"),
+        expr("percentile(freq, array(0.2, 0.4, 0.6, 0.8))").as("fc"),
+        expr("percentile(monetary, array(0.2, 0.4, 0.6, 0.8))").as("mc"))
+      def score(v: Column, cutsCol: Column, reversed: Boolean): Column = {
+        // 1 + number of breakpoints strictly below the value (5 = best)
+        val q = lit(1) +
+          (0 until 4).map(i => when(v > cutsCol.getItem(i), 1).otherwise(0))
+            .reduce(_ + _)
+        if (reversed) lit(6) - q else q // low recency = good
+      }
+      rfm.crossJoin(broadcast(cuts))
+        .select(col("o_custkey"),
+          score(col("rec"), col("rc"), reversed = true).as("r"),
+          score(col("freq"), col("fc"), reversed = false).as("f"),
+          score(col("monetary"), col("mc"), reversed = false).as("m"))
+        .groupBy("r", "f", "m")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("r", "f", "m")
+    }),
+
+    // Join-key skew profiler — the measurement behind the salt-or-not
+    // decision (util.Skew): per-key counts (one partial-agg'd shuffle over
+    // the key), then a single aggregate over the per-key histogram: key
+    // count, max share, p99 count, Shannon entropy of the key
+    // distribution (uniform keys → entropy ≈ ln n_keys; a hot key drives
+    // max_share up and entropy down). Never sorts, never windows.
+    "q_skew_detect" -> ((s, d) => {
+      val counts = t(s, d, "orders").groupBy("o_custkey")
+        .agg(count(lit(1)).as("cnt"))
+      val tot = counts.agg(sum("cnt").as("tot"))
+      val entropy = counts.crossJoin(broadcast(tot))
+        .select((col("cnt") / col("tot")).as("p"))
+        .agg(round(-sum(col("p") * log(col("p"))) + lit(0.0), 6).as("entropy"))
+      counts.agg(
+          count(lit(1)).as("n_keys"),
+          sum("cnt").cast("bigint").as("n_rows"),
+          max("cnt").as("max_cnt"),
+          round(expr("percentile(cnt, 0.99)"), 2).as("p99_cnt"))
+        .crossJoin(broadcast(entropy))
+        .select(col("n_keys"), col("n_rows"),
+          round(col("max_cnt") / col("n_rows"), 6).as("max_share"),
+          col("p99_cnt"), col("entropy"))
     })
   )
 
@@ -887,6 +955,45 @@ object Relational {
         |  count(*) AS n,
         |  round(CAST(30000.0 AS DOUBLE) * least(CAST(floor(o_totalprice / 30000.0) AS BIGINT), 19), 1) AS lo
         |FROM orders GROUP BY 1, 3 ORDER BY bucket""".stripMargin,
+    "q_rfm_segment" ->
+      """WITH mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS as_of FROM orders),
+        |rfm AS (
+        |  SELECT o_custkey,
+        |    CAST(date_diff('day', max(CAST(o_orderdate AS DATE)),
+        |                   (SELECT as_of FROM mx)) AS DOUBLE) AS rec,
+        |    CAST(count(*) AS DOUBLE) AS freq,
+        |    round(sum(o_totalprice), 2) AS monetary
+        |  FROM orders GROUP BY o_custkey),
+        |cuts AS (SELECT quantile_cont(rec, [0.2, 0.4, 0.6, 0.8]) AS rc,
+        |                quantile_cont(freq, [0.2, 0.4, 0.6, 0.8]) AS fc,
+        |                quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]) AS mc
+        |         FROM rfm),
+        |sc AS (SELECT o_custkey,
+        |  6 - (1 + (CASE WHEN rec > rc[1] THEN 1 ELSE 0 END)
+        |         + (CASE WHEN rec > rc[2] THEN 1 ELSE 0 END)
+        |         + (CASE WHEN rec > rc[3] THEN 1 ELSE 0 END)
+        |         + (CASE WHEN rec > rc[4] THEN 1 ELSE 0 END)) AS r,
+        |  1 + (CASE WHEN freq > fc[1] THEN 1 ELSE 0 END)
+        |    + (CASE WHEN freq > fc[2] THEN 1 ELSE 0 END)
+        |    + (CASE WHEN freq > fc[3] THEN 1 ELSE 0 END)
+        |    + (CASE WHEN freq > fc[4] THEN 1 ELSE 0 END) AS f,
+        |  1 + (CASE WHEN monetary > mc[1] THEN 1 ELSE 0 END)
+        |    + (CASE WHEN monetary > mc[2] THEN 1 ELSE 0 END)
+        |    + (CASE WHEN monetary > mc[3] THEN 1 ELSE 0 END)
+        |    + (CASE WHEN monetary > mc[4] THEN 1 ELSE 0 END) AS m
+        |  FROM rfm, cuts)
+        |SELECT r, f, m, count(*) AS n_customers
+        |FROM sc GROUP BY 1, 2, 3 ORDER BY r, f, m""".stripMargin,
+    "q_skew_detect" ->
+      """WITH c AS (SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM c),
+        |h AS (SELECT round(-sum(p * ln(p)) + 0.0, 6) AS entropy
+        |      FROM (SELECT cnt / CAST(tot AS DOUBLE) AS p FROM c, tot))
+        |SELECT count(*) AS n_keys, (SELECT tot FROM tot) AS n_rows,
+        |  round(max(cnt) / CAST((SELECT tot FROM tot) AS DOUBLE), 6) AS max_share,
+        |  round(quantile_cont(cnt, 0.99), 2) AS p99_cnt,
+        |  (SELECT entropy FROM h) AS entropy
+        |FROM c""".stripMargin,
     "q_interval_overlap" ->
       """WITH deltas AS (
         |  SELECT CAST(l_shipdate AS DATE) AS day, 1 AS delta FROM lineitem

@@ -285,6 +285,35 @@ object Text {
           round(col("n_types") / col("n_tokens"), 6).as("ttr"),
           round(col("n_hapax") / col("n_types"), 6).as("hapax_ratio"))
         .orderBy("lang")
+    }),
+
+    // Code-vs-prose detection — the router that splits a crawl into code
+    // and natural-language training pools. Signals: symbol density per
+    // 100 chars + code-keyword hits (RE2-safe, identical both engines).
+    // The corpus is prose-only (vocab verified free of code keywords), so
+    // a deterministic code snippet is appended to doc_id % 4 == 0 docs
+    // (the t_url_extract synthesis discipline) and the output
+    // SELF-GRADES: per lang, detected-code count must equal the planted
+    // count. One narrow codegen'd map + a |langs|-row rollup.
+    "t_code_detect" -> ((s, d) => {
+      val planted = pmod(col("doc_id"), lit(4)) === 0
+      val txt = when(planted,
+        concat(col("text"),
+          lit("\nfor (i = 0; i < n; i++) { x[i] = y[i] + f(z); }")))
+        .otherwise(col("text"))
+      val sym = regexp_count(txt, lit("[{}()\\[\\];=<>+]")).cast("double")
+      val kw = regexp_count(txt,
+        lit("(^|[ \\n])(for|while|if|return|def|var|int)[ (]")).cast("double")
+      val score = round(sym * 100.0 / length(txt) + kw, 4)
+      t(s, d, "documents")
+        .select(col("lang"), planted.as("planted"), score.as("code_score"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("code_score") > 1.0, 1L).otherwise(0L)).cast("bigint").as("n_code"),
+          sum(when(col("planted"), 1L).otherwise(0L)).cast("bigint").as("n_planted"),
+          round(avg("code_score"), 4).as("avg_score"))
+        .withColumn("detector_exact", col("n_code") === col("n_planted"))
+        .orderBy("lang")
     })
   )
 
@@ -422,6 +451,28 @@ object Text {
         |  CAST(sum(CASE WHEN occ = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
         |  round(count(*) / CAST(sum(occ) AS BIGINT), 6) AS ttr,
         |  round(CAST(sum(CASE WHEN occ = 1 THEN 1 ELSE 0 END) AS BIGINT) / count(*), 6) AS hapax_ratio
-        |FROM c GROUP BY lang ORDER BY lang""".stripMargin
+        |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
+    "t_code_detect" ->
+      """WITH x AS (
+        |  SELECT lang, doc_id % 4 = 0 AS planted,
+        |    CASE WHEN doc_id % 4 = 0
+        |         THEN text || chr(10) || 'for (i = 0; i < n; i++) { x[i] = y[i] + f(z); }'
+        |         ELSE text END AS txt
+        |  FROM documents),
+        |sc AS (
+        |  SELECT lang, planted,
+        |    round(CAST(len(regexp_extract_all(txt, '[{}()\[\];=<>+]')) AS DOUBLE)
+        |            * 100.0 / length(txt)
+        |          + CAST(len(regexp_extract_all(txt,
+        |              '(^|[ \n])(for|while|if|return|def|var|int)[ (]')) AS DOUBLE),
+        |      4) AS code_score
+        |  FROM x)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN code_score > 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_code,
+        |  CAST(sum(CASE WHEN planted THEN 1 ELSE 0 END) AS BIGINT) AS n_planted,
+        |  round(avg(code_score), 4) AS avg_score,
+        |  CAST(sum(CASE WHEN code_score > 1.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    = CAST(sum(CASE WHEN planted THEN 1 ELSE 0 END) AS BIGINT) AS detector_exact
+        |FROM sc GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

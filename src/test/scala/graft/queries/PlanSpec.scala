@@ -286,4 +286,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
       "blocklist must broadcast, corpus must not shuffle for the filter")
   }
+
+  test("q_rfm_segment: quintile thresholds broadcast — no ntile, no global window") {
+    val p = plan("q_rfm_segment").toString
+    assert(!p.contains("Window"),
+      "RFM scores must come from broadcast percentile cuts, not ntile windows")
+    assert(p.contains("partial_max") || p.contains("partial_count"),
+      "per-customer aggregate must map-side combine")
+  }
+
+  test("q_skew_detect: histogram-of-counts aggregates, never sorts or windows") {
+    val p = plan("q_skew_detect").toString
+    assert(!p.contains("Window") && !p.contains("TakeOrdered"))
+    assert(p.contains("partial_count"))
+  }
 }

@@ -223,6 +223,24 @@ object Events {
           round(expr("percentile(late_us, 0.95)"), 1).as("p95_late_us"),
           max("late_us").as("max_late_us"))
         .orderBy("event_type")
+    }),
+
+    // Top event-type trigram paths — the product-analytics "common
+    // journeys" query: two lags over each user's stream (one window, both
+    // offsets share the sort), concat to a path key, partial-agg'd count,
+    // top-10 via TakeOrdered (never a global sort of the path space —
+    // |types|³ = 125 keys here, but real property paths are unbounded).
+    "e_path_trigrams" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("e2", lag("event_type", 1).over(w))
+        .withColumn("e1", lag("event_type", 2).over(w))
+        .filter(col("e1").isNotNull)
+        .select(concat_ws(">", col("e1"), col("e2"), col("event_type")).as("path"))
+        .groupBy("path")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path"))
+        .limit(10)
     })
   )
 
@@ -355,6 +373,15 @@ object Events {
         |  round(quantile_cont(late_us, 0.5), 1) AS p50_late_us,
         |  round(quantile_cont(late_us, 0.95), 1) AS p95_late_us,
         |  max(late_us) AS max_late_us
-        |FROM l GROUP BY 1 ORDER BY event_type""".stripMargin
+        |FROM l GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "e_path_trigrams" ->
+      """WITH x AS (
+        |  SELECT event_type,
+        |    lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+        |    lag(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e1
+        |  FROM events)
+        |SELECT e1 || '>' || e2 || '>' || event_type AS path, count(*) AS n
+        |FROM x WHERE e1 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 10""".stripMargin
   )
 }

@@ -684,6 +684,29 @@ object Relational {
         .select(col("n_keys"), col("n_rows"),
           round(col("max_cnt") / col("n_rows"), 6).as("max_share"),
           col("p99_cnt"), col("entropy"))
+    }),
+
+    // Revenue concentration (Pareto report) — share of total revenue held
+    // by the top 1% / 5% / 20% of customers, WITHOUT sorting customers:
+    // per-customer revenue (partial-agg'd, rounded to 2 dp so value and
+    // threshold are bit-identical cross-engine — the q_rfm_segment
+    // discipline), exact percentile thresholds from a 1-row broadcast,
+    // then one conditional-sum pass. A rank/cumsum formulation would drag
+    // every customer into one sorted partition; this never sorts at all.
+    "q_pareto_share" -> ((s, d) => {
+      val rev = t(s, d, "orders").groupBy("o_custkey")
+        .agg(round(sum("o_totalprice"), 2).as("rev"))
+      val cuts = rev.agg(
+        expr("percentile(rev, array(0.99, 0.95, 0.80))").as("c"))
+      rev.crossJoin(broadcast(cuts))
+        .agg(count(lit(1)).as("n_customers"),
+          round(sum("rev"), 2).as("total_rev"),
+          round(sum(when(col("rev") >= col("c").getItem(0), col("rev"))
+            .otherwise(0.0)) / sum("rev"), 6).as("share_top1"),
+          round(sum(when(col("rev") >= col("c").getItem(1), col("rev"))
+            .otherwise(0.0)) / sum("rev"), 6).as("share_top5"),
+          round(sum(when(col("rev") >= col("c").getItem(2), col("rev"))
+            .otherwise(0.0)) / sum("rev"), 6).as("share_top20"))
     })
   )
 
@@ -994,6 +1017,16 @@ object Relational {
         |  round(quantile_cont(cnt, 0.99), 2) AS p99_cnt,
         |  (SELECT entropy FROM h) AS entropy
         |FROM c""".stripMargin,
+    "q_pareto_share" ->
+      """WITH rev AS (
+        |  SELECT o_custkey, round(sum(o_totalprice), 2) AS rev
+        |  FROM orders GROUP BY 1),
+        |cuts AS (SELECT quantile_cont(rev, [0.99, 0.95, 0.80]) AS c FROM rev)
+        |SELECT count(*) AS n_customers, round(sum(rev), 2) AS total_rev,
+        |  round(sum(CASE WHEN rev >= c[1] THEN rev ELSE 0 END) / sum(rev), 6) AS share_top1,
+        |  round(sum(CASE WHEN rev >= c[2] THEN rev ELSE 0 END) / sum(rev), 6) AS share_top5,
+        |  round(sum(CASE WHEN rev >= c[3] THEN rev ELSE 0 END) / sum(rev), 6) AS share_top20
+        |FROM rev, cuts""".stripMargin,
     "q_interval_overlap" ->
       """WITH deltas AS (
         |  SELECT CAST(l_shipdate AS DATE) AS day, 1 AS delta FROM lineitem

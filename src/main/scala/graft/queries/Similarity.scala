@@ -332,6 +332,36 @@ object Similarity {
           round(col("d0") + col("d1") + col("d2") + col("d3"), 4).as("approx_dot"))
         .orderBy(col("approx_dot").desc, col("vec_id"))
         .limit(10)
+    }),
+
+    // Maximum-inner-product search via the norm-augmentation reduction
+    // (Bachrach et al.: append sqrt(M² − ‖x‖²) to every vector, 0 to the
+    // query; cosine order on the augmented space == inner-product order
+    // on the original). This is how MIPS rides the SAME cosine-LSH / IVF
+    // infrastructure the engine already has — at 100 TB you augment once
+    // at ingest and reuse every cosine index. The augmented dot is
+    // numerically EXACT (the extra term is sqrt(...)·0.0, and +0.0 in a
+    // left-to-right accumulation is the identity), so the top-k
+    // hash-matches the plain inner-product oracle. M² comes from a 1-row
+    // broadcast max over ‖x‖².
+    "s_mips_topk" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val dot = graft.functions.GraftFunctions.dotProduct _
+      val emb = t(s, d, "embeddings")
+      val m2 = emb.agg(max(dot(col("embedding"), col("embedding"))).as("m2"))
+      val aug = emb.crossJoin(broadcast(m2))
+        .select(col("vec_id"),
+          concat(col("embedding").cast("array<double>"),
+            array(sqrt(col("m2") - dot(col("embedding"), col("embedding")))))
+            .as("aug"))
+      val q = aug.filter(col("vec_id") === 0)
+        // query augmentation is 0 — its own norm never matters for argmax
+        .select(expr("transform(aug, (x, i) -> IF(i < 64, x, 0.0d))").as("qaug"))
+      aug.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), round(dot(col("aug"), col("qaug")), 4).as("ip"))
+        .orderBy(col("ip").desc, col("vec_id"))
+        .limit(10)
     })
   )
 
@@ -466,6 +496,15 @@ object Similarity {
         |    max(CASE WHEN m = 3 THEN qd END) AS d3
         |  FROM assign JOIN qlut USING (m, code) GROUP BY vec_id)
         |SELECT vec_id, round(d0 + d1 + d2 + d3, 4) AS approx_dot
-        |FROM adc ORDER BY approx_dot DESC, vec_id LIMIT 10""".stripMargin
+        |FROM adc ORDER BY approx_dot DESC, vec_id LIMIT 10""".stripMargin,
+    // the MIPS oracle is the PLAIN inner-product top-k: the augmented
+    // route must reproduce it exactly (the reduction is order-preserving
+    // and the appended term contributes sqrt(...)·0.0 = +0.0)
+    "s_mips_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+        |SELECT vec_id, round(list_dot_product(v, qv), 4) AS ip
+        |FROM e, q WHERE vec_id <> 0
+        |ORDER BY ip DESC, vec_id LIMIT 10""".stripMargin
   )
 }

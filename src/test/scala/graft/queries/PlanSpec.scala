@@ -300,4 +300,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window") && !p.contains("TakeOrdered"))
     assert(p.contains("partial_count"))
   }
+
+  test("e_path_trigrams: both lags share ONE window pass; top-10 is TakeOrdered") {
+    val p = plan("e_path_trigrams").toString
+    assert(p.split("Window").length - 1 <= 2, // one Window node (+1 header mention)
+      "lag(1) and lag(2) must share a single window sort")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q_pareto_share: concentration report never sorts customers") {
+    val p = plan("q_pareto_share").toString
+    assert(!p.contains("Window") && !p.contains("TakeOrdered"))
+  }
+
+  test("s_mips_topk: augmented top-k is TakeOrdered over a broadcast query side") {
+    val p = plan("s_mips_topk").toString
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("CartesianProduct"), "1-row query side must broadcast")
+  }
 }

@@ -526,6 +526,36 @@ object Curation {
           round(col("n") + noise, 3).as("noisy_n"),
           lit(1.0).as("epsilon"))
         .orderBy("lang")
+    }),
+
+    // Incremental-crawl dedup — the daily-ingest gate: a new batch only
+    // keeps documents whose normalized fingerprint is NOT in yesterday's
+    // snapshot. The batch is simulated deterministically: every 3rd doc
+    // "re-crawls" with whitespace noise (normText collapses it → same
+    // fingerprint → must dedup) and every 5th+1 arrives genuinely
+    // modified (→ fresh). Anti-join on the fingerprint — at 100 TB the
+    // snapshot side is a fingerprint INDEX (narrow column), and the join
+    // shuffles on fp or probes a broadcast Bloom prefilter
+    // (c_contam_bloom) before the exact check.
+    "c_incr_dedup" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      def fp(c: Column): Column = md5(Text.normText(c))
+      val snapshot = docs.select(fp(col("text")).as("fp"))
+      val recrawl = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .select(col("lang"),
+          concat(lit("  "), regexp_replace(col("text"), " ", "   ")).as("text"))
+      val modified = docs.filter(pmod(col("doc_id"), lit(5)) === 1)
+        .select(col("lang"),
+          concat(col("text"), lit(" updated-"), col("doc_id").cast("string")).as("text"))
+      val batch = recrawl.unionByName(modified).withColumn("fp", fp(col("text")))
+      val fresh = batch.join(snapshot, Seq("fp"), "left_anti")
+        .groupBy("lang").agg(count(lit(1)).as("n_fresh"))
+      batch.groupBy("lang").agg(count(lit(1)).as("n_batch"))
+        .join(fresh, Seq("lang"), "left")
+        .select(col("lang"), col("n_batch"),
+          coalesce(col("n_fresh"), lit(0L)).as("n_fresh"),
+          (col("n_batch") - coalesce(col("n_fresh"), lit(0L))).as("n_deduped"))
+        .orderBy("lang")
     })
   )
 
@@ -812,6 +842,30 @@ object Curation {
         |SELECT lang,
         |  round(n + (-1.0) * sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5)), 3) AS noisy_n,
         |  CAST(1.0 AS DOUBLE) AS epsilon
-        |FROM s ORDER BY lang""".stripMargin
+        |FROM s ORDER BY lang""".stripMargin,
+    "c_incr_dedup" ->
+      """WITH snap AS (
+        |  SELECT md5(lower(trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')))) AS fp
+        |  FROM documents),
+        |batch AS (
+        |  SELECT lang,
+        |    md5(lower(trim(regexp_replace(
+        |      '  ' || regexp_replace(text, ' ', '   ', 'g'),
+        |      '[ \t\n\x0B\f\r]+', ' ', 'g')))) AS fp
+        |  FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT lang,
+        |    md5(lower(trim(regexp_replace(
+        |      text || ' updated-' || CAST(doc_id AS VARCHAR),
+        |      '[ \t\n\x0B\f\r]+', ' ', 'g')))) AS fp
+        |  FROM documents WHERE doc_id % 5 = 1),
+        |fresh AS (
+        |  SELECT lang, count(*) AS n_fresh FROM batch
+        |  WHERE fp NOT IN (SELECT fp FROM snap) GROUP BY lang),
+        |tot AS (SELECT lang, count(*) AS n_batch FROM batch GROUP BY lang)
+        |SELECT lang, n_batch,
+        |  CAST(coalesce(n_fresh, 0) AS BIGINT) AS n_fresh,
+        |  CAST(n_batch - coalesce(n_fresh, 0) AS BIGINT) AS n_deduped
+        |FROM tot LEFT JOIN fresh USING (lang) ORDER BY lang""".stripMargin
   )
 }

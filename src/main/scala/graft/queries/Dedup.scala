@@ -274,6 +274,32 @@ object Dedup {
             4).as("jaccard"))
         .filter(col("jaccard") > 0.5)
         .orderBy("id_a", "id_b")
+    }),
+
+    // Asymmetric containment C(A→B) = |A∩B| / |A| — the measure Jaccard
+    // MISSES: a short document fully embedded in a long one (quotes,
+    // boilerplate inclusion, chunked re-posts) scores low Jaccard but
+    // containment ≈ 1. A containment pair is planted (doc 3's full text
+    // inside a longer synthetic host) and must surface. Same bounded
+    // verification set as d_ngram_jaccard; at scale candidates come from
+    // LSH and only the verify expression changes.
+    "d_containment" -> ((s, d) => {
+      val base = t(s, d, "documents").filter(col("doc_id") < 20)
+        .select(col("doc_id"), col("text"))
+      val host = base.filter(col("doc_id") === 3)
+        .select(lit(9991L).as("doc_id"),
+          concat(lit("prefix words before "), col("text"),
+            lit(" and trailing commentary after")).as("text"))
+      val g = base.unionByName(host)
+        .select(col("doc_id"), Dedup.shingles("text", 3).as("g"))
+      val a = g.select(col("doc_id").as("id_a"), col("g").as("ga"))
+      val b = g.select(col("doc_id").as("id_b"), col("g").as("gb"))
+      a.crossJoin(b).filter(col("id_a") =!= col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(size(array_intersect(col("ga"), col("gb"))).cast("double") /
+            size(col("ga")), 4).as("containment"))
+        .filter(col("containment") >= 0.9)
+        .orderBy("id_a", "id_b")
     })
   )
 
@@ -349,6 +375,21 @@ object Dedup {
         |FROM g a, g b WHERE a.doc_id < b.doc_id
         |  AND round(CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE) /
         |        (len(a.gr) + len(b.gr) - len(list_intersect(a.gr, b.gr))), 4) > 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+    "d_containment" ->
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 20),
+        |host AS (SELECT CAST(9991 AS BIGINT) AS doc_id,
+        |    'prefix words before ' || text || ' and trailing commentary after' AS text
+        |  FROM base WHERE doc_id = 3),
+        |u AS (SELECT * FROM base UNION ALL SELECT * FROM host),
+        |g AS (SELECT doc_id,
+        |    list_distinct(list_transform(range(1, greatest(length(text) - 2, 1) + 1),
+        |                  i -> substring(text, CAST(i AS INT), 3))) AS gr
+        |  FROM u)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE) / len(a.gr), 4) AS containment
+        |FROM g a, g b WHERE a.doc_id <> b.doc_id
+        |  AND round(CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE) / len(a.gr), 4) >= 0.9
         |ORDER BY id_a, id_b""".stripMargin
   )
 }

@@ -241,6 +241,25 @@ object Events {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("path"))
         .limit(10)
+    }),
+
+    // Linear multi-touch attribution — each purchase's value splits
+    // EQUALLY across the same-user clicks in its preceding hour (the
+    // last-touch form is e_click_attrib; this is the fairness variant).
+    // Reuses the STREAMING interval-join plan (clickToPurchase — same
+    // function, same shape); the touch count per purchase is a window
+    // partitioned by purchase_id (high-cardinality, bounded per key).
+    "e_multi_touch" -> ((s, d) => {
+      val pairs = graft.streaming.EventStreams.clickToPurchase(Tables.events(s, d))
+      val w = Window.partitionBy("purchase_id")
+      pairs
+        .withColumn("n_touch", count(lit(1)).over(w))
+        .select(col("user_id"), col("click_id"),
+          round(col("value") / col("n_touch"), 6).as("credit"))
+        .groupBy("user_id")
+        .agg(countDistinct("click_id").as("n_credited_clicks"),
+          round(sum("credit"), 4).as("attributed_value"))
+        .orderBy("user_id")
     })
   )
 
@@ -382,6 +401,20 @@ object Events {
         |  FROM events)
         |SELECT e1 || '>' || e2 || '>' || event_type AS path, count(*) AS n
         |FROM x WHERE e1 IS NOT NULL
-        |GROUP BY 1 ORDER BY n DESC, path LIMIT 10""".stripMargin
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 10""".stripMargin,
+    "e_multi_touch" ->
+      """WITH c AS (SELECT user_id AS cu, epoch_us(ts) AS cus, event_id AS click_id
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id AS pu, epoch_us(ts) AS pus, event_id AS pid, value
+        |      FROM events WHERE event_type = 'purchase'),
+        |pairs AS (
+        |  SELECT pu AS user_id, pid, click_id, value
+        |  FROM p JOIN c ON pu = cu AND pus >= cus AND pus - cus <= 3600000000),
+        |cr AS (SELECT user_id, click_id,
+        |         round(value / (count(*) OVER (PARTITION BY pid)), 6) AS credit
+        |       FROM pairs)
+        |SELECT user_id, CAST(count(DISTINCT click_id) AS BIGINT) AS n_credited_clicks,
+        |  round(sum(credit), 4) AS attributed_value
+        |FROM cr GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

@@ -568,7 +568,14 @@ object Relational {
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("n_name"), year(col("o_orderdate").cast("date")).as("yr"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        // revenue sums in EXACT decimal: each item's price×(1−disc) is an
+        // exact 4-dp number (2-dp price × 2-dp discount), so the
+        // decimal(18,4) cast is lossless and the sum is order-independent
+        // — a double sum of 34k items at sf1 landed a group exactly on a
+        // round-half boundary (…857.485) and the two engines' summation
+        // orders rounded it apart. Output stays double for the schema.
+        .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,4)")), 2).cast("double")
           .as("revenue"),
           count(lit(1)).as("n_items"))
         .select(col("n_name"), col("yr").cast("bigint").as("yr"),
@@ -818,7 +825,8 @@ object Relational {
         |FROM orders""".stripMargin,
     "q_star_join" ->
       """SELECT n_name, CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS yr,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2)
+        |       AS DOUBLE) AS revenue,
         |  count(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey

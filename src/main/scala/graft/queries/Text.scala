@@ -314,6 +314,31 @@ object Text {
           round(avg("code_score"), 4).as("avg_score"))
         .withColumn("detector_exact", col("n_code") === col("n_planted"))
         .orderBy("lang")
+    }),
+
+    // Per-language KL divergence from the corpus-wide unigram
+    // distribution — the drift monitor that flags when one slice's
+    // vocabulary shifts (new crawl source, template leak, encoding bug).
+    // KL(P_lang ‖ P_corpus) = Σ p·ln(p/q) over the lang's terms. Two
+    // partial-agg'd count stages; the only non-broadcast join shuffles on
+    // term (vocab-sized, the natural key). All ratios are exact integer
+    // divisions in doubles; the per-lang sum is rounded to 6 dp
+    // (summation order, the t_token_entropy discipline).
+    "t_kl_drift" -> ((s, d) => {
+      val terms = t(s, d, "documents")
+        .select(col("lang"), explode(tokens(col("text"))).as("term"))
+      val lc = terms.groupBy("lang", "term").agg(count(lit(1)).as("c"))
+      val lt = terms.groupBy("lang").agg(count(lit(1)).as("n"))
+      val gc = terms.groupBy("term").agg(count(lit(1)).as("gc"))
+      val gt = terms.agg(count(lit(1)).as("gn"))
+      lc.join(broadcast(lt), "lang").join(gc, "term").crossJoin(broadcast(gt))
+        .select(col("lang"),
+          ((col("c") / col("n")) *
+            log((col("c") / col("n")) / (col("gc") / col("gn")))).as("contrib"))
+        .groupBy("lang")
+        .agg(round(sum("contrib"), 6).as("kl"),
+          count(lit(1)).as("n_terms"))
+        .orderBy("lang")
     })
   )
 
@@ -473,6 +498,20 @@ object Text {
         |  round(avg(code_score), 4) AS avg_score,
         |  CAST(sum(CASE WHEN code_score > 1.0 THEN 1 ELSE 0 END) AS BIGINT)
         |    = CAST(sum(CASE WHEN planted THEN 1 ELSE 0 END) AS BIGINT) AS detector_exact
-        |FROM sc GROUP BY lang ORDER BY lang""".stripMargin
+        |FROM sc GROUP BY lang ORDER BY lang""".stripMargin,
+    "t_kl_drift" ->
+      """WITH w AS (
+        |  SELECT lang, unnest(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS term
+        |  FROM documents),
+        |lc AS (SELECT lang, term, count(*) AS c FROM w GROUP BY 1, 2),
+        |lt AS (SELECT lang, count(*) AS n FROM w GROUP BY 1),
+        |gc AS (SELECT term, count(*) AS gc FROM w GROUP BY 1),
+        |gt AS (SELECT count(*) AS gn FROM w)
+        |SELECT lang,
+        |  round(sum((c / CAST(n AS DOUBLE))
+        |            * ln((c / CAST(n AS DOUBLE)) / (gc / CAST(gn AS DOUBLE)))), 6) AS kl,
+        |  count(*) AS n_terms
+        |FROM lc JOIN lt USING (lang) JOIN gc USING (term) CROSS JOIN gt
+        |GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

@@ -70,6 +70,12 @@ object TrainingShards {
     val placed =
       if (orderWithinShard.isEmpty) sharded
       else sharded.sortWithinPartitions(col("shard") +: orderWithinShard: _*)
-    placed.write.mode("overwrite").partitionBy("shard").parquet(path)
+    placed.write.mode("overwrite")
+      // dynamic partition overwrite: an incremental batch whose rows hash
+      // into only some shards replaces exactly THOSE shard directories —
+      // static mode (the Spark default) would delete every other shard's
+      // historical data on a backfill
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("shard").parquet(path)
   }
 }

@@ -460,9 +460,14 @@ object Curation {
         val noFrag = regexp_replace(u, "#.*$", "")
         val sch = lower(regexp_extract(noFrag, "^([A-Za-z]+)://", 1))
         val rest = regexp_replace(noFrag, "^[A-Za-z]+://", "")
-        val host = regexp_replace(regexp_replace(
-          lower(regexp_extract(rest, "^([^/?]+)", 1)),
-          "^www\\.", ""), ":(80|443)$", "")
+        val hostRaw = regexp_replace(
+          lower(regexp_extract(rest, "^([^/?]+)", 1)), "^www\\.", "")
+        // default-port stripping is SCHEME-conditional: :80 is only the
+        // default for http and :443 for https — https://host:80 is a
+        // genuinely different resource from https://host and must NOT merge
+        val host = when(sch === "http", regexp_replace(hostRaw, ":80$", ""))
+          .when(sch === "https", regexp_replace(hostRaw, ":443$", ""))
+          .otherwise(hostRaw)
         val tail = regexp_replace(
           regexp_replace(
             regexp_replace(regexp_replace(rest, "^[^/?]+", ""),
@@ -799,22 +804,29 @@ object Curation {
         |               THEN '?id=' || CAST(doc_id % 5 AS VARCHAR) ELSE '' END)
         |      || (CASE WHEN doc_id % 6 = 0 THEN '#top' ELSE '' END)
         |  ]) AS url FROM documents),
+        |parts AS (
+        |  SELECT doc_id, url,
+        |    lower(regexp_extract(regexp_replace(url, '#.*$', ''), '^([A-Za-z]+)://', 1)) AS sch,
+        |    regexp_replace(
+        |      lower(regexp_extract(
+        |        regexp_replace(regexp_replace(url, '#.*$', ''), '^[A-Za-z]+://', ''),
+        |        '^([^/?]+)', 1)),
+        |      '^www\.', '') AS hostraw,
+        |    regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(regexp_replace(url, '#.*$', ''), '^[A-Za-z]+://', ''),
+        |        '^[^/?]+', ''),
+        |      'utm_[A-Za-z]+=[^&]*&?', '', 'g'),
+        |      '[?&]$', ''), '/(\?|$)', '\1', 'g') AS tail
+        |  FROM raw),
         |c AS (
         |  SELECT doc_id, url,
-        |    lower(regexp_extract(regexp_replace(url, '#.*$', ''), '^([A-Za-z]+)://', 1))
-        |      || '://'
-        |      || regexp_replace(regexp_replace(
-        |           lower(regexp_extract(
-        |             regexp_replace(regexp_replace(url, '#.*$', ''), '^[A-Za-z]+://', ''),
-        |             '^([^/?]+)', 1)),
-        |           '^www\.', ''), ':(80|443)$', '')
-        |      || regexp_replace(regexp_replace(regexp_replace(
-        |           regexp_replace(
-        |             regexp_replace(regexp_replace(url, '#.*$', ''), '^[A-Za-z]+://', ''),
-        |             '^[^/?]+', ''),
-        |           'utm_[A-Za-z]+=[^&]*&?', '', 'g'),
-        |           '[?&]$', ''), '/(\?|$)', '\1', 'g') AS canon
-        |  FROM raw)
+        |    sch || '://'
+        |      || (CASE WHEN sch = 'http' THEN regexp_replace(hostraw, ':80$', '')
+        |               WHEN sch = 'https' THEN regexp_replace(hostraw, ':443$', '')
+        |               ELSE hostraw END)
+        |      || tail AS canon
+        |  FROM parts)
         |SELECT canon, count(*) AS n_refs,
         |  CAST(count(DISTINCT url) AS BIGINT) AS n_raw_forms,
         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs

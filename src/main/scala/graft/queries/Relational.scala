@@ -607,7 +607,9 @@ object Relational {
     // regardless of SF) — the t_zipf_slope bounded-window discipline,
     // never a window over raw lineitem. Transit duration is derived
     // deterministically from l_linenumber (the testdata carries no
-    // receipt date): 2–31 days.
+    // receipt date): linenumber is 1..7 in TPC-H, so durations span
+    // 3–9 days (the mod-30 keeps the formula meaningful for data where
+    // the line counter runs higher).
     "q_interval_overlap" -> ((s, d) => {
       val li = t(s, d, "lineitem")
       val deltas = li.select(to_date(col("l_shipdate")).as("day"), lit(1L).as("delta"))

@@ -336,14 +336,16 @@ object Similarity {
 
     // Maximum-inner-product search via the norm-augmentation reduction
     // (Bachrach et al.: append sqrt(M² − ‖x‖²) to every vector, 0 to the
-    // query; cosine order on the augmented space == inner-product order
-    // on the original). This is how MIPS rides the SAME cosine-LSH / IVF
-    // infrastructure the engine already has — at 100 TB you augment once
-    // at ingest and reuse every cosine index. The augmented dot is
-    // numerically EXACT (the extra term is sqrt(...)·0.0, and +0.0 in a
-    // left-to-right accumulation is the identity), so the top-k
-    // hash-matches the plain inner-product oracle. M² comes from a 1-row
-    // broadcast max over ‖x‖².
+    // query; COSINE order on the augmented space == inner-product order
+    // on the original, because every augmented vector has norm exactly M).
+    // This is how MIPS rides the SAME cosine-LSH / IVF infrastructure the
+    // engine already has — at 100 TB you augment once at ingest and reuse
+    // every cosine index. The ranking here genuinely goes through the
+    // augmented COSINE (not a shortcut dot): the oracle builds the same
+    // augmentation (bit-identical index-order arithmetic both engines),
+    // and SelfCheckSpec asserts the reduction's CLAIM — the
+    // augmented-cosine top-10 equals the plain inner-product top-10.
+    // M² comes from a 1-row broadcast max over ‖x‖².
     "s_mips_topk" -> ((s, d) => {
       graft.functions.GraftFunctions.ensureRegistered(s)
       val dot = graft.functions.GraftFunctions.dotProduct _
@@ -354,13 +356,15 @@ object Similarity {
           concat(col("embedding").cast("array<double>"),
             array(sqrt(col("m2") - dot(col("embedding"), col("embedding")))))
             .as("aug"))
-      val q = aug.filter(col("vec_id") === 0)
-        // query augmentation is 0 — its own norm never matters for argmax
-        .select(expr("transform(aug, (x, i) -> IF(i < 64, x, 0.0d))").as("qaug"))
+      val q = emb.filter(col("vec_id") === 0)
+        .select(concat(col("embedding").cast("array<double>"),
+          array(lit(0.0))).as("qaug"))
       aug.filter(col("vec_id") =!= 0)
         .crossJoin(broadcast(q))
-        .select(col("vec_id"), round(dot(col("aug"), col("qaug")), 4).as("ip"))
-        .orderBy(col("ip").desc, col("vec_id"))
+        .select(col("vec_id"),
+          round(graft.functions.GraftFunctions.cosineSim(col("aug"), col("qaug")), 9)
+            .as("cos9"))
+        .orderBy(col("cos9").desc, col("vec_id"))
         .limit(10)
     })
   )
@@ -497,14 +501,20 @@ object Similarity {
         |  FROM assign JOIN qlut USING (m, code) GROUP BY vec_id)
         |SELECT vec_id, round(d0 + d1 + d2 + d3, 4) AS approx_dot
         |FROM adc ORDER BY approx_dot DESC, vec_id LIMIT 10""".stripMargin,
-    // the MIPS oracle is the PLAIN inner-product top-k: the augmented
-    // route must reproduce it exactly (the reduction is order-preserving
-    // and the appended term contributes sqrt(...)·0.0 = +0.0)
+    // the same augmentation in SQL — bit-identical index-order arithmetic
+    // (the equivalence to the PLAIN inner-product top-10 is asserted
+    // separately in SelfCheckSpec; the oracle pins the construction)
     "s_mips_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
-        |SELECT vec_id, round(list_dot_product(v, qv), 4) AS ip
-        |FROM e, q WHERE vec_id <> 0
-        |ORDER BY ip DESC, vec_id LIMIT 10""".stripMargin
+        |m AS (SELECT max(list_dot_product(v, v)) AS m2 FROM e),
+        |aug AS (SELECT vec_id,
+        |          list_append(v, sqrt(m2 - list_dot_product(v, v))) AS a
+        |        FROM e, m),
+        |q AS (SELECT list_append(v, CAST(0.0 AS DOUBLE)) AS qa FROM e WHERE vec_id = 0)
+        |SELECT vec_id,
+        |  round(list_dot_product(a, qa) /
+        |        (sqrt(list_dot_product(a, a)) * sqrt(list_dot_product(qa, qa))), 9) AS cos9
+        |FROM aug, q WHERE vec_id <> 0
+        |ORDER BY cos9 DESC, vec_id LIMIT 10""".stripMargin
   )
 }

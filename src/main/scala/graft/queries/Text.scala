@@ -319,18 +319,21 @@ object Text {
     // Per-language KL divergence from the corpus-wide unigram
     // distribution — the drift monitor that flags when one slice's
     // vocabulary shifts (new crawl source, template leak, encoding bug).
-    // KL(P_lang ‖ P_corpus) = Σ p·ln(p/q) over the lang's terms. Two
-    // partial-agg'd count stages; the only non-broadcast join shuffles on
+    // KL(P_lang ‖ P_corpus) = Σ p·ln(p/q) over the lang's terms. The
+    // corpus is tokenized ONCE: every other count (per-lang totals,
+    // global term counts, the grand total) derives from the (lang, term)
+    // aggregate by summing — at 100 TB the explode is the heavy stage and
+    // must not run four times. The only non-broadcast join shuffles on
     // term (vocab-sized, the natural key). All ratios are exact integer
     // divisions in doubles; the per-lang sum is rounded to 6 dp
     // (summation order, the t_token_entropy discipline).
     "t_kl_drift" -> ((s, d) => {
-      val terms = t(s, d, "documents")
+      val lc = t(s, d, "documents")
         .select(col("lang"), explode(tokens(col("text"))).as("term"))
-      val lc = terms.groupBy("lang", "term").agg(count(lit(1)).as("c"))
-      val lt = terms.groupBy("lang").agg(count(lit(1)).as("n"))
-      val gc = terms.groupBy("term").agg(count(lit(1)).as("gc"))
-      val gt = terms.agg(count(lit(1)).as("gn"))
+        .groupBy("lang", "term").agg(count(lit(1)).as("c"))
+      val lt = lc.groupBy("lang").agg(sum("c").as("n"))
+      val gc = lc.groupBy("term").agg(sum("c").as("gc"))
+      val gt = lc.agg(sum("c").as("gn"))
       lc.join(broadcast(lt), "lang").join(gc, "term").crossJoin(broadcast(gt))
         .select(col("lang"),
           ((col("c") / col("n")) *

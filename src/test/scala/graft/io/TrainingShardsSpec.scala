@@ -110,4 +110,25 @@ class TrainingShardsSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(dir)
     }
   }
+
+  test("parquet shards: incremental backfill replaces only the touched shards") {
+    val dir = Files.createTempDirectory("pqbackfill").toFile
+    try {
+      val in = graft.queries.Tables.t(spark, TestSpark.sf0001, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+      TrainingShards.writeParquetShards(in, "doc_id", dir.getAbsolutePath, 8)
+      val before = spark.read.parquet(dir.getAbsolutePath).count()
+      // a delta batch that hashes into a strict subset of shards
+      val delta = in.filter(
+        TrainingShards.assignShard(col("doc_id"), 8) === 3)
+      assert(delta.count() > 0 && delta.count() < before)
+      TrainingShards.writeParquetShards(delta, "doc_id", dir.getAbsolutePath, 8)
+      // dynamic overwrite: shard=3 replaced, every other shard untouched
+      val after = spark.read.parquet(dir.getAbsolutePath).count()
+      assert(after == before,
+        s"backfill must not delete untouched shards ($after vs $before)")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir)
+    }
+  }
 }

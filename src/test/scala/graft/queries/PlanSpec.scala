@@ -302,10 +302,12 @@ class PlanSpec extends SparkSpec {
   }
 
   test("e_path_trigrams: both lags share ONE window pass; top-10 is TakeOrdered") {
-    val p = plan("e_path_trigrams").toString
-    assert(p.split("Window").length - 1 <= 2, // one Window node (+1 header mention)
-      "lag(1) and lag(2) must share a single window sort")
-    assert(p.contains("TakeOrderedAndProject"))
+    val windows = plan("e_path_trigrams").collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.size == 1,
+      s"lag(1) and lag(2) must share a single window sort, got ${windows.size}")
+    assert(plan("e_path_trigrams").toString.contains("TakeOrderedAndProject"))
   }
 
   test("q_pareto_share: concentration report never sorts customers") {

@@ -70,4 +70,22 @@ class SelfCheckSpec extends SparkSpec {
     assert(exact.intersect(pq).size >= 2,
       s"PQ recall collapsed: ${exact.intersect(pq).size}/10")
   }
+
+  test("s_mips_topk: augmented-cosine top-10 IS the plain inner-product top-10") {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val emb = Tables.t(spark, sf, "embeddings")
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val exact = emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        graft.functions.GraftFunctions.dotProduct(col("embedding"), col("qv")).as("dp"))
+      .orderBy(col("dp").desc, col("vec_id")).limit(10)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val mips = Similarity.queries("s_mips_topk")(spark, sf)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    // the reduction's theorem: every augmented vector has norm exactly M,
+    // so cosine order on the augmented space == inner-product order
+    assert(mips == exact,
+      s"norm-augmentation reduction must preserve the MIP top-k: $mips vs $exact")
+  }
 }

@@ -366,6 +366,25 @@ object Relational {
         .orderBy("l_returnflag")
     }),
 
+    // Approximate percentile — the mergeable bounded-memory sketch that
+    // replaces exact `percentile` at 100 TB (exact needs every group
+    // value materialized on one task; the GK sketch merges map-side).
+    // Self-grading, engine-neutral output (the q_approx_count_distinct
+    // discipline): the sketch estimate itself never leaves the plan — the
+    // output carries the EXACT p50 (hash-checkable in DuckDB) plus a
+    // boolean that the estimate lands inside the exact p45–p55 rank band,
+    // far looser than the sketch's 1/1000-rank accuracy bound.
+    "q_approx_percentile" -> ((s, d) =>
+      t(s, d, "orders").groupBy("o_orderpriority")
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 2).as("exact_p50"),
+          expr("approx_percentile(o_totalprice, 0.5, 1000)").as("ap"),
+          expr("percentile(o_totalprice, array(0.45, 0.55))").as("band"))
+        .select(col("o_orderpriority"), col("exact_p50"),
+          (col("ap") >= col("band").getItem(0) &&
+            col("ap") <= col("band").getItem(1)).as("within_band"))
+        .orderBy("o_orderpriority")),
+
     // SCD2 merge — the incremental-ingest primitive: a stream of per-key
     // change events (here: each customer's orders as status observations)
     // becomes a slowly-changing-dimension version table with
@@ -1027,6 +1046,14 @@ object Relational {
         |  round(quantile_cont(cnt, 0.99), 2) AS p99_cnt,
         |  (SELECT entropy FROM h) AS entropy
         |FROM c""".stripMargin,
+    // within_band is TRUE by construction when the sketch honors its
+    // accuracy bound — a Spark-side regression pushes the estimate out of
+    // the exact p45–p55 band and hash-mismatches here
+    "q_approx_percentile" ->
+      """SELECT o_orderpriority,
+        |  round(quantile_cont(o_totalprice, 0.5), 2) AS exact_p50,
+        |  CAST(1 AS BOOLEAN) AS within_band
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_pareto_share" ->
       """WITH rev AS (
         |  SELECT o_custkey, round(sum(o_totalprice), 2) AS rev

@@ -42,6 +42,32 @@ object Curation {
   val PhoneRe = "\\b\\d{3}-\\d{4}\\b"
   val Ipv4Re = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
 
+  /** Crawl-frontier URL canonicalization (the `c_url_canon` primitive,
+    * IDEMPOTENT — spec-checked): lowercase scheme and host, strip a
+    * leading `www.`, strip the fragment, drop `utm_*` tracking params
+    * (and any dangling `?`/`&`), strip a trailing slash, and strip the
+    * DEFAULT port scheme-conditionally — `:80` only for http, `:443`
+    * only for https; `https://host:80` is a different resource from
+    * `https://host` and must not merge. Pure codegen'd regex chain.
+    */
+  def canonicalizeUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*$", "")
+    val sch = lower(regexp_extract(noFrag, "^([A-Za-z]+)://", 1))
+    val rest = regexp_replace(noFrag, "^[A-Za-z]+://", "")
+    val hostRaw = regexp_replace(
+      lower(regexp_extract(rest, "^([^/?]+)", 1)), "^www\\.", "")
+    val host = when(sch === "http", regexp_replace(hostRaw, ":80$", ""))
+      .when(sch === "https", regexp_replace(hostRaw, ":443$", ""))
+      .otherwise(hostRaw)
+    val tail = regexp_replace(
+      regexp_replace(
+        regexp_replace(regexp_replace(rest, "^[^/?]+", ""),
+          "utm_[A-Za-z]+=[^&]*&?", ""),
+        "[?&]$", ""),
+      "/(\\?|$)", "$1")
+    concat(sch, lit("://"), host, tail)
+  }
+
   /** Redact PII in-place: email → [EMAIL], IPv4 → [IP], phone → [PHONE].
     * IP before phone so `10.0.42.7` is consumed whole, never partially as a
     * phone-shaped `nnn-nnnn` remainder.
@@ -456,29 +482,10 @@ object Curation {
       val nearClean = concat(lower(scheme), lit("://site"), a,
         lit(".example.com/a/"), b, qClean,
         when(pmod(col("doc_id"), lit(6)) === 0, lit("#top")).otherwise(lit("")))
-      def canon(u: Column): Column = {
-        val noFrag = regexp_replace(u, "#.*$", "")
-        val sch = lower(regexp_extract(noFrag, "^([A-Za-z]+)://", 1))
-        val rest = regexp_replace(noFrag, "^[A-Za-z]+://", "")
-        val hostRaw = regexp_replace(
-          lower(regexp_extract(rest, "^([^/?]+)", 1)), "^www\\.", "")
-        // default-port stripping is SCHEME-conditional: :80 is only the
-        // default for http and :443 for https — https://host:80 is a
-        // genuinely different resource from https://host and must NOT merge
-        val host = when(sch === "http", regexp_replace(hostRaw, ":80$", ""))
-          .when(sch === "https", regexp_replace(hostRaw, ":443$", ""))
-          .otherwise(hostRaw)
-        val tail = regexp_replace(
-          regexp_replace(
-            regexp_replace(regexp_replace(rest, "^[^/?]+", ""),
-              "utm_[A-Za-z]+=[^&]*&?", ""),
-            "[?&]$", ""),
-          "/(\\?|$)", "$1")
-        concat(sch, lit("://"), host, tail)
-      }
       t(s, d, "documents")
         .select(col("doc_id"), explode(array(messy, nearClean)).as("url"))
-        .select(col("doc_id"), col("url"), canon(col("url")).as("canon"))
+        .select(col("doc_id"), col("url"),
+          canonicalizeUrl(col("url")).as("canon"))
         .groupBy("canon")
         .agg(count(lit(1)).as("n_refs"),
           countDistinct(col("url")).as("n_raw_forms"),

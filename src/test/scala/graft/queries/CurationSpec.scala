@@ -100,4 +100,28 @@ class CurationSpec extends SparkSpec {
       assert(row.getAs[Long]("contaminated") <= row.getAs[Long]("total_docs"))
     }
   }
+
+  test("canonicalizeUrl: case-by-case rules + idempotence") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val cases = Seq(
+      // (raw, expected canonical)
+      ("HTTP://WWW.Site.Example.COM:80/a/1", "http://site.example.com/a/1"),
+      ("https://site.example.com:80/a/1", "https://site.example.com:80/a/1"), // NOT default for https
+      ("https://Site.example.com:443/a/1", "https://site.example.com/a/1"),
+      ("http://host.example.com/a/1/", "http://host.example.com/a/1"),
+      ("http://host.example.com/a/1/?id=2", "http://host.example.com/a/1?id=2"),
+      ("http://host.example.com/a?utm_source=x&id=2#frag", "http://host.example.com/a?id=2"),
+      ("http://host.example.com/a?id=2&utm_campaign=y", "http://host.example.com/a?id=2"),
+      ("http://host.example.com/a?utm_medium=z", "http://host.example.com/a"))
+    val df = cases.toDF("raw", "expected")
+      .withColumn("canon", Curation.canonicalizeUrl(col("raw")))
+      .withColumn("canon2", Curation.canonicalizeUrl(col("canon")))
+    df.collect().foreach { r =>
+      assert(r.getAs[String]("canon") == r.getAs[String]("expected"),
+        s"${r.getAs[String]("raw")} → ${r.getAs[String]("canon")}")
+      assert(r.getAs[String]("canon2") == r.getAs[String]("canon"),
+        s"not idempotent: ${r.getAs[String]("canon")} → ${r.getAs[String]("canon2")}")
+    }
+  }
 }

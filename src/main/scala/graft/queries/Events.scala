@@ -260,6 +260,41 @@ object Events {
         .agg(countDistinct("click_id").as("n_credited_clicks"),
           round(sum("credit"), 4).as("attributed_value"))
         .orderBy("user_id")
+    }),
+
+    // Exponentially-weighted moving average over the gap-filled hourly
+    // error series (the smoothed form of e_gap_fill, as an alerting
+    // baseline would consume it). True EWMA is a recurrence; this is the
+    // TRUNCATED 8-tap form — weights 0.5^j, j=0..7, renormalized — which
+    // is expressible as a fixed lag kernel on BOTH engines with a
+    // deterministic left-to-right fold (no order-dependent aggregation at
+    // all: every term is a window lag, so the result is bit-stable before
+    // the 6-dp round). Rows before a full kernel are dropped rather than
+    // partially renormalized. The un-partitioned window sorts the SPINE,
+    // whose length is the time range (e_gap_fill's argument), independent
+    // of event volume — bounded at any data scale.
+    "e_ewma" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val hourly = e.filter(col("event_type") === "error")
+        .groupBy(date_trunc("HOUR", col("ts")).as("hour_ts"))
+        .agg(count(lit(1)).as("n_err"))
+      val spine = e.agg(
+          date_trunc("HOUR", min(col("ts"))).as("h0"),
+          date_trunc("HOUR", max(col("ts"))).as("h1"))
+        .select(explode(expr("sequence(h0, h1, interval 1 hour)")).as("hour_ts"))
+      val filled = spine.join(hourly, Seq("hour_ts"), "left")
+        .select(col("hour_ts"), coalesce(col("n_err"), lit(0L)).as("v"))
+      val w = Window.orderBy("hour_ts")
+      // exact binary weights: 1, 0.5, ..., 0.0078125; norm = 1.9921875
+      val taps = (0 until 8).map { j =>
+        (if (j == 0) col("v") else lag(col("v"), j).over(w)) * lit(math.pow(0.5, j))
+      }
+      filled
+        .withColumn("v7", lag(col("v"), 7).over(w))
+        .withColumn("ewma", round(taps.reduce(_ + _) / lit(1.9921875), 6))
+        .filter(col("v7").isNotNull)
+        .select(col("hour_ts"), col("v").as("n_err"), col("ewma"))
+        .orderBy("hour_ts")
     })
   )
 
@@ -415,6 +450,34 @@ object Events {
         |       FROM pairs)
         |SELECT user_id, CAST(count(DISTINCT click_id) AS BIGINT) AS n_credited_clicks,
         |  round(sum(credit), 4) AS attributed_value
-        |FROM cr GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM cr GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // same 8-tap kernel, same left-to-right fold, same exact binary weights
+    "e_ewma" ->
+      """WITH b AS (
+        |  SELECT CAST(date_trunc('hour', min(ts)) AS TIMESTAMP) AS h0,
+        |         CAST(date_trunc('hour', max(ts)) AS TIMESTAMP) AS h1
+        |  FROM events),
+        |spine AS (
+        |  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour_ts FROM b),
+        |hourly AS (
+        |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts, count(*) AS n_err
+        |  FROM events WHERE event_type = 'error' GROUP BY 1),
+        |filled AS (
+        |  SELECT spine.hour_ts, CAST(coalesce(n_err, 0) AS BIGINT) AS v
+        |  FROM spine LEFT JOIN hourly USING (hour_ts)),
+        |k AS (
+        |  SELECT hour_ts, v,
+        |    lag(v, 1) OVER (ORDER BY hour_ts) AS l1,
+        |    lag(v, 2) OVER (ORDER BY hour_ts) AS l2,
+        |    lag(v, 3) OVER (ORDER BY hour_ts) AS l3,
+        |    lag(v, 4) OVER (ORDER BY hour_ts) AS l4,
+        |    lag(v, 5) OVER (ORDER BY hour_ts) AS l5,
+        |    lag(v, 6) OVER (ORDER BY hour_ts) AS l6,
+        |    lag(v, 7) OVER (ORDER BY hour_ts) AS l7
+        |  FROM filled)
+        |SELECT hour_ts, v AS n_err,
+        |  round((v * 1.0 + l1 * 0.5 + l2 * 0.25 + l3 * 0.125 + l4 * 0.0625 +
+        |         l5 * 0.03125 + l6 * 0.015625 + l7 * 0.0078125) / 1.9921875, 6) AS ewma
+        |FROM k WHERE l7 IS NOT NULL ORDER BY hour_ts""".stripMargin
   )
 }

@@ -735,6 +735,33 @@ object Relational {
             .otherwise(0.0)) / sum("rev"), 6).as("share_top5"),
           round(sum(when(col("rev") >= col("c").getItem(2), col("rev"))
             .otherwise(0.0)) / sum("rev"), 6).as("share_top20"))
+    }),
+
+    // Distribution-position windows — percent_rank + cume_dist of each
+    // supplier's revenue within its nation (the "where does this vendor sit
+    // in its market" query). Revenue is summed in EXACT decimal (the
+    // q_star_join discipline) so the window ORDER BY key is bit-identical
+    // cross-engine — rank functions are discontinuous in their sort key, so
+    // a rounded double would risk rank flips near ties. Plan shape at
+    // scale: partial-agg'd revenue per supplier (one shuffle on l_suppkey),
+    // an UNHINTED join to supplier (AQE broadcasts at test SFs; both sides
+    // shuffle on suppkey at 100 TB), then windows partitioned by nation —
+    // 25 bounded partitions of |suppliers|/25 rows each, never a global
+    // sort.
+    "q_window_dist" -> ((s, d) => {
+      val rev = t(s, d, "lineitem").groupBy("l_suppkey")
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).as("rev"))
+      rev.join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_nationkey").cast("bigint").as("nationkey"),
+          col("s_suppkey").as("suppkey"), col("rev"))
+        .withColumn("pr", round(percent_rank().over(
+          Window.partitionBy("nationkey").orderBy("rev")), 6))
+        .withColumn("cd", round(cume_dist().over(
+          Window.partitionBy("nationkey").orderBy("rev")), 6))
+        .select(col("nationkey"), col("suppkey"),
+          round(col("rev"), 2).cast("double").as("revenue"), col("pr"), col("cd"))
+        .orderBy("nationkey", "suppkey")
     })
   )
 
@@ -1078,6 +1105,18 @@ object Relational {
         |  CAST(max(concurrent) AS BIGINT) AS peak_concurrent,
         |  round(avg(concurrent), 2) AS avg_concurrent,
         |  count(*) AS n_days
-        |FROM r GROUP BY 1 ORDER BY yr""".stripMargin
+        |FROM r GROUP BY 1 ORDER BY yr""".stripMargin,
+    // window ORDER BY key is the exact-decimal revenue on both engines
+    "q_window_dist" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS rev
+        |  FROM lineitem GROUP BY l_suppkey)
+        |SELECT CAST(s_nationkey AS BIGINT) AS nationkey, s_suppkey AS suppkey,
+        |  CAST(round(rev, 2) AS DOUBLE) AS revenue,
+        |  round(percent_rank() OVER (PARTITION BY s_nationkey ORDER BY rev), 6) AS pr,
+        |  round(cume_dist() OVER (PARTITION BY s_nationkey ORDER BY rev), 6) AS cd
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |ORDER BY nationkey, suppkey""".stripMargin
   )
 }

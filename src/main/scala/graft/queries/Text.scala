@@ -342,6 +342,45 @@ object Text {
         .agg(round(sum("contrib"), 6).as("kl"),
           count(lit(1)).as("n_terms"))
         .orderBy("lang")
+    }),
+
+    // Collocation mining — top-20 adjacent-token pairs by pointwise mutual
+    // information, the classic phrase detector (word2vec-style phrase
+    // merging, stopword-bigram suppression). PMI = ln(p(xy) / (p(x)p(y)))
+    // with p(xy) over the bigram space and p(x) over the unigram space.
+    // Plan shape at scale: the corpus tokenizes ONCE into a bigram stream
+    // and once into a unigram stream (two explodes — the pair explode
+    // cannot derive from the unigram one), each partial-agg'd; the
+    // min-support filter (c2 >= 5) prunes the bigram side BEFORE its two
+    // joins back to the unigram counts, which stay UNHINTED — vocab is
+    // scale-growing, AQE broadcasts at test SFs. Tokens cannot contain
+    // whitespace (they are split products), so splitting the bigram on its
+    // single space recovers x and y exactly on both engines. The PMI value
+    // is pure per-row double arithmetic in one fixed expression order (no
+    // double aggregation anywhere), rounded to 9 dp as the ORDER key — the
+    // t_tfidf_top discipline.
+    "t_pmi_topk" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(tokens(col("text")).as("sp"))
+      val uni = docs.select(explode(col("sp")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c1"))
+      val nUni = uni.agg(sum("c1").cast("double").as("n_uni"))
+      val bg = docs.filter(size(col("sp")) >= 2)
+        .select(expr(
+          "explode(transform(sequence(0, size(sp) - 2), i -> concat(sp[i], ' ', sp[i + 1])))")
+          .as("bigram"))
+      val nBg = bg.agg(count(lit(1)).cast("double").as("n_bg"))
+      bg.groupBy("bigram").agg(count(lit(1)).as("c2"))
+        .filter(col("c2") >= 5)
+        .withColumn("x", split(col("bigram"), " ").getItem(0))
+        .withColumn("y", split(col("bigram"), " ").getItem(1))
+        .join(uni.withColumnRenamed("tok", "x").withColumnRenamed("c1", "c1x"), "x")
+        .join(uni.withColumnRenamed("tok", "y").withColumnRenamed("c1", "c1y"), "y")
+        .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBg))
+        .select(col("bigram"), col("c2"),
+          round(log((col("c2") / col("n_bg")) /
+            ((col("c1x") / col("n_uni")) * (col("c1y") / col("n_uni")))), 9).as("pmi9"))
+        .orderBy(col("pmi9").desc, col("bigram"))
+        .limit(20)
     })
   )
 
@@ -515,6 +554,26 @@ object Text {
         |            * ln((c / CAST(n AS DOUBLE)) / (gc / CAST(gn AS DOUBLE)))), 6) AS kl,
         |  count(*) AS n_terms
         |FROM lc JOIN lt USING (lang) JOIN gc USING (term) CROSS JOIN gt
-        |GROUP BY lang ORDER BY lang""".stripMargin
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    // same fixed expression order for the PMI value; pmi9 is the sort key
+    "t_pmi_topk" ->
+      """WITH toks AS (
+        |  SELECT string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS sp FROM documents),
+        |uw AS (SELECT unnest(sp) AS tok FROM toks),
+        |u AS (SELECT tok, count(*) AS c1 FROM uw GROUP BY tok),
+        |nu AS (SELECT CAST(count(*) AS DOUBLE) AS n_uni FROM uw),
+        |bw AS (SELECT unnest(list_transform(range(1, greatest(len(sp), 1)),
+        |                     i -> sp[CAST(i AS INT)] || ' ' || sp[CAST(i AS INT) + 1])) AS bigram
+        |       FROM toks WHERE len(sp) >= 2),
+        |nb AS (SELECT CAST(count(*) AS DOUBLE) AS n_bg FROM bw),
+        |b AS (SELECT bigram, count(*) AS c2 FROM bw GROUP BY bigram HAVING count(*) >= 5)
+        |SELECT bigram, c2,
+        |  round(ln((c2 / n_bg) /
+        |           ((ux.c1 / n_uni) * (uy.c1 / n_uni))), 9) AS pmi9
+        |FROM b
+        |JOIN u ux ON split_part(bigram, ' ', 1) = ux.tok
+        |JOIN u uy ON split_part(bigram, ' ', 2) = uy.tok
+        |CROSS JOIN nu CROSS JOIN nb
+        |ORDER BY pmi9 DESC, bigram LIMIT 20""".stripMargin
   )
 }

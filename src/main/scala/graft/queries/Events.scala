@@ -295,6 +295,44 @@ object Events {
         .filter(col("v7").isNotNull)
         .select(col("hour_ts"), col("v").as("n_err"), col("ewma"))
         .orderBy("hour_ts")
+    }),
+
+    // PageRank over the event-type transition graph — the iterative
+    // power-method shape (the d_dup_clusters/s_kmeans family) expressed
+    // entirely as joins, with a DuckDB oracle (3 unrolled iterations in
+    // CTEs). The scale split: edge extraction scans the full stream (lag
+    // window over bounded per-user partitions, one partial-agg'd groupBy —
+    // the e_transition_matrix stage), while the iteration runs on the
+    // aggregated GRAPH, whose size is |types|², independent of stream
+    // volume. Damping 0.85; nodes with no inbound edges get the teleport
+    // floor via the left join + coalesce. Only the FINAL rank is rounded
+    // (6 dp); intermediates stay raw so both engines walk the same
+    // trajectory.
+    "e_pagerank" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val ev = Tables.events(s, d)
+      val edges = ev
+        .withColumn("src", lag("event_type", 1).over(w))
+        .filter(col("src").isNotNull)
+        .groupBy(col("src"), col("event_type").as("dst"))
+        .agg(count(lit(1)).as("n"))
+      val out = edges.groupBy("src").agg(sum("n").as("tot"))
+      val p = edges.join(out, "src")
+        .select(col("src"), col("dst"), (col("n") / col("tot")).as("p"))
+      val nodes = ev.select(col("event_type").as("v")).distinct()
+      val nn = nodes.agg(count(lit(1)).cast("double").as("nn"))
+      var r = nodes.crossJoin(broadcast(nn))
+        .select(col("v"), (lit(1.0) / col("nn")).as("r"))
+      for (_ <- 1 to 3) {
+        val contrib = p.join(r, p("src") === r("v"))
+          .groupBy(col("dst")).agg(sum(col("p") * col("r")).as("inr"))
+        r = nodes.crossJoin(broadcast(nn))
+          .join(contrib, col("v") === col("dst"), "left")
+          .select(col("v"),
+            (lit(0.15) / col("nn") + lit(0.85) * coalesce(col("inr"), lit(0.0))).as("r"))
+      }
+      r.select(col("v").as("event_type"), round(col("r"), 6).as("pagerank"))
+        .orderBy("event_type")
     })
   )
 
@@ -478,6 +516,29 @@ object Events {
         |SELECT hour_ts, v AS n_err,
         |  round((v * 1.0 + l1 * 0.5 + l2 * 0.25 + l3 * 0.125 + l4 * 0.0625 +
         |         l5 * 0.03125 + l6 * 0.015625 + l7 * 0.0078125) / 1.9921875, 6) AS ewma
-        |FROM k WHERE l7 IS NOT NULL ORDER BY hour_ts""".stripMargin
+        |FROM k WHERE l7 IS NOT NULL ORDER BY hour_ts""".stripMargin,
+    // 3 unrolled power-method iterations; only the final rank is rounded
+    "e_pagerank" ->
+      """WITH lg AS (
+        |  SELECT event_type AS dst,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+        |  FROM events),
+        |ed AS (SELECT src, dst, count(*) AS n FROM lg WHERE src IS NOT NULL GROUP BY 1, 2),
+        |ot AS (SELECT src, sum(n) AS tot FROM ed GROUP BY 1),
+        |p AS (SELECT ed.src, dst, n / tot AS p FROM ed JOIN ot USING (src)),
+        |nodes AS (SELECT DISTINCT event_type AS v FROM events),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM nodes),
+        |r0 AS (SELECT v, 1.0 / nn AS r FROM nodes CROSS JOIN nn),
+        |c1 AS (SELECT dst, sum(p.p * r0.r) AS inr FROM p JOIN r0 ON p.src = r0.v GROUP BY dst),
+        |r1 AS (SELECT v, 0.15 / nn + 0.85 * coalesce(inr, 0.0) AS r
+        |       FROM nodes CROSS JOIN nn LEFT JOIN c1 ON v = c1.dst),
+        |c2 AS (SELECT dst, sum(p.p * r1.r) AS inr FROM p JOIN r1 ON p.src = r1.v GROUP BY dst),
+        |r2 AS (SELECT v, 0.15 / nn + 0.85 * coalesce(inr, 0.0) AS r
+        |       FROM nodes CROSS JOIN nn LEFT JOIN c2 ON v = c2.dst),
+        |c3 AS (SELECT dst, sum(p.p * r2.r) AS inr FROM p JOIN r2 ON p.src = r2.v GROUP BY dst),
+        |r3 AS (SELECT v, 0.15 / nn + 0.85 * coalesce(inr, 0.0) AS r
+        |       FROM nodes CROSS JOIN nn LEFT JOIN c3 ON v = c3.dst)
+        |SELECT v AS event_type, round(r, 6) AS pagerank
+        |FROM r3 ORDER BY event_type""".stripMargin
   )
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import Tables._
@@ -366,6 +367,33 @@ object Similarity {
             .as("cos9"))
         .orderBy(col("cos9").desc, col("vec_id"))
         .limit(10)
+    }),
+
+    // Batched brute-force top-k — the retrieval-evaluation shape (a whole
+    // query SET scored in one job, not one vector at a time like
+    // s_cosine_topk). The 8-query batch is a BROADCAST side of a single
+    // cross join, so the corpus scans once and each partition scores all
+    // queries locally — at 100 TB this is the exact baseline every ANN
+    // variant (LSH/IVF/PQ) is graded against, and the batch size is the
+    // knob that amortizes the scan. Per-query top-5 via a window over the
+    // qid partition (8 bounded partitions); ranks order by the ROUNDED
+    // cosine with vec_id tie-break, so rank assignment is deterministic
+    // cross-engine (the s_ivf_topk rounding discipline).
+    "s_batch_topk" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val emb = t(s, d, "embeddings")
+      val qs = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+      emb.filter(col("vec_id") >= 8)
+        .crossJoin(broadcast(qs))
+        .select(col("qid"), col("vec_id"),
+          round(graft.functions.GraftFunctions.cosineSim(col("embedding"), col("qvec")), 4)
+            .as("cos"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("qid"), col("rnk").cast("bigint").as("rnk"), col("vec_id"), col("cos"))
+        .orderBy("qid", "rnk")
     })
   )
 
@@ -515,6 +543,20 @@ object Similarity {
         |  round(list_dot_product(a, qa) /
         |        (sqrt(list_dot_product(a, a)) * sqrt(list_dot_product(qa, qa))), 9) AS cos9
         |FROM aug, q WHERE vec_id <> 0
-        |ORDER BY cos9 DESC, vec_id LIMIT 10""".stripMargin
+        |ORDER BY cos9 DESC, vec_id LIMIT 10""".stripMargin,
+    // ranks order by the ROUNDED cosine + vec_id tie-break on both engines
+    "s_batch_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 8),
+        |sc AS (
+        |  SELECT qid, e.vec_id,
+        |    round(list_dot_product(e.v, q.qv) /
+        |          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos
+        |  FROM e, q WHERE e.vec_id >= 8),
+        |r AS (SELECT qid, vec_id, cos,
+        |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+        |      FROM sc)
+        |SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id, cos
+        |FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
   )
 }

@@ -381,6 +381,30 @@ object Text {
             ((col("c1x") / col("n_uni")) * (col("c1y") / col("n_uni")))), 9).as("pmi9"))
         .orderBy(col("pmi9").desc, col("bigram"))
         .limit(20)
+    }),
+
+    // Readability scoring — Flesch-reading-ease with the standard
+    // regex-only approximations (sentences = terminal-punctuation runs,
+    // syllables = vowel-group runs), the curation filter that separates
+    // grade-school prose from legalese before training. Per-doc arithmetic
+    // is integer counts in one fixed double expression (deterministic
+    // per row, rounded to 4 dp); the per-lang roll-up rounds its double
+    // aggregates (summation order — the t_code_detect discipline). Narrow
+    // map over the scan + one partial-agg'd groupBy; no joins, no windows.
+    "t_readability" -> ((s, d) => {
+      val nWords = size(tokens(col("text"))).cast("double")
+      val nSent = greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1)).cast("double")
+      val nSyll = greatest(regexp_count(lower(col("text")), lit("[aeiouy]+")), lit(1)).cast("double")
+      val score = round(lit(206.835) - lit(1.015) * (nWords / nSent) -
+        lit(84.6) * (nSyll / nWords), 4)
+      t(s, d, "documents")
+        .select(col("lang"), score.as("flesch"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg("flesch"), 4).as("avg_flesch"),
+          min("flesch").as("min_flesch"),
+          max("flesch").as("max_flesch"))
+        .orderBy("lang")
     })
   )
 
@@ -574,6 +598,22 @@ object Text {
         |JOIN u ux ON split_part(bigram, ' ', 1) = ux.tok
         |JOIN u uy ON split_part(bigram, ' ', 2) = uy.tok
         |CROSS JOIN nu CROSS JOIN nb
-        |ORDER BY pmi9 DESC, bigram LIMIT 20""".stripMargin
+        |ORDER BY pmi9 DESC, bigram LIMIT 20""".stripMargin,
+    // same count regexes, same fixed expression order for the score
+    "t_readability" ->
+      """WITH s AS (
+        |  SELECT lang,
+        |    round(206.835
+        |      - 1.015 * (CAST(len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS DOUBLE)
+        |                 / CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS DOUBLE))
+        |      - 84.6 * (CAST(greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1) AS DOUBLE)
+        |                / CAST(len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS DOUBLE)),
+        |      4) AS flesch
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  round(avg(flesch), 4) AS avg_flesch,
+        |  min(flesch) AS min_flesch,
+        |  max(flesch) AS max_flesch
+        |FROM s GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

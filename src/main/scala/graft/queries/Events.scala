@@ -333,6 +333,58 @@ object Events {
       }
       r.select(col("v").as("event_type"), round(col("r"), 6).as("pagerank"))
         .orderBy("event_type")
+    }),
+
+    // Sliding-rate detector — each event annotated with the count of
+    // same-user events in its trailing 24 h (a RANGE frame over exact µs,
+    // the rate-limit / burst-abuse primitive; the ROWS-frame cousin is
+    // e_lateness_profile). RANGE frames include peers (identical ties
+    // semantics on both engines, exact integer order key). Per-user
+    // partitions are bounded; the roll-up is one partial-agg'd groupBy.
+    // Threshold 5-in-24h flags the bursty tail of the synthetic stream.
+    "e_rate_window" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("tsus"))
+        .rangeBetween(-86400000000L, 0)
+      Tables.events(s, d)
+        .withColumn("tsus", unix_micros(col("ts")))
+        .withColumn("c24", count(lit(1)).over(w))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          max("c24").as("max_c24"),
+          round(avg("c24"), 4).as("avg_c24"),
+          sum(when(col("c24") >= 5, 1L).otherwise(0L)).cast("bigint").as("n_flagged"))
+        .orderBy("event_type")
+    }),
+
+    // Session DURATION statistics — the dwell-time report e_sessionize
+    // stops short of: the same gap>30min session-break flag, turned into a
+    // session id by a running sum over each user's stream (two window
+    // passes over the SAME partitioning+sort — one shuffle, Spark reuses
+    // the sorted partition), then per-session spans and exact global
+    // percentiles (`percentile` ≡ `quantile_cont`, the q_percentile
+    // parity). Only multi-event sessions have nonzero span; singletons are
+    // reported separately rather than dragging the median to 0.
+    "e_session_stats" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val sess = Tables.events(s, d)
+        .withColumn("tsus", unix_micros(col("ts")))
+        .withColumn("prev_ts", lag("tsus", 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull, 1)
+            .when(col("tsus") - col("prev_ts") > 1800L * 1000000L, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum("new_session").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          (max("tsus") - min("tsus")).as("dur_us"))
+      sess.agg(
+        count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L)).cast("bigint").as("n_singleton"),
+        round(avg("n_events"), 4).as("avg_events"),
+        round(expr("percentile(dur_us, 0.5)"), 1).as("p50_dur_us"),
+        round(expr("percentile(dur_us, 0.95)"), 1).as("p95_dur_us"),
+        max("dur_us").as("max_dur_us"))
     })
   )
 
@@ -539,6 +591,42 @@ object Events {
         |r3 AS (SELECT v, 0.15 / nn + 0.85 * coalesce(inr, 0.0) AS r
         |       FROM nodes CROSS JOIN nn LEFT JOIN c3 ON v = c3.dst)
         |SELECT v AS event_type, round(r, 6) AS pagerank
-        |FROM r3 ORDER BY event_type""".stripMargin
+        |FROM r3 ORDER BY event_type""".stripMargin,
+    // same exact-µs RANGE frame; peers included identically
+    "e_rate_window" ->
+      """WITH x AS (
+        |  SELECT event_type,
+        |    count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |      RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW) AS c24
+        |  FROM events)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(max(c24) AS BIGINT) AS max_c24,
+        |  round(avg(c24), 4) AS avg_c24,
+        |  CAST(sum(CASE WHEN c24 >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+        |FROM x GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "e_session_stats" ->
+      """WITH l AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tsus,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |f AS (SELECT user_id, event_id, tsus,
+        |  CASE WHEN prev_ts IS NULL THEN 1
+        |       WHEN tsus - prev_ts > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM l),
+        |sid AS (SELECT user_id, tsus,
+        |  sum(new_session) OVER (PARTITION BY user_id ORDER BY tsus, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM f),
+        |sess AS (
+        |  SELECT user_id, session_id, count(*) AS n_events,
+        |    max(tsus) - min(tsus) AS dur_us
+        |  FROM sid GROUP BY user_id, session_id)
+        |SELECT count(*) AS n_sessions,
+        |  CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singleton,
+        |  round(avg(n_events), 4) AS avg_events,
+        |  round(quantile_cont(dur_us, 0.5), 1) AS p50_dur_us,
+        |  round(quantile_cont(dur_us, 0.95), 1) AS p95_dur_us,
+        |  max(dur_us) AS max_dur_us
+        |FROM sess""".stripMargin
   )
 }

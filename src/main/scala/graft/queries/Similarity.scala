@@ -394,6 +394,29 @@ object Similarity {
         .filter(col("rnk") <= 5)
         .select(col("qid"), col("rnk").cast("bigint").as("rnk"), col("vec_id"), col("cos"))
         .orderBy("qid", "rnk")
+    }),
+
+    // Embedding QA — norm-distribution profile + z-score outlier count, the
+    // sanity gate before any similarity index is built (a batch of zero or
+    // exploded vectors poisons every cosine downstream). Per-vector norm is
+    // index-order double arithmetic (deterministic); the mean/stddev are
+    // order-dependent double aggregates, so the z-score is rounded to 6 dp
+    // on BOTH engines before the threshold test — the e_anomaly discipline
+    // exactly. One narrow map + two tiny aggregates (the stats row
+    // broadcasts back); no joins on data-scale keys.
+    "s_norm_outliers" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val dot = graft.functions.GraftFunctions.dotProduct _
+      val norms = t(s, d, "embeddings")
+        .select(col("vec_id"), sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+      val stats = norms.agg(avg("nrm").as("mu"), stddev_samp("nrm").as("sd"))
+      norms.crossJoin(broadcast(stats))
+        .select(col("nrm"), round((col("nrm") - col("mu")) / nullif(col("sd"), lit(0)), 6).as("z6"))
+        .agg(count(lit(1)).as("n_vecs"),
+          round(min("nrm"), 4).as("min_norm"),
+          round(max("nrm"), 4).as("max_norm"),
+          round(avg("nrm"), 4).as("avg_norm"),
+          sum(when(abs(col("z6")) > 3, 1L).otherwise(0L)).cast("bigint").as("n_outliers"))
     })
   )
 
@@ -557,6 +580,20 @@ object Similarity {
         |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
         |      FROM sc)
         |SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id, cos
-        |FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+        |FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+    // z rounded to 6 dp before the threshold on both engines (e_anomaly)
+    "s_norm_outliers" ->
+      """WITH n AS (
+        |  SELECT vec_id,
+        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings),
+        |st AS (SELECT avg(nrm) AS mu, stddev_samp(nrm) AS sd FROM n),
+        |z AS (SELECT nrm, round((nrm - mu) / nullif(sd, 0), 6) AS z6 FROM n, st)
+        |SELECT count(*) AS n_vecs,
+        |  round(min(nrm), 4) AS min_norm,
+        |  round(max(nrm), 4) AS max_norm,
+        |  round(avg(nrm), 4) AS avg_norm,
+        |  CAST(sum(CASE WHEN abs(z6) > 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM z""".stripMargin
   )
 }

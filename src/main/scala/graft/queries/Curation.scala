@@ -568,6 +568,34 @@ object Curation {
           coalesce(col("n_fresh"), lit(0L)).as("n_fresh"),
           (col("n_batch") - coalesce(col("n_fresh"), lit(0L))).as("n_deduped"))
         .orderBy("lang")
+    }),
+
+    // CCNet-style perplexity bucketing — split the corpus into head /
+    // middle / tail thirds by bigram-LM score (reusing t_doc_logprob's
+    // per-doc avg log-prob VERBATIM — same plan, so the LM trains once per
+    // job and the bucket boundaries are the corpus-wide terciles), then
+    // report the lang × bucket composition a curation run would sample
+    // from. The cuts are exact percentiles of the ROUNDED per-doc score
+    // (deterministic input → deterministic interpolation on both engines)
+    // broadcast from a 1-row aggregate; bucketing is a pure per-row
+    // comparison. Higher avg log-prob = more predictable = "head".
+    "c_perplexity_buckets" -> ((s, d) => {
+      val lp = Text.queries("t_doc_logprob")(s, d)
+        .select(col("doc_id"), col("avg_logprob"))
+      // 1.0d: Spark SQL's bare 1.0 literal is DECIMAL — the cut must be the
+      // IEEE double 1/3 to match DuckDB's double division exactly
+      val cuts = lp.agg(
+        expr("percentile(avg_logprob, array(1.0d/3, 2.0d/3))").as("c"))
+      lp.join(t(s, d, "documents").select("doc_id", "lang"), "doc_id")
+        .crossJoin(broadcast(cuts))
+        .withColumn("bucket",
+          when(col("avg_logprob") >= col("c").getItem(1), "head")
+            .when(col("avg_logprob") >= col("c").getItem(0), "middle")
+            .otherwise("tail"))
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg("avg_logprob"), 4).as("avg_lp"))
+        .orderBy("lang", "bucket")
     })
   )
 
@@ -885,6 +913,34 @@ object Curation {
         |SELECT lang, n_batch,
         |  CAST(coalesce(n_fresh, 0) AS BIGINT) AS n_fresh,
         |  CAST(n_batch - coalesce(n_fresh, 0) AS BIGINT) AS n_deduped
-        |FROM tot LEFT JOIN fresh USING (lang) ORDER BY lang""".stripMargin
+        |FROM tot LEFT JOIN fresh USING (lang) ORDER BY lang""".stripMargin,
+    // t_doc_logprob's oracle as a CTE + tercile cuts via quantile_cont
+    "c_perplexity_buckets" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS sp
+        |  FROM documents),
+        |bi AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(sp)), i -> sp[CAST(i AS INT)])) AS w1,
+        |    unnest(list_transform(range(1, len(sp)), i -> sp[CAST(i AS INT) + 1])) AS w2
+        |  FROM d WHERE len(sp) >= 2),
+        |pair AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+        |uni AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1),
+        |model AS (SELECT w1, w2, ln(CAST(c12 AS DOUBLE) / c1) AS lp
+        |          FROM pair JOIN uni USING (w1)),
+        |lpd AS (
+        |  SELECT doc_id, round(avg(lp), 6) AS avg_logprob
+        |  FROM bi JOIN model USING (w1, w2) GROUP BY doc_id),
+        |cuts AS (SELECT quantile_cont(avg_logprob, [1.0/3, 2.0/3]) AS c FROM lpd),
+        |b AS (
+        |  SELECT lang,
+        |    CASE WHEN avg_logprob >= c[2] THEN 'head'
+        |         WHEN avg_logprob >= c[1] THEN 'middle'
+        |         ELSE 'tail' END AS bucket,
+        |    avg_logprob
+        |  FROM lpd JOIN documents USING (doc_id) CROSS JOIN cuts)
+        |SELECT lang, bucket, count(*) AS n_docs,
+        |  round(avg(avg_logprob), 4) AS avg_lp
+        |FROM b GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin
   )
 }

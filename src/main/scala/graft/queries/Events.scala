@@ -385,6 +385,95 @@ object Events {
         round(expr("percentile(dur_us, 0.5)"), 1).as("p50_dur_us"),
         round(expr("percentile(dur_us, 0.95)"), 1).as("p95_dur_us"),
         max("dur_us").as("max_dur_us"))
+    }),
+
+    // Two-proportion z-test — the A/B readout: users split by id parity
+    // (the deterministic stand-in for an assignment column), conversion =
+    // purchase share above 20% of the user's events (an "any purchase"
+    // flag saturates — every synthetic user buys eventually — giving the
+    // degenerate p=1 pool whose zero variance divides by zero under ANSI),
+    // pooled-variance z on the rate difference. One per-user aggregate
+    // (single shuffle on user_id), then a 1-row conditional roll-up; the z
+    // statistic is one fixed-order double expression over exact integer
+    // counts, rounded to 4 dp BEFORE the 1.96 significance threshold
+    // (boundary-absorbing, the e_anomaly discipline). nullif guards the
+    // degenerate all-convert/none-convert pool: z comes back NULL instead
+    // of an ANSI divide-by-zero.
+    "e_ab_test" -> ((s, d) => {
+      val per = Tables.events(s, d).groupBy("user_id")
+        .agg((sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) /
+          count(lit(1)) > 0.2).cast("int").as("conv"))
+        .withColumn("variant", pmod(col("user_id"), lit(2)))
+      val g = per.agg(
+        sum(when(col("variant") === 0, 1L).otherwise(0L)).cast("bigint").as("n0"),
+        sum(when(col("variant") === 0, col("conv")).otherwise(0L)).cast("bigint").as("k0"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).cast("bigint").as("n1"),
+        sum(when(col("variant") === 1, col("conv")).otherwise(0L)).cast("bigint").as("k1"))
+      g.select(col("n0"), col("k0"), col("n1"), col("k1"),
+          round(col("k0") / col("n0"), 6).as("p0"),
+          round(col("k1") / col("n1"), 6).as("p1"),
+          round((col("k1") / col("n1") - col("k0") / col("n0")) /
+            nullif(sqrt(((col("k0") + col("k1")) / (col("n0") + col("n1"))) *
+              (lit(1.0) - (col("k0") + col("k1")) / (col("n0") + col("n1"))) *
+              (lit(1.0) / col("n0") + lit(1.0) / col("n1"))), lit(0.0)), 4).as("z"))
+        .withColumn("significant", abs(col("z")) > 1.96)
+    }),
+
+    // Chi-square independence test — is event type independent of weekday?
+    // The contingency table is |types| × 7 (bounded however large the
+    // stream), built by ONE partial-agg'd groupBy over the scan; margins
+    // and the grand total derive from the cell aggregate (broadcast back —
+    // nothing rescans the stream). Weekday numbering differs across
+    // engines (Spark 1–7 Sunday-first, DuckDB 0–6) but is a private
+    // grouping key — any bijective labeling partitions rows identically,
+    // and the statistic is label-invariant; only label-free totals are
+    // output. The 35-term sum is rounded to 3 dp (summation order).
+    "e_chi_square" -> ((s, d) => {
+      val cell = Tables.events(s, d)
+        .select(dayofweek(col("ts")).as("dw"), col("event_type"))
+        .groupBy("dw", "event_type")
+        .agg(count(lit(1)).as("o"))
+      val rt = cell.groupBy("dw").agg(sum("o").as("rt"))
+      val ct = cell.groupBy("event_type").agg(sum("o").as("ct"))
+      val nT = cell.agg(sum("o").cast("double").as("n"))
+      val dims = rt.agg(count(lit(1)).as("nr"))
+        .crossJoin(ct.agg(count(lit(1)).as("nc")))
+        .select(((col("nr") - 1) * (col("nc") - 1)).as("df"))
+      cell.join(broadcast(rt), "dw").join(broadcast(ct), "event_type")
+        .crossJoin(broadcast(nT))
+        .select((col("rt") * col("ct") / col("n")).as("e"), col("o"))
+        .agg(count(lit(1)).as("n_cells"),
+          round(sum((col("o") - col("e")) * (col("o") - col("e")) / col("e")), 3)
+            .as("chi2"))
+        .crossJoin(broadcast(dims))
+        .select(col("n_cells"), col("df"), col("chi2"))
+    }),
+
+    // Robust dispersion statistics — per-type median + MAD (median absolute
+    // deviation) and a robust-z outlier count, the heavy-tail-safe cousin
+    // of e_anomaly (whose mean/stddev a single spike drags). Exact
+    // percentiles are order statistics (no summation-order hazard —
+    // `percentile` ≡ `quantile_cont` interpolation on identical sorted
+    // data); both tiny per-type aggregates broadcast back onto the stream,
+    // which is scanned twice but shuffled only on the bounded type key.
+    // The robust z is rounded to 6 dp before the 3.5 threshold; MAD = 0
+    // groups get NULL z via nullif (absorbed identically, e_anomaly).
+    "e_robust_stats" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val med = e.groupBy("event_type").agg(expr("percentile(value, 0.5)").as("med"))
+      val dev = e.join(broadcast(med), "event_type")
+        .select(col("event_type"), col("value"), col("med"),
+          abs(col("value") - col("med")).as("ad"))
+      val mad = dev.groupBy("event_type").agg(expr("percentile(ad, 0.5)").as("mad"))
+      dev.join(broadcast(mad), "event_type")
+        .select(col("event_type"), col("med"), col("mad"),
+          round(col("ad") / (lit(1.4826) * nullif(col("mad"), lit(0))), 6).as("rz6"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(max(col("med")), 4).as("median"),
+          round(max(col("mad")), 4).as("mad"),
+          sum(when(col("rz6") > 3.5, 1L).otherwise(0L)).cast("bigint").as("n_outliers"))
+        .orderBy("event_type")
     })
   )
 
@@ -627,6 +716,62 @@ object Events {
         |  round(quantile_cont(dur_us, 0.5), 1) AS p50_dur_us,
         |  round(quantile_cont(dur_us, 0.95), 1) AS p95_dur_us,
         |  max(dur_us) AS max_dur_us
-        |FROM sess""".stripMargin
+        |FROM sess""".stripMargin,
+    // same fixed-order z expression over exact integer counts
+    "e_ab_test" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |         / count(*) > 0.2 AS INT) AS conv,
+        |    user_id % 2 AS variant
+        |  FROM events GROUP BY user_id),
+        |g AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS BIGINT) AS k0,
+        |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS BIGINT) AS k1
+        |  FROM per)
+        |SELECT n0, k0, n1, k1,
+        |  round(k0 / n0, 6) AS p0,
+        |  round(k1 / n1, 6) AS p1,
+        |  round((k1 / n1 - k0 / n0) /
+        |        nullif(sqrt(((k0 + k1) / (n0 + n1)) * (1.0 - (k0 + k1) / (n0 + n1)) *
+        |             (1.0 / n0 + 1.0 / n1)), 0.0), 4) AS z,
+        |  abs(round((k1 / n1 - k0 / n0) /
+        |        nullif(sqrt(((k0 + k1) / (n0 + n1)) * (1.0 - (k0 + k1) / (n0 + n1)) *
+        |             (1.0 / n0 + 1.0 / n1)), 0.0), 4)) > 1.96 AS significant
+        |FROM g""".stripMargin,
+    // weekday labels are private grouping keys; the statistic is
+    // label-invariant, so each engine's own numbering is fine
+    "e_chi_square" ->
+      """WITH cell AS (
+        |  SELECT dayofweek(ts) AS dw, event_type, count(*) AS o
+        |  FROM events GROUP BY 1, 2),
+        |rt AS (SELECT dw, sum(o) AS rt FROM cell GROUP BY 1),
+        |ct AS (SELECT event_type, sum(o) AS ct FROM cell GROUP BY 1),
+        |n AS (SELECT CAST(sum(o) AS DOUBLE) AS n FROM cell),
+        |dims AS (
+        |  SELECT ((SELECT count(*) FROM rt) - 1) * ((SELECT count(*) FROM ct) - 1) AS df)
+        |SELECT count(*) AS n_cells,
+        |  CAST((SELECT df FROM dims) AS BIGINT) AS df,
+        |  round(sum((o - rt.rt * ct.ct / n.n) * (o - rt.rt * ct.ct / n.n) /
+        |            (rt.rt * ct.ct / n.n)), 3) AS chi2
+        |FROM cell JOIN rt USING (dw) JOIN ct USING (event_type) CROSS JOIN n""".stripMargin,
+    "e_robust_stats" ->
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY 1),
+        |dev AS (
+        |  SELECT e.event_type, med, abs(value - med) AS ad
+        |  FROM events e JOIN med USING (event_type)),
+        |mad AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad FROM dev GROUP BY 1)
+        |SELECT event_type, count(*) AS n,
+        |  round(max(med), 4) AS median,
+        |  round(max(dev.mad), 4) AS mad,
+        |  CAST(sum(CASE WHEN round(ad / (1.4826 * nullif(dev.mad, 0)), 6) > 3.5
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM (SELECT dev.event_type, dev.med, dev.ad, mad.mad
+        |      FROM dev JOIN mad USING (event_type)) dev
+        |GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import Tables._
@@ -596,6 +597,68 @@ object Curation {
         .agg(count(lit(1)).as("n_docs"),
           round(avg("avg_logprob"), 4).as("avg_lp"))
         .orderBy("lang", "bucket")
+    }),
+
+    // Quality-aware exact dedup — keep the BEST copy per fingerprint group
+    // (longest text, then smallest id as the deterministic tie-break),
+    // where d_exact_dedup keeps the first-seen. This is how production
+    // dedup actually chooses: survivors should be the richest instance,
+    // not an arbitrary one. Runs over the dedup family's planted-dup
+    // corpus (Dedup.corpusWithDups — every doc_id % 5 == 0 appears twice)
+    // so the keep/drop arithmetic is exercised. One shuffle on the
+    // fingerprint (row_number over high-cardinality bounded-size groups),
+    // then a per-lang partial-agg'd report of what was kept vs dropped.
+    "c_dedup_keep_best" -> ((s, d) => {
+      val w = Window.partitionBy("fp").orderBy(col("n_chars").desc, col("doc_id"))
+      Dedup.corpusWithDups(s, d)
+        .withColumn("fp", md5(Text.normText(col("text"))))
+        .withColumn("rn", row_number().over(w))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("rn") === 1, 1L).otherwise(0L)).cast("bigint").as("n_kept"),
+          coalesce(sum(when(col("rn") > 1, col("n_chars"))), lit(0L))
+            .cast("bigint").as("chars_dropped"))
+        .orderBy("lang")
+    }),
+
+    // Train/val/test split with a dedup-aware leakage guard — the split
+    // key must be the content FINGERPRINT, not the row id: two copies of
+    // one document split by id can land train AND test (contamination of
+    // the eval set). Runs over the planted-dup corpus so the leak is
+    // real. Both strategies are computed side by side: the
+    // fingerprint-keyed 80/10/10 (hex-prefix thresholds on md5(fp) — the
+    // c_hash_sample determinism) must report ZERO leaked fingerprints; the
+    // naive id-keyed split reports how many fingerprints straddle splits.
+    // Two partial-agg'd passes over a stamped union; no joins on
+    // data-scale keys beyond the fingerprint groupBy.
+    "c_leakage_split" -> ((s, d) => {
+      val docs = Dedup.corpusWithDups(s, d)
+        .withColumn("fp", md5(Text.normText(col("text"))))
+      val byFp = docs.withColumn("split",
+          when(substring(md5(col("fp")), 1, 2) < "cc", "train")
+            .when(substring(md5(col("fp")), 1, 2) < "e6", "val")
+            .otherwise("test"))
+        .withColumn("strategy", lit("by_fingerprint"))
+      // id-keyed comparison arm: same 80/10/10 hex thresholds but keyed on
+      // the ROW id — copies of one text get different ids, hence different
+      // splits (a modulo split would also leak, but the planted corpus's
+      // even-skewed ids would leave its test bucket empty)
+      val byId = docs.withColumn("split",
+          when(substring(md5(col("doc_id").cast("string")), 1, 2) < "cc", "train")
+            .when(substring(md5(col("doc_id").cast("string")), 1, 2) < "e6", "val")
+            .otherwise("test"))
+        .withColumn("strategy", lit("by_doc_id"))
+      val all = byFp.unionByName(byId)
+      val leaks = all.select("strategy", "fp", "split").distinct()
+        .groupBy("strategy", "fp").agg(countDistinct("split").as("ns"))
+        .groupBy("strategy")
+        .agg(sum(when(col("ns") > 1, 1L).otherwise(0L)).cast("bigint").as("n_leaked_fps"))
+      all.groupBy("strategy")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct("fp").as("n_fps"),
+          countDistinct("split").as("n_splits"))
+        .join(leaks, "strategy")
+        .orderBy("strategy")
     })
   )
 
@@ -941,6 +1004,57 @@ object Curation {
         |  FROM lpd JOIN documents USING (doc_id) CROSS JOIN cuts)
         |SELECT lang, bucket, count(*) AS n_docs,
         |  round(avg(avg_logprob), 4) AS avg_lp
-        |FROM b GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin
+        |FROM b GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin,
+    "c_dedup_keep_best" ->
+      """WITH dups AS (
+        |  SELECT doc_id * 2 AS doc_id, text, lang, n_chars FROM documents
+        |  UNION ALL
+        |  SELECT doc_id * 2 + 1 AS doc_id, text, lang, n_chars
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |f AS (
+        |  SELECT lang, n_chars, doc_id,
+        |    md5(lower(trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')))) AS fp
+        |  FROM dups),
+        |r AS (SELECT lang, n_chars,
+        |  row_number() OVER (PARTITION BY fp ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM f)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(coalesce(sum(CASE WHEN rn > 1 THEN n_chars END), 0) AS BIGINT) AS chars_dropped
+        |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
+    "c_leakage_split" ->
+      """WITH dups AS (
+        |  SELECT doc_id * 2 AS doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id * 2 + 1 AS doc_id, text
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |f AS (
+        |  SELECT doc_id,
+        |    md5(lower(trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')))) AS fp
+        |  FROM dups),
+        |a AS (
+        |  SELECT 'by_fingerprint' AS strategy, fp,
+        |    CASE WHEN substr(md5(fp), 1, 2) < 'cc' THEN 'train'
+        |         WHEN substr(md5(fp), 1, 2) < 'e6' THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM f
+        |  UNION ALL
+        |  SELECT 'by_doc_id' AS strategy, fp,
+        |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+        |         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM f),
+        |lk AS (
+        |  SELECT strategy,
+        |    CAST(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked_fps
+        |  FROM (SELECT strategy, fp, count(DISTINCT split) AS ns
+        |        FROM a GROUP BY strategy, fp)
+        |  GROUP BY strategy)
+        |SELECT strategy, count(*) AS n_docs,
+        |  count(DISTINCT fp) AS n_fps,
+        |  count(DISTINCT split) AS n_splits,
+        |  n_leaked_fps
+        |FROM a JOIN lk USING (strategy)
+        |GROUP BY strategy, n_leaked_fps ORDER BY strategy""".stripMargin
   )
 }

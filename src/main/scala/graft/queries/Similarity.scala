@@ -417,6 +417,54 @@ object Similarity {
           round(max("nrm"), 4).as("max_norm"),
           round(avg("nrm"), 4).as("avg_norm"),
           sum(when(abs(col("z6")) > 3, 1L).otherwise(0L)).cast("bigint").as("n_outliers"))
+    }),
+
+    // PCA top component via power iteration — WITHOUT materializing the
+    // 64×64 covariance: each iteration computes C·v as Σⱼ sⱼ(xⱼ−μ) with
+    // sⱼ = xⱼ·v − μ·v, i.e. one narrow scalar-projection pass plus one
+    // posexplode aggregation — the matrix-free form that scales to any
+    // corpus size and any dimension (the covariance outer-product explode
+    // would be dim² per row). Three unrolled iterations (the e_pagerank /
+    // s_kmeans family), deterministic all-ones start (exactly unit norm:
+    // 64·(1/8)² = 1). Every summation-order-dependent aggregate (μ, Σsⱼ,
+    // the per-position sums) is rounded to 9 dp — the s_ivf_topk centroid
+    // discipline — so both engines walk the same trajectory, and the
+    // normalization folds the vector in index order (HOF aggregate ≡
+    // list_dot_product). Output: per-label projection stats along the top
+    // component (sign is pinned by the deterministic start).
+    "s_pca_project" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val dot = graft.functions.GraftFunctions.dotProduct _
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+      val mu = emb.select(posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("pos").agg(round(avg("x"), 9).as("m"))
+        .agg(expr("array_sort(collect_list(struct(pos, m)))").as("ps"))
+        .select(expr("transform(ps, p -> p.m)").as("mu"))
+      var pv = s.range(1)
+        .select(expr("transform(sequence(0, 63), i -> 0.125d)").as("pv"))
+      for (_ <- 1 to 3) {
+        val sj = emb.crossJoin(broadcast(pv)).crossJoin(broadcast(mu))
+          .select(col("v"), (dot(col("v"), col("pv")) - dot(col("mu"), col("pv"))).as("sj"))
+        val ssum = sj.agg(round(sum("sj"), 9).as("ss"))
+        val tvec = sj.select(col("sj"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy("pos").agg(round(sum(col("sj") * col("x")), 9).as("t"))
+          .crossJoin(broadcast(mu)).crossJoin(broadcast(ssum))
+          .select(col("pos"), (col("t") - col("ss") * expr("mu[pos]")).as("t2"))
+          .agg(expr("array_sort(collect_list(struct(pos, t2)))").as("ps"))
+          .select(expr("transform(ps, p -> p.t2)").as("t"))
+        pv = tvec.select(expr(
+          "transform(t, x -> round(x / sqrt(aggregate(t, 0d, (a, y) -> a + y * y)), 9))")
+          .as("pv"))
+      }
+      emb.crossJoin(broadcast(pv)).crossJoin(broadcast(mu))
+        .select(col("label"),
+          (dot(col("v"), col("pv")) - dot(col("mu"), col("pv"))).as("proj"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          round(avg("proj"), 4).as("avg_proj"),
+          round(avg(col("proj") * col("proj")), 3).as("var_along"))
+        .orderBy("label")
     })
   )
 
@@ -594,6 +642,45 @@ object Similarity {
         |  round(max(nrm), 4) AS max_norm,
         |  round(avg(nrm), 4) AS avg_norm,
         |  CAST(sum(CASE WHEN abs(z6) > 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
-        |FROM z""".stripMargin
+        |FROM z""".stripMargin,
+    // 3 unrolled matrix-free power iterations; every order-dependent sum
+    // rounded to 9 dp, normalization folds in index order (≡ HOF aggregate)
+    "s_pca_project" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |mup AS (SELECT CAST(r.i AS INT) AS pos, round(avg(v[CAST(r.i AS INT) + 1]), 9) AS m
+        |        FROM e, range(64) r(i) GROUP BY 1),
+        |mu AS (SELECT list(m ORDER BY pos) AS mu FROM mup),
+        |v0 AS (SELECT list_transform(range(64), i -> CAST(0.125 AS DOUBLE)) AS pv),
+        |s1 AS (SELECT e.vec_id, e.v,
+        |         list_dot_product(e.v, v0.pv) - list_dot_product(mu.mu, v0.pv) AS sj
+        |       FROM e, v0, mu),
+        |ss1 AS (SELECT round(sum(sj), 9) AS ss FROM s1),
+        |t1p AS (SELECT CAST(r.i AS INT) AS pos, round(sum(sj * v[CAST(r.i AS INT) + 1]), 9) AS t
+        |        FROM s1, range(64) r(i) GROUP BY 1),
+        |t1 AS (SELECT list(t - ss * mu[pos + 1] ORDER BY pos) AS t FROM t1p, ss1, mu),
+        |v1 AS (SELECT list_transform(t, x -> round(x / sqrt(list_dot_product(t, t)), 9)) AS pv FROM t1),
+        |s2 AS (SELECT e.vec_id, e.v,
+        |         list_dot_product(e.v, v1.pv) - list_dot_product(mu.mu, v1.pv) AS sj
+        |       FROM e, v1, mu),
+        |ss2 AS (SELECT round(sum(sj), 9) AS ss FROM s2),
+        |t2p AS (SELECT CAST(r.i AS INT) AS pos, round(sum(sj * v[CAST(r.i AS INT) + 1]), 9) AS t
+        |        FROM s2, range(64) r(i) GROUP BY 1),
+        |t2 AS (SELECT list(t - ss * mu[pos + 1] ORDER BY pos) AS t FROM t2p, ss2, mu),
+        |v2 AS (SELECT list_transform(t, x -> round(x / sqrt(list_dot_product(t, t)), 9)) AS pv FROM t2),
+        |s3 AS (SELECT e.vec_id, e.v,
+        |         list_dot_product(e.v, v2.pv) - list_dot_product(mu.mu, v2.pv) AS sj
+        |       FROM e, v2, mu),
+        |ss3 AS (SELECT round(sum(sj), 9) AS ss FROM s3),
+        |t3p AS (SELECT CAST(r.i AS INT) AS pos, round(sum(sj * v[CAST(r.i AS INT) + 1]), 9) AS t
+        |        FROM s3, range(64) r(i) GROUP BY 1),
+        |t3 AS (SELECT list(t - ss * mu[pos + 1] ORDER BY pos) AS t FROM t3p, ss3, mu),
+        |v3 AS (SELECT list_transform(t, x -> round(x / sqrt(list_dot_product(t, t)), 9)) AS pv FROM t3),
+        |proj AS (SELECT label,
+        |           list_dot_product(e.v, v3.pv) - list_dot_product(mu.mu, v3.pv) AS proj
+        |         FROM e, v3, mu)
+        |SELECT label, count(*) AS n,
+        |  round(avg(proj), 4) AS avg_proj,
+        |  round(avg(proj * proj), 3) AS var_along
+        |FROM proj GROUP BY label ORDER BY label""".stripMargin
   )
 }

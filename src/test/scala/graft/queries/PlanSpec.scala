@@ -320,4 +320,44 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"))
     assert(!p.contains("CartesianProduct"), "1-row query side must broadcast")
   }
+
+  test("q_window_dist: unhinted supplier join (AQE broadcasts here); windows stay partitioned") {
+    val df = SparkEntry.queries("q_window_dist")(spark, TestSpark.sf0001)
+    df.collect()
+    val ep = df.queryExecution.executedPlan.toString
+    assert(ep.contains("BroadcastHashJoin"),
+      "AQE should broadcast the small supplier side at test SF")
+    assert(!ep.contains("CartesianProduct") && !ep.contains("NestedLoop"))
+    // both rank functions share the nation-partitioned window, never global
+    // (pre-AQE tree: AdaptiveSparkPlanExec hides children from collect)
+    val windows = plan("q_window_dist").collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty &&
+      windows.forall(!_.toString.contains("SinglePartition")),
+      "percent_rank/cume_dist must partition by nation")
+  }
+
+  test("t_pmi_topk: unigram joins unhinted (AQE broadcasts here); top-20 is TakeOrdered") {
+    val df = SparkEntry.queries("t_pmi_topk")(spark, TestSpark.sf0001)
+    df.collect()
+    val ep = df.queryExecution.executedPlan.toString
+    assert(ep.contains("BroadcastHashJoin"),
+      "AQE should broadcast the vocab sides at test SF")
+    assert(ep.contains("TakeOrderedAndProject"), "top-20 must never sort the pair space")
+  }
+
+  test("s_batch_topk: one corpus scan + one broadcast batch; per-query windows partitioned") {
+    // exactly two embeddings scans: the 8-row query batch and the corpus
+    assert(scans("s_batch_topk").size == 2)
+    val p = plan("s_batch_topk")
+    assert(p.toString.contains("BroadcastNestedLoopJoin"),
+      "the query batch rides a broadcast cross join against the corpus scan")
+    assert(!p.toString.contains("SortMergeJoin") && !p.toString.contains("CartesianProduct"))
+    val windows = p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.forall(!_.toString.contains("SinglePartition")),
+      "rank assignment must partition by qid")
+  }
 }

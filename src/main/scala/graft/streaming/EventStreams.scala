@@ -151,4 +151,54 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)(
         Encoders.product[SessionState], Encoders.product[Session])
   }
+
+  // ---- custom state: flatMapGroupsWithState rate limiting ----
+
+  final case class RateState(recent: Seq[Long])
+  final case class RateAlert(user_id: Long, alert_ts: Timestamp, n_in_window: Int)
+
+  /** Stateful sliding-rate limiter — the streaming form of the batch
+    * `e_rate_window` RANGE frame: emits an alert whenever a user's count of
+    * events in the trailing `windowMs` reaches `threshold`. Per-user state
+    * is ONLY the timestamps still inside the trailing window (pruned on
+    * every event), so state size is bounded by the highest in-window burst,
+    * not the stream; idle users evict by event-time timeout one window
+    * after their last event. In-batch processing sorts by event time, so a
+    * micro-batch containing a whole burst still alerts at the exact event
+    * that crosses the threshold.
+    */
+  def rateAlerts(events: Dataset[Event], windowMs: Long, threshold: Int): Dataset[RateAlert] = {
+    import events.sparkSession.implicits._
+
+    def fn(userId: Long, batch: Iterator[Event],
+        state: GroupState[RateState]): Iterator[RateAlert] = {
+      if (!batch.hasNext) {
+        if (state.hasTimedOut) state.remove()
+        Iterator.empty
+      } else {
+        val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        var recent = state.getOption.map(_.recent).getOrElse(Seq.empty)
+        var out = Vector.empty[RateAlert]
+        for (e <- sorted) {
+          val t = e.ts.getTime
+          recent = (recent :+ t).filter(_ >= t - windowMs)
+          if (recent.size >= threshold)
+            out :+= RateAlert(userId, e.ts, recent.size)
+        }
+        state.update(RateState(recent))
+        // evict one window after the newest event; clamp above the current
+        // watermark (setTimeoutTimestamp below it throws — the
+        // sessionizeStateful straggler lesson)
+        state.setTimeoutTimestamp(
+          math.max(recent.last + windowMs, state.getCurrentWatermarkMs + 1))
+        out.iterator
+      }
+    }
+
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)(
+        Encoders.product[RateState], Encoders.product[RateAlert])
+  }
 }

@@ -170,4 +170,50 @@ class EventStreamsSpec extends SparkSpec {
       .select("user_id", "n_sessions").as[(Long, Long)].collect().toSeq
     assert(builtin == oracle)
   }
+
+  test("rateAlerts: burst crossing the threshold alerts at the crossing event") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Event]
+    // 10-minute window, threshold 3
+    val q = rateAlerts(mem.toDS(), 600000L, 3).writeStream
+      .format("memory").queryName("rate_test").outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(2), 1, "click", 1.0),
+        Event(3, ts(4), 1, "click", 1.0),   // 3rd in 10 min → alert here
+        Event(4, ts(6), 1, "click", 1.0),   // still 4 in window → alert again
+        Event(5, ts(0), 2, "view", 1.0),
+        Event(6, ts(30), 2, "view", 1.0))   // user 2 never bursts
+      q.processAllAvailable()
+      val rows = spark.table("rate_test")
+        .as[(Long, Timestamp, Int)].collect().toSet
+      assert(rows == Set((1L, ts(4), 3), (1L, ts(6), 4)))
+    } finally q.stop()
+  }
+
+  test("rateAlerts: state prunes to the window — a burst split across batches still fires") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Event]
+    val q = rateAlerts(mem.toDS(), 600000L, 3).writeStream
+      .format("memory").queryName("rate_split_test").outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: one event long ago (will be pruned) + one in-window
+      mem.addData(
+        Event(1, ts(-60), 7, "click", 1.0),
+        Event(2, ts(1), 7, "click", 1.0))
+      q.processAllAvailable()
+      // batch 2: two more inside the window → exactly 3 in window (the
+      // ts(-60) event must NOT count toward the burst)
+      mem.addData(
+        Event(3, ts(3), 7, "click", 1.0),
+        Event(4, ts(5), 7, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("rate_split_test")
+        .as[(Long, Timestamp, Int)].collect().toSet
+      assert(rows == Set((7L, ts(5), 3)))
+    } finally q.stop()
+  }
 }

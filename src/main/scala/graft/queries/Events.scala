@@ -474,6 +474,32 @@ object Events {
           round(max(col("mad")), 4).as("mad"),
           sum(when(col("rz6") > 3.5, 1L).otherwise(0L)).cast("bigint").as("n_outliers"))
         .orderBy("event_type")
+    }),
+
+    // Time-to-conversion distribution — each user's delay from FIRST view
+    // to the first purchase strictly after it, summarized as exact
+    // percentiles. ONE conditional-min aggregation per user computes both
+    // anchors (the e_funnel trick — no self-join): min view time
+    // unconditionally, and min purchase-after-view via a conditional on
+    // the per-user running comparison — expressed as min(purchase ts) >
+    // t_view in a second conditional using the already-grouped values.
+    // Exact µs arithmetic end to end; `percentile` ≡ `quantile_cont`.
+    "e_conversion_lag" -> ((s, d) => {
+      val per = Tables.events(s, d).groupBy("user_id").agg(
+        min(when(col("event_type") === "view", unix_micros(col("ts")))).as("t_view"),
+        collect_list(when(col("event_type") === "purchase", unix_micros(col("ts"))))
+          .as("purchases"))
+      per
+        .filter(col("t_view").isNotNull)
+        .select(col("user_id"),
+          expr("array_min(filter(purchases, p -> p > t_view))").as("t_conv"),
+          col("t_view"))
+        .withColumn("lag_us", col("t_conv") - col("t_view"))
+        .agg(count(lit(1)).as("n_viewers"),
+          count(col("lag_us")).as("n_converted"),
+          round(expr("percentile(lag_us, 0.5)"), 1).as("p50_lag_us"),
+          round(expr("percentile(lag_us, 0.9)"), 1).as("p90_lag_us"),
+          max("lag_us").as("max_lag_us"))
     })
   )
 
@@ -772,6 +798,24 @@ object Events {
         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         |FROM (SELECT dev.event_type, dev.med, dev.ad, mad.mad
         |      FROM dev JOIN mad USING (event_type)) dev
-        |GROUP BY event_type ORDER BY event_type""".stripMargin
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // list() FILTER mirrors collect_list's null-skipping; list_min of an
+    // empty/NULL list and array_min of an empty array both yield NULL
+    "e_conversion_lag" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view,
+        |    list(epoch_us(ts)) FILTER (WHERE event_type = 'purchase') AS purchases
+        |  FROM events GROUP BY user_id),
+        |l AS (
+        |  SELECT user_id, t_view,
+        |    list_min(list_filter(purchases, p -> p > t_view)) AS t_conv
+        |  FROM per WHERE t_view IS NOT NULL)
+        |SELECT count(*) AS n_viewers,
+        |  count(t_conv - t_view) AS n_converted,
+        |  round(quantile_cont(t_conv - t_view, 0.5), 1) AS p50_lag_us,
+        |  round(quantile_cont(t_conv - t_view, 0.9), 1) AS p90_lag_us,
+        |  CAST(max(t_conv - t_view) AS BIGINT) AS max_lag_us
+        |FROM l""".stripMargin
   )
 }

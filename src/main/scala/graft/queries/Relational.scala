@@ -762,6 +762,61 @@ object Relational {
         .select(col("nationkey"), col("suppkey"),
           round(col("rev"), 2).cast("double").as("revenue"), col("pr"), col("cd"))
         .orderBy("nationkey", "suppkey")
+    }),
+
+    // Market-basket association rules — co-purchased part pairs ranked by
+    // lift, with a min-support gate. The pair stream comes from a
+    // self-join ON THE ORDER KEY, whose fan-out is bounded by the max
+    // basket size (≤ n(n−1)/2 per order — never corpus-quadratic; the
+    // TPC-H cap is 7 items, here 13). Item supports and the order count
+    // derive from their own partial-agg'd passes; the support joins stay
+    // UNHINTED (item cardinality scales with the catalog — AQE broadcasts
+    // at test SFs). Lift is per-row double arithmetic in one fixed
+    // expression order, rounded to 6 dp as the rank key; top-15 via
+    // TakeOrdered, never a global sort of the pair space.
+    "q_assoc_rules" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select("l_orderkey", "l_partkey").distinct()
+      val nOrders = t(s, d, "lineitem")
+        .agg(countDistinct("l_orderkey").cast("double").as("n_orders"))
+      val item = li.groupBy("l_partkey").agg(count(lit(1)).as("ci"))
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        // min-support 2: the synthetic baskets are near-uniform (pair
+        // supports don't concentrate — max support is 3–5 at every SF), so
+        // a production-style high gate would return nothing; the PLAN is
+        // identical whatever the literal
+        .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+        .agg(count(lit(1)).as("cab"))
+        .filter(col("cab") >= 2)
+      pairs
+        .join(item.withColumnRenamed("l_partkey", "pa").withColumnRenamed("ci", "ca"), "pa")
+        .join(item.withColumnRenamed("l_partkey", "pb").withColumnRenamed("ci", "cb"), "pb")
+        .crossJoin(broadcast(nOrders))
+        .select(col("pa"), col("pb"), col("cab"),
+          round((col("cab") / col("n_orders")) /
+            ((col("ca") / col("n_orders")) * (col("cb") / col("n_orders"))), 6).as("lift"))
+        .orderBy(col("lift").desc, col("pa"), col("pb"))
+        .limit(15)
+    }),
+
+    // Blocked fuzzy self-join — near-identical part names via Levenshtein
+    // distance ≤ 2, the record-linkage primitive. The O(n²) name space is
+    // cut by BLOCKING on the head noun (last token): candidate pairs only
+    // form inside a block, so the edit-distance predicate — which no join
+    // algorithm can index — runs on a bounded candidate set; at catalog
+    // scale the block key is the join's shuffle key. Both engines compute
+    // the same integer metric (`levenshtein` ≡ `levenshtein`), and the
+    // name inequality dedups the symmetric pair.
+    "q_fuzzy_join" -> ((s, d) => {
+      val names = t(s, d, "part").select(col("p_name")).distinct()
+        .withColumn("blk", element_at(split(col("p_name"), " "), -1))
+      names.as("a").join(names.as("b"),
+          col("a.blk") === col("b.blk") && col("a.p_name") < col("b.p_name"))
+        .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"),
+          levenshtein(col("a.p_name"), col("b.p_name")).as("dist"))
+        .filter(col("dist") <= 2)
+        .orderBy("name_a", "name_b")
     })
   )
 
@@ -1117,6 +1172,35 @@ object Relational {
         |  round(percent_rank() OVER (PARTITION BY s_nationkey ORDER BY rev), 6) AS pr,
         |  round(cume_dist() OVER (PARTITION BY s_nationkey ORDER BY rev), 6) AS cd
         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
-        |ORDER BY nationkey, suppkey""".stripMargin
+        |ORDER BY nationkey, suppkey""".stripMargin,
+    // same fixed-order lift expression; the rounded lift is the rank key
+    "q_assoc_rules" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |n AS (SELECT CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS n_orders FROM lineitem),
+        |item AS (SELECT l_partkey, count(*) AS ci FROM li GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS cab
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT pa, pb, cab,
+        |  round((cab / n_orders) /
+        |        ((ia.ci / n_orders) * (ib.ci / n_orders)), 6) AS lift
+        |FROM pairs
+        |JOIN item ia ON pa = ia.l_partkey
+        |JOIN item ib ON pb = ib.l_partkey
+        |CROSS JOIN n
+        |ORDER BY lift DESC, pa, pb LIMIT 15""".stripMargin,
+    "q_fuzzy_join" ->
+      """WITH names AS (
+        |  SELECT DISTINCT p_name,
+        |    string_split(p_name, ' ')[-1] AS blk
+        |  FROM part)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+        |FROM names a JOIN names b
+        |  ON a.blk = b.blk AND a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2
+        |ORDER BY name_a, name_b""".stripMargin
   )
 }

@@ -659,6 +659,47 @@ object Curation {
           countDistinct("split").as("n_splits"))
         .join(leaks, "strategy")
         .orderBy("strategy")
+    }),
+
+    // Data-mixing scheduler — hit a TARGET language mixture (en 40%, the
+    // rest split evenly) inside a token budget of half the corpus, then
+    // actually APPLY it with the exact-uniform md5 draw (the
+    // c_weighted_sample 2⁴⁸ construction, bit-identical cross-engine).
+    // Per-lang sampling rate = min(1, budgeted_tokens / available_tokens)
+    // — oversubscribed languages downsample, scarce ones keep everything
+    // (real mixtures can't conjure missing tokens; the achieved share
+    // shows the shortfall). Token counts and rates derive from two tiny
+    // aggregates broadcast back; the keep decision is a narrow per-row
+    // comparison. The achieved share is a window over |langs| rows.
+    "c_mix_schedule" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("lang"), col("text"),
+          size(Text.tokens(col("text"))).cast("long").as("n_tok"))
+      val avail = docs.groupBy("lang").agg(sum("n_tok").as("avail_tokens"))
+      val tot = avail.agg(sum("avail_tokens").cast("double").as("total"),
+        count(lit(1)).cast("double").as("n_langs"))
+      val rates = avail.crossJoin(broadcast(tot))
+        .select(col("lang"), col("avail_tokens"),
+          when(col("lang") === "en", 0.4)
+            .otherwise((lit(1.0) - 0.4) / (col("n_langs") - 1.0)).as("w"),
+          col("total"))
+        .select(col("lang"), col("avail_tokens"),
+          round(col("w"), 6).as("target_share"),
+          least(lit(1.0),
+            (lit(0.5) * col("total") * col("w")) / col("avail_tokens")).as("rate"))
+      val u = (conv(substring(md5(col("text")), 1, 12), 16, 10).cast("double") + 1.0) /
+        281474976710656.0
+      docs.join(broadcast(rates), "lang")
+        .select(col("lang"), col("avail_tokens"), col("target_share"), col("rate"),
+          col("n_tok"), (u < col("rate")).as("keep"))
+        .groupBy("lang", "avail_tokens", "target_share")
+        .agg(round(max(col("rate")), 6).as("rate6"),
+          sum(when(col("keep"), 1L).otherwise(0L)).cast("bigint").as("n_kept"),
+          coalesce(sum(when(col("keep"), col("n_tok"))), lit(0L)).as("kept_tokens"))
+        .withColumn("achieved_share",
+          round(col("kept_tokens") / sum("kept_tokens").over(
+            org.apache.spark.sql.expressions.Window.partitionBy()), 6))
+        .orderBy("lang")
     })
   )
 
@@ -1055,6 +1096,39 @@ object Curation {
         |  count(DISTINCT split) AS n_splits,
         |  n_leaked_fps
         |FROM a JOIN lk USING (strategy)
-        |GROUP BY strategy, n_leaked_fps ORDER BY strategy""".stripMargin
+        |GROUP BY strategy, n_leaked_fps ORDER BY strategy""".stripMargin,
+    // identical rate arithmetic (literals written as the same expressions,
+    // not pre-folded constants) and the same 2^48 exact-uniform draw
+    "c_mix_schedule" ->
+      """WITH docs AS (
+        |  SELECT lang, text,
+        |    CAST(len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |avail AS (SELECT lang, CAST(sum(n_tok) AS BIGINT) AS avail_tokens
+        |          FROM docs GROUP BY lang),
+        |tot AS (SELECT CAST(sum(avail_tokens) AS DOUBLE) AS total,
+        |               CAST(count(*) AS DOUBLE) AS n_langs FROM avail),
+        |rates AS (
+        |  SELECT lang, avail_tokens,
+        |    round(CASE WHEN lang = 'en' THEN CAST(0.4 AS DOUBLE)
+        |          ELSE (1.0 - 0.4) / (n_langs - 1.0) END, 6) AS target_share,
+        |    least(CAST(1.0 AS DOUBLE),
+        |      (0.5 * total * CASE WHEN lang = 'en' THEN CAST(0.4 AS DOUBLE)
+        |                     ELSE (1.0 - 0.4) / (n_langs - 1.0) END) / avail_tokens) AS rate
+        |  FROM avail CROSS JOIN tot),
+        |k AS (
+        |  SELECT d.lang, avail_tokens, target_share, rate, n_tok,
+        |    ((CAST('0x' || substr(md5(text), 1, 12) AS BIGINT) + 1.0)
+        |     / 281474976710656.0) < rate AS keep
+        |  FROM docs d JOIN rates USING (lang)),
+        |g AS (
+        |  SELECT lang, avail_tokens, target_share,
+        |    round(max(rate), 6) AS rate6,
+        |    CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |    CAST(coalesce(sum(CASE WHEN keep THEN n_tok END), 0) AS BIGINT) AS kept_tokens
+        |  FROM k GROUP BY 1, 2, 3)
+        |SELECT lang, avail_tokens, target_share, rate6, n_kept, kept_tokens,
+        |  round(kept_tokens / sum(kept_tokens) OVER (), 6) AS achieved_share
+        |FROM g ORDER BY lang""".stripMargin
   )
 }

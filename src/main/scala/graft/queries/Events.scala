@@ -500,6 +500,27 @@ object Events {
           round(expr("percentile(lag_us, 0.5)"), 1).as("p50_lag_us"),
           round(expr("percentile(lag_us, 0.9)"), 1).as("p90_lag_us"),
           max("lag_us").as("max_lag_us"))
+    }),
+
+    // Cumulative distinct users by day — the growth-curve query. A naive
+    // COUNT(DISTINCT) OVER a running frame doesn't exist in Spark (and
+    // would hold per-day distinct state everywhere it does); the scalable
+    // rewrite is FIRST-TOUCH: each user contributes once, on their first
+    // day (one shuffle on user_id), daily new-user counts join onto the
+    // calendar spine (zero-filled), and a running sum over the
+    // CALENDAR-BOUNDED spine — the e_gap_fill argument — turns increments
+    // into the cumulative census.
+    "e_cumulative_users" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val firstDay = e.groupBy("user_id").agg(min(to_date(col("ts"))).as("day"))
+      val newDaily = firstDay.groupBy("day").agg(count(lit(1)).as("n_new"))
+      val spine = e.agg(min(to_date(col("ts"))).as("d0"), max(to_date(col("ts"))).as("d1"))
+        .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      spine.join(newDaily, Seq("day"), "left")
+        .select(col("day"), coalesce(col("n_new"), lit(0L)).as("n_new"))
+        .withColumn("cum_users", sum("n_new").over(
+          Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .orderBy("day")
     })
   )
 
@@ -816,6 +837,20 @@ object Events {
         |  round(quantile_cont(t_conv - t_view, 0.5), 1) AS p50_lag_us,
         |  round(quantile_cont(t_conv - t_view, 0.9), 1) AS p90_lag_us,
         |  CAST(max(t_conv - t_view) AS BIGINT) AS max_lag_us
-        |FROM l""".stripMargin
+        |FROM l""".stripMargin,
+    "e_cumulative_users" ->
+      """WITH fd AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events GROUP BY user_id),
+        |nd AS (SELECT day, count(*) AS n_new FROM fd GROUP BY day),
+        |b AS (SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1 FROM events),
+        |spine AS (
+        |  SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+        |    CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+        |f AS (SELECT spine.day, CAST(coalesce(n_new, 0) AS BIGINT) AS n_new
+        |      FROM spine LEFT JOIN nd USING (day))
+        |SELECT day, n_new,
+        |  CAST(sum(n_new) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+        |FROM f ORDER BY day""".stripMargin
   )
 }

@@ -521,6 +521,32 @@ object Events {
         .withColumn("cum_users", sum("n_new").over(
           Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .orderBy("day")
+    }),
+
+    // Rolling 7-day active users (WAU) by day, EXACTLY — a rolling
+    // COUNT(DISTINCT) window doesn't exist in Spark, and approximations
+    // (HLL merge) trade accuracy; the scalable exact rewrite is the
+    // CONTRIBUTION EXPLODE: each (user, active-day) pair contributes to
+    // the 7 window-END days it falls inside, distinct (user, end-day)
+    // collapses multi-day activity inside one window, and a count per end
+    // day reads off WAU. Fan-out is a fixed ×7 on the already-distinct
+    // user-day stream — bounded, shuffle-friendly, no quadratic anything.
+    // DAU joins from the same user-day stream for contrast.
+    "e_rolling_wau" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val userDays = e.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val dau = userDays.groupBy("day").agg(count(lit(1)).as("dau"))
+      val bounds = e.agg(min(to_date(col("ts"))).as("d0"), max(to_date(col("ts"))).as("d1"))
+      val wau = userDays
+        .select(col("user_id"),
+          explode(expr("sequence(day, date_add(day, 6), interval 1 day)")).as("wday"))
+        .distinct()
+        .crossJoin(broadcast(bounds))
+        .filter(col("wday") <= col("d1"))
+        .groupBy(col("wday").as("day")).agg(count(lit(1)).as("wau_7d"))
+      dau.join(wau, "day")
+        .select(col("day"), col("dau"), col("wau_7d"))
+        .orderBy("day")
     })
   )
 
@@ -851,6 +877,19 @@ object Events {
         |SELECT day, n_new,
         |  CAST(sum(n_new) OVER (ORDER BY day
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
-        |FROM f ORDER BY day""".stripMargin
+        |FROM f ORDER BY day""".stripMargin,
+    // same contribution-explode rewrite of the rolling distinct
+    "e_rolling_wau" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day),
+        |b AS (SELECT max(CAST(ts AS DATE)) AS d1 FROM events),
+        |w AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(unnest(generate_series(CAST(day AS TIMESTAMP),
+        |      CAST(day AS TIMESTAMP) + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS DATE) AS wday
+        |  FROM ud),
+        |wau AS (SELECT wday AS day, count(*) AS wau_7d
+        |        FROM w, b WHERE wday <= d1 GROUP BY 1)
+        |SELECT day, dau, wau_7d FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin
   )
 }

@@ -405,6 +405,37 @@ object Text {
           min("flesch").as("min_flesch"),
           max("flesch").as("max_flesch"))
         .orderBy("lang")
+    }),
+
+    // Boilerplate detection — the C4-style template filter: a 10-token
+    // chunk appearing in ≥ 2 DISTINCT documents is boilerplate (headers,
+    // footers, navigation, license blocks), and each document is scored by
+    // its boilerplate fraction. Chunking reuses the c_line_dedup window
+    // (10-token shingle-join chunks); the chunk→doc-frequency aggregate is
+    // vocab-sized and joins back UNHINTED (AQE broadcasts at test SFs, the
+    // t_tfidf_top discipline — a web-scale chunk vocabulary must be free
+    // to shuffle). Per-doc fraction is exact integer division rounded to
+    // 6 dp; the per-lang roll-up rounds its avg (summation order).
+    "t_boilerplate" -> ((s, d) => {
+      val chunks = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), tokens(col("text")).as("sp"))
+        .filter(size(col("sp")) >= 10)
+        .select(col("doc_id"), col("lang"),
+          explode(expr(
+            "transform(sequence(0, cast(size(sp) / 10 as int) - 1), " +
+              "i -> array_join(slice(sp, i * 10 + 1, 10), ' '))")).as("chunk"))
+      val dfreq = chunks.groupBy("chunk").agg(countDistinct("doc_id").as("df"))
+      chunks.join(dfreq, "chunk")
+        .groupBy("doc_id", "lang")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_boiler"))
+        .select(col("lang"),
+          round(col("n_boiler") / col("n_chunks"), 6).as("frac"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg("frac"), 4).as("avg_boiler_frac"),
+          sum(when(col("frac") > 0.5, 1L).otherwise(0L)).cast("bigint").as("n_heavy"))
+        .orderBy("lang")
     })
   )
 
@@ -614,6 +645,26 @@ object Text {
         |  round(avg(flesch), 4) AS avg_flesch,
         |  min(flesch) AS min_flesch,
         |  max(flesch) AS max_flesch
-        |FROM s GROUP BY lang ORDER BY lang""".stripMargin
+        |FROM s GROUP BY lang ORDER BY lang""".stripMargin,
+    // same 10-token chunking as c_line_dedup's oracle
+    "t_boilerplate" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS sp
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_transform(range(0, len(sp) // 10),
+        |      i -> array_to_string(sp[(CAST(i AS INT) * 10 + 1):(CAST(i AS INT) * 10 + 10)], ' '))) AS chunk
+        |  FROM d WHERE len(sp) >= 10),
+        |dfreq AS (SELECT chunk, count(DISTINCT doc_id) AS df FROM c GROUP BY chunk),
+        |per AS (
+        |  SELECT doc_id, lang,
+        |    round(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS frac
+        |  FROM c JOIN dfreq USING (chunk)
+        |  GROUP BY doc_id, lang)
+        |SELECT lang, count(*) AS n_docs,
+        |  round(avg(frac), 4) AS avg_boiler_frac,
+        |  CAST(sum(CASE WHEN frac > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_heavy
+        |FROM per GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

@@ -776,8 +776,9 @@ object Relational {
     // TakeOrdered, never a global sort of the pair space.
     "q_assoc_rules" -> ((s, d) => {
       val li = t(s, d, "lineitem").select("l_orderkey", "l_partkey").distinct()
-      val nOrders = t(s, d, "lineitem")
-        .agg(countDistinct("l_orderkey").cast("double").as("n_orders"))
+      // order count derives from the SAME distinct stream (no second
+      // lineitem scan; the distinct's exchange is shared)
+      val nOrders = li.agg(countDistinct("l_orderkey").cast("double").as("n_orders"))
       val item = li.groupBy("l_partkey").agg(count(lit(1)).as("ci"))
       val pairs = li.as("a").join(li.as("b"),
           col("a.l_orderkey") === col("b.l_orderkey") &&

@@ -581,8 +581,11 @@ object Curation {
     // broadcast from a 1-row aggregate; bucketing is a pure per-row
     // comparison. Higher avg log-prob = more predictable = "head".
     "c_perplexity_buckets" -> ((s, d) => {
+      // persist the per-doc scores: both the tercile cuts and the bucketing
+      // join consume them, and without the cache each consumer re-trains
+      // the bigram LM (doc_id + one double per doc — tiny)
       val lp = Text.queries("t_doc_logprob")(s, d)
-        .select(col("doc_id"), col("avg_logprob"))
+        .select(col("doc_id"), col("avg_logprob")).persist()
       // 1.0d: Spark SQL's bare 1.0 literal is DECIMAL — the cut must be the
       // IEEE double 1/3 to match DuckDB's double division exactly
       val cuts = lp.agg(

@@ -317,9 +317,15 @@ object Events {
         .groupBy(col("src"), col("event_type").as("dst"))
         .agg(count(lit(1)).as("n"))
       val out = edges.groupBy("src").agg(sum("n").as("tot"))
+      // persist the |types|²-row graph and node set: every iteration
+      // references them, and without the cache each reference re-executes
+      // the full stream scan + lag window (measured 17 scans for 3
+      // iterations) — the standard iterative-algorithm cache, exactly what
+      // GraphX/ALS do with their edge lists
       val p = edges.join(out, "src")
         .select(col("src"), col("dst"), (col("n") / col("tot")).as("p"))
-      val nodes = ev.select(col("event_type").as("v")).distinct()
+        .persist()
+      val nodes = ev.select(col("event_type").as("v")).distinct().persist()
       val nn = nodes.agg(count(lit(1)).cast("double").as("nn"))
       var r = nodes.crossJoin(broadcast(nn))
         .select(col("v"), (lit(1.0) / col("nn")).as("r"))
@@ -421,32 +427,35 @@ object Events {
 
     // Chi-square independence test — is event type independent of weekday?
     // The contingency table is |types| × 7 (bounded however large the
-    // stream), built by ONE partial-agg'd groupBy over the scan; margins
-    // and the grand total derive from the cell aggregate (broadcast back —
-    // nothing rescans the stream). Weekday numbering differs across
-    // engines (Spark 1–7 Sunday-first, DuckDB 0–6) but is a private
-    // grouping key — any bijective labeling partitions rows identically,
-    // and the statistic is label-invariant; only label-free totals are
-    // output. The 35-term sum is rounded to 3 dp (summation order).
+    // stream), built by ONE partial-agg'd groupBy over the scan — the only
+    // pass over the stream. Margins, the grand total, the df dims, and the
+    // statistic all derive from the 35-row AGGREGATE via window sums and
+    // one final countDistinct roll-up (a join-back formulation re-executes
+    // the cell subplan once per margin — measured 12 stream scans before
+    // this shape). The empty-partition windows are SinglePartition over
+    // the bounded cell table, never the stream. Margins cast to double
+    // BEFORE multiplying: a long rt·ct product overflows at data scale.
+    // Weekday numbering differs across engines (Spark 1–7 Sunday-first,
+    // DuckDB 0–6) but is a private grouping key — any bijective labeling
+    // partitions rows identically, and the statistic is label-invariant;
+    // only label-free totals are output. The 35-term sum is rounded to
+    // 3 dp (summation order).
     "e_chi_square" -> ((s, d) => {
       val cell = Tables.events(s, d)
         .select(dayofweek(col("ts")).as("dw"), col("event_type"))
         .groupBy("dw", "event_type")
         .agg(count(lit(1)).as("o"))
-      val rt = cell.groupBy("dw").agg(sum("o").as("rt"))
-      val ct = cell.groupBy("event_type").agg(sum("o").as("ct"))
-      val nT = cell.agg(sum("o").cast("double").as("n"))
-      val dims = rt.agg(count(lit(1)).as("nr"))
-        .crossJoin(ct.agg(count(lit(1)).as("nc")))
-        .select(((col("nr") - 1) * (col("nc") - 1)).as("df"))
-      cell.join(broadcast(rt), "dw").join(broadcast(ct), "event_type")
-        .crossJoin(broadcast(nT))
-        .select((col("rt") * col("ct") / col("n")).as("e"), col("o"))
+      val m = cell
+        .withColumn("rt", sum("o").over(Window.partitionBy("dw")).cast("double"))
+        .withColumn("ct", sum("o").over(Window.partitionBy("event_type")).cast("double"))
+        .withColumn("n", sum("o").over(Window.partitionBy()).cast("double"))
+      m.select(col("dw"), col("event_type"),
+          ((col("o") - col("rt") * col("ct") / col("n")) *
+            (col("o") - col("rt") * col("ct") / col("n")) /
+            (col("rt") * col("ct") / col("n"))).as("term"))
         .agg(count(lit(1)).as("n_cells"),
-          round(sum((col("o") - col("e")) * (col("o") - col("e")) / col("e")), 3)
-            .as("chi2"))
-        .crossJoin(broadcast(dims))
-        .select(col("n_cells"), col("df"), col("chi2"))
+          ((countDistinct("dw") - 1) * (countDistinct("event_type") - 1)).as("df"),
+          round(sum("term"), 3).as("chi2"))
     }),
 
     // Robust dispersion statistics — per-type median + MAD (median absolute
@@ -821,16 +830,20 @@ object Events {
       """WITH cell AS (
         |  SELECT dayofweek(ts) AS dw, event_type, count(*) AS o
         |  FROM events GROUP BY 1, 2),
-        |rt AS (SELECT dw, sum(o) AS rt FROM cell GROUP BY 1),
-        |ct AS (SELECT event_type, sum(o) AS ct FROM cell GROUP BY 1),
-        |n AS (SELECT CAST(sum(o) AS DOUBLE) AS n FROM cell),
-        |dims AS (
-        |  SELECT ((SELECT count(*) FROM rt) - 1) * ((SELECT count(*) FROM ct) - 1) AS df)
+        |m AS (
+        |  SELECT dw, event_type, o,
+        |    CAST(sum(o) OVER (PARTITION BY dw) AS DOUBLE) AS rt,
+        |    CAST(sum(o) OVER (PARTITION BY event_type) AS DOUBLE) AS ct,
+        |    CAST(sum(o) OVER () AS DOUBLE) AS n
+        |  FROM cell),
+        |t AS (
+        |  SELECT dw, event_type,
+        |    (o - rt * ct / n) * (o - rt * ct / n) / (rt * ct / n) AS term
+        |  FROM m)
         |SELECT count(*) AS n_cells,
-        |  CAST((SELECT df FROM dims) AS BIGINT) AS df,
-        |  round(sum((o - rt.rt * ct.ct / n.n) * (o - rt.rt * ct.ct / n.n) /
-        |            (rt.rt * ct.ct / n.n)), 3) AS chi2
-        |FROM cell JOIN rt USING (dw) JOIN ct USING (event_type) CROSS JOIN n""".stripMargin,
+        |  CAST((count(DISTINCT dw) - 1) * (count(DISTINCT event_type) - 1) AS BIGINT) AS df,
+        |  round(sum(term), 3) AS chi2
+        |FROM t""".stripMargin,
     "e_robust_stats" ->
       """WITH med AS (
         |  SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY 1),

@@ -435,6 +435,10 @@ object Similarity {
     "s_pca_project" -> ((s, d) => {
       graft.functions.GraftFunctions.ensureRegistered(s)
       val dot = graft.functions.GraftFunctions.dotProduct _
+      // deliberately NOT persisted: caching the array column was measured
+      // SLOWER than re-scanning parquet (nested-type columnar cache
+      // deserialization dominates the ~8 re-reads of a fast vectorized
+      // scan) — the parquet reader IS the cache here
       val emb = t(s, d, "embeddings")
         .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
       val mu = emb.select(posexplode(col("v")).as(Seq("pos", "x")))

@@ -361,15 +361,20 @@ object Text {
     // t_tfidf_top discipline.
     "t_pmi_topk" -> ((s, d) => {
       val docs = t(s, d, "documents").select(tokens(col("text")).as("sp"))
+      // persist both count tables: the unigram counts feed THREE consumers
+      // (the total + both pair-side joins) and the bigram counts two (the
+      // total + the support filter) — uncached, each consumer re-runs its
+      // explode over the corpus
       val uni = docs.select(explode(col("sp")).as("tok"))
-        .groupBy("tok").agg(count(lit(1)).as("c1"))
+        .groupBy("tok").agg(count(lit(1)).as("c1")).persist()
       val nUni = uni.agg(sum("c1").cast("double").as("n_uni"))
-      val bg = docs.filter(size(col("sp")) >= 2)
+      val bgc = docs.filter(size(col("sp")) >= 2)
         .select(expr(
           "explode(transform(sequence(0, size(sp) - 2), i -> concat(sp[i], ' ', sp[i + 1])))")
           .as("bigram"))
-      val nBg = bg.agg(count(lit(1)).cast("double").as("n_bg"))
-      bg.groupBy("bigram").agg(count(lit(1)).as("c2"))
+        .groupBy("bigram").agg(count(lit(1)).as("c2")).persist()
+      val nBg = bgc.agg(sum("c2").cast("double").as("n_bg"))
+      bgc
         .filter(col("c2") >= 5)
         .withColumn("x", split(col("bigram"), " ").getItem(0))
         .withColumn("y", split(col("bigram"), " ").getItem(1))

@@ -556,6 +556,39 @@ object Events {
       dau.join(wau, "day")
         .select(col("day"), col("dau"), col("wau_7d"))
         .orderBy("day")
+    }),
+
+    // Seasonal-naive forecast evaluation — predict each hour's per-type
+    // count by the count 24 h earlier, score with MAPE and mean bias: the
+    // baseline every real forecaster must beat, and the cheapest anomaly
+    // context after e_ewma. The gap-filled (type × hour) panel comes from
+    // the e_gap_fill spine crossed with the BOUNDED type set; the 24-tap
+    // lag partitions by type over the calendar-bounded panel. Zero-actual
+    // hours get NULL APE via nullif (absorbed identically by both
+    // engines' avg — the e_anomaly discipline); MAPE/bias round their
+    // order-dependent averages.
+    "e_forecast_baseline" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val hourly = e
+        .groupBy(date_trunc("HOUR", col("ts")).as("hour_ts"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      val spine = e.agg(
+          date_trunc("HOUR", min(col("ts"))).as("h0"),
+          date_trunc("HOUR", max(col("ts"))).as("h1"))
+        .select(explode(expr("sequence(h0, h1, interval 1 hour)")).as("hour_ts"))
+      val panel = spine
+        .crossJoin(e.select("event_type").distinct())
+        .join(hourly, Seq("hour_ts", "event_type"), "left")
+        .select(col("hour_ts"), col("event_type"), coalesce(col("c"), lit(0L)).as("c"))
+      val w = Window.partitionBy("event_type").orderBy("hour_ts")
+      panel
+        .withColumn("pred", lag("c", 24).over(w))
+        .filter(col("pred").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_hours"),
+          round(avg(abs(col("c") - col("pred")) / nullif(col("c"), lit(0))), 6).as("mape"),
+          round(avg(col("c") - col("pred")), 4).as("bias"))
+        .orderBy("event_type")
     })
   )
 
@@ -903,6 +936,32 @@ object Events {
         |  FROM ud),
         |wau AS (SELECT wday AS day, count(*) AS wau_7d
         |        FROM w, b WHERE wday <= d1 GROUP BY 1)
-        |SELECT day, dau, wau_7d FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin
+        |SELECT day, dau, wau_7d FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin,
+    "e_forecast_baseline" ->
+      """WITH b AS (
+        |  SELECT CAST(date_trunc('hour', min(ts)) AS TIMESTAMP) AS h0,
+        |         CAST(date_trunc('hour', max(ts)) AS TIMESTAMP) AS h1
+        |  FROM events),
+        |spine AS (
+        |  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour_ts FROM b),
+        |types AS (SELECT DISTINCT event_type FROM events),
+        |hourly AS (
+        |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts, event_type,
+        |         count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |panel AS (
+        |  SELECT spine.hour_ts, types.event_type,
+        |         CAST(coalesce(c, 0) AS BIGINT) AS c
+        |  FROM spine CROSS JOIN types
+        |  LEFT JOIN hourly USING (hour_ts, event_type)),
+        |lg AS (
+        |  SELECT event_type, c,
+        |    lag(c, 24) OVER (PARTITION BY event_type ORDER BY hour_ts) AS pred
+        |  FROM panel)
+        |SELECT event_type, count(*) AS n_hours,
+        |  round(avg(abs(c - pred) / nullif(c, 0)), 6) AS mape,
+        |  round(avg(c - pred), 4) AS bias
+        |FROM lg WHERE pred IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

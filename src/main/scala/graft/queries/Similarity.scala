@@ -396,6 +396,43 @@ object Similarity {
         .orderBy("qid", "rnk")
     }),
 
+    // k-NN label classification with self-graded accuracy — the eval loop
+    // every embedding pipeline runs: hold out a query set (vec_id < 50),
+    // predict each one's label by majority vote of its 5 nearest corpus
+    // neighbors (rounded cosine, vec_id tie-break — the s_batch_topk rank
+    // determinism), and report accuracy against the held-out labels.
+    // Majority + tie-break is ONE max-of-struct per query (vote count
+    // desc, then smaller label — no second window); the scored-pair
+    // stream is the s_batch_topk broadcast cross join, so the corpus
+    // scans once however many queries are in the batch.
+    "s_knn_classify" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val emb = t(s, d, "embeddings")
+      val qs = emb.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("qid"), col("label").as("true_label"),
+          col("embedding").as("qvec"))
+      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+      val votes = emb.filter(col("vec_id") >= 50)
+        .crossJoin(broadcast(qs))
+        .select(col("qid"), col("true_label"), col("vec_id"), col("label"),
+          round(graft.functions.GraftFunctions.cosineSim(col("embedding"), col("qvec")), 4)
+            .as("cos"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .groupBy("qid", "true_label", "label")
+        .agg(count(lit(1)).as("nv"))
+      votes
+        .groupBy("qid", "true_label")
+        .agg(max(struct(col("nv"), (-col("label")).as("negl"))).as("top"))
+        .select(col("qid"), col("true_label"),
+          (-col("top.negl")).cast("int").as("pred_label"))
+        .agg(count(lit(1)).as("n_queries"),
+          sum(when(col("pred_label") === col("true_label"), 1L).otherwise(0L))
+            .cast("bigint").as("n_correct"))
+        .select(col("n_queries"), col("n_correct"),
+          round(col("n_correct") / col("n_queries"), 4).as("accuracy"))
+    }),
+
     // Embedding QA — norm-distribution profile + z-score outlier count, the
     // sanity gate before any similarity index is built (a batch of zero or
     // exploded vectors poisons every cosine downstream). Per-vector norm is
@@ -633,6 +670,28 @@ object Similarity {
         |      FROM sc)
         |SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id, cos
         |FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+    // same rank determinism; majority-with-tie-break is one max-of-struct
+    "s_knn_classify" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, label AS true_label, v AS qv FROM e WHERE vec_id < 50),
+        |sc AS (
+        |  SELECT qid, true_label, e.vec_id, e.label,
+        |    round(list_dot_product(e.v, q.qv) /
+        |          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos
+        |  FROM e, q WHERE e.vec_id >= 50),
+        |r AS (SELECT qid, true_label, label,
+        |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+        |      FROM sc),
+        |v AS (SELECT qid, true_label, label, count(*) AS nv
+        |      FROM r WHERE rn <= 5 GROUP BY 1, 2, 3),
+        |p AS (SELECT qid, true_label,
+        |        CAST(-((max({'nv': nv, 'negl': -label})).negl) AS INT) AS pred_label
+        |      FROM v GROUP BY qid, true_label)
+        |SELECT count(*) AS n_queries,
+        |  CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+        |  round(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+        |        / CAST(count(*) AS DOUBLE), 4) AS accuracy
+        |FROM p""".stripMargin,
     // z rounded to 6 dp before the threshold on both engines (e_anomaly)
     "s_norm_outliers" ->
       """WITH n AS (

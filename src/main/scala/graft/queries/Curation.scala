@@ -703,6 +703,27 @@ object Curation {
           round(col("kept_tokens") / sum("kept_tokens").over(
             org.apache.spark.sql.expressions.Window.partitionBy()), 6))
         .orderBy("lang")
+    }),
+
+    // k-anonymity audit — the release gate on quasi-identifiers: any
+    // (lang, source) combination shared by fewer than k = 5 documents
+    // re-identifies its members and must be suppressed before the dataset
+    // ships (the group-size complement of c_dp_count's noisy counts). One
+    // partial-agg'd groupBy over the scan builds the equivalence classes;
+    // the audit roll-up is a second aggregate over the bounded class
+    // table. Reports class counts, violating classes, rows to suppress,
+    // and the post-suppression minimum class size (= the achieved k).
+    "c_k_anonymity" -> ((s, d) => {
+      val classes = t(s, d, "documents")
+        .groupBy("lang", "source").agg(count(lit(1)).as("n"))
+      classes.agg(
+        count(lit(1)).as("n_classes"),
+        sum(when(col("n") < 5, 1L).otherwise(0L)).cast("bigint").as("n_violating"),
+        sum("n").cast("bigint").as("n_docs"),
+        coalesce(sum(when(col("n") < 5, col("n"))), lit(0L)).cast("bigint")
+          .as("n_suppressed"),
+        coalesce(min(when(col("n") >= 5, col("n"))), lit(0L)).cast("bigint")
+          .as("achieved_k"))
     })
   )
 
@@ -1132,6 +1153,15 @@ object Curation {
         |  FROM k GROUP BY 1, 2, 3)
         |SELECT lang, avail_tokens, target_share, rate6, n_kept, kept_tokens,
         |  round(kept_tokens / sum(kept_tokens) OVER (), 6) AS achieved_share
-        |FROM g ORDER BY lang""".stripMargin
+        |FROM g ORDER BY lang""".stripMargin,
+    "c_k_anonymity" ->
+      """WITH c AS (
+        |  SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2)
+        |SELECT count(*) AS n_classes,
+        |  CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+        |  CAST(sum(n) AS BIGINT) AS n_docs,
+        |  CAST(coalesce(sum(CASE WHEN n < 5 THEN n END), 0) AS BIGINT) AS n_suppressed,
+        |  CAST(coalesce(min(CASE WHEN n >= 5 THEN n END), 0) AS BIGINT) AS achieved_k
+        |FROM c""".stripMargin
   )
 }

@@ -433,6 +433,37 @@ object Similarity {
           round(col("n_correct") / col("n_queries"), 4).as("accuracy"))
     }),
 
+    // Dimension-truncation retrieval eval (the Matryoshka question): how
+    // much of the full-dimension top-10 survives when vectors are cut to
+    // their first 16 of 64 dims? Both rankings run the same broadcast
+    // 1-query scan (rounded cosine + vec_id tie-break — deterministic
+    // ranks), and recall@10 is the overlap of two 10-row sets via a LEFT
+    // SEMI join. The truncated side re-normalizes implicitly (cosine is
+    // scale-invariant). Self-grading like s_ann_recall, but fully
+    // oracle-checkable because truncation — unlike LSH — is
+    // hash-independent.
+    "s_mrl_recall" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val cos = graft.functions.GraftFunctions.cosineSim _
+      val emb = t(s, d, "embeddings")
+      def topk(vecExpr: Column => Column) = {
+        val q = emb.filter(col("vec_id") === 0)
+          .select(vecExpr(col("embedding")).as("qvec"))
+        emb.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"), round(cos(vecExpr(col("embedding")), col("qvec")), 4).as("c"))
+          .orderBy(col("c").desc, col("vec_id"))
+          .limit(10)
+          .select("vec_id")
+      }
+      val full = topk(identity)
+      val trunc = topk(v => slice(v, 1, 16))
+      full.join(trunc, Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_overlap"))
+        .select(lit(10L).as("k"), col("n_overlap"),
+          round(col("n_overlap") / lit(10.0), 2).as("recall"))
+    }),
+
     // Embedding QA — norm-distribution profile + z-score outlier count, the
     // sanity gate before any similarity index is built (a batch of zero or
     // exploded vectors poisons every cosine downstream). Per-vector norm is
@@ -670,6 +701,27 @@ object Similarity {
         |      FROM sc)
         |SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id, cos
         |FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+    // both rankings deterministic (rounded cos + id tie-break); overlap by
+    // set intersection of the two 10-row lists
+    "s_mrl_recall" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |qf AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |full10 AS (
+        |  SELECT vec_id FROM e, qf WHERE vec_id <> 0
+        |  ORDER BY round(list_dot_product(v, qv) /
+        |    (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 4) DESC, vec_id
+        |  LIMIT 10),
+        |et AS (SELECT vec_id, v[1:16] AS v FROM e),
+        |qt AS (SELECT v AS qv FROM et WHERE vec_id = 0),
+        |trunc10 AS (
+        |  SELECT vec_id FROM et, qt WHERE vec_id <> 0
+        |  ORDER BY round(list_dot_product(v, qv) /
+        |    (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 4) DESC, vec_id
+        |  LIMIT 10)
+        |SELECT CAST(10 AS BIGINT) AS k,
+        |  (SELECT count(*) FROM full10 WHERE vec_id IN (SELECT vec_id FROM trunc10)) AS n_overlap,
+        |  round((SELECT count(*) FROM full10 WHERE vec_id IN (SELECT vec_id FROM trunc10))
+        |        / CAST(10.0 AS DOUBLE), 2) AS recall""".stripMargin,
     // same rank determinism; majority-with-tie-break is one max-of-struct
     "s_knn_classify" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

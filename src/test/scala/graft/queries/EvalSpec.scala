@@ -31,4 +31,27 @@ class EvalSpec extends SparkSpec {
       assert(row.getAs[Double]("mape") >= 0.0)
     }
   }
+
+  test("s_mrl_recall: overlap bounded by k and consistent with recall") {
+    val r = Similarity.queries("s_mrl_recall")(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    val overlap = row.getAs[Long]("n_overlap")
+    assert(overlap >= 0 && overlap <= 10)
+    assert(row.getAs[Double]("recall") == overlap / 10.0)
+  }
+
+  test("c_k_anonymity: class arithmetic is self-consistent") {
+    val r = Curation.queries("c_k_anonymity")(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    assert(row.getAs[Long]("n_docs") ==
+      Tables.t(spark, sf, "documents").count())
+    assert(row.getAs[Long]("n_violating") <= row.getAs[Long]("n_classes"))
+    assert(row.getAs[Long]("n_suppressed") < row.getAs[Long]("n_docs"))
+    // after suppression every surviving class has at least k members (or
+    // nothing survives and achieved_k is 0)
+    val k = row.getAs[Long]("achieved_k")
+    assert(k == 0 || k >= 5)
+  }
 }

@@ -441,6 +441,63 @@ object Text {
           round(avg("frac"), 4).as("avg_boiler_frac"),
           sum(when(col("frac") > 0.5, 1L).otherwise(0L)).cast("bigint").as("n_heavy"))
         .orderBy("lang")
+    }),
+
+    // Char-trigram language ID (the Cavnar–Trenkle rank-profile method —
+    // the true "n-gram heuristic" where t_lang_id is marker-words): train
+    // a top-30 trigram profile per language FROM the labeled corpus, then
+    // classify every document by which profile its own trigrams hit
+    // hardest, and self-grade against the labels. Trigrams come from a
+    // 200-char prefix (the standard classification window — bounds the
+    // explode at any document length); the per-doc trigram counts
+    // aggregate ONCE and are persisted for their two consumers (profile
+    // training and classification). Scores are integer sums; prediction
+    // ties break on language code — fully deterministic, so the whole
+    // train-classify-grade loop is oracle-checkable.
+    "t_ngram_lang_id" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val prefix = substring(lower(col("text")), 1, 200)
+      val docTg = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), prefix.as("p"))
+        .filter(length(col("p")) >= 3)
+        .select(col("doc_id"), col("lang"), explode(expr(
+          "transform(sequence(1, length(p) - 2), i -> substring(p, i, 3))")).as("tg"))
+        .groupBy("doc_id", "lang", "tg").agg(count(lit(1)).as("c"))
+        .persist()
+      // profile by DISTINCTIVENESS (lift = p(tg|lang)/p(tg), rounded as
+      // the rank key), not raw frequency — raw top-30 is dominated by
+      // trigrams every language shares ("e ", " th"), which carry no
+      // signal; min support 5 keeps noise trigrams out of the profiles
+      val langTg = docTg.groupBy(col("lang").as("plang"), col("tg"))
+        .agg(sum("c").as("n")).filter(col("n") >= 5).persist()
+      val langTot = langTg.groupBy("plang").agg(sum("n").as("nl"))
+      val gTg = langTg.groupBy("tg").agg(sum("n").as("ng"))
+      val gTot = langTg.agg(sum("n").cast("double").as("ntot"))
+      val wProf = Window.partitionBy("plang").orderBy(col("lift9").desc, col("tg"))
+      val profile = langTg
+        .join(broadcast(langTot), "plang").join(gTg, "tg")
+        .crossJoin(broadcast(gTot))
+        .select(col("plang"), col("tg"),
+          round(log((col("n") / col("nl")) / (col("ng") / col("ntot"))), 9).as("lift9"))
+        .withColumn("rk", row_number().over(wProf))
+        .filter(col("rk") <= 30)
+        .select("plang", "tg", "lift9")
+      val wBest = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("plang"))
+      // lift-weighted votes (rounded to 6 dp as the rank key — an
+      // order-dependent double sum must not decide ranks raw)
+      docTg.join(profile, "tg")
+        .groupBy("doc_id", "lang", "plang")
+        .agg(round(sum(col("c") * col("lift9")), 6).as("score"))
+        .withColumn("rn", row_number().over(wBest))
+        .filter(col("rn") === 1)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("plang") === col("lang"), 1L).otherwise(0L))
+            .cast("bigint").as("n_correct"))
+        .select(col("lang"), col("n_docs"), col("n_correct"),
+          round(col("n_correct") / col("n_docs"), 4).as("accuracy"))
+        .orderBy("lang")
     })
   )
 
@@ -670,6 +727,43 @@ object Text {
         |SELECT lang, count(*) AS n_docs,
         |  round(avg(frac), 4) AS avg_boiler_frac,
         |  CAST(sum(CASE WHEN frac > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_heavy
-        |FROM per GROUP BY lang ORDER BY lang""".stripMargin
+        |FROM per GROUP BY lang ORDER BY lang""".stripMargin,
+    // identical train→classify→grade chain; integer scores, lang tie-break
+    "t_ngram_lang_id" ->
+      """WITH p AS (
+        |  SELECT doc_id, lang, substr(lower(text), 1, 200) AS p
+        |  FROM documents),
+        |tg AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_transform(range(1, length(p) - 1), i -> substr(p, CAST(i AS INT), 3))) AS tg
+        |  FROM p WHERE length(p) >= 3),
+        |dc AS (SELECT doc_id, lang, tg, count(*) AS c FROM tg GROUP BY 1, 2, 3),
+        |lt AS (SELECT lang AS plang, tg, CAST(sum(c) AS BIGINT) AS n
+        |       FROM dc GROUP BY 1, 2 HAVING sum(c) >= 5),
+        |ltot AS (SELECT plang, CAST(sum(n) AS BIGINT) AS nl FROM lt GROUP BY 1),
+        |gt AS (SELECT tg, CAST(sum(n) AS BIGINT) AS ng FROM lt GROUP BY 1),
+        |gtot AS (SELECT CAST(sum(n) AS DOUBLE) AS ntot FROM lt),
+        |prof AS (
+        |  SELECT plang, tg, lift9 FROM (
+        |    SELECT lt.plang, lt.tg,
+        |      round(ln((lt.n / CAST(nl AS DOUBLE)) / (ng / ntot)), 9) AS lift9,
+        |      row_number() OVER (PARTITION BY lt.plang ORDER BY
+        |        round(ln((lt.n / CAST(nl AS DOUBLE)) / (ng / ntot)), 9) DESC, lt.tg) AS rk
+        |    FROM lt JOIN ltot USING (plang) JOIN gt USING (tg) CROSS JOIN gtot)
+        |  WHERE rk <= 30),
+        |sc AS (
+        |  SELECT doc_id, lang, plang, round(sum(c * lift9), 6) AS score
+        |  FROM dc JOIN prof USING (tg) GROUP BY 1, 2, 3),
+        |best AS (
+        |  SELECT doc_id, lang, plang FROM (
+        |    SELECT doc_id, lang, plang,
+        |      row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, plang) AS rn
+        |    FROM sc)
+        |  WHERE rn = 1)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN plang = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+        |  round(sum(CASE WHEN plang = lang THEN 1 ELSE 0 END)
+        |        / CAST(count(*) AS DOUBLE), 4) AS accuracy
+        |FROM best GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

@@ -41,6 +41,22 @@ class EvalSpec extends SparkSpec {
     assert(row.getAs[Double]("recall") == overlap / 10.0)
   }
 
+  test("t_ngram_lang_id: classifies every doc, beats 1.5x chance on the weak-signal corpus") {
+    val r = Text.queries("t_ngram_lang_id")(spark, sf).collect()
+    val nLangs = r.length
+    assert(nLangs >= 2)
+    val total = r.map(_.getAs[Long]("n_docs")).sum
+    val correct = r.map(_.getAs[Long]("n_correct")).sum
+    // 200-char prefixes always have >= 3 chars here: every doc is classified
+    assert(total == Tables.t(spark, sf, "documents").count())
+    // the synthetic corpus shares most vocabulary across langs — the
+    // honest bar is "clearly above chance", not "production lang-ID"
+    // (measured 0.42 micro at sf0.001, 0.39 at sf0.01)
+    val chance = 1.0 / nLangs
+    assert(correct.toDouble / total > 1.5 * chance,
+      s"micro accuracy ${correct.toDouble / total} vs chance $chance")
+  }
+
   test("c_k_anonymity: class arithmetic is self-consistent") {
     val r = Curation.queries("c_k_anonymity")(spark, sf).collect()
     assert(r.length == 1)

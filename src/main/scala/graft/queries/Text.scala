@@ -457,19 +457,23 @@ object Text {
     "t_ngram_lang_id" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val prefix = substring(lower(col("text")), 1, 200)
-      val docTg = t(s, d, "documents")
+      // raw trigram OCCURRENCE stream — deliberately never aggregated per
+      // doc and never cached: the training pass partial-aggs it straight
+      // to (lang, trigram), and the classify pass semi-filters it through
+      // the broadcast profile BEFORE any per-doc work, so nothing
+      // doc×trigram-sized ever shuffles or sits in memory (an earlier
+      // per-doc-count cache held ~8M rows for the rest of the session)
+      val tgStream = t(s, d, "documents")
         .select(col("doc_id"), col("lang"), prefix.as("p"))
         .filter(length(col("p")) >= 3)
         .select(col("doc_id"), col("lang"), explode(expr(
           "transform(sequence(1, length(p) - 2), i -> substring(p, i, 3))")).as("tg"))
-        .groupBy("doc_id", "lang", "tg").agg(count(lit(1)).as("c"))
-        .persist()
       // profile by DISTINCTIVENESS (lift = p(tg|lang)/p(tg), rounded as
       // the rank key), not raw frequency — raw top-30 is dominated by
       // trigrams every language shares ("e ", " th"), which carry no
       // signal; min support 5 keeps noise trigrams out of the profiles
-      val langTg = docTg.groupBy(col("lang").as("plang"), col("tg"))
-        .agg(sum("c").as("n")).filter(col("n") >= 5).persist()
+      val langTg = tgStream.groupBy(col("lang").as("plang"), col("tg"))
+        .agg(count(lit(1)).as("n")).filter(col("n") >= 5).persist()
       val langTot = langTg.groupBy("plang").agg(sum("n").as("nl"))
       val gTg = langTg.groupBy("tg").agg(sum("n").as("ng"))
       val gTot = langTg.agg(sum("n").cast("double").as("ntot"))
@@ -485,10 +489,12 @@ object Text {
       val wBest = Window.partitionBy("doc_id")
         .orderBy(col("score").desc, col("plang"))
       // lift-weighted votes (rounded to 6 dp as the rank key — an
-      // order-dependent double sum must not decide ranks raw)
-      docTg.join(profile, "tg")
+      // order-dependent double sum must not decide ranks raw); the
+      // profile is 30×|langs| rows BY CONSTRUCTION, so the hint is safe
+      // at any scale
+      tgStream.join(broadcast(profile), "tg")
         .groupBy("doc_id", "lang", "plang")
-        .agg(round(sum(col("c") * col("lift9")), 6).as("score"))
+        .agg(round(sum(col("lift9")), 6).as("score"))
         .withColumn("rn", row_number().over(wBest))
         .filter(col("rn") === 1)
         .groupBy("lang")
@@ -737,9 +743,8 @@ object Text {
         |  SELECT doc_id, lang,
         |    unnest(list_transform(range(1, length(p) - 1), i -> substr(p, CAST(i AS INT), 3))) AS tg
         |  FROM p WHERE length(p) >= 3),
-        |dc AS (SELECT doc_id, lang, tg, count(*) AS c FROM tg GROUP BY 1, 2, 3),
-        |lt AS (SELECT lang AS plang, tg, CAST(sum(c) AS BIGINT) AS n
-        |       FROM dc GROUP BY 1, 2 HAVING sum(c) >= 5),
+        |lt AS (SELECT lang AS plang, tg, count(*) AS n
+        |       FROM tg GROUP BY 1, 2 HAVING count(*) >= 5),
         |ltot AS (SELECT plang, CAST(sum(n) AS BIGINT) AS nl FROM lt GROUP BY 1),
         |gt AS (SELECT tg, CAST(sum(n) AS BIGINT) AS ng FROM lt GROUP BY 1),
         |gtot AS (SELECT CAST(sum(n) AS DOUBLE) AS ntot FROM lt),
@@ -752,8 +757,8 @@ object Text {
         |    FROM lt JOIN ltot USING (plang) JOIN gt USING (tg) CROSS JOIN gtot)
         |  WHERE rk <= 30),
         |sc AS (
-        |  SELECT doc_id, lang, plang, round(sum(c * lift9), 6) AS score
-        |  FROM dc JOIN prof USING (tg) GROUP BY 1, 2, 3),
+        |  SELECT doc_id, lang, plang, round(sum(lift9), 6) AS score
+        |  FROM tg JOIN prof USING (tg) GROUP BY 1, 2, 3),
         |best AS (
         |  SELECT doc_id, lang, plang FROM (
         |    SELECT doc_id, lang, plang,

@@ -33,6 +33,7 @@ object Bench {
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
+      finally spark.catalog.clearCache()
     }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -43,7 +44,13 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           false
         }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // the noop save is the final consumer of any intra-query persist():
+      // drop caches before the next measurement so one query's cache blocks
+      // don't GC-pressure every later query (measured: accumulated caches
+      // inflated late-alphabet queries 10-30x in a full-corpus run)
+      spark.catalog.clearCache()
+      (name, elapsed, ok)
     }
     // failed queries report -1 (a failure must not read as a fast run) and
     // are listed explicitly; total sums successes only

@@ -24,6 +24,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // a few queries persist() small reused intermediates inside their
+      // closure; the write above is their final consumer, so drop the cache
+      // here — otherwise caches accumulate for the session and GC-pressure
+      // every later query in the 149-query run
+      finally spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

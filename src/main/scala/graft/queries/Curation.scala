@@ -583,7 +583,8 @@ object Curation {
     "c_perplexity_buckets" -> ((s, d) => {
       // persist the per-doc scores: both the tercile cuts and the bucketing
       // join consume them, and without the cache each consumer re-trains
-      // the bigram LM (doc_id + one double per doc — tiny)
+      // the bigram LM (doc_id + one double per doc — tiny). Cache lifetime:
+      // Verify/Bench clearCache() after each query's final consumer.
       val lp = Text.queries("t_doc_logprob")(s, d)
         .select(col("doc_id"), col("avg_logprob")).persist()
       // 1.0d: Spark SQL's bare 1.0 literal is DECIMAL — the cut must be the

@@ -321,7 +321,8 @@ object Events {
       // references them, and without the cache each reference re-executes
       // the full stream scan + lag window (measured 17 scans for 3
       // iterations) — the standard iterative-algorithm cache, exactly what
-      // GraphX/ALS do with their edge lists
+      // GraphX/ALS do with their edge lists. Cache lifetime: Verify/Bench
+      // clearCache() after each query's final consumer.
       val p = edges.join(out, "src")
         .select(col("src"), col("dst"), (col("n") / col("tot")).as("p"))
         .persist()

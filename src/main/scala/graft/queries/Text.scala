@@ -364,7 +364,8 @@ object Text {
       // persist both count tables: the unigram counts feed THREE consumers
       // (the total + both pair-side joins) and the bigram counts two (the
       // total + the support filter) — uncached, each consumer re-runs its
-      // explode over the corpus
+      // explode over the corpus. Cache lifetime: Verify/Bench clearCache()
+      // after each query's final consumer, so this never outlives the query.
       val uni = docs.select(explode(col("sp")).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("c1")).persist()
       val nUni = uni.agg(sum("c1").cast("double").as("n_uni"))
@@ -492,16 +493,26 @@ object Text {
       // order-dependent double sum must not decide ranks raw); the
       // profile is 30×|langs| rows BY CONSTRUCTION, so the hint is safe
       // at any scale
-      tgStream.join(broadcast(profile), "tg")
-        .groupBy("doc_id", "lang", "plang")
+      val best = tgStream.join(broadcast(profile), "tg")
+        .groupBy("doc_id", "plang")
         .agg(round(sum(col("lift9")), 6).as("score"))
         .withColumn("rn", row_number().over(wBest))
         .filter(col("rn") === 1)
+        .select("doc_id", "plang")
+      // grade EVERY document: a doc whose trigrams hit no profile entry
+      // (or whose prefix is under 3 chars) gets plang NULL and counts as
+      // incorrect — the accuracy denominator is the corpus, not the
+      // covered subset, so coverage shrinkage can't silently flatter it
+      t(s, d, "documents").select(col("doc_id"), col("lang"))
+        .join(best, Seq("doc_id"), "left")
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("plang").isNotNull, 1L).otherwise(0L))
+            .cast("bigint").as("n_classified"),
           sum(when(col("plang") === col("lang"), 1L).otherwise(0L))
             .cast("bigint").as("n_correct"))
-        .select(col("lang"), col("n_docs"), col("n_correct"),
+        .select(col("lang"), col("n_docs"), col("n_classified"),
+          col("n_correct"),
           round(col("n_correct") / col("n_docs"), 4).as("accuracy"))
         .orderBy("lang")
     })
@@ -757,18 +768,20 @@ object Text {
         |    FROM lt JOIN ltot USING (plang) JOIN gt USING (tg) CROSS JOIN gtot)
         |  WHERE rk <= 30),
         |sc AS (
-        |  SELECT doc_id, lang, plang, round(sum(lift9), 6) AS score
-        |  FROM tg JOIN prof USING (tg) GROUP BY 1, 2, 3),
+        |  SELECT doc_id, plang, round(sum(lift9), 6) AS score
+        |  FROM tg JOIN prof USING (tg) GROUP BY 1, 2),
         |best AS (
-        |  SELECT doc_id, lang, plang FROM (
-        |    SELECT doc_id, lang, plang,
+        |  SELECT doc_id, plang FROM (
+        |    SELECT doc_id, plang,
         |      row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, plang) AS rn
         |    FROM sc)
         |  WHERE rn = 1)
-        |SELECT lang, count(*) AS n_docs,
-        |  CAST(sum(CASE WHEN plang = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
-        |  round(sum(CASE WHEN plang = lang THEN 1 ELSE 0 END)
+        |SELECT d.lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN b.plang IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_classified,
+        |  CAST(sum(CASE WHEN b.plang = d.lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+        |  round(sum(CASE WHEN b.plang = d.lang THEN 1 ELSE 0 END)
         |        / CAST(count(*) AS DOUBLE), 4) AS accuracy
-        |FROM best GROUP BY lang ORDER BY lang""".stripMargin
+        |FROM documents d LEFT JOIN best b USING (doc_id)
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin
   )
 }

@@ -181,16 +181,27 @@ object EventStreams {
         var out = Vector.empty[RateAlert]
         for (e <- sorted) {
           val t = e.ts.getTime
-          recent = (recent :+ t).filter(_ >= t - windowMs)
-          if (recent.size >= threshold)
-            out :+= RateAlert(userId, e.ts, recent.size)
+          recent = recent :+ t
+          // prune relative to the NEWEST timestamp in state, not the current
+          // event: a cross-batch late event (allowed by the 2h watermark)
+          // must not evict timestamps still inside the window of future
+          // events. A late event whose own window reaches below
+          // newest - windowMs may undercount (those timestamps were already
+          // pruned) — the price of bounded state, bounded by the watermark.
+          val newest = recent.max
+          recent = recent.filter(_ >= newest - windowMs)
+          // count only THIS event's trailing window (t - windowMs, t]: a
+          // late event must not count events that happened after it
+          val n = recent.count(x => x >= t - windowMs && x <= t)
+          if (n >= threshold) out :+= RateAlert(userId, e.ts, n)
         }
         state.update(RateState(recent))
-        // evict one window after the newest event; clamp above the current
-        // watermark (setTimeoutTimestamp below it throws — the
-        // sessionizeStateful straggler lesson)
+        // evict one window after the newest KEPT timestamp — recent.last is
+        // append order, which under cross-batch disorder is not the newest
+        // event; clamp above the current watermark (setTimeoutTimestamp
+        // below it throws — the sessionizeStateful straggler lesson)
         state.setTimeoutTimestamp(
-          math.max(recent.last + windowMs, state.getCurrentWatermarkMs + 1))
+          math.max(recent.max + windowMs, state.getCurrentWatermarkMs + 1))
         out.iterator
       }
     }

@@ -47,8 +47,12 @@ class EvalSpec extends SparkSpec {
     assert(nLangs >= 2)
     val total = r.map(_.getAs[Long]("n_docs")).sum
     val correct = r.map(_.getAs[Long]("n_correct")).sum
-    // 200-char prefixes always have >= 3 chars here: every doc is classified
+    val classified = r.map(_.getAs[Long]("n_classified")).sum
+    // the left join grades every doc BY CONSTRUCTION (unmatched → incorrect)
     assert(total == Tables.t(spark, sf, "documents").count())
+    // coverage floor: profile trigrams should still hit nearly every doc
+    assert(classified >= (total * 0.9).toLong,
+      s"profile coverage $classified/$total")
     // the synthetic corpus shares most vocabulary across langs — the
     // honest bar is "clearly above chance", not "production lang-ID"
     // (measured 0.42 micro at sf0.001, 0.39 at sf0.01)

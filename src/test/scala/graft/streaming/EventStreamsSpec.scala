@@ -216,4 +216,32 @@ class EventStreamsSpec extends SparkSpec {
       assert(rows == Set((7L, ts(5), 3)))
     } finally q.stop()
   }
+
+  test("rateAlerts: a cross-batch late event neither counts future events nor evicts them") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Event]
+    val q = rateAlerts(mem.toDS(), 600000L, 3).writeStream
+      .format("memory").queryName("rate_late_test").outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: two in-window events for user 9
+      mem.addData(
+        Event(1, ts(0), 9, "click", 1.0),
+        Event(2, ts(8), 9, "click", 1.0))
+      q.processAllAvailable()
+      // batch 2: a LATE event at ts(4) (watermark is 2h, so it's admitted).
+      // State becomes {0, 8, 4}; its own trailing window holds {0, 4} = 2 —
+      // the ts(8) event is in the FUTURE and must not count → no alert yet.
+      mem.addData(Event(3, ts(4), 9, "click", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("rate_late_test").count() == 0)
+      // batch 3: one more at ts(9). The late event must not have evicted or
+      // shrunk state: window (ts(-1), ts(9)] holds all four → alert n=4.
+      mem.addData(Event(4, ts(9), 9, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("rate_late_test")
+        .as[(Long, Timestamp, Int)].collect().toSet
+      assert(rows == Set((9L, ts(9), 4)))
+    } finally q.stop()
+  }
 }

@@ -725,6 +725,47 @@ object Curation {
           .as("n_suppressed"),
         coalesce(min(when(col("n") >= 5, col("n"))), lit(0L)).cast("bigint")
           .as("achieved_k"))
+    }),
+
+    // DSIR-style importance weights (Data Selection via Importance
+    // Resampling): score every document by how much its unigrams look
+    // like the TARGET distribution (lang='en' here) versus the general
+    // corpus — the standard cheap re-weighting step before pretraining
+    // data selection. One token explode feeds BOTH add-1-smoothed LMs
+    // (the target counts are a conditional sum inside the same vocabulary
+    // aggregate — never a second scan); per-token log ratios are
+    // vocabulary-sized and joined back UNHINTED (vocab grows with the
+    // corpus under Heaps' law, so the planner must stay free to shuffle;
+    // AQE broadcasts at test SFs). Per-doc weight = mean token log ratio,
+    // summed as 9-dp DECIMAL so token order can't shift the hash.
+    "c_dsir_weights" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          explode(Text.tokens(col("text"))).as("tok"))
+      val vocab = toks.groupBy("tok").agg(
+        count(lit(1)).as("cg"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+      val tot = vocab.agg(
+        sum("cg").cast("double").as("ng"),
+        sum("ct").cast("double").as("nt"),
+        count(lit(1)).cast("double").as("v"))
+      val lr = vocab.crossJoin(broadcast(tot))
+        .select(col("tok"),
+          round(log(((col("ct") + 1) / (col("nt") + col("v"))) /
+            ((col("cg") + 1) / (col("ng") + col("v")))), 9)
+            .cast("decimal(28,9)").as("lr9"))
+      val perDoc = toks.join(lr, "tok")
+        .groupBy("doc_id", "lang")
+        .agg(sum("lr9").as("w"), count(lit(1)).as("n_tok"))
+        .select(col("lang"),
+          round(col("w").cast("double") / col("n_tok"), 6).as("nw"))
+      perDoc.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg("nw"), 6).as("avg_nw"),
+          sum(when(col("nw") > 0, 1L).otherwise(0L)).cast("bigint").as("n_pos"))
+        .select(col("lang"), col("n_docs"), col("avg_nw"), col("n_pos"),
+          round(col("n_pos") / col("n_docs"), 4).as("pos_share"))
+        .orderBy("lang")
     })
   )
 
@@ -1163,6 +1204,34 @@ object Curation {
         |  CAST(sum(n) AS BIGINT) AS n_docs,
         |  CAST(coalesce(sum(CASE WHEN n < 5 THEN n END), 0) AS BIGINT) AS n_suppressed,
         |  CAST(coalesce(min(CASE WHEN n >= 5 THEN n END), 0) AS BIGINT) AS achieved_k
-        |FROM c""".stripMargin
+        |FROM c""".stripMargin,
+    // same two LMs; the per-doc sum is DECIMAL over 9-dp log ratios on
+    // both engines, so token aggregation order cannot shift the hash
+    "c_dsir_weights" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    unnest(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS tok
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT tok, count(*) AS cg,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct
+        |  FROM toks GROUP BY tok),
+        |tot AS (
+        |  SELECT CAST(sum(cg) AS DOUBLE) AS ng, CAST(sum(ct) AS DOUBLE) AS nt,
+        |    CAST(count(*) AS DOUBLE) AS v
+        |  FROM vocab),
+        |lr AS (
+        |  SELECT tok,
+        |    CAST(round(ln(((ct + 1) / (nt + v)) / ((cg + 1) / (ng + v))), 9)
+        |         AS DECIMAL(28,9)) AS lr9
+        |  FROM vocab, tot),
+        |per_doc AS (
+        |  SELECT lang, round(CAST(sum(lr9) AS DOUBLE) / count(*), 6) AS nw
+        |  FROM toks JOIN lr USING (tok) GROUP BY doc_id, lang)
+        |SELECT lang, count(*) AS n_docs, round(avg(nw), 6) AS avg_nw,
+        |  CAST(sum(CASE WHEN nw > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |  round(sum(CASE WHEN nw > 0 THEN 1 ELSE 0 END)
+        |        / CAST(count(*) AS DOUBLE), 4) AS pos_share
+        |FROM per_doc GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

@@ -590,6 +590,58 @@ object Events {
           round(avg(abs(col("c") - col("pred")) / nullif(col("c"), lit(0))), 6).as("mape"),
           round(avg(col("c") - col("pred")), 4).as("bias"))
         .orderBy("event_type")
+    }),
+
+    // Kaplan–Meier survival of time-to-first-purchase, with censoring —
+    // the estimator behind every retention/conversion curve that must not
+    // pretend non-converters converted. Per-user duration in whole days
+    // from first event to first purchase (censored at last observed event
+    // otherwise) is ONE groupBy over the stream; the life table is a
+    // second bounded aggregate; at-risk counts and the survival product
+    // are windows over the DAY-GRAINED life table — calendar-bounded by
+    // the observation horizon, so the SinglePartition window is fine at
+    // any stream size (the e_cumulative_users argument). Cross-engine
+    // determinism: the product Π(1 − dᵢ/nᵢ) is exp of a running sum of
+    // per-row ln factors rounded to 9 dp and summed as DECIMAL — exact
+    // and order-independent (the money-sum discipline); the d=n terminal
+    // row (everyone remaining converts) short-circuits to 0 via an
+    // integer flag instead of ln(0), which the engines disagree on.
+    "e_survival_km" -> ((s, d) => {
+      val per = Tables.events(s, d).groupBy("user_id").agg(
+        min(unix_micros(col("ts"))).as("t0"),
+        min(when(col("event_type") === "purchase", unix_micros(col("ts")))).as("tp"),
+        max(unix_micros(col("ts"))).as("tmax"))
+      val durs = per.select(
+        // integer µs→day division (`div` ≡ DuckDB `//`) — no double detour
+        when(col("tp").isNotNull, expr("(tp - t0) div 86400000000"))
+          .otherwise(expr("(tmax - t0) div 86400000000"))
+          .cast("bigint").as("dur_day"),
+        when(col("tp").isNotNull, 1L).otherwise(0L).as("ev"))
+      val km = durs.groupBy("dur_day").agg(
+        sum(col("ev")).cast("bigint").as("n_events"),
+        sum(lit(1L) - col("ev")).cast("bigint").as("n_censored"))
+      // at-risk = everyone whose duration is >= this day (deaths and
+      // censors at the same day count as at risk — standard KM)
+      val wRisk = Window.orderBy("dur_day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val wCum = Window.orderBy("dur_day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      km
+        .withColumn("n_risk",
+          sum(col("n_events") + col("n_censored")).over(wRisk).cast("bigint"))
+        .withColumn("lnf",
+          when(col("n_events") === 0 || col("n_events") === col("n_risk"),
+            lit(BigDecimal(0)).cast("decimal(28,9)"))
+            .otherwise(round(log(lit(1.0) -
+              col("n_events").cast("double") / col("n_risk")), 9)
+              .cast("decimal(28,9)")))
+        .withColumn("zf",
+          max(when(col("n_events") === col("n_risk"), 1).otherwise(0)).over(wCum))
+        .withColumn("survival",
+          when(col("zf") === 1, lit(0.0))
+            .otherwise(round(exp(sum(col("lnf")).over(wCum).cast("double")), 6)))
+        .select("dur_day", "n_risk", "n_events", "n_censored", "survival")
+        .orderBy("dur_day")
     })
   )
 
@@ -963,6 +1015,46 @@ object Events {
         |  round(avg(abs(c - pred) / nullif(c, 0)), 6) AS mape,
         |  round(avg(c - pred), 4) AS bias
         |FROM lg WHERE pred IS NOT NULL
-        |GROUP BY event_type ORDER BY event_type""".stripMargin
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // same life table; the survival product is exp of a DECIMAL running
+    // sum of 9-dp-rounded ln factors (exact, order-independent), d=n
+    // short-circuits via the integer flag, never ln(0)
+    "e_survival_km" ->
+      """WITH per AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS t0,
+        |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS tp,
+        |    max(epoch_us(ts)) AS tmax
+        |  FROM events GROUP BY user_id),
+        |durs AS (
+        |  SELECT CASE WHEN tp IS NOT NULL THEN (tp - t0) // 86400000000
+        |         ELSE (tmax - t0) // 86400000000 END AS dur_day,
+        |         CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS ev
+        |  FROM per),
+        |km AS (
+        |  SELECT dur_day, CAST(sum(ev) AS BIGINT) AS n_events,
+        |         CAST(sum(1 - ev) AS BIGINT) AS n_censored
+        |  FROM durs GROUP BY dur_day),
+        |r AS (
+        |  SELECT dur_day, n_events, n_censored,
+        |    CAST(sum(n_events + n_censored) OVER
+        |      (ORDER BY dur_day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |      AS BIGINT) AS n_risk
+        |  FROM km),
+        |f AS (
+        |  SELECT dur_day, n_events, n_censored, n_risk,
+        |    CASE WHEN n_events = 0 OR n_events = n_risk
+        |         THEN CAST(0 AS DECIMAL(28,9))
+        |         ELSE CAST(round(ln(1 - CAST(n_events AS DOUBLE) / n_risk), 9)
+        |              AS DECIMAL(28,9)) END AS lnf,
+        |    CASE WHEN n_events = n_risk THEN 1 ELSE 0 END AS zf
+        |  FROM r)
+        |SELECT dur_day, n_risk, n_events, n_censored,
+        |  CASE WHEN max(zf) OVER
+        |         (ORDER BY dur_day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+        |       THEN 0.0
+        |       ELSE round(exp(CAST(sum(lnf) OVER
+        |         (ORDER BY dur_day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS DOUBLE)), 6) END AS survival
+        |FROM f ORDER BY dur_day""".stripMargin
   )
 }

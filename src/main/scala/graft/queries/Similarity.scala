@@ -537,8 +537,73 @@ object Similarity {
           round(avg("proj"), 4).as("avg_proj"),
           round(avg(col("proj") * col("proj")), 3).as("var_along"))
         .orderBy("label")
+    }),
+
+    // Sign-bit binary quantization + Hamming search — the 32× index
+    // compression path (64 floats → ONE long): each dimension contributes
+    // its sign bit, packed with bitwise OR (shiftleft is a bit op, not
+    // arithmetic — ANSI overflow can't throw on bit 63), and the per-pair
+    // distance is one xor + popcount on a register-width key. The oracle
+    // computes the mathematically equal sign-disagreement count straight
+    // from the float vectors — equal VALUES, so the hash check holds
+    // without replicating the packing.
+    "s_binary_hamming" -> ((s, d) => {
+      val sigs = t(s, d, "embeddings")
+        .select(col("vec_id"), binarySig.as("sig"))
+      val q = sigs.filter(col("vec_id") === 0).select(col("sig").as("qsig"))
+      sigs.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), expr("bit_count(sig ^ qsig)").as("hamming"))
+        .orderBy(col("hamming"), col("vec_id"))
+        .limit(10)
+    }),
+
+    // Two-stage retrieval: the binary signature prunes the corpus to 50
+    // candidates with xor+popcount (the only per-row work at corpus
+    // scale), then ONLY those 50 pay the full-precision cosine — the
+    // standard compressed-index serving shape (quantized prefilter, exact
+    // rerank). Self-grading recall@10 against the exact brute-force
+    // top-10; fully deterministic (rounded rank keys, id tie-breaks) →
+    // oracle-checked, unlike the hash-specific LSH listings.
+    "s_rerank_twostage" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val cos = graft.functions.GraftFunctions.cosineSim _
+      val emb = t(s, d, "embeddings")
+      val base = emb.select(col("vec_id"), col("embedding"), binarySig.as("sig"))
+      val q = base.filter(col("vec_id") === 0)
+        .select(col("sig").as("qsig"), col("embedding").as("qvec"))
+      val rerank = base.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), col("embedding"), col("qvec"),
+          expr("bit_count(sig ^ qsig)").as("hamming"))
+        .orderBy(col("hamming"), col("vec_id")).limit(50)
+        .select(col("vec_id"),
+          round(cos(col("embedding"), col("qvec")), 4).as("c"))
+        .orderBy(col("c").desc, col("vec_id")).limit(10)
+        .select("vec_id")
+      val exact = emb.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(
+          emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))))
+        .select(col("vec_id"), round(cos(col("embedding"), col("qv")), 4).as("c"))
+        .orderBy(col("c").desc, col("vec_id")).limit(10)
+        .select("vec_id")
+      exact.join(rerank, Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_overlap"))
+        .select(lit(10L).as("k"), lit(50L).as("n_candidates"),
+          col("n_overlap"),
+          round(col("n_overlap") / lit(10.0), 2).as("recall"))
     })
   )
+
+  /** 64-bit sign signature of `embedding`: bit i set iff component i > 0.
+    * Packed via bitwise OR over shiftleft terms — deterministic, no
+    * arithmetic overflow possible, evaluates inside whole-stage codegen.
+    */
+  private def binarySig: Column = expr(
+    """aggregate(zip_with(embedding, sequence(0, 63),
+      |  (x, i) -> CASE WHEN x > 0d THEN shiftleft(CAST(1 AS BIGINT), i)
+      |            ELSE CAST(0 AS BIGINT) END),
+      |  CAST(0 AS BIGINT), (acc, b) -> acc | b)""".stripMargin)
 
   val oracles: Map[String, String] = Map(
     // same IVF pipeline in SQL: centroids → nearest-cell assignment →
@@ -796,6 +861,42 @@ object Similarity {
         |SELECT label, count(*) AS n,
         |  round(avg(proj), 4) AS avg_proj,
         |  round(avg(proj * proj), 3) AS var_along
-        |FROM proj GROUP BY label ORDER BY label""".stripMargin
+        |FROM proj GROUP BY label ORDER BY label""".stripMargin,
+    // Hamming distance as the sign-disagreement count — mathematically
+    // equal to Spark's bit_count(xor) over the packed signatures, so the
+    // values hash-match without replicating the bit packing
+    "s_binary_hamming" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+        |SELECT vec_id,
+        |  CAST(list_sum(list_transform(range(1, 65),
+        |    i -> CASE WHEN (v[CAST(i AS INT)] > 0) <> (qv[CAST(i AS INT)] > 0)
+        |         THEN 1 ELSE 0 END)) AS INT) AS hamming
+        |FROM e, q WHERE vec_id <> 0
+        |ORDER BY hamming, vec_id LIMIT 10""".stripMargin,
+    "s_rerank_twostage" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |h AS (
+        |  SELECT vec_id, v,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CASE WHEN (v[CAST(i AS INT)] > 0) <> (qv[CAST(i AS INT)] > 0)
+        |           THEN 1 ELSE 0 END)) AS hamming
+        |  FROM e, q WHERE vec_id <> 0),
+        |cand AS (SELECT vec_id, v FROM h ORDER BY hamming, vec_id LIMIT 50),
+        |rr AS (
+        |  SELECT vec_id FROM cand, q
+        |  ORDER BY round(list_dot_product(v, qv) /
+        |    (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 4) DESC, vec_id
+        |  LIMIT 10),
+        |ex AS (
+        |  SELECT vec_id FROM e, q WHERE vec_id <> 0
+        |  ORDER BY round(list_dot_product(v, qv) /
+        |    (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 4) DESC, vec_id
+        |  LIMIT 10)
+        |SELECT CAST(10 AS BIGINT) AS k, CAST(50 AS BIGINT) AS n_candidates,
+        |  (SELECT count(*) FROM ex WHERE vec_id IN (SELECT vec_id FROM rr)) AS n_overlap,
+        |  round((SELECT count(*) FROM ex WHERE vec_id IN (SELECT vec_id FROM rr))
+        |        / CAST(10.0 AS DOUBLE), 2) AS recall""".stripMargin
   )
 }

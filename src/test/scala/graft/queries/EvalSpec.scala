@@ -61,6 +61,70 @@ class EvalSpec extends SparkSpec {
       s"micro accuracy ${correct.toDouble / total} vs chance $chance")
   }
 
+  test("s_binary_hamming: packed-signature popcount equals the direct sign-diff count") {
+    import org.apache.spark.sql.functions._
+    val r = Similarity.queries("s_binary_hamming")(spark, sf).collect()
+    assert(r.length == 10)
+    r.foreach(row => assert((0 to 64).contains(row.getAs[Int]("hamming"))))
+    // recompute every pair's Hamming distance WITHOUT the bit packing
+    // (HOF sign-disagreement count) and check the reported top-10 is a
+    // prefix of that independent ranking
+    val emb = Tables.t(spark, sf, "embeddings")
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val direct = emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+      .select(col("vec_id"), expr(
+        """aggregate(zip_with(embedding, qv,
+          |  (x, y) -> CASE WHEN (x > 0d) != (y > 0d) THEN 1 ELSE 0 END),
+          |  0, (a, b) -> a + b)""".stripMargin).as("hamming"))
+      .orderBy(col("hamming"), col("vec_id")).limit(10)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(r.map(row => (row.getAs[Long]("vec_id"), row.getAs[Int]("hamming"))).toSeq == direct)
+  }
+
+  test("s_rerank_twostage: recall arithmetic consistent, bounded by k") {
+    val r = Similarity.queries("s_rerank_twostage")(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    val overlap = row.getAs[Long]("n_overlap")
+    assert(overlap >= 0 && overlap <= 10)
+    assert(row.getAs[Long]("n_candidates") == 50L)
+    assert(row.getAs[Double]("recall") == overlap / 10.0)
+  }
+
+  test("e_survival_km: life-table arithmetic telescopes, survival is a monotone curve") {
+    val r = Events.queries("e_survival_km")(spark, sf).collect()
+    assert(r.nonEmpty)
+    // at-risk counts telescope: n_risk(i) = n_risk(i+1) + d(i) + c(i)
+    r.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("n_risk") ==
+          b.getAs[Long]("n_risk") + a.getAs[Long]("n_events") + a.getAs[Long]("n_censored"))
+      case _ => ()
+    }
+    // the first at-risk count is the full user census
+    val nUsers = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(r.head.getAs[Long]("n_risk") == nUsers)
+    // survival is non-increasing from (0, 1]
+    val surv = r.map(_.getAs[Double]("survival"))
+    assert(surv.head <= 1.0 && surv.head > 0.0)
+    surv.sliding(2).foreach { case Array(a, b) => assert(b <= a); case _ => () }
+    // KM recomputation: survival(0) = 1 - d0/n0 exactly
+    val d0 = r.head.getAs[Long]("n_events").toDouble
+    val n0 = r.head.getAs[Long]("n_risk").toDouble
+    assert(math.abs(surv.head - (1.0 - d0 / n0)) < 1e-5)
+  }
+
+  test("c_dsir_weights: target language scores highest, census complete") {
+    val r = Curation.queries("c_dsir_weights")(spark, sf).collect()
+    assert(r.length >= 2)
+    assert(r.map(_.getAs[Long]("n_docs")).sum ==
+      Tables.t(spark, sf, "documents").count())
+    // the en LM is trained ON the en docs — they must score highest
+    val byLang = r.map(row => row.getAs[String]("lang") -> row.getAs[Double]("avg_nw")).toMap
+    assert(byLang("en") == byLang.values.max,
+      s"en should rank top: $byLang")
+  }
+
   test("c_k_anonymity: class arithmetic is self-consistent") {
     val r = Curation.queries("c_k_anonymity")(spark, sf).collect()
     assert(r.length == 1)

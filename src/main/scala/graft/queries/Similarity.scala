@@ -592,6 +592,44 @@ object Similarity {
         .select(lit(10L).as("k"), lit(50L).as("n_candidates"),
           col("n_overlap"),
           round(col("n_overlap") / lit(10.0), 2).as("recall"))
+    }),
+
+    // Simplified silhouette over the LABEL clustering — the standard
+    // cluster-quality audit (how coherent is each label in embedding
+    // space?) without the O(n²) pairwise form: a(i) = cosine distance to
+    // the OWN label centroid, b(i) = min distance to any other, s(i) =
+    // (b−a)/max(a,b). Centroids are a bounded per-label aggregate
+    // (broadcast to every vector — the label set is dimension-like, it
+    // does NOT grow with the corpus); per-vector work is |labels| dot
+    // products, never a data×data join. Centroid components and
+    // distances round to 9 dp (summation-order discipline), s to 6.
+    "s_silhouette" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val cos = graft.functions.GraftFunctions.cosineSim _
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+      val cent = emb
+        .select(col("label").as("clabel"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("clabel", "pos").agg(round(avg("x"), 9).as("m"))
+        .groupBy("clabel")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), p -> p.m)")
+          .as("cent"))
+      val scored = emb.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("label"), col("clabel"),
+          round(lit(1.0) - cos(col("v"), col("cent")), 9).as("dist"))
+      scored.groupBy("vec_id", "label")
+        .agg(min(when(col("clabel") === col("label"), col("dist"))).as("a"),
+          min(when(col("clabel") =!= col("label"), col("dist"))).as("b"))
+        .select(col("label"),
+          round((col("b") - col("a")) /
+            nullif(greatest(col("a"), col("b")), lit(0.0)), 6).as("sil"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          round(avg("sil"), 6).as("avg_sil"),
+          sum(when(col("sil") > 0, 1L).otherwise(0L)).cast("bigint")
+            .as("n_wellplaced"))
+        .orderBy("label")
     })
   )
 
@@ -897,6 +935,27 @@ object Similarity {
         |SELECT CAST(10 AS BIGINT) AS k, CAST(50 AS BIGINT) AS n_candidates,
         |  (SELECT count(*) FROM ex WHERE vec_id IN (SELECT vec_id FROM rr)) AS n_overlap,
         |  round((SELECT count(*) FROM ex WHERE vec_id IN (SELECT vec_id FROM rr))
-        |        / CAST(10.0 AS DOUBLE), 2) AS recall""".stripMargin
+        |        / CAST(10.0 AS DOUBLE), 2) AS recall""".stripMargin,
+    // same centroids (9-dp components, the s_ivf_topk discipline), same
+    // a/b/s arithmetic per vector
+    "s_silhouette" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |m AS (SELECT label AS clabel, CAST(r.i AS INT) AS pos,
+        |        avg(v[CAST(r.i AS INT) + 1]) AS mv
+        |      FROM e, range(64) r(i) GROUP BY 1, 2),
+        |c AS (SELECT clabel, list(round(mv, 9) ORDER BY pos) AS cent FROM m GROUP BY clabel),
+        |sc AS (SELECT e.vec_id, e.label, c.clabel,
+        |         round(1 - list_dot_product(e.v, c.cent) /
+        |           (sqrt(list_dot_product(e.v, e.v)) *
+        |            sqrt(list_dot_product(c.cent, c.cent))), 9) AS dist
+        |       FROM e, c),
+        |p AS (SELECT vec_id, label,
+        |        min(CASE WHEN clabel = label THEN dist END) AS a,
+        |        min(CASE WHEN clabel <> label THEN dist END) AS b
+        |      FROM sc GROUP BY 1, 2),
+        |s AS (SELECT label, round((b - a) / nullif(greatest(a, b), 0), 6) AS sil FROM p)
+        |SELECT label, count(*) AS n, round(avg(sil), 6) AS avg_sil,
+        |  CAST(sum(CASE WHEN sil > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_wellplaced
+        |FROM s GROUP BY label ORDER BY label""".stripMargin
   )
 }

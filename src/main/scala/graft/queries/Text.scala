@@ -515,6 +515,50 @@ object Text {
           col("n_correct"),
           round(col("n_correct") / col("n_docs"), 4).as("accuracy"))
         .orderBy("lang")
+    }),
+
+    // TextRank keyword extraction — the graph-centrality complement of
+    // t_tfidf_top's frequency ranking: adjacent content-word pairs (both
+    // ≥ 4 chars, no self-loops) build an undirected co-occurrence graph,
+    // and three unrolled damped power-iteration rounds (d=0.85, the
+    // e_pagerank family) score each word by random-walk visit rate. The
+    // graph is VOCABULARY-sized (edges bounded by observed adjacencies),
+    // so the iteration joins shuffle vocab keys, never corpus rows; every
+    // node has inflow by construction (undirected ⇒ in-degree = out-
+    // degree ≥ 1), so no left-join resurrection is needed. Per-iteration
+    // inflow sums round to 9 dp — the shared iterative discipline that
+    // keeps both engines on the same trajectory.
+    "t_textrank" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(tokens(lower(col("text"))).as("sp"))
+        .filter(size(col("sp")) >= 2)
+      val pairs = docs.select(explode(expr(
+        """filter(transform(sequence(0, size(sp) - 2),
+          |  i -> struct(sp[i] AS u, sp[i + 1] AS v)),
+          |  p -> length(p.u) >= 4 AND length(p.v) >= 4 AND p.u != p.v)"""
+          .stripMargin)).as("pr"))
+        .select(col("pr.u").as("u"), col("pr.v").as("v"))
+      val und = pairs.union(pairs.select(col("v").as("u"), col("u").as("v")))
+      val edges = und.groupBy("u", "v").agg(count(lit(1)).as("wt"))
+      val wdeg = edges.groupBy("u").agg(sum("wt").as("deg"))
+      // persist the transition graph: all three iterations reference it
+      // (the e_pagerank iterative-cache pattern). Cache lifetime:
+      // Verify/Bench clearCache() after each query's final consumer.
+      val trans = edges.join(wdeg, "u")
+        .select(col("u"), col("v"), (col("wt") / col("deg")).as("p"))
+        .persist()
+      var r = edges.select(col("u").as("w")).distinct()
+        .select(col("w"), lit(1.0).as("r"))
+      for (_ <- 1 to 3) {
+        r = trans.join(r, trans("u") === r("w"))
+          .groupBy(trans("v"))
+          .agg(round(sum(col("p") * col("r")), 9).as("inflow"))
+          .select(col("v").as("w"),
+            (lit(0.15) + lit(0.85) * col("inflow")).as("r"))
+      }
+      r.orderBy(round(col("r"), 9).desc, col("w"))
+        .limit(20)
+        .select(col("w").as("word"), round(col("r"), 6).as("score"))
     })
   )
 
@@ -782,6 +826,32 @@ object Text {
         |  round(sum(CASE WHEN b.plang = d.lang THEN 1 ELSE 0 END)
         |        / CAST(count(*) AS DOUBLE), 4) AS accuracy
         |FROM documents d LEFT JOIN best b USING (doc_id)
-        |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+    // same graph, same three damped iterations; per-iteration inflow
+    // sums rounded to 9 dp keep both engines on one trajectory
+    "t_textrank" ->
+      """WITH docs AS (
+        |  SELECT string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+') AS sp
+        |  FROM documents),
+        |pw AS (
+        |  SELECT unnest(list_filter(list_transform(range(1, greatest(len(sp), 1)),
+        |    i -> [sp[CAST(i AS INT)], sp[CAST(i AS INT) + 1]]),
+        |    p -> length(p[1]) >= 4 AND length(p[2]) >= 4 AND p[1] <> p[2])) AS pr
+        |  FROM docs WHERE len(sp) >= 2),
+        |und AS (SELECT pr[1] AS u, pr[2] AS v FROM pw
+        |        UNION ALL SELECT pr[2] AS u, pr[1] AS v FROM pw),
+        |edges AS (SELECT u, v, count(*) AS wt FROM und GROUP BY 1, 2),
+        |wdeg AS (SELECT u, CAST(sum(wt) AS BIGINT) AS deg FROM edges GROUP BY 1),
+        |trans AS (SELECT e.u, e.v, CAST(wt AS DOUBLE) / deg AS p
+        |          FROM edges e JOIN wdeg USING (u)),
+        |r0 AS (SELECT DISTINCT u AS w, 1.0 AS r FROM edges),
+        |i1 AS (SELECT v AS w, 0.15 + 0.85 * round(sum(p * r), 9) AS r
+        |       FROM trans JOIN r0 ON trans.u = r0.w GROUP BY v),
+        |i2 AS (SELECT v AS w, 0.15 + 0.85 * round(sum(p * r), 9) AS r
+        |       FROM trans JOIN i1 ON trans.u = i1.w GROUP BY v),
+        |i3 AS (SELECT v AS w, 0.15 + 0.85 * round(sum(p * r), 9) AS r
+        |       FROM trans JOIN i2 ON trans.u = i2.w GROUP BY v)
+        |SELECT w AS word, round(r, 6) AS score FROM i3
+        |ORDER BY round(r, 9) DESC, w LIMIT 20""".stripMargin
   )
 }

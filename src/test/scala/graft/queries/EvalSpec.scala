@@ -125,6 +125,30 @@ class EvalSpec extends SparkSpec {
       s"en should rank top: $byLang")
   }
 
+  test("t_textrank: damping floor bounds every score, content-word filter held") {
+    val r = Text.queries("t_textrank")(spark, sf).collect()
+    assert(r.length == 20)
+    r.foreach { row =>
+      // R = 0.15 + 0.85·inflow with inflow ≥ 0 → every score ≥ 0.15
+      assert(row.getAs[Double]("score") >= 0.15)
+      assert(row.getAs[String]("word").length >= 4)
+    }
+    // descending by score (ties broken by word — the rank key discipline)
+    val scores = r.map(_.getAs[Double]("score"))
+    scores.sliding(2).foreach { case Array(a, b) => assert(b <= a); case _ => () }
+  }
+
+  test("s_silhouette: full census, silhouettes bounded in [-1, 1]") {
+    val r = Similarity.queries("s_silhouette")(spark, sf).collect()
+    assert(r.map(_.getAs[Long]("n")).sum ==
+      Tables.t(spark, sf, "embeddings").count())
+    r.foreach { row =>
+      val avg = row.getAs[Double]("avg_sil")
+      assert(avg >= -1.0 && avg <= 1.0)
+      assert(row.getAs[Long]("n_wellplaced") <= row.getAs[Long]("n"))
+    }
+  }
+
   test("c_k_anonymity: class arithmetic is self-consistent") {
     val r = Curation.queries("c_k_anonymity")(spark, sf).collect()
     assert(r.length == 1)

@@ -766,7 +766,57 @@ object Curation {
         .select(col("lang"), col("n_docs"), col("avg_nw"), col("n_pos"),
           round(col("n_pos") / col("n_docs"), 4).as("pos_share"))
         .orderBy("lang")
-    })
+    }),
+
+    // Encoding-quality audit — the crawl-ingest gate that catches broken
+    // decodes BEFORE they poison tokenizers: per language, how many docs
+    // carry U+FFFD replacement chars (a decoder already gave up), raw C0
+    // control bytes (binary contamination; tab/newline family excluded),
+    // U+00C3 'Ã' (the classic UTF-8-read-as-Latin-1 mojibake signature),
+    // or non-breaking spaces (invisible token splitters). Pure per-row
+    // regex/contains predicates folded by one partial-agg'd groupBy —
+    // narrow scan, no shuffle beyond the bounded lang key.
+    "c_encoding_qa" -> ((s, d) =>
+      t(s, d, "documents")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("text").contains("\ufffd"), 1L).otherwise(0L))
+            .cast("bigint").as("n_replacement"),
+          sum(when(col("text").rlike("[\\x00-\\x08\\x0e-\\x1f]"), 1L).otherwise(0L))
+            .cast("bigint").as("n_ctrl"),
+          sum(when(col("text").contains("\u00c3"), 1L).otherwise(0L))
+            .cast("bigint").as("n_mojibake"),
+          sum(when(col("text").contains("\u00a0"), 1L).otherwise(0L))
+            .cast("bigint").as("n_nbsp"),
+          sum(when(!(col("text").contains("\ufffd") ||
+              col("text").rlike("[\\x00-\\x08\\x0e-\\x1f]") ||
+              col("text").contains("\u00c3") || col("text").contains("\u00a0")),
+            1L).otherwise(0L)).cast("bigint").as("n_clean"))
+        .withColumn("clean_share", round(col("n_clean") / col("n_docs"), 4))
+        .orderBy("lang")),
+
+    // Tokenizer-fertility profile — bytes and chars per (BPE-ish) token
+    // by language: the number every multilingual data-mixing plan needs,
+    // because a fixed token budget buys ~4× less zh text per byte than
+    // en. Whitespace tokens and the t_token_count BPE-ish regex both
+    // counted in the SAME single-pass aggregate; ratios are exact
+    // long-sum divisions rounded at the end (order-independent).
+    "c_tokenizer_fertility" -> ((s, d) =>
+      t(s, d, "documents")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).cast("bigint").as("n_chars"),
+          sum(octet_length(col("text"))).cast("bigint").as("n_bytes"),
+          sum(size(Text.tokens(col("text")))).cast("bigint").as("n_ws_tokens"),
+          sum(regexp_count(col("text"),
+            lit("\\w+|[^\\w" + Text.wsChars + "]"))).cast("bigint").as("n_bpeish"))
+        .select(col("lang"), col("n_docs"), col("n_chars"), col("n_bytes"),
+          col("n_ws_tokens"), col("n_bpeish"),
+          round(col("n_chars").cast("double") / col("n_bpeish"), 4)
+            .as("chars_per_token"),
+          round(col("n_bytes").cast("double") / col("n_bpeish"), 4)
+            .as("bytes_per_token"))
+        .orderBy("lang"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -1232,6 +1282,41 @@ object Curation {
         |  CAST(sum(CASE WHEN nw > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
         |  round(sum(CASE WHEN nw > 0 THEN 1 ELSE 0 END)
         |        / CAST(count(*) AS DOUBLE), 4) AS pos_share
-        |FROM per_doc GROUP BY lang ORDER BY lang""".stripMargin
+        |FROM per_doc GROUP BY lang ORDER BY lang""".stripMargin,
+    // chr() literals dodge any encoding ambiguity in the SQL transport:
+    // 65533 = U+FFFD replacement, 195 = 'Ã' mojibake marker, 160 = NBSP
+    "c_encoding_qa" ->
+      """WITH f AS (
+        |  SELECT lang,
+        |    contains(text, chr(65533)) AS has_rep,
+        |    regexp_matches(text, '[\x00-\x08\x0e-\x1f]') AS has_ctrl,
+        |    contains(text, chr(195)) AS has_moji,
+        |    contains(text, chr(160)) AS has_nbsp
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN has_rep THEN 1 ELSE 0 END) AS BIGINT) AS n_replacement,
+        |  CAST(sum(CASE WHEN has_ctrl THEN 1 ELSE 0 END) AS BIGINT) AS n_ctrl,
+        |  CAST(sum(CASE WHEN has_moji THEN 1 ELSE 0 END) AS BIGINT) AS n_mojibake,
+        |  CAST(sum(CASE WHEN has_nbsp THEN 1 ELSE 0 END) AS BIGINT) AS n_nbsp,
+        |  CAST(sum(CASE WHEN NOT (has_rep OR has_ctrl OR has_moji OR has_nbsp)
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+        |  round(sum(CASE WHEN NOT (has_rep OR has_ctrl OR has_moji OR has_nbsp)
+        |        THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 4) AS clean_share
+        |FROM f GROUP BY lang ORDER BY lang""".stripMargin,
+    "c_tokenizer_fertility" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+        |  CAST(sum(strlen(text)) AS BIGINT) AS n_bytes,
+        |  CAST(sum(len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+'))) AS BIGINT)
+        |    AS n_ws_tokens,
+        |  CAST(sum(len(regexp_extract_all(text, '\w+|[^\w \t\n\x0B\f\r]'))) AS BIGINT)
+        |    AS n_bpeish,
+        |  round(CAST(sum(length(text)) AS DOUBLE)
+        |    / sum(len(regexp_extract_all(text, '\w+|[^\w \t\n\x0B\f\r]'))), 4)
+        |    AS chars_per_token,
+        |  round(CAST(sum(strlen(text)) AS DOUBLE)
+        |    / sum(len(regexp_extract_all(text, '\w+|[^\w \t\n\x0B\f\r]'))), 4)
+        |    AS bytes_per_token
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

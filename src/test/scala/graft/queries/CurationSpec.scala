@@ -101,6 +101,44 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("c_encoding_qa: planted mojibake/control/NBSP docs are each caught once") {
+    import spark.implicits._
+    // stage a tiny documents.parquet with one doc per defect class
+    val dir = java.nio.file.Files.createTempDirectory("encqa").toString
+    Seq(
+      (1L, "en", "clean ascii text"),
+      (2L, "en", "replacement \ufffd here"),
+      (3L, "en", "control \u0007 bell"),
+      (4L, "en", "mojibake caf\u00c3\u00a9 marker"), // e-acute double-decoded
+      (5L, "en", "hard\u00a0space"))
+      .toDF("doc_id", "lang", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = Curation.queries("c_encoding_qa")(spark, dir).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    assert(row.getAs[Long]("n_docs") == 5)
+    assert(row.getAs[Long]("n_replacement") == 1)
+    assert(row.getAs[Long]("n_ctrl") == 1)
+    assert(row.getAs[Long]("n_mojibake") == 1)
+    assert(row.getAs[Long]("n_nbsp") == 1)
+    assert(row.getAs[Long]("n_clean") == 1)
+    assert(row.getAs[Double]("clean_share") == 0.2)
+  }
+
+  test("c_tokenizer_fertility: bytes dominate chars, BPE-ish dominates whitespace tokens") {
+    val r = Curation.queries("c_tokenizer_fertility")(spark, TestSpark.sf0001).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_bytes") >= row.getAs[Long]("n_chars"))
+      // every whitespace token contains at least one BPE-ish match
+      assert(row.getAs[Long]("n_bpeish") >= row.getAs[Long]("n_ws_tokens"))
+      val expected = BigDecimal(row.getAs[Long]("n_chars").toDouble /
+        row.getAs[Long]("n_bpeish"))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(row.getAs[Double]("chars_per_token") == expected)
+    }
+  }
+
   test("canonicalizeUrl: case-by-case rules + idempotence") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

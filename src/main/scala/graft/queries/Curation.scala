@@ -816,7 +816,42 @@ object Curation {
             .as("chars_per_token"),
           round(col("n_bytes").cast("double") / col("n_bpeish"), 4)
             .as("bytes_per_token"))
-        .orderBy("lang"))
+        .orderBy("lang")),
+
+    // Model-based quality classifier — the fastText-shaped step up from
+    // t_quality_filter's hard thresholds: a fixed-weight logistic model
+    // over the three t_quality_score features (stopword density up,
+    // punctuation density down, token-length deviation from 5 chars
+    // penalized quadratically), scored per doc and thresholded at 0.5.
+    // The FEATURES are rounded to 4 dp first (the t_quality_score
+    // contract), so the linear term is per-row fixed-order double
+    // arithmetic and the sigmoid needs only the final 6-dp round — the
+    // e_survival_km exp discipline. Weights are literals (a shipped
+    // model, not a training pass); narrow map + one bounded groupBy.
+    "c_quality_classifier" -> ((s, d) => {
+      val txt = col("text")
+      val toks = Text.tokens(lower(txt))
+      val nTok = size(toks)
+      val stopCnt = size(filter(toks, w => w.isInCollection(Text.stopwords)))
+      t(s, d, "documents")
+        .select(col("lang"),
+          round((length(txt) - length(regexp_replace(txt, "[.,!?;:]", "")))
+            .cast("double") / nullif(length(txt), lit(0)), 4).as("punct_ratio"),
+          round(stopCnt.cast("double") / nTok, 4).as("stop_ratio"),
+          round(length(regexp_replace(txt, Text.wsRe, "")).cast("double") / nTok, 4)
+            .as("avg_tok_len"))
+        .withColumn("lin",
+          lit(-0.5) + lit(6.0) * col("stop_ratio") - lit(4.0) * col("punct_ratio")
+            - lit(0.25) * (col("avg_tok_len") - lit(5.0)) * (col("avg_tok_len") - lit(5.0)))
+        .withColumn("score", round(lit(1.0) / (lit(1.0) + exp(-col("lin"))), 6))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg("score"), 6).as("avg_score"),
+          sum(when(col("score") >= 0.5, 1L).otherwise(0L)).cast("bigint").as("n_keep"))
+        .select(col("lang"), col("n_docs"), col("avg_score"), col("n_keep"),
+          round(col("n_keep") / col("n_docs"), 4).as("keep_share"))
+        .orderBy("lang")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -1317,6 +1352,28 @@ object Curation {
         |  round(CAST(sum(strlen(text)) AS DOUBLE)
         |    / sum(len(regexp_extract_all(text, '\w+|[^\w \t\n\x0B\f\r]'))), 4)
         |    AS bytes_per_token
-        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // identical 4-dp features (the t_quality_score oracle expressions),
+    // identical literal weights; sigmoid rounded to 6 dp on both engines
+    "c_quality_classifier" ->
+      """WITH f AS (
+        |  SELECT lang,
+        |    round(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / NULLIF(length(text), 0), 4) AS punct_ratio,
+        |    round(CAST(len(list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'),
+        |          w -> w IN ('the','a','of','and','to','in'))) AS DOUBLE)
+        |          / len(string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+')), 4) AS stop_ratio,
+        |    round(CAST(length(regexp_replace(text, '[ \t\n\x0B\f\r]+', '', 'g')) AS DOUBLE)
+        |          / len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')), 4) AS avg_tok_len
+        |  FROM documents),
+        |sc AS (
+        |  SELECT lang,
+        |    round(1.0 / (1.0 + exp(-(-0.5 + 6.0 * stop_ratio - 4.0 * punct_ratio
+        |      - 0.25 * (avg_tok_len - 5.0) * (avg_tok_len - 5.0)))), 6) AS score
+        |  FROM f)
+        |SELECT lang, count(*) AS n_docs, round(avg(score), 6) AS avg_score,
+        |  CAST(sum(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+        |  round(sum(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END)
+        |        / CAST(count(*) AS DOUBLE), 4) AS keep_share
+        |FROM sc GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

@@ -32,7 +32,7 @@ object Text {
     */
   def normText(c: Column): Column = lower(trim(regexp_replace(c, wsRe, " ")))
 
-  private val stopwords = Seq("the", "a", "of", "and", "to", "in")
+  val stopwords = Seq("the", "a", "of", "and", "to", "in")
 
   val queries: Map[String, Q] = Map(
     // Whitespace + BPE-ish regex token counts per document.

@@ -79,6 +79,31 @@ object EventStreams {
       events.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark("event_id")
     else events.dropDuplicates("event_id")
 
+  /** Stream-static SCD enrichment — each event looks up the dimension row
+    * VALID AT ITS EVENT TIME (`valid_from <= ts < valid_to`), the standard
+    * slowly-changing-dimension join a pipeline needs the moment a weight
+    * or category table has history. The static side is broadcast (a
+    * dimension, bounded by business reality, not data volume) and re-read
+    * per micro-batch, so a dim update between batches is picked up without
+    * restarting the query; the stream side needs NO watermark — stream-
+    * static joins keep no stream state. Left join: an event outside every
+    * validity window survives with a NULL weight rather than vanishing.
+    * `dim` schema: (event_type, valid_from timestamp, valid_to timestamp,
+    * weight double).
+    */
+  def enrichScd(events: DataFrame, dim: DataFrame): DataFrame = {
+    val d = broadcast(dim).select(
+      col("event_type").as("d_type"), col("valid_from"), col("valid_to"),
+      col("weight"))
+    events.join(d,
+      events("event_type") === d("d_type") &&
+        events("ts") >= d("valid_from") && events("ts") < d("valid_to"),
+      "left")
+      .select(events("event_id"), events("ts"), events("user_id"),
+        events("event_type"), events("value"), d("weight"),
+        (events("value") * d("weight")).as("weighted_value"))
+  }
+
   // ---- custom state: flatMapGroupsWithState sessionization ----
 
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,

@@ -217,6 +217,41 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("enrichScd: events pick the dim version valid at their event time; misses survive as NULL") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // click weight 1.0 before ts(30), 2.0 after; view never covered
+    val dim = Seq(
+      ("click", ts(-600), ts(30), 1.0),
+      ("click", ts(30), ts(600), 2.0))
+      .toDF("event_type", "valid_from", "valid_to", "weight")
+    val mem = MemoryStream[Event]
+    val q = enrichScd(mem.toDF(), dim).writeStream
+      .format("memory").queryName("scd_test").outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        Event(1, ts(10), 1, "click", 5.0),  // v1 → weight 1.0
+        Event(2, ts(40), 1, "click", 5.0),  // v2 → weight 2.0
+        Event(3, ts(40), 2, "view", 7.0))   // no dim row → NULL
+      q.processAllAvailable()
+      val rows = spark.table("scd_test")
+        .select("event_id", "weight", "weighted_value")
+        .as[(Long, Option[Double], Option[Double])].collect().toSet
+      assert(rows == Set(
+        (1L, Some(1.0), Some(5.0)),
+        (2L, Some(2.0), Some(10.0)),
+        (3L, None, None)))
+      // batch form produces the identical enrichment (plan parity)
+      val batch = enrichScd(
+        Seq(Event(1, ts(10), 1, "click", 5.0),
+          Event(2, ts(40), 1, "click", 5.0),
+          Event(3, ts(40), 2, "view", 7.0)).toDS().toDF(), dim)
+        .select("event_id", "weight", "weighted_value")
+        .as[(Long, Option[Double], Option[Double])].collect().toSet
+      assert(batch == rows)
+    } finally q.stop()
+  }
+
   test("rateAlerts: a cross-batch late event neither counts future events nor evicts them") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

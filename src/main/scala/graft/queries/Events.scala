@@ -642,6 +642,45 @@ object Events {
             .otherwise(round(exp(sum(col("lnf")).over(wCum).cast("double")), 6)))
         .select("dur_day", "n_risk", "n_events", "n_censored", "survival")
         .orderBy("dur_day")
+    }),
+
+    // Seasonality-aware anomaly detection — e_anomaly's z-score applied to
+    // RESIDUALS after subtracting each (type, hour-of-day) mean, so a
+    // nightly traffic trough stops masquerading as an anomaly and a spike
+    // AT the trough stops hiding inside the global variance. The
+    // gap-filled panel (e_forecast_baseline construction) keeps absent
+    // hours as honest zeros; the hour-of-day profile is a types×24
+    // BOUNDED aggregate (broadcast by construction); the per-hour mean of
+    // INTEGER counts is exact-sum-then-divide on both engines, so only
+    // the final z needs the 6-dp round (the e_anomaly discipline).
+    "e_seasonal_anomaly" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val hourly = e
+        .groupBy(date_trunc("HOUR", col("ts")).as("hour_ts"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      val spine = e.agg(
+          date_trunc("HOUR", min(col("ts"))).as("h0"),
+          date_trunc("HOUR", max(col("ts"))).as("h1"))
+        .select(explode(expr("sequence(h0, h1, interval 1 hour)")).as("hour_ts"))
+      val panel = spine
+        .crossJoin(e.select("event_type").distinct())
+        .join(hourly, Seq("hour_ts", "event_type"), "left")
+        .select(col("hour_ts"), col("event_type"),
+          coalesce(col("c"), lit(0L)).as("c"), hour(col("hour_ts")).as("hod"))
+      val profile = panel.groupBy("event_type", "hod")
+        .agg(avg("c").as("mu_hod"))
+      val resid = panel.join(broadcast(profile), Seq("event_type", "hod"))
+        .select(col("event_type"), (col("c") - col("mu_hod")).as("r"))
+      val stats = resid.groupBy("event_type")
+        .agg(avg("r").as("mu"), stddev_samp("r").as("sd"))
+      resid.join(broadcast(stats), "event_type")
+        .select(col("event_type"),
+          round((col("r") - col("mu")) / nullif(col("sd"), lit(0)), 6).as("z6"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_hours"),
+          sum(when(abs(col("z6")) > 3, 1L).otherwise(0L)).cast("bigint").as("n_anom"),
+          round(max(abs(col("z6"))), 3).as("max_abs_z"))
+        .orderBy("event_type")
     })
   )
 
@@ -1055,6 +1094,39 @@ object Events {
         |       ELSE round(exp(CAST(sum(lnf) OVER
         |         (ORDER BY dur_day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |         AS DOUBLE)), 6) END AS survival
-        |FROM f ORDER BY dur_day""".stripMargin
+        |FROM f ORDER BY dur_day""".stripMargin,
+    // same gap-filled panel as e_forecast_baseline, hour-of-day profile
+    // subtraction, z rounded to 6 dp before the threshold (e_anomaly)
+    "e_seasonal_anomaly" ->
+      """WITH b AS (
+        |  SELECT CAST(date_trunc('hour', min(ts)) AS TIMESTAMP) AS h0,
+        |         CAST(date_trunc('hour', max(ts)) AS TIMESTAMP) AS h1
+        |  FROM events),
+        |spine AS (
+        |  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour_ts FROM b),
+        |types AS (SELECT DISTINCT event_type FROM events),
+        |hourly AS (
+        |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts, event_type,
+        |         count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |panel AS (
+        |  SELECT spine.hour_ts, types.event_type,
+        |         CAST(coalesce(c, 0) AS BIGINT) AS c,
+        |         hour(spine.hour_ts) AS hod
+        |  FROM spine CROSS JOIN types
+        |  LEFT JOIN hourly USING (hour_ts, event_type)),
+        |prof AS (SELECT event_type, hod, avg(c) AS mu_hod
+        |         FROM panel GROUP BY 1, 2),
+        |resid AS (
+        |  SELECT p.event_type, p.c - mu_hod AS r
+        |  FROM panel p JOIN prof USING (event_type, hod)),
+        |st AS (SELECT event_type, avg(r) AS mu, stddev_samp(r) AS sd
+        |       FROM resid GROUP BY 1),
+        |z AS (SELECT r.event_type, round((r.r - mu) / nullif(sd, 0), 6) AS z6
+        |      FROM resid r JOIN st USING (event_type))
+        |SELECT event_type, count(*) AS n_hours,
+        |  CAST(sum(CASE WHEN abs(z6) > 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_anom,
+        |  round(max(abs(z6)), 3) AS max_abs_z
+        |FROM z GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

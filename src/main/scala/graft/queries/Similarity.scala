@@ -630,6 +630,32 @@ object Similarity {
           sum(when(col("sil") > 0, 1L).otherwise(0L)).cast("bigint")
             .as("n_wellplaced"))
         .orderBy("label")
+    }),
+
+    // Intra-label diversity — mean pairwise cosine among each label's
+    // UNIT vectors WITHOUT any pairwise join, via the sum-vector
+    // identity: Σᵢ≠ⱼ uᵢ·uⱼ = ‖Σuᵢ‖² − n (unit norms make Σ‖uᵢ‖² = n), so
+    // mean pairwise cos = (‖S‖² − n)/(n(n−1)). The O(n²) pair space every
+    // naive diversity audit materializes collapses to ONE per-label
+    // vector sum — the aggregate that decides "is this class collapsed
+    // to near-duplicates?" at any corpus size. Per-position sums round
+    // to 9 dp (the centroid discipline); the final statistic to 6.
+    "s_intra_diversity" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+        .select(col("label"), col("embedding").cast("array<double>").as("v"))
+      val u = emb.select(col("label"), expr(
+        "transform(v, x -> x / sqrt(aggregate(transform(v, y -> y * y), 0d, (a, b) -> a + b)))")
+        .as("u"))
+      val sv = u.select(col("label"), posexplode(col("u")).as(Seq("pos", "x")))
+        .groupBy("label", "pos").agg(round(sum("x"), 9).as("sv"))
+        .groupBy("label").agg(sum(col("sv") * col("sv")).as("ssq"))
+      val n = emb.groupBy("label").agg(count(lit(1)).as("n"))
+      sv.join(n, "label")
+        .select(col("label"), col("n"),
+          round((col("ssq") - col("n").cast("double")) /
+            (col("n").cast("double") * (col("n").cast("double") - lit(1.0))), 6)
+            .as("mean_pair_cos"))
+        .orderBy("label")
     })
   )
 
@@ -956,6 +982,21 @@ object Similarity {
         |s AS (SELECT label, round((b - a) / nullif(greatest(a, b), 0), 6) AS sil FROM p)
         |SELECT label, count(*) AS n, round(avg(sil), 6) AS avg_sil,
         |  CAST(sum(CASE WHEN sil > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_wellplaced
-        |FROM s GROUP BY label ORDER BY label""".stripMargin
+        |FROM s GROUP BY label ORDER BY label""".stripMargin,
+    // same identity, same 9-dp component sums
+    "s_intra_diversity" ->
+      """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |u AS (SELECT label,
+        |        list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
+        |      FROM e),
+        |sv AS (SELECT label, CAST(r.i AS INT) AS pos,
+        |         round(sum(u[CAST(r.i AS INT) + 1]), 9) AS sv
+        |       FROM u, range(64) r(i) GROUP BY 1, 2),
+        |q AS (SELECT label, sum(sv * sv) AS ssq FROM sv GROUP BY label),
+        |n AS (SELECT label, count(*) AS n FROM e GROUP BY label)
+        |SELECT label, n.n AS n,
+        |  round((ssq - CAST(n.n AS DOUBLE)) /
+        |    (CAST(n.n AS DOUBLE) * (CAST(n.n AS DOUBLE) - 1.0)), 6) AS mean_pair_cos
+        |FROM q JOIN n USING (label) ORDER BY label""".stripMargin
   )
 }

@@ -149,6 +149,40 @@ class EvalSpec extends SparkSpec {
     }
   }
 
+  test("s_intra_diversity: the sum-vector identity matches brute-force pairwise mean") {
+    import org.apache.spark.sql.functions._
+    val r = Similarity.queries("s_intra_diversity")(spark, sf).collect()
+      .map(row => row.getAs[Int]("label") -> row.getAs[Double]("mean_pair_cos")).toMap
+    assert(r.nonEmpty)
+    // brute-force O(n²) referee on ONE label's vectors (test-scale only)
+    val label = r.keys.min
+    val vecs = Tables.t(spark, sf, "embeddings")
+      .filter(col("label") === label)
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    def unit(v: Array[Double]) = {
+      val nrm = math.sqrt(v.map(x => x * x).sum); v.map(_ / nrm)
+    }
+    val us = vecs.map(unit)
+    var sum = 0.0; var cnt = 0
+    for (i <- us.indices; j <- us.indices if i != j) {
+      sum += us(i).zip(us(j)).map { case (a, b) => a * b }.sum; cnt += 1
+    }
+    assert(math.abs(r(label) - sum / cnt) < 1e-4,
+      s"identity ${r(label)} vs pairwise ${sum / cnt}")
+  }
+
+  test("e_seasonal_anomaly: full panel per type, anomalies bounded") {
+    val r = Events.queries("e_seasonal_anomaly")(spark, sf).collect()
+    assert(r.nonEmpty)
+    val spineLen = Events.queries("e_gap_fill")(spark, sf).count()
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_hours") == spineLen)
+      assert(row.getAs[Long]("n_anom") <= row.getAs[Long]("n_hours"))
+      assert(row.getAs[Double]("max_abs_z") >= 0.0)
+    }
+  }
+
   test("c_k_anonymity: class arithmetic is self-consistent") {
     val r = Curation.queries("c_k_anonymity")(spark, sf).collect()
     assert(r.length == 1)

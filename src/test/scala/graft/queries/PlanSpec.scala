@@ -360,4 +360,49 @@ class PlanSpec extends SparkSpec {
     assert(windows.forall(!_.toString.contains("SinglePartition")),
       "rank assignment must partition by qid")
   }
+
+  test("s_binary_hamming: Hamming top-k is TakeOrdered over a broadcast 1-row signature") {
+    val p = plan("s_binary_hamming").toString
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("CartesianProduct"), "the query signature must broadcast")
+  }
+
+  test("s_silhouette: bounded centroid table broadcasts; no pairwise vector join") {
+    val p = plan("s_silhouette").toString
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the |labels|-row centroid table must ride a broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      "silhouette must never shuffle-join vectors against vectors")
+  }
+
+  test("s_intra_diversity: the pairwise statistic plans with ZERO joins on vectors") {
+    // the sum-vector identity: only the 5-row (ssq ⨝ n) label join remains
+    val p = plan("s_intra_diversity").toString
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"))
+    assert(scans("s_intra_diversity").forall(
+      _.metadata("Location").contains("embeddings.parquet")))
+  }
+
+  test("t_textrank: vocabulary-sized iteration joins, top-20 is TakeOrdered") {
+    val p = plan("t_textrank").toString
+    assert(p.contains("TakeOrderedAndProject"), "top-20 must never globally sort")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"))
+  }
+
+  test("c_dsir_weights: vocab join left unhinted (AQE broadcasts at test SF)") {
+    val df = SparkEntry.queries("c_dsir_weights")(spark, TestSpark.sf0001)
+    df.collect()
+    val ep = df.queryExecution.executedPlan.toString
+    assert(ep.contains("BroadcastHashJoin"),
+      "AQE should broadcast the vocab log-ratio side at test SF")
+    assert(!ep.contains("CartesianProduct"))
+  }
+
+  test("e_seasonal_anomaly: profile and stats broadcast; panel never self-joins") {
+    val p = plan("e_seasonal_anomaly").toString
+    assert(p.contains("BroadcastHashJoin"),
+      "the types×24 profile and per-type stats must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "no shuffle join anywhere in the residual pipeline")
+  }
 }

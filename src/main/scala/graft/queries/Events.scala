@@ -681,6 +681,99 @@ object Events {
           sum(when(abs(col("z6")) > 3, 1L).otherwise(0L)).cast("bigint").as("n_anom"),
           round(max(abs(col("z6"))), 3).as("max_abs_z"))
         .orderBy("event_type")
+    }),
+
+    // Markov removal-effect attribution — the principled upgrade over
+    // e_multi_touch's positional split: model each user's pre-purchase
+    // journey as an absorbing Markov chain (start → channels → conv/drop),
+    // then credit each channel by how much conversion probability
+    // DISAPPEARS when it is removed (its inbound mass redirected to drop).
+    // Every scenario (full + one per channel) is a SLICE of one
+    // scenario-keyed transition matrix, so the six unrolled mass
+    // iterations run ONCE for all scenarios simultaneously — the matrix is
+    // (|channels|+1)·|states|² rows, BOUNDED by the event-type vocabulary,
+    // never by users or events. The only stream-sized work is the journey
+    // truncation (one window) and the transition count (one groupBy).
+    // Removing a channel can only destroy conversion paths, so effects are
+    // provably ≥ 0. Per-iteration mass sums round to 9 dp (the pagerank
+    // trajectory discipline); P(conv) is read after 6 steps.
+    "e_markov_attribution" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("tsus"),
+          col("event_id"), col("event_type"))
+      val fp = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(min(struct(col("tsus"), col("event_id"))).as("fpk"))
+      // journey = events up to and including the FIRST purchase (struct
+      // comparison is lexicographic on both engines); non-converters keep
+      // their whole history and terminate in 'drop'
+      val j = ev.join(fp, Seq("user_id"), "left")
+        .filter(col("fpk").isNull ||
+          struct(col("tsus"), col("event_id")) <= col("fpk"))
+      val w = Window.partitionBy("user_id").orderBy("tsus", "event_id")
+      val steps = j
+        .withColumn("prev", lag("event_type", 1).over(w))
+        .select(coalesce(col("prev"), lit("start")).as("src"),
+          when(col("event_type") === "purchase", lit("conv"))
+            .otherwise(col("event_type")).as("dst"))
+      val lastDrop = j
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("user_id")
+            .orderBy(col("tsus").desc, col("event_id").desc)))
+        .filter(col("rn") === 1 && col("fpk").isNull)
+        .select(col("event_type").as("src"), lit("drop").as("dst"))
+      val trans = steps.union(lastDrop).groupBy("src", "dst")
+        .agg(count(lit(1)).as("n"))
+      val tot = trans.groupBy("src").agg(sum("n").as("tot"))
+      val base = trans.join(tot, "src")
+        .select(col("src"), col("dst"), (col("n") / col("tot")).as("p"))
+      val channels = trans
+        .select(col("dst").as("ch")).filter(!col("ch").isin("conv", "drop"))
+        .union(trans.select(col("src").as("ch")).filter(col("ch") =!= "start"))
+        .distinct()
+      val scens = channels.select(col("ch").as("scen"))
+        .union(s.range(1).select(lit("full").as("scen")))
+      // removal(c): c's outgoing rows deleted (no walk can be there),
+      // inbound mass redirected to drop; at most TWO rows merge per
+      // (scen,src,'drop') key, so the sum is a 2-term FP add — exact
+      val m0 = base.crossJoin(scens)
+        .filter(!(col("scen") =!= "full" && col("src") === col("scen")))
+        .select(col("scen"), col("src"),
+          when(col("scen") =!= "full" && col("dst") === col("scen"), lit("drop"))
+            .otherwise(col("dst")).as("dst"),
+          col("p"))
+        .groupBy("scen", "src", "dst").agg(sum("p").as("p"))
+      val absorb = scens.select(col("scen"), lit("conv").as("src"),
+          lit("conv").as("dst"), lit(1.0).as("p"))
+        .union(scens.select(col("scen"), lit("drop").as("src"),
+          lit("drop").as("dst"), lit(1.0).as("p")))
+      // persist the scenario matrix: all six iterations reference it.
+      // Cache lifetime: Verify/Bench clearCache() after the final consumer.
+      val mat = m0.select("scen", "src", "dst", "p").union(absorb).persist()
+      var r = scens.select(col("scen"), lit("start").as("state"), lit(1.0).as("mass"))
+      for (_ <- 1 to 6) {
+        r = mat.join(r, Seq("scen"))
+          .filter(col("src") === col("state"))
+          .groupBy("scen", "dst")
+          .agg(round(sum(col("mass") * col("p")), 9).as("mass"))
+          .withColumnRenamed("dst", "state")
+      }
+      val conv = r.filter(col("state") === "conv")
+        .select(col("scen"), col("mass").as("pconv"))
+      val full = conv.filter(col("scen") === "full")
+        .select(col("pconv").as("pfull"))
+      val eff = conv.filter(col("scen") =!= "full")
+        .crossJoin(broadcast(full))
+        .select(col("scen").as("channel"),
+          round(col("pconv"), 6).as("conv_if_removed"),
+          round(lit(1.0) - col("pconv") / nullif(col("pfull"), lit(0.0)), 6)
+            .as("removal_effect"))
+      val totEff = eff.agg(sum("removal_effect").as("te"))
+      eff.crossJoin(broadcast(totEff))
+        .select(col("channel"), col("conv_if_removed"), col("removal_effect"),
+          round(col("removal_effect") / nullif(col("te"), lit(0.0)), 4)
+            .as("attribution_share"))
+        .orderBy("channel")
     })
   )
 
@@ -1127,6 +1220,71 @@ object Events {
         |SELECT event_type, count(*) AS n_hours,
         |  CAST(sum(CASE WHEN abs(z6) > 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_anom,
         |  round(max(abs(z6)), 3) AS max_abs_z
-        |FROM z GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM z GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // same chain: struct-keyed journey truncation, scenario-keyed matrix,
+    // six unrolled iterations with 9-dp mass rounding
+    "e_markov_attribution" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS tsus, event_id, event_type FROM events),
+        |fp AS (
+        |  SELECT user_id, min({'t': tsus, 'e': event_id}) AS fpk
+        |  FROM ev WHERE event_type = 'purchase' GROUP BY user_id),
+        |j AS (
+        |  SELECT ev.user_id, tsus, event_id, event_type, fpk
+        |  FROM ev LEFT JOIN fp USING (user_id)
+        |  WHERE fpk IS NULL OR {'t': tsus, 'e': event_id} <= fpk),
+        |st AS (
+        |  SELECT coalesce(lag(event_type) OVER
+        |      (PARTITION BY user_id ORDER BY tsus, event_id), 'start') AS src,
+        |    CASE WHEN event_type = 'purchase' THEN 'conv' ELSE event_type END AS dst
+        |  FROM j),
+        |ld AS (
+        |  SELECT event_type AS src, 'drop' AS dst FROM (
+        |    SELECT event_type, fpk,
+        |      row_number() OVER (PARTITION BY user_id ORDER BY tsus DESC, event_id DESC) AS rn
+        |    FROM j) WHERE rn = 1 AND fpk IS NULL),
+        |tr AS (SELECT src, dst, count(*) AS n
+        |       FROM (SELECT * FROM st UNION ALL SELECT * FROM ld) GROUP BY 1, 2),
+        |tt AS (SELECT src, CAST(sum(n) AS BIGINT) AS tot FROM tr GROUP BY 1),
+        |base AS (SELECT tr.src, tr.dst, CAST(n AS DOUBLE) / tot AS p
+        |         FROM tr JOIN tt USING (src)),
+        |ch AS (SELECT DISTINCT ch FROM (
+        |  SELECT dst AS ch FROM tr WHERE dst NOT IN ('conv', 'drop')
+        |  UNION ALL SELECT src AS ch FROM tr WHERE src <> 'start')),
+        |scens AS (SELECT ch AS scen FROM ch UNION ALL SELECT 'full' AS scen),
+        |m0 AS (
+        |  SELECT scen, src,
+        |    CASE WHEN scen <> 'full' AND dst = scen THEN 'drop' ELSE dst END AS dst,
+        |    sum(p) AS p
+        |  FROM base CROSS JOIN scens
+        |  WHERE NOT (scen <> 'full' AND src = scen)
+        |  GROUP BY 1, 2, 3),
+        |mat AS (
+        |  SELECT * FROM m0
+        |  UNION ALL SELECT scen, 'conv' AS src, 'conv' AS dst, 1.0 AS p FROM scens
+        |  UNION ALL SELECT scen, 'drop' AS src, 'drop' AS dst, 1.0 AS p FROM scens),
+        |r0 AS (SELECT scen, 'start' AS state, 1.0 AS mass FROM scens),
+        |r1 AS (SELECT m.scen, m.dst AS state, round(sum(mass * p), 9) AS mass
+        |       FROM mat m JOIN r0 r ON m.scen = r.scen AND m.src = r.state GROUP BY 1, 2),
+        |r2 AS (SELECT m.scen, m.dst AS state, round(sum(mass * p), 9) AS mass
+        |       FROM mat m JOIN r1 r ON m.scen = r.scen AND m.src = r.state GROUP BY 1, 2),
+        |r3 AS (SELECT m.scen, m.dst AS state, round(sum(mass * p), 9) AS mass
+        |       FROM mat m JOIN r2 r ON m.scen = r.scen AND m.src = r.state GROUP BY 1, 2),
+        |r4 AS (SELECT m.scen, m.dst AS state, round(sum(mass * p), 9) AS mass
+        |       FROM mat m JOIN r3 r ON m.scen = r.scen AND m.src = r.state GROUP BY 1, 2),
+        |r5 AS (SELECT m.scen, m.dst AS state, round(sum(mass * p), 9) AS mass
+        |       FROM mat m JOIN r4 r ON m.scen = r.scen AND m.src = r.state GROUP BY 1, 2),
+        |r6 AS (SELECT m.scen, m.dst AS state, round(sum(mass * p), 9) AS mass
+        |       FROM mat m JOIN r5 r ON m.scen = r.scen AND m.src = r.state GROUP BY 1, 2),
+        |conv AS (SELECT scen, mass AS pconv FROM r6 WHERE state = 'conv'),
+        |fullp AS (SELECT pconv AS pfull FROM conv WHERE scen = 'full'),
+        |eff AS (
+        |  SELECT scen AS channel, round(pconv, 6) AS conv_if_removed,
+        |    round(1.0 - pconv / nullif(pfull, 0.0), 6) AS removal_effect
+        |  FROM conv CROSS JOIN fullp WHERE scen <> 'full'),
+        |te AS (SELECT sum(removal_effect) AS te FROM eff)
+        |SELECT channel, conv_if_removed, removal_effect,
+        |  round(removal_effect / nullif(te, 0.0), 4) AS attribution_share
+        |FROM eff CROSS JOIN te ORDER BY channel""".stripMargin
   )
 }

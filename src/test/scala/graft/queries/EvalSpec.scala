@@ -183,6 +183,24 @@ class EvalSpec extends SparkSpec {
     }
   }
 
+  test("e_markov_attribution: every channel credited, effects non-negative, shares sum to 1") {
+    import org.apache.spark.sql.functions._
+    val r = Events.queries("e_markov_attribution")(spark, sf).collect()
+    // one row per non-purchase event type observed pre-conversion
+    val types = Tables.events(spark, sf)
+      .filter(col("event_type") =!= "purchase")
+      .select("event_type").distinct().count()
+    assert(r.length == types)
+    r.foreach { row =>
+      // removing a channel can only destroy conversion paths
+      assert(row.getAs[Double]("removal_effect") >= 0.0)
+      assert(row.getAs[Double]("conv_if_removed") >= 0.0 &&
+        row.getAs[Double]("conv_if_removed") <= 1.0)
+    }
+    val shares = r.map(_.getAs[Double]("attribution_share")).sum
+    assert(math.abs(shares - 1.0) < 0.005, s"shares sum to $shares")
+  }
+
   test("c_k_anonymity: class arithmetic is self-consistent") {
     val r = Curation.queries("c_k_anonymity")(spark, sf).collect()
     assert(r.length == 1)

@@ -851,6 +851,42 @@ object Curation {
         .select(col("lang"), col("n_docs"), col("avg_score"), col("n_keep"),
           round(col("n_keep") / col("n_docs"), 4).as("keep_share"))
         .orderBy("lang")
+    }),
+
+    // Corpus novelty decay — for each ingestion decile (by doc_id, the
+    // arrival order), what fraction of a document's distinct word
+    // trigrams was NEVER seen in any earlier document? The curve every
+    // crawl operator watches: when marginal novelty flattens, more of the
+    // same source stops buying new information. First-occurrence is ONE
+    // vocab-keyed aggregate (min doc_id per trigram) joined back UNHINTED
+    // (the trigram vocabulary grows with the corpus — Heaps' law — so
+    // the planner must stay free to shuffle; AQE broadcasts at test SF);
+    // deciles come from integer arithmetic against the max id, never an
+    // ntile window over all documents.
+    "c_ngram_novelty" -> ((s, d) => {
+      val grams = t(s, d, "documents")
+        .select(col("doc_id"), Text.tokens(lower(col("text"))).as("sp"))
+        .filter(size(col("sp")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(sp) - 3), i -> concat(sp[i], ' ', sp[i+1], ' ', sp[i+2]))"))
+          .as("g"))
+        .distinct()
+      val first = grams.groupBy("g").agg(min("doc_id").as("first_doc"))
+      val nov = grams.join(first, "g")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .select(col("doc_id"), col("n_grams"),
+          (col("n_novel") / col("n_grams")).as("novelty"))
+      val mx = nov.agg(max("doc_id").as("mx"))
+      nov.crossJoin(broadcast(mx))
+        .select(expr("(doc_id * 10) div (mx + 1)").as("decile"),
+          col("novelty"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg("novelty"), 6).as("avg_novelty"))
+        .orderBy("decile")
     })
   )
 
@@ -1374,6 +1410,29 @@ object Curation {
         |  CAST(sum(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
         |  round(sum(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END)
         |        / CAST(count(*) AS DOUBLE), 4) AS keep_share
-        |FROM sc GROUP BY lang ORDER BY lang""".stripMargin
+        |FROM sc GROUP BY lang ORDER BY lang""".stripMargin,
+    // same trigrams, same integer decile arithmetic
+    "c_ngram_novelty" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+') AS sp
+        |  FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, greatest(len(sp) - 1, 1)),
+        |      i -> sp[CAST(i AS INT)] || ' ' || sp[CAST(i AS INT) + 1]
+        |           || ' ' || sp[CAST(i AS INT) + 2])) AS g
+        |  FROM docs WHERE len(sp) >= 3),
+        |f AS (SELECT g, min(doc_id) AS first_doc FROM g GROUP BY g),
+        |nov AS (
+        |  SELECT doc_id, count(*) AS n_grams,
+        |    CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_novel
+        |  FROM g JOIN f USING (g) GROUP BY doc_id),
+        |mx AS (SELECT max(doc_id) AS mx FROM nov)
+        |SELECT (doc_id * 10) // (mx + 1) AS decile, count(*) AS n_docs,
+        |  round(avg(CAST(n_novel AS DOUBLE) / n_grams), 6) AS avg_novelty
+        |FROM nov CROSS JOIN mx
+        |GROUP BY 1 ORDER BY decile""".stripMargin
   )
 }

@@ -774,6 +774,34 @@ object Events {
           round(col("removal_effect") / nullif(col("te"), lit(0.0)), 4)
             .as("attribution_share"))
         .orderBy("channel")
+    }),
+
+    // Bot/automation detection by inter-event-time REGULARITY: humans
+    // produce bursty, high-variance gaps; schedulers produce metronomic
+    // ones, so a low coefficient of variation (sd/mean of a user's gap
+    // distribution) over enough events is the classic automation
+    // signature. One window pass computes gaps (per-user partitions,
+    // bounded); per-user mean/sd are the only double aggregates and the
+    // CV rounds to 6 dp before the threshold (the e_anomaly discipline) —
+    // the flag is reproducible bit-for-bit on both engines. The roll-up
+    // row reports the censored population honestly (users under 20 gaps
+    // are not classifiable, not "human").
+    "e_bot_detect" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("tsus", "event_id")
+      val gaps = Tables.events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("tsus"), col("event_id"))
+        .withColumn("prev", lag("tsus", 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("user_id"), (col("tsus") - col("prev")).cast("double").as("gap"))
+      val per = gaps.groupBy("user_id")
+        .agg(count(lit(1)).as("n_gaps"),
+          avg("gap").as("mu"), stddev_samp("gap").as("sd"))
+        .filter(col("n_gaps") >= 20)
+        .select(round(col("sd") / nullif(col("mu"), lit(0.0)), 6).as("cv6"))
+      per.agg(count(lit(1)).as("n_users"),
+        sum(when(col("cv6") < 0.3, 1L).otherwise(0L)).cast("bigint").as("n_bots"),
+        round(min("cv6"), 6).as("min_cv"),
+        round(expr("percentile(cv6, 0.5)"), 6).as("p50_cv"))
     })
   )
 
@@ -1285,6 +1313,22 @@ object Events {
         |te AS (SELECT sum(removal_effect) AS te FROM eff)
         |SELECT channel, conv_if_removed, removal_effect,
         |  round(removal_effect / nullif(te, 0.0), 4) AS attribution_share
-        |FROM eff CROSS JOIN te ORDER BY channel""".stripMargin
+        |FROM eff CROSS JOIN te ORDER BY channel""".stripMargin,
+    // CV rounded to 6 dp before the threshold on both engines
+    "e_bot_detect" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    CAST(tsus - lag(tsus) OVER
+        |      (PARTITION BY user_id ORDER BY tsus, event_id) AS DOUBLE) AS gap
+        |  FROM (SELECT user_id, epoch_us(ts) AS tsus, event_id FROM events)),
+        |per AS (
+        |  SELECT round(stddev_samp(gap) / nullif(avg(gap), 0.0), 6) AS cv6
+        |  FROM g WHERE gap IS NOT NULL
+        |  GROUP BY user_id HAVING count(*) >= 20)
+        |SELECT count(*) AS n_users,
+        |  CAST(sum(CASE WHEN cv6 < 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS n_bots,
+        |  round(min(cv6), 6) AS min_cv,
+        |  round(quantile_cont(cv6, 0.5), 6) AS p50_cv
+        |FROM per""".stripMargin
   )
 }

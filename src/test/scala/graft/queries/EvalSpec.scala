@@ -201,6 +201,40 @@ class EvalSpec extends SparkSpec {
     assert(math.abs(shares - 1.0) < 0.005, s"shares sum to $shares")
   }
 
+  test("c_ngram_novelty: covers all eligible docs, novelty decays front-to-back") {
+    import org.apache.spark.sql.functions._
+    val rows = Curation.queries("c_ngram_novelty")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    // every document with >= 3 whitespace tokens lands in exactly one decile
+    val eligible = Tables.t(spark, sf, "documents")
+      .select(Text.tokens(lower(col("text"))).as("sp"))
+      .filter(size(col("sp")) >= 3).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == eligible)
+    rows.foreach { row =>
+      val nv = row.getAs[Double]("avg_novelty")
+      assert(nv >= 0.0 && nv <= 1.0)
+    }
+    // the whole point of the curve: early arrivals contribute more new
+    // trigrams than late ones (first decile contains the global first doc)
+    val byDecile = rows.sortBy(_.getAs[Long]("decile"))
+    assert(byDecile.head.getAs[Double]("avg_novelty") >
+      byDecile.last.getAs[Double]("avg_novelty"))
+  }
+
+  test("e_bot_detect: population matches the >=21-event census, stats ordered") {
+    import org.apache.spark.sql.functions._
+    val r = Events.queries("e_bot_detect")(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    // n gaps = n events - 1, so the >=20-gap filter is the >=21-event census
+    val census = Tables.events(spark, sf)
+      .groupBy("user_id").count().filter(col("count") >= 21).count()
+    assert(row.getAs[Long]("n_users") == census)
+    assert(row.getAs[Long]("n_bots") <= row.getAs[Long]("n_users"))
+    assert(row.getAs[Double]("min_cv") >= 0.0)
+    assert(row.getAs[Double]("min_cv") <= row.getAs[Double]("p50_cv"))
+  }
+
   test("c_k_anonymity: class arithmetic is self-consistent") {
     val r = Curation.queries("c_k_anonymity")(spark, sf).collect()
     assert(r.length == 1)

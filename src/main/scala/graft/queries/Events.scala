@@ -802,6 +802,63 @@ object Events {
         sum(when(col("cv6") < 0.3, 1L).otherwise(0L)).cast("bigint").as("n_bots"),
         round(min("cv6"), 6).as("min_cv"),
         round(expr("percentile(cv6, 0.5)"), 6).as("p50_cv"))
+    }),
+
+    // Count-Min Sketch frequency estimation (depth 4 × width 64, md5-keyed
+    // buckets so both engines draw identical hashes) with the exact counts
+    // alongside — the classic streaming-sketch accuracy report. The ONLY
+    // data-sized pass is the exact per-key aggregate; because a CMS cell is
+    // additive and a key's bucket is a pure function of the key, summing
+    // per-key counts into cells is bit-identical to sketching the raw
+    // stream, so the sketch itself is built over the vocab-sized aggregate
+    // (4 rows per key, never 4× the event count). est >= exact always —
+    // CMS only overcounts (collisions add, never subtract).
+    "e_cms_freq" -> ((s, d) => {
+      val exact = Tables.events(s, d)
+        .groupBy("event_type").agg(count(lit(1)).as("exact_n"))
+      val cells = exact
+        .select(col("event_type"), col("exact_n"),
+          explode(expr("sequence(0, 3)")).as("seed"))
+        .withColumn("bucket", expr(
+          "pmod(cast(conv(substring(md5(concat('cms', seed, '|', event_type)), " +
+            "1, 12), 16, 10) as bigint), 64)"))
+      val counters = cells.groupBy("seed", "bucket")
+        .agg(sum("exact_n").as("cell_n"))
+      val est = cells.join(broadcast(counters), Seq("seed", "bucket"))
+        .groupBy("event_type").agg(min("cell_n").as("cms_est"))
+      exact.join(broadcast(est), "event_type")
+        .select(col("event_type"), col("exact_n"), col("cms_est"),
+          (col("cms_est") - col("exact_n")).as("overcount"))
+        .orderBy("event_type")
+    }),
+
+    // Panel forward-fill (LOCF): per-type hourly mean value over the full
+    // calendar spine, missing hours carried forward from the last observed
+    // hour. The hourly mean rounds to 4 dp BEFORE the fill so the carried
+    // value is bit-identical on both engines; hours before a type's first
+    // observation stay NULL (nothing to carry — coalesce-to-zero would
+    // invent data). The fill window partitions by event_type, which is
+    // low-cardinality, but each partition is the CALENDAR-BOUNDED hour
+    // spine (grows with time, not data volume) — the one shape where a
+    // handful of window partitions is the right plan at any SF.
+    "e_forward_fill" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val hourly = e
+        .groupBy(col("event_type"), date_trunc("HOUR", col("ts")).as("hour_ts"))
+        .agg(round(avg("value"), 4).as("v"))
+      val spine = e.agg(
+          date_trunc("HOUR", min(col("ts"))).as("h0"),
+          date_trunc("HOUR", max(col("ts"))).as("h1"))
+        .select(explode(expr("sequence(h0, h1, interval 1 hour)")).as("hour_ts"))
+      val types = e.select("event_type").distinct()
+      val w = Window.partitionBy("event_type").orderBy("hour_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      types.crossJoin(broadcast(spine))
+        .join(hourly, Seq("event_type", "hour_ts"), "left")
+        .select(col("event_type"), col("hour_ts"), col("v"),
+          last("v", ignoreNulls = true).over(w).as("filled"),
+          col("v").isNull.as("was_gap"))
+        .orderBy("event_type", "hour_ts")
     })
   )
 
@@ -1329,6 +1386,44 @@ object Events {
         |  CAST(sum(CASE WHEN cv6 < 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS n_bots,
         |  round(min(cv6), 6) AS min_cv,
         |  round(quantile_cont(cv6, 0.5), 6) AS p50_cv
-        |FROM per""".stripMargin
+        |FROM per""".stripMargin,
+    // same md5 bucket draw both engines; sum(BIGINT) is HUGEINT in DuckDB
+    "e_cms_freq" ->
+      """WITH exact AS (
+        |  SELECT event_type, count(*) AS exact_n FROM events GROUP BY event_type),
+        |cells AS (
+        |  SELECT event_type, exact_n, seed,
+        |    CAST('0x' || substr(md5('cms' || seed || '|' || event_type), 1, 12)
+        |      AS BIGINT) % 64 AS bucket
+        |  FROM exact CROSS JOIN (SELECT unnest(range(4)) AS seed)),
+        |counters AS (
+        |  SELECT seed, bucket, CAST(sum(exact_n) AS BIGINT) AS cell_n
+        |  FROM cells GROUP BY seed, bucket),
+        |est AS (
+        |  SELECT event_type, min(cell_n) AS cms_est
+        |  FROM cells JOIN counters USING (seed, bucket) GROUP BY event_type)
+        |SELECT exact.event_type, exact_n, cms_est, cms_est - exact_n AS overcount
+        |FROM exact JOIN est USING (event_type) ORDER BY event_type""".stripMargin,
+    // 4-dp rounding happens BEFORE the fill on both engines
+    "e_forward_fill" ->
+      """WITH hourly AS (
+        |  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts,
+        |    round(avg(value), 4) AS v
+        |  FROM events GROUP BY 1, 2),
+        |b AS (
+        |  SELECT CAST(date_trunc('hour', min(ts)) AS TIMESTAMP) AS h0,
+        |         CAST(date_trunc('hour', max(ts)) AS TIMESTAMP) AS h1
+        |  FROM events),
+        |spine AS (
+        |  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour_ts FROM b),
+        |types AS (SELECT DISTINCT event_type FROM events),
+        |panel AS (SELECT event_type, hour_ts FROM types CROSS JOIN spine)
+        |SELECT panel.event_type, panel.hour_ts, v,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY panel.event_type
+        |    ORDER BY panel.hour_ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+        |  v IS NULL AS was_gap
+        |FROM panel LEFT JOIN hourly USING (event_type, hour_ts)
+        |ORDER BY event_type, hour_ts""".stripMargin
   )
 }

@@ -818,6 +818,33 @@ object Relational {
           levenshtein(col("a.p_name"), col("b.p_name")).as("dist"))
         .filter(col("dist") <= 2)
         .orderBy("name_a", "name_b")
+    }),
+
+    // CDC changelog compaction — apply an ordered upsert/delete log to
+    // produce the current snapshot, the core of every Delta/Hudi-style
+    // MERGE pipeline. The log is derived deterministically from orders
+    // (key = orderkey % 1000 so every key sees many versions; every 10th
+    // change is a delete). Compaction is ONE hash aggregate with
+    // max_by(col, seq) — no row_number window, no sort: partial max_by
+    // merges map-side, so at 100 TB the shuffle carries one candidate row
+    // per (key, partition), not the whole changelog. A key whose LATEST
+    // op is a delete vanishes from the snapshot; earlier deletes are
+    // overridden by later upserts, exactly like replayed CDC.
+    "q_cdc_apply" -> ((s, d) => {
+      val log = t(s, d, "orders").select(
+        (col("o_orderkey") % 1000).as("k"),
+        col("o_orderkey").as("seq"),
+        when(col("o_orderkey") % 10 === 0, lit("D")).otherwise(lit("U")).as("op"),
+        col("o_totalprice"), col("o_orderstatus"))
+      log.groupBy("k").agg(
+          count(lit(1)).as("n_changes"),
+          max_by(col("op"), col("seq")).as("last_op"),
+          max_by(col("o_totalprice"), col("seq")).as("price"),
+          max_by(col("o_orderstatus"), col("seq")).as("status"))
+        .filter(col("last_op") =!= "D")
+        .select(col("k"), col("n_changes"),
+          round(col("price"), 2).as("price"), col("status"))
+        .orderBy("k")
     })
   )
 
@@ -1202,6 +1229,21 @@ object Relational {
         |FROM names a JOIN names b
         |  ON a.blk = b.blk AND a.p_name < b.p_name
         |WHERE levenshtein(a.p_name, b.p_name) <= 2
-        |ORDER BY name_a, name_b""".stripMargin
+        |ORDER BY name_a, name_b""".stripMargin,
+    // arg_max == max_by; seq (orderkey) is unique per key so no ties
+    "q_cdc_apply" ->
+      """WITH log AS (
+        |  SELECT o_orderkey % 1000 AS k, o_orderkey AS seq,
+        |    CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+        |    o_totalprice, o_orderstatus
+        |  FROM orders),
+        |snap AS (
+        |  SELECT k, count(*) AS n_changes,
+        |    arg_max(op, seq) AS last_op,
+        |    arg_max(o_totalprice, seq) AS price,
+        |    arg_max(o_orderstatus, seq) AS status
+        |  FROM log GROUP BY k)
+        |SELECT k, n_changes, round(price, 2) AS price, status
+        |FROM snap WHERE last_op <> 'D' ORDER BY k""".stripMargin
   )
 }

@@ -559,6 +559,40 @@ object Text {
       r.orderBy(round(col("r"), 9).desc, col("w"))
         .limit(20)
         .select(col("w").as("word"), round(col("r"), 6).as("score"))
+    }),
+
+    // BM25 retrieval scoring (k1=1.2, b=0.75) for a fixed 3-term query —
+    // the IR ranking function TF-IDF graduates into. One data-sized pass
+    // (explode → filter to the 3 query terms, so the shuffle carries only
+    // matching postings, never the full token stream); df/idf and the
+    // (N, avgdl) stats are single-row/3-row broadcasts. avgdl is exact on
+    // both engines (token counts are integer-valued doubles, their sum is
+    // exact), every per-posting factor is a fixed-order expression, and
+    // only the per-doc sum of ≤3 contributions needs the 6-dp rounding.
+    // All double literals are spelled identically on both engines (2.2d,
+    // 0.25d — never `1.0 + 1.2` left for one engine to constant-fold).
+    "t_bm25_topk" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"), Text.tokens(lower(col("text"))).as("sp"))
+      val dl = toks.select(col("doc_id"), size(col("sp")).cast("double").as("dl"))
+      val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+        avg("dl").as("avgdl"))
+      val tf = toks.select(col("doc_id"), explode(col("sp")).as("term"))
+        .filter(col("term").isin("hash", "join", "filter"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).cast("double").as("tf"))
+      val dfreq = tf.groupBy("term")
+        .agg(countDistinct("doc_id").cast("double").as("df"))
+      val idf = dfreq.crossJoin(broadcast(stats))
+        .select(col("term"),
+          expr("ln((n_docs - df + 0.5d) / (df + 0.5d) + 1.0d)").as("idf"))
+      tf.join(dl, "doc_id").join(broadcast(idf), "term")
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"), expr(
+          "idf * tf * 2.2d / (tf + 1.2d * (0.25d + 0.75d * dl / avgdl))")
+          .as("contrib"))
+        .groupBy("doc_id").agg(round(sum("contrib"), 6).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(15)
     })
   )
 
@@ -852,6 +886,32 @@ object Text {
         |i3 AS (SELECT v AS w, 0.15 + 0.85 * round(sum(p * r), 9) AS r
         |       FROM trans JOIN i2 ON trans.u = i2.w GROUP BY v)
         |SELECT w AS word, round(r, 6) AS score FROM i3
-        |ORDER BY round(r, 9) DESC, w LIMIT 20""".stripMargin
+        |ORDER BY round(r, 9) DESC, w LIMIT 20""".stripMargin,
+    // identical literal spelling both engines; only the per-doc sum of
+    // <=3 contributions is order-dependent -> rounded to 6 dp
+    "t_bm25_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+') AS sp
+        |  FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(sp) AS DOUBLE) AS dl FROM toks),
+        |stats AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM (SELECT doc_id, unnest(sp) AS term FROM toks) u
+        |  WHERE term IN ('hash', 'join', 'filter') GROUP BY doc_id, term),
+        |df AS (
+        |  SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+        |  FROM tf GROUP BY term),
+        |idf AS (
+        |  SELECT term, ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) AS idf
+        |  FROM df CROSS JOIN stats),
+        |sc AS (
+        |  SELECT doc_id,
+        |    idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS contrib
+        |  FROM tf JOIN dl USING (doc_id) JOIN idf USING (term) CROSS JOIN stats)
+        |SELECT doc_id, round(sum(contrib), 6) AS bm25 FROM sc GROUP BY doc_id
+        |ORDER BY bm25 DESC, doc_id LIMIT 15""".stripMargin
   )
 }

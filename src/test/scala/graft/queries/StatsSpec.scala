@@ -61,4 +61,94 @@ class StatsSpec extends SparkSpec {
       .map { case (b, rows) => b -> rows.map(_.getAs[Long]("n_docs")).sum }
     assert(byBucket.values.max - byBucket.values.min <= scoreable / 3 + 2)
   }
+
+  test("e_cms_freq: CMS only overcounts, exact counts census the stream") {
+    val r = Events.queries("e_cms_freq")(spark, sf).collect()
+    val types = Tables.events(spark, sf).select("event_type").distinct().count()
+    assert(r.length == types)
+    val total = Tables.events(spark, sf).count()
+    assert(r.map(_.getAs[Long]("exact_n")).sum == total)
+    r.foreach { row =>
+      val over = row.getAs[Long]("overcount")
+      assert(over >= 0, s"CMS must never undercount (${row})")
+      assert(row.getAs[Long]("cms_est") ==
+        row.getAs[Long]("exact_n") + over)
+    }
+  }
+
+  test("e_forward_fill: full panel, observed hours kept verbatim, LOCF holds") {
+    val rows = Events.queries("e_forward_fill")(spark, sf).collect()
+    val types = Tables.events(spark, sf).select("event_type").distinct().count()
+    val spineLen = Events.queries("e_gap_fill")(spark, sf).count()
+    assert(rows.length == types * spineLen)
+    // replay LOCF per type in plain Scala and compare every filled cell
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (_, tr) =>
+      var carry: Option[Double] = None
+      tr.sortBy(_.getAs[java.sql.Timestamp]("hour_ts").getTime).foreach { row =>
+        val v = Option(row.getAs[java.lang.Double]("v")).map(_.doubleValue)
+        assert(row.getAs[Boolean]("was_gap") == v.isEmpty)
+        if (v.isDefined) carry = v
+        val filled = Option(row.getAs[java.lang.Double]("filled"))
+          .map(_.doubleValue)
+        assert(filled == carry, s"LOCF mismatch at $row")
+      }
+    }
+  }
+
+  test("t_bm25_topk: scores positive, ordered, and match a local recompute") {
+    val r = Text.queries("t_bm25_topk")(spark, sf).collect()
+    assert(r.length == 15)
+    val scores = r.map(_.getAs[Double]("bm25"))
+    assert(scores.forall(_ > 0.0))
+    assert(scores.sameElements(scores.sortBy(-_)), "descending by score")
+    // local recompute over the raw corpus (same tokenizer contract)
+    val docs = Tables.t(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(row => row.getAs[Long]("doc_id") ->
+        row.getAs[String]("text").trim.toLowerCase
+          .split("[ \\t\\n\\x0B\\f\\r]+").toSeq)
+    val n = docs.length.toDouble
+    val avgdl = docs.map(_._2.length).sum / n
+    val terms = Seq("hash", "join", "filter")
+    val df = terms.map(t => t -> docs.count(_._2.contains(t)).toDouble).toMap
+    def score(toks: Seq[String]): Double = terms.map { t =>
+      val tf = toks.count(_ == t).toDouble
+      if (tf == 0) 0.0
+      else math.log((n - df(t) + 0.5) / (df(t) + 0.5) + 1.0) * tf * 2.2 /
+        (tf + 1.2 * (0.25 + 0.75 * toks.length / avgdl))
+    }.sum
+    val expected = docs.map { case (id, toks) => (id, score(toks)) }
+      .filter(_._2 > 0).sortBy { case (id, sc) => (-sc, id) }.take(15)
+    r.zip(expected).foreach { case (row, (id, sc)) =>
+      assert(row.getAs[Long]("doc_id") == id)
+      assert(math.abs(row.getAs[Double]("bm25") - sc) < 1e-4)
+    }
+  }
+
+  test("q_cdc_apply: snapshot membership and values match a replayed log") {
+    val rows = Relational.queries("q_cdc_apply")(spark, sf).collect()
+    // replay the same derived changelog locally
+    val log = Tables.t(spark, sf, "orders")
+      .select("o_orderkey", "o_totalprice", "o_orderstatus").collect()
+      .map { row =>
+        val ok = row.getAs[Long]("o_orderkey")
+        (ok % 1000, ok, if (ok % 10 == 0) "D" else "U",
+          row.getAs[Double]("o_totalprice"), row.getAs[String]("o_orderstatus"))
+      }
+    val expected = log.groupBy(_._1).flatMap { case (k, entries) =>
+      val latest = entries.maxBy(_._2)
+      if (latest._3 == "D") None
+      else Some(k -> (entries.length.toLong,
+        BigDecimal(latest._4).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble, latest._5))
+    }
+    assert(rows.length == expected.size)
+    rows.foreach { row =>
+      val k = row.getAs[Long]("k")
+      val (nc, price, status) = expected(k)
+      assert(row.getAs[Long]("n_changes") == nc)
+      assert(row.getAs[Double]("price") == price)
+      assert(row.getAs[String]("status") == status)
+    }
+  }
 }

@@ -656,6 +656,58 @@ object Similarity {
             (col("n").cast("double") * (col("n").cast("double") - lit(1.0))), 6)
             .as("mean_pair_cos"))
         .orderBy("label")
+    }),
+
+    // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup =
+    // k-means clustering, then pairwise cosine ONLY inside each cluster,
+    // dropping the higher-id member of any pair above the threshold.
+    // Clustering is the exact two-iteration Lloyd chain s_kmeans
+    // hash-matches (9-dp rounding discipline at every cross-engine
+    // boundary), so assignments are bit-identical on both engines. The
+    // pair space is k cluster-local blocks, never a corpus cross join —
+    // at 100 TB you grow k with N (SemDeDup used 50k clusters for LAION)
+    // so block size stays bounded; both pairwise sides are the same
+    // canonical assignment subplan (ReusedExchange). Threshold 0.32 on
+    // the 4-dp cosine (the d_embed_neardup discipline): the synthetic
+    // embeddings are near-uniform, so this sits in the observed upper
+    // tail and exercises both drop and keep paths.
+    "s_semdedup" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val k = 8
+      val emb = t(s, d, "embeddings")
+      val vecMean = graft.functions.VectorMean(64)
+      def assign(cents: org.apache.spark.sql.DataFrame) =
+        emb.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("embedding"), col("cl"),
+            round(graft.functions.GraftFunctions.cosineSim(
+              col("embedding"), col("cent")), 9).as("c"))
+          .groupBy("vec_id")
+          .agg(first("embedding").as("embedding"),
+            max(struct(col("c"), col("cl"))).getField("cl").as("cl"))
+      val seeds = emb.filter(col("vec_id") < k)
+        .select(col("vec_id").as("cl"), col("embedding").as("cent"))
+      val cent1 = assign(seeds).groupBy("cl")
+        .agg(vecMean(col("embedding")).as("c0"))
+        .select(col("cl"), transform(col("c0"), x => round(x, 9)).as("cent"))
+      val asg = assign(cent1)
+      val a = asg.select(col("cl"), col("vec_id").as("id_a"),
+        col("embedding").as("ea"))
+      val b = asg.select(col("cl"), col("vec_id").as("id_b"),
+        col("embedding").as("eb"))
+      val dropped = a.join(b, Seq("cl"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(round(graft.functions.GraftFunctions.cosineSim(
+          col("ea"), col("eb")), 4) >= 0.32)
+        .select(col("id_b").as("vec_id")).distinct()
+      asg.select(col("cl"), col("vec_id"))
+        .join(dropped.withColumn("dr", lit(1)), Seq("vec_id"), "left")
+        .groupBy("cl")
+        .agg(count(lit(1)).as("n_members"),
+          sum(when(col("dr").isNotNull, 1L).otherwise(0L)).cast("bigint")
+            .as("n_dropped"))
+        .select(col("cl"), col("n_members"), col("n_dropped"),
+          (col("n_members") - col("n_dropped")).as("n_kept"))
+        .orderBy("cl")
     })
   )
 
@@ -997,6 +1049,38 @@ object Similarity {
         |SELECT label, n.n AS n,
         |  round((ssq - CAST(n.n AS DOUBLE)) /
         |    (CAST(n.n AS DOUBLE) * (CAST(n.n AS DOUBLE) - 1.0)), 6) AS mean_pair_cos
-        |FROM q JOIN n USING (label) ORDER BY label""".stripMargin
+        |FROM q JOIN n USING (label) ORDER BY label""".stripMargin,
+    // the s_kmeans two-iteration chain verbatim, then cluster-local pairs
+    "s_semdedup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |seeds AS (SELECT vec_id AS cl, v AS cent FROM e WHERE vec_id < 8),
+        |a1 AS (
+        |  SELECT vec_id, any_value(v) AS v, (max({'c': c, 'cl': cl})).cl AS cl FROM
+        |    (SELECT e.vec_id, e.v, s.cl,
+        |       round(list_dot_product(e.v, s.cent) /
+        |         (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(s.cent, s.cent))), 9) AS c
+        |     FROM e, seeds s)
+        |  GROUP BY vec_id),
+        |m1 AS (
+        |  SELECT cl, CAST(r.i AS INT) AS pos, avg(v[CAST(r.i AS INT) + 1]) AS mv
+        |  FROM a1, range(64) r(i) GROUP BY cl, pos),
+        |c1 AS (SELECT cl, list(round(mv, 9) ORDER BY pos) AS cent FROM m1 GROUP BY cl),
+        |a2 AS (
+        |  SELECT vec_id, any_value(v) AS v, (max({'c': c, 'cl': cl})).cl AS cl FROM
+        |    (SELECT e.vec_id, e.v, c1.cl,
+        |       round(list_dot_product(e.v, c1.cent) /
+        |         (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c1.cent, c1.cent))), 9) AS c
+        |     FROM e, c1)
+        |  GROUP BY vec_id),
+        |drp AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM a2 a JOIN a2 b ON a.cl = b.cl AND a.vec_id < b.vec_id
+        |  WHERE round(list_dot_product(a.v, b.v) /
+        |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.32)
+        |SELECT CAST(a2.cl AS BIGINT) AS cl, count(*) AS n_members,
+        |  CAST(sum(CASE WHEN drp.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |  CAST(count(*) - sum(CASE WHEN drp.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM a2 LEFT JOIN drp ON a2.vec_id = drp.vec_id
+        |GROUP BY a2.cl ORDER BY cl""".stripMargin
   )
 }

@@ -51,4 +51,40 @@ class ClusteringSpec extends SparkSpec {
     assert(a.length <= 8 && a.nonEmpty)
     assert(a.forall(_.getAs[Double]("centroid_norm") > 0.0))
   }
+
+  test("s_semdedup: clusters match s_kmeans, keep/drop arithmetic closes") {
+    val sd = Similarity.queries("s_semdedup")(spark, sf).collect()
+    // the assignment chain is the s_kmeans chain — cluster census must match
+    val km = Similarity.queries("s_kmeans")(spark, sf).collect()
+      .map(r => r.getAs[Long]("cl") -> r.getAs[Long]("n_members")).toMap
+    assert(sd.map(r =>
+      r.getAs[Long]("cl") -> r.getAs[Long]("n_members")).toMap == km)
+    sd.foreach { r =>
+      assert(r.getAs[Long]("n_kept") + r.getAs[Long]("n_dropped") ==
+        r.getAs[Long]("n_members"))
+      // a cluster always keeps its min-id member
+      assert(r.getAs[Long]("n_kept") >= 1)
+    }
+    // the threshold sits inside the observed cosine range, so the corpus
+    // must exercise BOTH paths overall (measured: drops in every cluster
+    // at sf0.01, keeps everywhere)
+    assert(sd.map(_.getAs[Long]("n_dropped")).sum > 0)
+    assert(sd.map(_.getAs[Long]("n_kept")).sum > 0)
+  }
+
+  test("e_cuped: variants census users, adjustment preserves the global mean") {
+    val r = Events.queries("e_cuped")(spark, sf).collect()
+    assert(r.length == 2)
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(r.map(_.getAs[Long]("n_users")).sum == users)
+    // CUPED centers on the GLOBAL pre-mean: the user-weighted mean of the
+    // adjusted metric equals that of the raw metric (up to 6-dp rounding)
+    val wPost = r.map(row =>
+      row.getAs[Long]("n_users") * row.getAs[Double]("mean_post")).sum
+    val wAdj = r.map(row =>
+      row.getAs[Long]("n_users") * row.getAs[Double]("mean_adj")).sum
+    assert(math.abs(wPost - wAdj) < 1e-2,
+      s"global mean drifted: $wPost vs $wAdj")
+    r.foreach(row => assert(row.getAs[Double]("var_reduction") <= 1.0))
+  }
 }

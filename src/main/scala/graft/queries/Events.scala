@@ -898,6 +898,49 @@ object Events {
           round(lit(1.0) - var_samp(col("adj")) /
             nullif(var_samp(col("post")), lit(0.0)), 4).as("var_reduction"))
         .orderBy("variant")
+    }),
+
+    // Per-type OLS trend over the hourly panel: slope/intercept/R² of
+    // count-vs-hour-index, the regression behind every "is this metric
+    // drifting" monitor. All five moment sums (Σx, Σx², Σy, Σy², Σxy) are
+    // BIGINT — x is the hour index, y a count, so every sum is exact on
+    // both engines regardless of accumulation order; doubles appear only
+    // in the final slope/intercept/R² divisions, rounded at 6 dp. Missing
+    // hours count as y=0 via the calendar spine (a trend fitted only to
+    // busy hours would be biased up). One data-sized aggregate; the spine
+    // cross product is calendar × type-vocab sized.
+    "e_trend_ols" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val hourly = e
+        .groupBy(col("event_type"), date_trunc("HOUR", col("ts")).as("hour_ts"))
+        .agg(count(lit(1)).as("y"))
+      val spine = e.agg(
+          date_trunc("HOUR", min(col("ts"))).as("h0"),
+          date_trunc("HOUR", max(col("ts"))).as("h1"))
+        .select(explode(expr("sequence(h0, h1, interval 1 hour)")).as("hour_ts"),
+          unix_micros(col("h0")).as("t0"))
+      val types = e.select("event_type").distinct()
+      val m = types.crossJoin(broadcast(spine))
+        .join(hourly, Seq("event_type", "hour_ts"), "left")
+        .select(col("event_type"),
+          expr("(unix_micros(hour_ts) - t0) div 3600000000").as("x"),
+          coalesce(col("y"), lit(0L)).as("y"))
+        .groupBy("event_type").agg(
+          count(lit(1)).as("n"),
+          sum("x").as("sx"), sum(expr("x * x")).as("sxx"),
+          sum("y").as("sy"), sum(expr("y * y")).as("syy"),
+          sum(expr("x * y")).as("sxy"))
+      m.select(col("event_type"), col("n").as("n_hours"),
+          expr("round(cast(n * sxy - sx * sy as double) / " +
+            "cast(n * sxx - sx * sx as double), 6)").as("slope"),
+          expr("round((cast(sy as double) - cast(n * sxy - sx * sy as double) " +
+            "/ cast(n * sxx - sx * sx as double) * cast(sx as double)) " +
+            "/ cast(n as double), 6)").as("intercept"),
+          expr("round(cast(n * sxy - sx * sy as double) * " +
+            "cast(n * sxy - sx * sy as double) / " +
+            "nullif(cast(n * sxx - sx * sx as double) * " +
+            "cast(n * syy - sy * sy as double), 0d), 6)").as("r2"))
+        .orderBy("event_type")
     })
   )
 
@@ -1487,6 +1530,45 @@ object Events {
         |  round(avg(adj), 6) AS mean_adj,
         |  round(1.0 - var_samp(adj) / nullif(var_samp(post), 0.0), 4)
         |    AS var_reduction
-        |FROM adj GROUP BY variant ORDER BY variant""".stripMargin
+        |FROM adj GROUP BY variant ORDER BY variant""".stripMargin,
+    // exact BIGINT moment sums; doubles only in the final divisions
+    "e_trend_ols" ->
+      """WITH hourly AS (
+        |  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts,
+        |    count(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |b AS (
+        |  SELECT CAST(date_trunc('hour', min(ts)) AS TIMESTAMP) AS h0,
+        |         CAST(date_trunc('hour', max(ts)) AS TIMESTAMP) AS h1
+        |  FROM events),
+        |spine AS (
+        |  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour_ts,
+        |         epoch_us(h0) AS t0
+        |  FROM b),
+        |types AS (SELECT DISTINCT event_type FROM events),
+        |pts AS (
+        |  SELECT t.event_type,
+        |    (epoch_us(s.hour_ts) - s.t0) // 3600000000 AS x,
+        |    coalesce(h.y, 0) AS y
+        |  FROM types t CROSS JOIN spine s
+        |  LEFT JOIN hourly h ON h.event_type = t.event_type
+        |    AND h.hour_ts = s.hour_ts),
+        |m AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(y * y) AS BIGINT) AS syy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy
+        |  FROM pts GROUP BY event_type)
+        |SELECT event_type, n AS n_hours,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |        CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+        |  round((CAST(sy AS DOUBLE) - CAST(n * sxy - sx * sy AS DOUBLE) /
+        |        CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE)) /
+        |        CAST(n AS DOUBLE), 6) AS intercept,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE) *
+        |        CAST(n * sxy - sx * sy AS DOUBLE) /
+        |        nullif(CAST(n * sxx - sx * sx AS DOUBLE) *
+        |               CAST(n * syy - sy * sy AS DOUBLE), 0.0), 6) AS r2
+        |FROM m ORDER BY event_type""".stripMargin
   )
 }

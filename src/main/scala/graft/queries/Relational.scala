@@ -845,6 +845,27 @@ object Relational {
         .select(col("k"), col("n_changes"),
           round(col("price"), 2).as("price"), col("status"))
         .orderBy("k")
+    }),
+
+    // Benford first-digit audit — the forensic data-QA check: naturally
+    // occurring amounts follow P(d) = log10(1 + 1/d); fabricated or
+    // truncated feeds don't. The first significant digit comes from the
+    // INTEGER part (floor → bigint → string), never from double
+    // formatting or log10-of-boundary games, so both engines bucket
+    // identically; one partial-agg'd pass over the scan, 9-row output.
+    // obs_share is exact integer arithmetic rounded at 4 dp; the only
+    // cross-engine double is log10 on 9 constants, rounded at 6 dp.
+    "q_benford_qa" -> ((s, d) => {
+      val digits = t(s, d, "lineitem")
+        .select(substring(floor(col("l_extendedprice")).cast("bigint")
+          .cast("string"), 1, 1).cast("int").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+      val tot = digits.agg(sum("n").as("total"))
+      digits.crossJoin(broadcast(tot))
+        .select(col("digit"), col("n"),
+          round(col("n") / col("total"), 4).as("obs_share"),
+          round(log10(lit(1.0) + lit(1.0) / col("digit")), 6).as("exp_share"))
+        .orderBy("digit")
     })
   )
 
@@ -1244,6 +1265,17 @@ object Relational {
         |    arg_max(o_orderstatus, seq) AS status
         |  FROM log GROUP BY k)
         |SELECT k, n_changes, round(price, 2) AS price, status
-        |FROM snap WHERE last_op <> 'D' ORDER BY k""".stripMargin
+        |FROM snap WHERE last_op <> 'D' ORDER BY k""".stripMargin,
+    // integer-part first digit on both engines; log10 only on constants
+    "q_benford_qa" ->
+      """WITH d AS (
+        |  SELECT CAST(substr(CAST(CAST(floor(l_extendedprice) AS BIGINT)
+        |    AS VARCHAR), 1, 1) AS INT) AS digit
+        |  FROM lineitem),
+        |c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+        |SELECT digit, n, round(CAST(n AS DOUBLE) / total, 4) AS obs_share,
+        |  round(log10(1.0 + 1.0 / digit), 6) AS exp_share
+        |FROM c CROSS JOIN t ORDER BY digit""".stripMargin
   )
 }

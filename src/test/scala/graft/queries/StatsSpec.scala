@@ -125,6 +125,51 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("q_benford_qa: full digit census, both share columns sum to one") {
+    val r = Relational.queries("q_benford_qa")(spark, sf).collect()
+    assert(r.map(_.getAs[Int]("digit")).toSeq == (1 to 9))
+    val total = Tables.t(spark, sf, "lineitem").count()
+    assert(r.map(_.getAs[Long]("n")).sum == total)
+    // Σ log10(1 + 1/d) telescopes to log10(10) = 1 exactly
+    assert(math.abs(r.map(_.getAs[Double]("exp_share")).sum - 1.0) < 1e-5)
+    assert(math.abs(r.map(_.getAs[Double]("obs_share")).sum - 1.0) < 1e-3)
+  }
+
+  test("e_trend_ols: matches an exact local OLS over the gap-filled panel") {
+    val r = Events.queries("e_trend_ols")(spark, sf).collect()
+    val events = Tables.events(spark, sf)
+      .select(col("event_type"), date_trunc("HOUR", col("ts")).as("h"))
+      .collect().map(row => (row.getAs[String]("event_type"),
+        row.getAs[java.sql.Timestamp]("h").getTime))
+    val h0 = events.map(_._2).min
+    val h1 = events.map(_._2).max
+    val nHours = ((h1 - h0) / 3600000L + 1).toInt
+    val types = events.map(_._1).distinct.sorted
+    assert(r.map(_.getAs[String]("event_type")).toSeq == types.toSeq)
+    val counts = events.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    r.foreach { row =>
+      val ty = row.getAs[String]("event_type")
+      assert(row.getAs[Long]("n_hours") == nHours)
+      val ys = (0 until nHours).map(i =>
+        counts.getOrElse((ty, h0 + i * 3600000L), 0L))
+      val n = nHours.toLong
+      val sx = (0L until n).sum
+      val sxx = (0L until n).map(x => x * x).sum
+      val sy = ys.sum
+      val sxy = ys.zipWithIndex.map { case (y, x) => x * y }.sum
+      val syy = ys.map(y => y * y).sum
+      val num = (n * sxy - sx * sy).toDouble
+      val denx = (n * sxx - sx * sx).toDouble
+      val deny = (n * syy - sy * sy).toDouble
+      def r6(v: Double) = BigDecimal(v)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(row.getAs[Double]("slope") == r6(num / denx))
+      assert(row.getAs[Double]("intercept") ==
+        r6((sy.toDouble - num / denx * sx.toDouble) / n.toDouble))
+      assert(row.getAs[Double]("r2") == r6(num * num / (denx * deny)))
+    }
+  }
+
   test("q_cdc_apply: snapshot membership and values match a replayed log") {
     val rows = Relational.queries("q_cdc_apply")(spark, sf).collect()
     // replay the same derived changelog locally

@@ -941,6 +941,62 @@ object Events {
             "nullif(cast(n * sxx - sx * sx as double) * " +
             "cast(n * syy - sy * sy as double), 0d), 6)").as("r2"))
         .orderBy("event_type")
+    }),
+
+    // EXACT Shapley-value attribution — the order-free complement of
+    // e_markov_attribution. Characteristic function v(T) = conversions
+    // (e_ab_test's >20%-purchase-share flag) among users whose distinct
+    // non-purchase channel set ⊆ T; φ_i = Σ_{T∌i} |T|!(n−1−|T|)!/n! ·
+    // (v(T∪{i}) − v(T)). The only data-sized work is two per-user
+    // aggregates (conversion flag, channel bitmask); everything after
+    // lives on the ≤2ⁿ-row coalition lattice (n = channel vocab, 4 here)
+    // — masks enumerate via sequence(), subset containment is one AND,
+    // weights are exact factorial ratios, and v() is integer until the
+    // final weighted sum (rounded 6 dp). The row_number that assigns
+    // channel bit indexes runs over the |channels|-row vocab — bounded,
+    // so its SinglePartition window is the right plan at any SF. φ sums
+    // to v(full) = total attributable conversions (asserted in spec);
+    // share normalizes by that total.
+    "e_shapley_attrib" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val conv = ev.groupBy("user_id").agg(
+        (sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) /
+          count(lit(1)) > 0.2).cast("int").as("conv"))
+      val ch = ev.filter(col("event_type") =!= "purchase")
+        .select(col("event_type").as("channel")).distinct()
+        .withColumn("idx",
+          row_number().over(Window.orderBy("channel")) - 1)
+      val userMask = ev.filter(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("event_type").as("channel")).distinct()
+        .join(broadcast(ch), "channel")
+        .groupBy("user_id")
+        .agg(sum(expr("shiftleft(1, idx)")).as("emask"))
+      val setConv = userMask.join(conv, "user_id")
+        .groupBy("emask").agg(sum("conv").cast("bigint").as("cv"))
+      val coal = ch.agg(count(lit(1)).cast("int").as("nch"))
+        .select(col("nch"),
+          explode(expr("sequence(0, shiftleft(1, nch) - 1)")).as("tmask"))
+      val vt = coal.crossJoin(broadcast(setConv))
+        .groupBy("tmask", "nch")
+        .agg(sum(when(expr("(emask & tmask) = emask"), col("cv"))
+          .otherwise(0L)).cast("bigint").as("v"))
+      val vt2 = vt.select(col("tmask").as("tmask2"), col("v").as("v2"))
+      val phi = ch.crossJoin(broadcast(vt))
+        .filter(expr("(tmask & shiftleft(1, idx)) = 0"))
+        .withColumn("tmask2", expr("tmask | shiftleft(1, idx)"))
+        .join(broadcast(vt2), "tmask2")
+        .withColumn("w", expr(
+          "cast(factorial(bit_count(tmask)) as double) * " +
+            "cast(factorial(nch - 1 - bit_count(tmask)) as double) / " +
+            "cast(factorial(nch) as double)"))
+        .groupBy("channel")
+        .agg(round(sum(col("w") * (col("v2") - col("v")).cast("double")), 6)
+          .as("shapley"))
+      val tot = phi.agg(sum("shapley").as("tot"))
+      phi.crossJoin(broadcast(tot))
+        .select(col("channel"), col("shapley"),
+          round(col("shapley") / col("tot"), 4).as("share"))
+        .orderBy("channel")
     })
   )
 
@@ -1569,6 +1625,46 @@ object Events {
         |        CAST(n * sxy - sx * sy AS DOUBLE) /
         |        nullif(CAST(n * sxx - sx * sx AS DOUBLE) *
         |               CAST(n * syy - sy * sy AS DOUBLE), 0.0), 6) AS r2
-        |FROM m ORDER BY event_type""".stripMargin
+        |FROM m ORDER BY event_type""".stripMargin,
+    // same coalition lattice: integer v(), exact factorial-ratio weights
+    "e_shapley_attrib" ->
+      """WITH conv AS (
+        |  SELECT user_id,
+        |    CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      / CAST(count(*) AS DOUBLE) > 0.2 THEN 1 ELSE 0 END AS conv
+        |  FROM events GROUP BY user_id),
+        |ch AS (
+        |  SELECT channel,
+        |    CAST(row_number() OVER (ORDER BY channel) - 1 AS INT) AS idx
+        |  FROM (SELECT DISTINCT event_type AS channel FROM events
+        |        WHERE event_type <> 'purchase')),
+        |um AS (
+        |  SELECT user_id, CAST(sum(1 << idx) AS BIGINT) AS emask
+        |  FROM (SELECT DISTINCT user_id, event_type AS channel FROM events
+        |        WHERE event_type <> 'purchase') u
+        |  JOIN ch USING (channel) GROUP BY user_id),
+        |sc AS (
+        |  SELECT emask, CAST(sum(conv) AS BIGINT) AS cv
+        |  FROM um JOIN conv USING (user_id) GROUP BY emask),
+        |nn AS (SELECT CAST(count(*) AS INT) AS nch FROM ch),
+        |coal AS (SELECT nch, unnest(range(0, 1 << nch)) AS tmask FROM nn),
+        |vt AS (
+        |  SELECT tmask, nch,
+        |    CAST(sum(CASE WHEN (emask & tmask) = emask THEN cv ELSE 0 END)
+        |      AS BIGINT) AS v
+        |  FROM coal CROSS JOIN sc GROUP BY tmask, nch),
+        |phi AS (
+        |  SELECT channel,
+        |    round(sum(CAST(factorial(bit_count(t.tmask)) AS DOUBLE) *
+        |      CAST(factorial(t.nch - 1 - bit_count(t.tmask)) AS DOUBLE) /
+        |      CAST(factorial(t.nch) AS DOUBLE) *
+        |      CAST(t2.v - t.v AS DOUBLE)), 6) AS shapley
+        |  FROM ch CROSS JOIN vt t
+        |  JOIN vt t2 ON t2.tmask = (t.tmask | (1 << ch.idx))
+        |  WHERE (t.tmask & (1 << ch.idx)) = 0
+        |  GROUP BY channel),
+        |tot AS (SELECT sum(shapley) AS tot FROM phi)
+        |SELECT channel, shapley, round(shapley / tot, 4) AS share
+        |FROM phi CROSS JOIN tot ORDER BY channel""".stripMargin
   )
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import Tables._
@@ -593,6 +594,44 @@ object Text {
         .groupBy("doc_id").agg(round(sum("contrib"), 6).as("bm25"))
         .orderBy(col("bm25").desc, col("doc_id"))
         .limit(15)
+    }),
+
+    // RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    // maximal stopword-free token runs (gaps-and-islands: pos −
+    // row_number over surviving tokens, windowed PER DOCUMENT — bounded
+    // partitions, never a global sort); a word scores deg/freq where deg
+    // sums the lengths of every phrase it appears in, and a phrase scores
+    // the sum of its member word scores — so multiword technical phrases
+    // outrank frequent singletons. Scoring happens on phrase TYPES (same
+    // words ⇒ same score), so the member re-explode is distinct-phrase
+    // sized, and deg/freq stay exact integers until the one per-word
+    // division. 1-based vs 0-based positions differ across engines but
+    // grp is shift-invariant, so islands agree.
+    "t_rake_topk" -> ((s, d) => {
+      val toksP = t(s, d, "documents")
+        .select(col("doc_id"),
+          posexplode(Text.tokens(lower(col("text")))).as(Seq("pos", "tok")))
+      val ns = toksP.filter(
+        !col("tok").isInCollection(Text.stopwords) && col("tok") =!= "")
+      val grouped = ns.withColumn("grp", col("pos") -
+        row_number().over(Window.partitionBy("doc_id").orderBy("pos")))
+      val members = grouped.withColumn("plen",
+        count(lit(1)).over(Window.partitionBy("doc_id", "grp")))
+      val wordScore = members.groupBy("tok")
+        .agg(count(lit(1)).as("freq"), sum("plen").as("deg"))
+        .select(col("tok"), (col("deg").cast("double") / col("freq")).as("ws"))
+      val inst = grouped.groupBy("doc_id", "grp")
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ").as("phrase"))
+      inst.groupBy("phrase").agg(count(lit(1)).as("n_occur"))
+        .select(col("phrase"), col("n_occur"),
+          explode(split(col("phrase"), " ")).as("tok"))
+        .join(wordScore, "tok")
+        .groupBy("phrase", "n_occur")
+        .agg(round(sum("ws"), 6).as("score"))
+        .orderBy(col("score").desc, col("phrase"))
+        .limit(15)
     })
   )
 
@@ -912,6 +951,44 @@ object Text {
         |    idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS contrib
         |  FROM tf JOIN dl USING (doc_id) JOIN idf USING (term) CROSS JOIN stats)
         |SELECT doc_id, round(sum(contrib), 6) AS bm25 FROM sc GROUP BY doc_id
-        |ORDER BY bm25 DESC, doc_id LIMIT 15""".stripMargin
+        |ORDER BY bm25 DESC, doc_id LIMIT 15""".stripMargin,
+    // 1-based positions shift-invariantly form the same islands; integer
+    // deg/freq, one division per word, 6-dp phrase sums
+    "t_rake_topk" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+') AS sp
+        |  FROM documents),
+        |tk AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(sp) + 1),
+        |    i -> {'pos': CAST(i AS INT), 'tok': sp[CAST(i AS INT)]})) AS pt
+        |  FROM docs),
+        |ns AS (
+        |  SELECT doc_id, pt.pos AS pos, pt.tok AS tok FROM tk
+        |  WHERE pt.tok NOT IN ('the', 'a', 'of', 'and', 'to', 'in')
+        |    AND pt.tok <> ''),
+        |g AS (
+        |  SELECT doc_id, pos, tok,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM ns),
+        |mem AS (
+        |  SELECT doc_id, grp, tok,
+        |    count(*) OVER (PARTITION BY doc_id, grp) AS plen
+        |  FROM g),
+        |wsc AS (
+        |  SELECT tok,
+        |    CAST(CAST(sum(plen) AS BIGINT) AS DOUBLE) / count(*) AS ws
+        |  FROM mem GROUP BY tok),
+        |inst AS (
+        |  SELECT doc_id, grp, string_agg(tok, ' ' ORDER BY pos) AS phrase
+        |  FROM g GROUP BY doc_id, grp),
+        |occ AS (SELECT phrase, count(*) AS n_occur FROM inst GROUP BY phrase),
+        |px AS (
+        |  SELECT phrase, n_occur, unnest(string_split(phrase, ' ')) AS tok
+        |  FROM occ)
+        |SELECT phrase, n_occur, round(sum(ws), 6) AS score
+        |FROM px JOIN wsc USING (tok)
+        |GROUP BY phrase, n_occur
+        |ORDER BY score DESC, phrase LIMIT 15""".stripMargin
   )
 }

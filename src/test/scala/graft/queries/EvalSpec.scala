@@ -235,6 +235,64 @@ class EvalSpec extends SparkSpec {
     assert(row.getAs[Double]("min_cv") <= row.getAs[Double]("p50_cv"))
   }
 
+  test("t_rake_topk: matches a local RAKE recompute end to end") {
+    val r = Text.queries("t_rake_topk")(spark, sf).collect()
+    assert(r.length == 15)
+    val stop = Text.stopwords.toSet
+    val docs = Tables.t(spark, sf, "documents").select("text").collect()
+      .map(_.getAs[String]("text").trim.toLowerCase
+        .split("[ \\t\\n\\x0B\\f\\r]+").toSeq)
+    // islands of non-stopword tokens
+    val phrases = docs.flatMap { toks =>
+      val runs = scala.collection.mutable.Buffer.empty[Seq[String]]
+      var cur = scala.collection.mutable.Buffer.empty[String]
+      toks.foreach { t =>
+        if (stop(t) || t.isEmpty) { if (cur.nonEmpty) { runs += cur.toSeq; cur.clear() } }
+        else cur += t
+      }
+      if (cur.nonEmpty) runs += cur.toSeq
+      runs
+    }
+    val freq = phrases.flatten.groupBy(identity).map { case (k, v) => k -> v.size }
+    val deg = phrases.flatMap(p => p.map(_ -> p.length))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+    def ws(w: String) = deg(w).toDouble / freq(w)
+    val expected = phrases.map(_.mkString(" ")).groupBy(identity)
+      .map { case (p, occ) =>
+        val sc = BigDecimal(p.split(" ").map(ws).sum)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (p, occ.size.toLong, sc)
+      }.toSeq.sortBy { case (p, _, sc) => (-sc, p) }.take(15)
+    r.zip(expected).foreach { case (row, (p, n, sc)) =>
+      assert(row.getAs[String]("phrase") == p)
+      assert(row.getAs[Long]("n_occur") == n)
+      assert(math.abs(row.getAs[Double]("score") - sc) < 1e-5)
+    }
+  }
+
+  test("e_shapley_attrib: efficiency and monotonicity axioms hold") {
+    import org.apache.spark.sql.functions._
+    val r = Events.queries("e_shapley_attrib")(spark, sf).collect()
+    val channels = Tables.events(spark, sf)
+      .filter(col("event_type") =!= "purchase")
+      .select("event_type").distinct().count()
+    assert(r.length == channels)
+    // v is monotone (supersets only gain users), so every phi >= 0
+    r.foreach(row => assert(row.getAs[Double]("shapley") >= 0.0))
+    // efficiency: phis sum to v(grand coalition) = conversions among
+    // users with at least one non-purchase event
+    val ev = Tables.events(spark, sf)
+    val attributable = ev.groupBy("user_id").agg(
+        (sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) /
+          count(lit(1)) > 0.2).cast("int").as("conv"),
+        sum(when(col("event_type") =!= "purchase", 1L).otherwise(0L)).as("nc"))
+      .filter(col("nc") > 0).agg(sum("conv")).collect()(0).getLong(0)
+    val phiSum = r.map(_.getAs[Double]("shapley")).sum
+    assert(math.abs(phiSum - attributable) < 1e-3,
+      s"efficiency: $phiSum vs $attributable")
+    assert(math.abs(r.map(_.getAs[Double]("share")).sum - 1.0) < 0.005)
+  }
+
   test("c_k_anonymity: class arithmetic is self-consistent") {
     val r = Curation.queries("c_k_anonymity")(spark, sf).collect()
     assert(r.length == 1)

@@ -997,6 +997,56 @@ object Events {
         .select(col("channel"), col("shapley"),
           round(col("shapley") / col("tot"), 4).as("share"))
         .orderBy("channel")
+    }),
+
+    // CUSUM change-point detection per event type: the split t maximizing
+    // |n·CumSum_t − t·ΣY| over the gap-filled hourly panel — the scaled
+    // form keeps the whole search in EXACT BIGINT (counts × calendar
+    // indexes never overflow), so the argmax needs no double rounding at
+    // all; doubles appear only in the reported pre/post means and shift
+    // (6 dp). Argmax ties break to the EARLIEST hour via one
+    // max(struct(peak, −t)) aggregate — no second window pass, no sort.
+    // The cumulative-sum window partitions by event_type over the
+    // calendar-bounded spine (the documented bounded-spine exception);
+    // t stops at n−1 so the post-segment is never empty.
+    "e_changepoint" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val hourly = e
+        .groupBy(col("event_type"), date_trunc("HOUR", col("ts")).as("hour_ts"))
+        .agg(count(lit(1)).as("y"))
+      val spine = e.agg(
+          date_trunc("HOUR", min(col("ts"))).as("h0"),
+          date_trunc("HOUR", max(col("ts"))).as("h1"))
+        .select(explode(expr("sequence(h0, h1, interval 1 hour)")).as("hour_ts"),
+          unix_micros(col("h0")).as("t0"))
+      val types = e.select("event_type").distinct()
+      val w = Window.partitionBy("event_type").orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val panel = types.crossJoin(broadcast(spine))
+        .join(hourly, Seq("event_type", "hour_ts"), "left")
+        .select(col("event_type"), col("hour_ts"),
+          expr("(unix_micros(hour_ts) - t0) div 3600000000 + 1").as("t"),
+          coalesce(col("y"), lit(0L)).as("y"))
+        .withColumn("cum", sum("y").over(w))
+      val totals = panel.groupBy(col("event_type").as("ty"))
+        .agg(max("t").as("n"), sum("y").as("sy"))
+      panel.join(totals, col("event_type") === col("ty"))
+        .filter(col("t") < col("n"))
+        .select(col("event_type"), col("hour_ts"), col("t"), col("cum"),
+          col("n"), col("sy"),
+          abs(col("n") * col("cum") - col("t") * col("sy")).as("peak"))
+        .groupBy("event_type")
+        .agg(max(struct(col("peak"), (-col("t")).as("negt"), col("t"),
+          col("hour_ts"), col("cum"), col("n"), col("sy"))).as("m"))
+        .select(col("event_type"),
+          col("m.t").as("cp_idx"), col("m.hour_ts").as("cp_hour_ts"),
+          round(col("m.cum").cast("double") / col("m.t"), 6).as("pre_mean"),
+          round((col("m.sy") - col("m.cum")).cast("double") /
+            (col("m.n") - col("m.t")), 6).as("post_mean"),
+          round((col("m.sy") - col("m.cum")).cast("double") /
+            (col("m.n") - col("m.t")) -
+            col("m.cum").cast("double") / col("m.t"), 6).as("shift"))
+        .orderBy("event_type")
     })
   )
 
@@ -1665,6 +1715,53 @@ object Events {
         |  GROUP BY channel),
         |tot AS (SELECT sum(shapley) AS tot FROM phi)
         |SELECT channel, shapley, round(shapley / tot, 4) AS share
-        |FROM phi CROSS JOIN tot ORDER BY channel""".stripMargin
+        |FROM phi CROSS JOIN tot ORDER BY channel""".stripMargin,
+    // exact-BIGINT CUSUM search; struct-max with -t breaks ties earliest
+    "e_changepoint" ->
+      """WITH hourly AS (
+        |  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts,
+        |    count(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |b AS (
+        |  SELECT CAST(date_trunc('hour', min(ts)) AS TIMESTAMP) AS h0,
+        |         CAST(date_trunc('hour', max(ts)) AS TIMESTAMP) AS h1
+        |  FROM events),
+        |spine AS (
+        |  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour_ts,
+        |         epoch_us(h0) AS t0
+        |  FROM b),
+        |types AS (SELECT DISTINCT event_type FROM events),
+        |panel AS (
+        |  SELECT ty.event_type, s.hour_ts,
+        |    (epoch_us(s.hour_ts) - s.t0) // 3600000000 + 1 AS t,
+        |    coalesce(h.y, 0) AS y
+        |  FROM types ty CROSS JOIN spine s
+        |  LEFT JOIN hourly h ON h.event_type = ty.event_type
+        |    AND h.hour_ts = s.hour_ts),
+        |c AS (
+        |  SELECT event_type, hour_ts, t,
+        |    CAST(sum(y) OVER (PARTITION BY event_type ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM panel),
+        |tot AS (
+        |  SELECT event_type, CAST(max(t) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS sy
+        |  FROM panel GROUP BY event_type),
+        |sc AS (
+        |  SELECT c.event_type, hour_ts, t, cum, n, sy,
+        |    abs(n * cum - t * sy) AS peak
+        |  FROM c JOIN tot USING (event_type) WHERE t < n),
+        |mx AS (
+        |  SELECT event_type,
+        |    max({'peak': peak, 'negt': -t, 't': t, 'h': hour_ts,
+        |         'cum': cum, 'n': n, 'sy': sy}) AS m
+        |  FROM sc GROUP BY event_type)
+        |SELECT event_type, (m).t AS cp_idx, (m).h AS cp_hour_ts,
+        |  round(CAST((m).cum AS DOUBLE) / (m).t, 6) AS pre_mean,
+        |  round(CAST((m).sy - (m).cum AS DOUBLE) / ((m).n - (m).t), 6)
+        |    AS post_mean,
+        |  round(CAST((m).sy - (m).cum AS DOUBLE) / ((m).n - (m).t)
+        |        - CAST((m).cum AS DOUBLE) / (m).t, 6) AS shift
+        |FROM mx ORDER BY event_type""".stripMargin
   )
 }

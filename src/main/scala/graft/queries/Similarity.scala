@@ -708,6 +708,55 @@ object Similarity {
         .select(col("cl"), col("n_members"), col("n_dropped"),
           (col("n_members") - col("n_dropped")).as("n_kept"))
         .orderBy("cl")
+    }),
+
+    // Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998):
+    // greedily pick k=5 results trading relevance against redundancy,
+    // score = 0.7·rel − 0.3·max-sim-to-already-selected. The data-sized
+    // work is ONE relevance pass (broadcast 1-row query, TakeOrdered
+    // top-20 candidates); the greedy loop then runs entirely on the
+    // 20-row candidate lattice — each of the four unrolled iterations is
+    // an argmax over ≤20 rows with the (6-dp score, vec_id) tiebreak
+    // discipline, and the DuckDB oracle replays the identical chain as
+    // CTEs. Candidate relevances and pairwise sims round to 4 dp BEFORE
+    // the greedy math so both engines walk one trajectory.
+    "s_mmr_rerank" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val cos = graft.functions.GraftFunctions.cosineSim _
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      val cands = emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+        .select(col("vec_id"), col("embedding"),
+          round(cos(col("embedding"), col("qv")), 4).as("rel"))
+        .orderBy(col("rel").desc, col("vec_id")).limit(20)
+      val sims = cands.select(col("vec_id").as("ia"), col("rel").as("rela"),
+          col("embedding").as("ea"))
+        .crossJoin(cands.select(col("vec_id").as("ib"),
+          col("embedding").as("eb")))
+        .filter(col("ia") =!= col("ib"))
+        .select(col("ia"), col("rela"), col("ib"),
+          round(cos(col("ea"), col("eb")), 4).as("sim"))
+      var selected = cands
+        .orderBy(col("rel").desc, col("vec_id")).limit(1)
+        .select(col("vec_id"), col("rel"), lit(1).as("rank"),
+          col("rel").as("mmr"))
+      for (i <- 2 to 5) {
+        val selIds = selected.select(col("vec_id").as("sid"))
+        val pick = sims.join(selIds, col("ib") === col("sid"))
+          .groupBy("ia", "rela").agg(max("sim").as("maxsim"))
+          .join(selIds.withColumnRenamed("sid", "ia"), Seq("ia"), "left_anti")
+          .select(col("ia"), col("rela"),
+            round(lit(0.7) * col("rela") - lit(0.3) * col("maxsim"), 6)
+              .as("mmr"))
+          .orderBy(col("mmr").desc, col("ia")).limit(1)
+          .select(col("ia").as("vec_id"), col("rela").as("rel"),
+            lit(i).as("rank"), col("mmr"))
+        selected = selected.union(pick)
+      }
+      selected
+        .select(col("rank").cast("bigint").as("rank"), col("vec_id"),
+          col("rel"), col("mmr"))
+        .orderBy("rank")
     })
   )
 
@@ -1081,6 +1130,52 @@ object Similarity {
         |  CAST(sum(CASE WHEN drp.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
         |  CAST(count(*) - sum(CASE WHEN drp.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         |FROM a2 LEFT JOIN drp ON a2.vec_id = drp.vec_id
-        |GROUP BY a2.cl ORDER BY cl""".stripMargin
+        |GROUP BY a2.cl ORDER BY cl""".stripMargin,
+    // the same greedy chain as four unrolled argmax CTEs
+    "s_mmr_rerank" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |cands AS (
+        |  SELECT vec_id, v, round(list_dot_product(v, qv) /
+        |    (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 4) AS rel
+        |  FROM e, q WHERE vec_id <> 0
+        |  ORDER BY rel DESC, vec_id LIMIT 20),
+        |sims AS (
+        |  SELECT a.vec_id AS ia, a.rel AS rela, b.vec_id AS ib,
+        |    round(list_dot_product(a.v, b.v) /
+        |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS sim
+        |  FROM cands a, cands b WHERE a.vec_id <> b.vec_id),
+        |s1 AS (SELECT vec_id, rel, 1 AS rank, rel AS mmr FROM cands
+        |       ORDER BY rel DESC, vec_id LIMIT 1),
+        |p2 AS (SELECT ia, rela, round(0.7 * rela - 0.3 * max(sim), 6) AS mmr
+        |       FROM sims WHERE ib IN (SELECT vec_id FROM s1)
+        |         AND ia NOT IN (SELECT vec_id FROM s1) GROUP BY ia, rela),
+        |s2 AS (SELECT ia AS vec_id, rela AS rel, 2 AS rank, mmr FROM p2
+        |       ORDER BY mmr DESC, ia LIMIT 1),
+        |sel2 AS (SELECT vec_id FROM s1 UNION ALL SELECT vec_id FROM s2),
+        |p3 AS (SELECT ia, rela, round(0.7 * rela - 0.3 * max(sim), 6) AS mmr
+        |       FROM sims WHERE ib IN (SELECT vec_id FROM sel2)
+        |         AND ia NOT IN (SELECT vec_id FROM sel2) GROUP BY ia, rela),
+        |s3 AS (SELECT ia AS vec_id, rela AS rel, 3 AS rank, mmr FROM p3
+        |       ORDER BY mmr DESC, ia LIMIT 1),
+        |sel3 AS (SELECT vec_id FROM sel2 UNION ALL SELECT vec_id FROM s3),
+        |p4 AS (SELECT ia, rela, round(0.7 * rela - 0.3 * max(sim), 6) AS mmr
+        |       FROM sims WHERE ib IN (SELECT vec_id FROM sel3)
+        |         AND ia NOT IN (SELECT vec_id FROM sel3) GROUP BY ia, rela),
+        |s4 AS (SELECT ia AS vec_id, rela AS rel, 4 AS rank, mmr FROM p4
+        |       ORDER BY mmr DESC, ia LIMIT 1),
+        |sel4 AS (SELECT vec_id FROM sel3 UNION ALL SELECT vec_id FROM s4),
+        |p5 AS (SELECT ia, rela, round(0.7 * rela - 0.3 * max(sim), 6) AS mmr
+        |       FROM sims WHERE ib IN (SELECT vec_id FROM sel4)
+        |         AND ia NOT IN (SELECT vec_id FROM sel4) GROUP BY ia, rela),
+        |s5 AS (SELECT ia AS vec_id, rela AS rel, 5 AS rank, mmr FROM p5
+        |       ORDER BY mmr DESC, ia LIMIT 1)
+        |SELECT CAST(rank AS BIGINT) AS rank, vec_id, rel, mmr FROM (
+        |  SELECT vec_id, rel, rank, mmr FROM s1
+        |  UNION ALL SELECT vec_id, rel, rank, mmr FROM s2
+        |  UNION ALL SELECT vec_id, rel, rank, mmr FROM s3
+        |  UNION ALL SELECT vec_id, rel, rank, mmr FROM s4
+        |  UNION ALL SELECT vec_id, rel, rank, mmr FROM s5)
+        |ORDER BY rank""".stripMargin
   )
 }

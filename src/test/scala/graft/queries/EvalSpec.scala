@@ -270,6 +270,46 @@ class EvalSpec extends SparkSpec {
     }
   }
 
+  test("s_mmr_rerank: matches a local greedy MMR replay") {
+    import org.apache.spark.sql.functions._
+    val r = Similarity.queries("s_mmr_rerank")(spark, sf).collect()
+    assert(r.length == 5)
+    assert(r.map(_.getAs[Long]("vec_id")).distinct.length == 5)
+    def r4(v: Double) = BigDecimal(v)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val embs = Tables.t(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>")).collect()
+      .map(row => row.getAs[Long]("vec_id") ->
+        row.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val qv = embs(0L)
+    val cands = embs.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, r4(cos(v, qv)), v) }
+      .sortBy { case (id, rel, _) => (-rel, id) }.take(20)
+    var sel = List(cands.maxBy { case (id, rel, _) => (rel, -id) })
+    var out = List((1, sel.head._1, sel.head._2, sel.head._2))
+    for (i <- 2 to 5) {
+      val pick = cands.filterNot(c => sel.exists(_._1 == c._1))
+        .map { case (id, rel, v) =>
+          val maxsim = sel.map(s => r4(cos(v, s._3))).max
+          (id, rel, v, r6(0.7 * rel - 0.3 * maxsim))
+        }.sortBy { case (id, _, _, m) => (-m, id) }.head
+      sel = sel :+ ((pick._1, pick._2, pick._3))
+      out = out :+ ((i, pick._1, pick._2, pick._4))
+    }
+    r.zip(out).foreach { case (row, (rank, id, rel, mmr)) =>
+      assert(row.getAs[Long]("rank") == rank)
+      assert(row.getAs[Long]("vec_id") == id, s"rank $rank picked ${row}")
+      assert(math.abs(row.getAs[Double]("rel") - rel) < 1e-9)
+      assert(math.abs(row.getAs[Double]("mmr") - mmr) < 1e-9)
+    }
+  }
+
   test("e_shapley_attrib: efficiency and monotonicity axioms hold") {
     import org.apache.spark.sql.functions._
     val r = Events.queries("e_shapley_attrib")(spark, sf).collect()

@@ -405,4 +405,93 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       "no shuffle join anywhere in the residual pipeline")
   }
+
+  test("e_cms_freq: sketch lives on broadcast cells; events scan reads one column") {
+    val p = plan("e_cms_freq").toString
+    assert(p.contains("BroadcastHashJoin"),
+      "counter/estimate joins must ride the vocab-sized broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "only the exact per-type aggregate may touch data volume")
+    assert(scanOf("e_cms_freq", "events").requiredSchema.fieldNames.toSet ==
+      Set("event_type"))
+    assert(p.contains("partial_count"), "exact counts partial-aggregate map-side")
+  }
+
+  test("q_cdc_apply: compaction is one partial-agg'd max_by — no window, no sort-merge") {
+    val p = plan("q_cdc_apply")
+    assert(p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, "latest-per-key must not use row_number")
+    assert(p.toString.contains("partial_max_by"),
+      "max_by must merge map-side so the shuffle carries one candidate per key-partition")
+    assert(scanOf("q_cdc_apply", "orders").requiredSchema.fieldNames.toSet ==
+      Set("o_orderkey", "o_totalprice", "o_orderstatus"))
+  }
+
+  test("t_bm25_topk: postings-only shuffle, broadcast idf/stats, TakeOrdered top-k") {
+    val p = plan("t_bm25_topk").toString
+    assert(p.contains("TakeOrderedAndProject(limit=15"))
+    assert(p.contains("BroadcastHashJoin"), "idf (3 rows) must broadcast")
+    assert(scanOf("t_bm25_topk", "documents").requiredSchema.fieldNames.toSet ==
+      Set("doc_id", "text"))
+  }
+
+  test("q_benford_qa: one partial-agg'd pass, single pruned column") {
+    val p = plan("q_benford_qa").toString
+    assert(p.contains("partial_count"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    assert(scanOf("q_benford_qa", "lineitem").requiredSchema.fieldNames.toSet ==
+      Set("l_extendedprice"))
+  }
+
+  test("e_trend_ols: no windows anywhere; moment sums partial-aggregate") {
+    val p = plan("e_trend_ols")
+    assert(p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, "OLS must come from moment sums, not running windows")
+    assert(p.toString.contains("partial_sum"))
+  }
+
+  test("s_semdedup: both pairwise sides reuse one assignment exchange") {
+    val df = SparkEntry.queries("s_semdedup")(spark, TestSpark.sf0001)
+    df.collect()
+    val ep = df.queryExecution.executedPlan.toString
+    assert(ep.contains("ReusedExchange"),
+      "a and b are the same canonical assignment subplan")
+    assert(!ep.contains("CartesianProduct"))
+  }
+
+  test("t_rake_topk: island windows partition by document; top-15 is TakeOrdered") {
+    val p = plan("t_rake_topk")
+    val windows = p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty &&
+      windows.forall(!_.toString.contains("SinglePartition")),
+      "phrase segmentation must stay per-document")
+    assert(p.toString.contains("TakeOrderedAndProject(limit=15"))
+  }
+
+  test("e_shapley_attrib: lattice math rides broadcasts; data passes are aggregates") {
+    val df = SparkEntry.queries("e_shapley_attrib")(spark, TestSpark.sf0001)
+    df.collect()
+    val ep = df.queryExecution.executedPlan.toString
+    assert(ep.contains("BroadcastHashJoin"),
+      "coalition/set joins must broadcast the ≤2^n-row sides")
+    assert(!ep.contains("SortMergeJoin"),
+      "nothing data-sized may shuffle-join")
+  }
+
+  test("e_forward_fill and e_cuped: fill/adjustment windows and scalars stay bounded") {
+    val windows = plan("e_forward_fill").collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    // partitioned by event_type over the calendar-bounded spine (documented)
+    assert(windows.nonEmpty &&
+      windows.forall(!_.toString.contains("SinglePartition")))
+    val p = plan("e_cuped")
+    assert(p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, "CUPED is two aggregates plus broadcast scalars — no windows")
+  }
 }

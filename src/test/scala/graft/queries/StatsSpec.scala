@@ -170,6 +170,40 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("e_changepoint: matches an exact integer CUSUM search per type") {
+    val r = Events.queries("e_changepoint")(spark, sf).collect()
+    val events = Tables.events(spark, sf)
+      .select(col("event_type"), date_trunc("HOUR", col("ts")).as("h"))
+      .collect().map(row => (row.getAs[String]("event_type"),
+        row.getAs[java.sql.Timestamp]("h").getTime))
+    val h0 = events.map(_._2).min
+    val nHours = ((events.map(_._2).max - h0) / 3600000L + 1).toInt
+    val counts = events.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    r.foreach { row =>
+      val ty = row.getAs[String]("event_type")
+      val ys = (0 until nHours).map(i =>
+        counts.getOrElse((ty, h0 + i * 3600000L), 0L))
+      val sy = ys.sum
+      val n = nHours.toLong
+      var cum = 0L
+      // earliest argmax of |n*cum_t - t*sy| over t in [1, n-1]
+      val (bestT, bestCum) = (1 to nHours - 1).map { t =>
+        cum += ys(t - 1)
+        (t.toLong, cum, math.abs(n * cum - t * sy))
+      }.maxBy { case (t, _, peak) => (peak, -t) } match {
+        case (t, c, _) => (t, c)
+      }
+      assert(row.getAs[Long]("cp_idx") == bestT)
+      assert(row.getAs[java.sql.Timestamp]("cp_hour_ts").getTime ==
+        h0 + (bestT - 1) * 3600000L)
+      assert(row.getAs[Double]("pre_mean") == r6(bestCum.toDouble / bestT))
+      assert(row.getAs[Double]("post_mean") ==
+        r6((sy - bestCum).toDouble / (n - bestT)))
+    }
+  }
+
   test("q_cdc_apply: snapshot membership and values match a replayed log") {
     val rows = Relational.queries("q_cdc_apply")(spark, sf).collect()
     // replay the same derived changelog locally

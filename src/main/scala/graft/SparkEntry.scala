@@ -29,5 +29,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     EtlSurface.oracles ++ Relational.oracles ++ Text.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ Events.oracles ++
-      Curation.oracles
+      Curation.oracles ++ graft.multimodal.Multimodal.oracles
 }

@@ -279,7 +279,17 @@ object Multimodal {
     * function of `seed`, encoded through the actual ImageIO PNG writer — so
     * the decode path exercises a genuine codec round-trip.
     */
-  private[multimodal] def syntheticPng(seed: Long, w: Int, h: Int): Array[Byte] = {
+  private[multimodal] def syntheticPng(seed: Long, w: Int, h: Int): Array[Byte] =
+    encodeSynthetic(seed, w, h, "png")
+
+  /** Same pixel function, different LOSSLESS container (BMP) — byte-level
+    * hashing can never match these against their PNG twins; only a decoder
+    * that reaches the pixels can.
+    */
+  private[multimodal] def syntheticBmp(seed: Long, w: Int, h: Int): Array[Byte] =
+    encodeSynthetic(seed, w, h, "bmp")
+
+  private def encodeSynthetic(seed: Long, w: Int, h: Int, fmt: String): Array[Byte] = {
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
     var y = 0
     while (y < h) {
@@ -293,8 +303,49 @@ object Multimodal {
     }
     val baos = new ByteArrayOutputStream()
     ImageIO.setUseCache(false)
-    require(ImageIO.write(img, "png", baos), "PNG writer unavailable")
+    require(ImageIO.write(img, fmt, baos), s"$fmt writer unavailable")
     baos.toByteArray
+  }
+
+  /** 64-bit average-hash (aHash) over DECODED pixels: mean luminance of an
+    * 8×8 spatial grid, each bit = cell above the grid mean. Identical
+    * pixels → identical hash regardless of container; near-identical
+    * images land within a small Hamming distance. Deterministic across
+    * JVMs (pure integer/double arithmetic on decoded RGB).
+    */
+  private[multimodal] def aHash64(bytes: Array[Byte]): Long = {
+    ImageIO.setUseCache(false)
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    require(img != null, s"undecodable image bytes (${bytes.length} bytes)")
+    val w = img.getWidth
+    val h = img.getHeight
+    val sums = new Array[Double](64)
+    val counts = new Array[Int](64)
+    var y = 0
+    while (y < h) {
+      val gy = math.min(7, y * 8 / h)
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+          (rgb & 0xFF) * 114) / (255.0 * 1000.0)
+        val cell = gy * 8 + math.min(7, x * 8 / w)
+        sums(cell) += lum
+        counts(cell) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val cells = Array.tabulate(64)(i =>
+      if (counts(i) == 0) 0.0 else sums(i) / counts(i))
+    val mean = cells.sum / 64.0
+    var hash = 0L
+    var i = 0
+    while (i < 64) {
+      if (cells(i) > mean) hash |= (1L << i)
+      i += 1
+    }
+    hash
   }
 
   /** Deterministic real MJPEG-AVI bytes: a correct RIFF/AVI container whose
@@ -415,7 +466,58 @@ object Multimodal {
     * frame-sample → per-kind statistics over REAL decoded metadata (width/
     * height from ImageIO, duration from the WAV parse).
     */
+  /** Planted-duplicate image corpus: every image id (doc_id % 3 == 0) as a
+    * real PNG; every 5th image (doc_id % 15 == 0) ALSO as a BMP twin with
+    * identical pixels under id + 10_000_000 — the `Dedup.corpusWithDups`
+    * convention lifted to media, with the twist that the twin's BYTES
+    * differ (different container), so only pixel-level hashing finds it.
+    */
+  private[multimodal] def imagesWithDups(
+      spark: SparkSession, dir: String): Dataset[Media] = {
+    import spark.implicits._
+    graft.queries.Tables.t(spark, dir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"))
+      .filter(col("doc_id") % 3 === 0)
+      .as[Long]
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          val w = 4 + (id % 29).toInt
+          val h = 4 + (id % 17).toInt
+          val orig = Media(id, "image", syntheticPng(id, w, h))
+          if (id % 15 == 0)
+            Iterator(orig, Media(id + 10000000L, "image", syntheticBmp(id, w, h)))
+          else Iterator(orig)
+        }
+      }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Perceptual-hash dedup over REAL decoded pixels: aHash-64 each image
+    // (narrow mapPartitions decode, no shuffle), then recover the planted
+    // cross-container twins by hash equality. The oracled columns are the
+    // DETERMINISTIC census numbers (image/pair counts from doc_id
+    // arithmetic) plus the recall — 1.0 by construction iff the whole
+    // decode→hash→join path works (identical pixels must collide), which
+    // is exactly what the DuckDB oracle pins. Accidental same-hash
+    // collisions between different images exist at 64 bits on tiny
+    // images and are reported by the spec, not oracled.
+    "m_phash_dedup" -> ((s, d) => {
+      import s.implicits._
+      val hashes = imagesWithDups(s, d).mapPartitions { it =>
+        it.map(m => (m.media_id, aHash64(m.content)))
+      }.toDF("media_id", "phash")
+      val twins = hashes.filter(col("media_id") >= 10000000L)
+        .select((col("media_id") - 10000000L).as("media_id"),
+          col("phash").as("twin_hash"))
+      val joined = hashes.join(twins, "media_id")
+        .agg(count(lit(1)).as("n_planted_pairs"),
+          sum(when(col("phash") === col("twin_hash"), 1L).otherwise(0L))
+            .cast("bigint").as("n_recovered"))
+      hashes.agg(count(lit(1)).as("n_images")).crossJoin(joined)
+        .select(col("n_images"), col("n_planted_pairs"), col("n_recovered"),
+          round(col("n_recovered") / col("n_planted_pairs"), 4).as("recall"))
+    }),
+
     "m_media_features" -> ((s, d) => {
       val decoded = sampleFrames(resize(decodeAndFeaturize(mediaFromDocuments(s, d)), 256), 4)
       decoded.toDF()
@@ -431,5 +533,20 @@ object Multimodal {
           round(max("duration_ms"), 3).as("max_duration_ms"))
         .orderBy("kind")
     })
+  )
+
+  /** The phash census/recall numbers are pure doc_id arithmetic: the oracle
+    * pins recall = 1.0, which only holds if the decode→hash→join path
+    * really collides identical pixels across containers.
+    */
+  val oracles: Map[String, String] = Map(
+    "m_phash_dedup" ->
+      """WITH img AS (SELECT count(*) AS ni FROM documents WHERE doc_id % 3 = 0),
+        |pl AS (SELECT count(*) AS np FROM documents WHERE doc_id % 15 = 0)
+        |SELECT CAST(ni + np AS BIGINT) AS n_images,
+        |  CAST(np AS BIGINT) AS n_planted_pairs,
+        |  CAST(np AS BIGINT) AS n_recovered,
+        |  round(CAST(np AS DOUBLE) / np, 4) AS recall
+        |FROM img CROSS JOIN pl""".stripMargin
   )
 }

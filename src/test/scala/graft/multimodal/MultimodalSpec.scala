@@ -125,4 +125,27 @@ class MultimodalSpec extends SparkSpec {
     assert(byKind("audio").getInt(6) == 8000)
     assert(byKind("audio").getDouble(7) > 0.0)
   }
+
+  test("aHash64: container-invariant on identical pixels, seed-sensitive") {
+    // identical pixels through two different lossless codecs → equal hash
+    (0L to 45L by 15).foreach { seed =>
+      val png = Multimodal.syntheticPng(seed, 12, 9)
+      val bmp = Multimodal.syntheticBmp(seed, 12, 9)
+      assert(!png.sameElements(bmp), "containers must differ at byte level")
+      assert(Multimodal.aHash64(png) == Multimodal.aHash64(bmp))
+    }
+    // different pixel functions should (near-always) hash apart
+    val h = (1L to 20L).map(s => Multimodal.aHash64(Multimodal.syntheticPng(s, 16, 16)))
+    assert(h.distinct.size >= 18, s"aHash degenerate: ${h.distinct.size} distinct of 20")
+  }
+
+  test("m_phash_dedup corpus query: planted cross-container twins fully recovered") {
+    val r = Multimodal.queries("m_phash_dedup")(spark, TestSpark.sf0001).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    assert(row.getAs[Long]("n_planted_pairs") > 0)
+    assert(row.getAs[Long]("n_recovered") == row.getAs[Long]("n_planted_pairs"))
+    assert(row.getAs[Double]("recall") == 1.0)
+    assert(row.getAs[Long]("n_images") > row.getAs[Long]("n_planted_pairs"))
+  }
 }

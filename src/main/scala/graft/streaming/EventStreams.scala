@@ -104,6 +104,47 @@ object EventStreams {
         (events("value") * d("weight")).as("weighted_value"))
   }
 
+  // ---- custom state: streaming CDC compaction ----
+
+  final case class CdcChange(k: Long, seq: Long, op: String, price: Double,
+      status: String)
+
+  /** Streaming form of the `q_cdc_apply` changelog compaction: per key,
+    * remember the highest-seq change seen and emit the key's CURRENT row
+    * whenever a micro-batch advances it — stale out-of-order changes
+    * (seq below the high-water mark) are swallowed, deletes flow through
+    * with op='D' so a downstream sink can tombstone. State is ONE record
+    * per live key with NoTimeout: CDC state cannot be watermark-evicted
+    * (a key's high-water mark must outlive any lateness bound to reject
+    * stale replays), so its size is the snapshot's key cardinality — the
+    * inherent floor for exactly-once upsert, same as any MERGE target.
+    * In batch, falls back to the single-pass max_by compaction.
+    */
+  def compactCdc(changes: Dataset[CdcChange]): Dataset[CdcChange] = {
+    import changes.sparkSession.implicits._
+    if (!changes.isStreaming) {
+      changes.groupByKey(_.k).reduceGroups((a, b) =>
+        if (a.seq >= b.seq) a else b).map(_._2)
+    } else {
+      def fn(key: Long, batch: Iterator[CdcChange],
+          state: GroupState[CdcChange]): Iterator[CdcChange] = {
+        val incoming = batch.foldLeft(Option.empty[CdcChange]) { (best, c) =>
+          if (best.forall(_.seq < c.seq)) Some(c) else best
+        }
+        val prior = state.getOption
+        incoming match {
+          case Some(c) if prior.forall(_.seq < c.seq) =>
+            state.update(c)
+            Iterator.single(c)
+          case _ => Iterator.empty // stale or empty: no emission
+        }
+      }
+      changes.groupByKey(_.k)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)(
+          Encoders.product[CdcChange], Encoders.product[CdcChange])
+    }
+  }
+
   // ---- custom state: flatMapGroupsWithState sessionization ----
 
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,

@@ -279,4 +279,41 @@ class EventStreamsSpec extends SparkSpec {
       assert(rows == Set((9L, ts(9), 4)))
     } finally q.stop()
   }
+
+  test("compactCdc: emits only advancing changes, swallows stale replays, tombstones") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[CdcChange]
+    val q = compactCdc(mem.toDS()).writeStream
+      .format("memory").queryName("cdc_test").outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: key 1 upserts twice (seq 5 wins in-batch), key 2 inserts
+      mem.addData(
+        CdcChange(1, 3, "U", 10.0, "O"),
+        CdcChange(1, 5, "U", 12.0, "O"),
+        CdcChange(2, 1, "U", 99.0, "F"))
+      q.processAllAvailable()
+      val b1 = spark.table("cdc_test").as[CdcChange].collect().toSet
+      assert(b1 == Set(CdcChange(1, 5, "U", 12.0, "O"),
+        CdcChange(2, 1, "U", 99.0, "F")))
+      // batch 2: stale replay for key 1 (seq 4 < 5: swallowed, no emission),
+      // delete for key 2 (advances: tombstone flows through)
+      mem.addData(
+        CdcChange(1, 4, "U", 11.0, "O"),
+        CdcChange(2, 7, "D", 99.0, "F"))
+      q.processAllAvailable()
+      val all = spark.table("cdc_test").as[CdcChange].collect().toSeq
+      assert(all.size == 3, s"stale seq-4 must not emit: $all")
+      assert(all.count(_ == CdcChange(2, 7, "D", 99.0, "F")) == 1)
+    } finally q.stop()
+    // batch fallback compacts to the same final snapshot as replaying the
+    // full log through the streaming path
+    val log = Seq(
+      CdcChange(1, 3, "U", 10.0, "O"), CdcChange(1, 5, "U", 12.0, "O"),
+      CdcChange(1, 4, "U", 11.0, "O"), CdcChange(2, 1, "U", 99.0, "F"),
+      CdcChange(2, 7, "D", 99.0, "F")).toDS()
+    val snap = compactCdc(log).collect().toSet
+    assert(snap == Set(CdcChange(1, 5, "U", 12.0, "O"),
+      CdcChange(2, 7, "D", 99.0, "F")))
+  }
 }

@@ -30,13 +30,19 @@ object Bench {
     // steady-state plan cost (the number that scales to a real cluster),
     // not first-use JIT/codegen compilation — cold-vs-warm profiling showed
     // fixed ~2-5 s first-run overhead per query dwarfing actual plan time.
-    SparkEntry.queries.foreach { case (_, fn) =>
+    // local-iteration filter, mirroring Verify: SPARK_GRAFT_ONLY=a,b times
+    // just those queries (driver never sets it)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    def keep(name: String) = only.forall(_.contains(name))
+    val bench = SparkEntry.queries.filter(q => keep(q._1))
+    bench.foreach { case (_, fn) =>
       try fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
       finally spark.catalog.clearCache()
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = bench.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }

@@ -710,69 +710,87 @@ object Events {
       val j = ev.join(fp, Seq("user_id"), "left")
         .filter(col("fpk").isNull ||
           struct(col("tsus"), col("event_id")) <= col("fpk"))
+      // ONE window pass (lag and lead share the WindowExec) emits both the
+      // step edge and — for a non-converter's final event — the 'drop'
+      // terminal, via a 2-element explode instead of a second
+      // descending-sort window + union (the original two-window form cost
+      // a second data-sized sort)
       val w = Window.partitionBy("user_id").orderBy("tsus", "event_id")
       val steps = j
         .withColumn("prev", lag("event_type", 1).over(w))
-        .select(coalesce(col("prev"), lit("start")).as("src"),
-          when(col("event_type") === "purchase", lit("conv"))
-            .otherwise(col("event_type")).as("dst"))
-      val lastDrop = j
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("user_id")
-            .orderBy(col("tsus").desc, col("event_id").desc)))
-        .filter(col("rn") === 1 && col("fpk").isNull)
-        .select(col("event_type").as("src"), lit("drop").as("dst"))
-      val trans = steps.union(lastDrop).groupBy("src", "dst")
-        .agg(count(lit(1)).as("n"))
-      val tot = trans.groupBy("src").agg(sum("n").as("tot"))
-      val base = trans.join(tot, "src")
-        .select(col("src"), col("dst"), (col("n") / col("tot")).as("p"))
-      val channels = trans
-        .select(col("dst").as("ch")).filter(!col("ch").isin("conv", "drop"))
-        .union(trans.select(col("src").as("ch")).filter(col("ch") =!= "start"))
-        .distinct()
-      val scens = channels.select(col("ch").as("scen"))
-        .union(s.range(1).select(lit("full").as("scen")))
-      // removal(c): c's outgoing rows deleted (no walk can be there),
-      // inbound mass redirected to drop; at most TWO rows merge per
-      // (scen,src,'drop') key, so the sum is a 2-term FP add — exact
-      val m0 = base.crossJoin(scens)
-        .filter(!(col("scen") =!= "full" && col("src") === col("scen")))
-        .select(col("scen"), col("src"),
-          when(col("scen") =!= "full" && col("dst") === col("scen"), lit("drop"))
-            .otherwise(col("dst")).as("dst"),
-          col("p"))
-        .groupBy("scen", "src", "dst").agg(sum("p").as("p"))
-      val absorb = scens.select(col("scen"), lit("conv").as("src"),
-          lit("conv").as("dst"), lit(1.0).as("p"))
-        .union(scens.select(col("scen"), lit("drop").as("src"),
-          lit("drop").as("dst"), lit(1.0).as("p")))
-      // persist the scenario matrix: all six iterations reference it.
-      // Cache lifetime: Verify/Bench clearCache() after the final consumer.
-      val mat = m0.select("scen", "src", "dst", "p").union(absorb).persist()
-      var r = scens.select(col("scen"), lit("start").as("state"), lit(1.0).as("mass"))
-      for (_ <- 1 to 6) {
-        r = mat.join(r, Seq("scen"))
-          .filter(col("src") === col("state"))
-          .groupBy("scen", "dst")
-          .agg(round(sum(col("mass") * col("p")), 9).as("mass"))
-          .withColumnRenamed("dst", "state")
+        .withColumn("nxt", lead("event_type", 1).over(w))
+        .select(explode(array(
+          struct(coalesce(col("prev"), lit("start")).as("src"),
+            when(col("event_type") === "purchase", lit("conv"))
+              .otherwise(col("event_type")).as("dst")),
+          struct(col("event_type").as("src"),
+            when(col("nxt").isNull && col("fpk").isNull, lit("drop"))
+              .as("dst")))).as("sd"))
+        .filter(col("sd.dst").isNotNull)
+        .select(col("sd.src").as("src"), col("sd.dst").as("dst"))
+      // The transition aggregate is bounded by the TYPE VOCABULARY
+      // ((|types|+2)² cells at any data volume), so collecting it is a
+      // bounded scalar extract — the A1 min/max pattern, NOT a data
+      // collect. The absorbing-chain math then runs driver-side for free:
+      // the previous all-DataFrame formulation scheduled ~12 tiny stages
+      // for the six iterations and spent ~5 s of pure stage latency on
+      // <50 rows at sf0.1 (25.6 s before the branch-dedup fix). The
+      // data-sized journey pipeline above is unchanged and runs once.
+      // Every per-iteration sum still rounds at 9 dp in deterministic
+      // (sorted-source) order — the trajectory the DuckDB oracle replays.
+      val trans = steps.groupBy("src", "dst").agg(count(lit(1)).as("n"))
+      def r9(x: Double) = BigDecimal(x)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      def r6d(x: Double) = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val cells = trans.collect()
+        .map(r0 => (r0.getString(0), r0.getString(1), r0.getLong(2)))
+      val tot = cells.groupBy(_._1).map { case (k, v) => k -> v.map(_._3).sum }
+      val base = cells.map { case (src, dst, n) => (src, dst, n.toDouble / tot(src)) }
+      val channels = (cells.map(_._2).filter(c => c != "conv" && c != "drop") ++
+        cells.map(_._1).filter(_ != "start")).distinct.sorted
+      // removal(c): c's outgoing rows deleted, inbound mass redirected to
+      // drop; at most TWO rows merge per (src,'drop') key — exact 2-term add
+      val pconv: Map[String, Option[Double]] = (channels :+ "full").map { scen =>
+        val m = base.flatMap { case (src, dst, p) =>
+          if (scen != "full" && src == scen) None
+          else Some((src, if (scen != "full" && dst == scen) "drop" else dst, p))
+        }.groupBy(t => (t._1, t._2))
+          .map { case ((src, dst), v) => (src, dst, v.map(_._3).sum) }
+          .toSeq ++ Seq(("conv", "conv", 1.0), ("drop", "drop", 1.0))
+        var mass = Map("start" -> 1.0)
+        for (_ <- 1 to 6) {
+          mass = m.filter(t => mass.contains(t._1)).groupBy(_._2)
+            .map { case (dst, v) =>
+              dst -> r9(v.toSeq.sortBy(_._1).map(t => mass(t._1) * t._3).sum)
+            }
+        }
+        scen -> mass.get("conv")
+      }.toMap
+      val out = for {
+        pfull <- pconv.getOrElse("full", None).toSeq
+        c <- channels
+        pc <- pconv.getOrElse(c, None)
+      } yield {
+        val eff: java.lang.Double =
+          if (pfull == 0.0) null else r6d(1.0 - pc / pfull)
+        (c, r6d(pc), eff)
       }
-      val conv = r.filter(col("state") === "conv")
-        .select(col("scen"), col("mass").as("pconv"))
-      val full = conv.filter(col("scen") === "full")
-        .select(col("pconv").as("pfull"))
-      val eff = conv.filter(col("scen") =!= "full")
-        .crossJoin(broadcast(full))
-        .select(col("scen").as("channel"),
-          round(col("pconv"), 6).as("conv_if_removed"),
-          round(lit(1.0) - col("pconv") / nullif(col("pfull"), lit(0.0)), 6)
-            .as("removal_effect"))
-      val totEff = eff.agg(sum("removal_effect").as("te"))
-      eff.crossJoin(broadcast(totEff))
-        .select(col("channel"), col("conv_if_removed"), col("removal_effect"),
-          round(col("removal_effect") / nullif(col("te"), lit(0.0)), 4)
-            .as("attribution_share"))
+      val te = out.flatMap(o => Option(o._3).map(_.doubleValue)).sum
+      val rows: java.util.List[org.apache.spark.sql.Row] = new java.util.ArrayList()
+      out.foreach { case (c, cv, eff) =>
+        val share: java.lang.Double =
+          if (eff == null || te == 0.0) null
+          else BigDecimal(eff.doubleValue / te)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        rows.add(org.apache.spark.sql.Row(c, cv, eff, share))
+      }
+      import org.apache.spark.sql.types._
+      s.createDataFrame(rows, StructType(Seq(
+          StructField("channel", StringType, nullable = true),
+          StructField("conv_if_removed", DoubleType, nullable = true),
+          StructField("removal_effect", DoubleType, nullable = true),
+          StructField("attribution_share", DoubleType, nullable = true))))
         .orderBy("channel")
     }),
 

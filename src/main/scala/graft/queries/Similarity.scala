@@ -725,10 +725,16 @@ object Similarity {
       val cos = graft.functions.GraftFunctions.cosineSim _
       val emb = t(s, d, "embeddings")
       val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      // persist: the 20-row candidate set feeds the pairwise-sim table and
+      // all five selection steps — without the cache each unrolled
+      // iteration replays the corpus-wide relevance scan (measured 5.0 s →
+      // ~0.6 s at sf0.1). Cache lifetime: Verify/Bench clearCache() after
+      // each query's final consumer.
       val cands = emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
         .select(col("vec_id"), col("embedding"),
           round(cos(col("embedding"), col("qv")), 4).as("rel"))
         .orderBy(col("rel").desc, col("vec_id")).limit(20)
+        .persist()
       val sims = cands.select(col("vec_id").as("ia"), col("rel").as("rela"),
           col("embedding").as("ea"))
         .crossJoin(cands.select(col("vec_id").as("ib"),
@@ -751,7 +757,11 @@ object Similarity {
           .orderBy(col("mmr").desc, col("ia")).limit(1)
           .select(col("ia").as("vec_id"), col("rela").as("rel"),
             lit(i).as("rank"), col("mmr"))
-        selected = selected.union(pick)
+        // persist each step: pick_i's plan references selected_{i-1} twice
+        // (the sim restriction and the anti-join) — uncached, the greedy
+        // chain re-executes combinatorially (measured: flat 5 s at sf0.1
+        // despite the cached candidates)
+        selected = selected.union(pick).persist()
       }
       selected
         .select(col("rank").cast("bigint").as("rank"), col("vec_id"),

@@ -887,6 +887,51 @@ object Curation {
         .agg(count(lit(1)).as("n_docs"),
           round(avg("novelty"), 6).as("avg_novelty"))
         .orderBy("decile")
+    }),
+
+    // Filter-agreement matrix — the governance view every curation stack
+    // needs: when three independent keep/drop gates (Gopher-style
+    // repetition caps, the length/punct/stopword composite, and a
+    // duplicate-word ceiling) disagree, which combinations dominate?
+    // Each gate reuses its production formula verbatim (gopher on raw
+    // tokens, quality on lowered tokens — the per-gate tokenization
+    // contracts differ and are preserved). One data-sized pass + the
+    // per-doc top-word aggregate; the output is the 2³-combination
+    // census with shares from a window over ≤8 bounded rows.
+    "c_filter_agreement" -> ((s, d) => {
+      val base = t(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"), col("text"),
+          tokens(col("text")).as("spr"),
+          tokens(lower(col("text"))).as("spl"))
+      val flags = base.select(col("doc_id"), col("n_chars"),
+        size(col("spr")).as("n_words"),
+        size(col("spl")).as("n_tok"),
+        ((length(col("text")) -
+          length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("double") /
+          nullif(length(col("text")), lit(0))).as("punct_ratio"),
+        (size(filter(col("spl"), w => w.isInCollection(Text.stopwords)))
+          .cast("double") / size(col("spl"))).as("stop_ratio"),
+        (lit(1.0) - size(array_distinct(col("spr"))).cast("double") /
+          size(col("spr"))).as("dup_frac"))
+      val top = base.select(col("doc_id"), explode(col("spr")).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max("c").as("top_cnt"))
+      val wAll = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      flags.join(top, "doc_id")
+        .select(
+          (col("n_words") >= 20 &&
+            col("top_cnt").cast("double") / col("n_words") <= 0.15)
+            .as("pass_gopher"),
+          (col("n_chars").between(100, 2000) && col("n_tok") >= 20 &&
+            col("punct_ratio") <= 0.1 && col("stop_ratio") >= 0.01)
+            .as("pass_quality"),
+          (col("dup_frac") <= 0.3).as("pass_rep"))
+        .groupBy("pass_gopher", "pass_quality", "pass_rep")
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("share",
+          round(col("n_docs") / sum("n_docs").over(wAll), 4))
+        .orderBy("pass_gopher", "pass_quality", "pass_rep")
     })
   )
 
@@ -1413,18 +1458,18 @@ object Curation {
         |FROM sc GROUP BY lang ORDER BY lang""".stripMargin,
     // same trigrams, same integer decile arithmetic
     "c_ngram_novelty" ->
-      """WITH docs AS (
+      """WITH docs AS MATERIALIZED (
         |  SELECT doc_id,
         |    string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+') AS sp
         |  FROM documents),
-        |g AS (
+        |g AS MATERIALIZED (
         |  SELECT DISTINCT doc_id,
         |    unnest(list_transform(range(1, greatest(len(sp) - 1, 1)),
         |      i -> sp[CAST(i AS INT)] || ' ' || sp[CAST(i AS INT) + 1]
         |           || ' ' || sp[CAST(i AS INT) + 2])) AS g
         |  FROM docs WHERE len(sp) >= 3),
-        |f AS (SELECT g, min(doc_id) AS first_doc FROM g GROUP BY g),
-        |nov AS (
+        |f AS MATERIALIZED (SELECT g, min(doc_id) AS first_doc FROM g GROUP BY g),
+        |nov AS MATERIALIZED (
         |  SELECT doc_id, count(*) AS n_grams,
         |    CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
         |      AS n_novel
@@ -1433,6 +1478,41 @@ object Curation {
         |SELECT (doc_id * 10) // (mx + 1) AS decile, count(*) AS n_docs,
         |  round(avg(CAST(n_novel AS DOUBLE) / n_grams), 6) AS avg_novelty
         |FROM nov CROSS JOIN mx
-        |GROUP BY 1 ORDER BY decile""".stripMargin
+        |GROUP BY 1 ORDER BY decile""".stripMargin,
+    // each gate's formula copied verbatim from its own oracle (gopher on
+    // raw tokens, quality on lowered tokens)
+    "c_filter_agreement" ->
+      """WITH docs AS MATERIALIZED (
+        |  SELECT doc_id, n_chars, text,
+        |    string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS spr,
+        |    string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+') AS spl
+        |  FROM documents),
+        |flags AS MATERIALIZED (
+        |  SELECT doc_id, n_chars, len(spr) AS n_words, len(spl) AS n_tok,
+        |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+        |      AS DOUBLE) / NULLIF(length(text), 0) AS punct_ratio,
+        |    CAST(len(list_filter(spl,
+        |      w -> w IN ('the','a','of','and','to','in'))) AS DOUBLE)
+        |      / len(spl) AS stop_ratio,
+        |    1.0 - CAST(len(list_distinct(spr)) AS DOUBLE) / len(spr) AS dup_frac
+        |  FROM docs),
+        |top AS MATERIALIZED (
+        |  SELECT doc_id, max(c) AS top_cnt FROM
+        |    (SELECT doc_id, w, count(*) AS c FROM
+        |      (SELECT doc_id, unnest(spr) AS w FROM docs)
+        |     GROUP BY doc_id, w)
+        |  GROUP BY doc_id),
+        |g AS (
+        |  SELECT
+        |    (n_words >= 20 AND CAST(top_cnt AS DOUBLE) / n_words <= 0.15)
+        |      AS pass_gopher,
+        |    (n_chars BETWEEN 100 AND 2000 AND n_tok >= 20
+        |      AND punct_ratio <= 0.1 AND stop_ratio >= 0.01) AS pass_quality,
+        |    (dup_frac <= 0.3) AS pass_rep
+        |  FROM flags JOIN top USING (doc_id))
+        |SELECT pass_gopher, pass_quality, pass_rep, count(*) AS n_docs,
+        |  round(CAST(count(*) AS DOUBLE) / sum(count(*)) OVER (), 4) AS share
+        |FROM g GROUP BY 1, 2, 3
+        |ORDER BY pass_gopher, pass_quality, pass_rep""".stripMargin
   )
 }

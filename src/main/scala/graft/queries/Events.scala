@@ -794,6 +794,42 @@ object Events {
         .orderBy("channel")
     }),
 
+    // Position-based (U-shaped) attribution — the 40/20/40 rule: first and
+    // last touch before the first purchase get 0.4 each, middles split the
+    // remaining 0.2 evenly (k=1 → 1.0, k=2 → 0.5/0.5). Complements the
+    // linear (e_multi_touch), Markov-removal and Shapley views. ONE window
+    // pass per user (row_number + count share the per-user partition);
+    // credits are fixed-order rationals per row, so only the per-channel
+    // sum needs its 6-dp rounding. Journey truncation reuses the
+    // e_markov_attribution first-purchase struct key.
+    "e_position_attrib" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("tsus"),
+          col("event_id"), col("event_type"))
+      val fp = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(min(struct(col("tsus"), col("event_id"))).as("fpk"))
+      val w = Window.partitionBy("user_id").orderBy("tsus", "event_id")
+      val touches = ev.join(fp, Seq("user_id"))
+        .filter(col("event_type") =!= "purchase" &&
+          struct(col("tsus"), col("event_id")) < col("fpk"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("k", count(lit(1)).over(Window.partitionBy("user_id")))
+      val credited = touches.select(col("event_type").as("channel"),
+        when(col("k") === 1, lit(1.0))
+          .when(col("k") === 2, lit(0.5))
+          .when(col("rn") === 1 || col("rn") === col("k"), lit(0.4))
+          .otherwise(lit(0.2) / (col("k") - 2)).as("credit"))
+      val agg = credited.groupBy("channel")
+        .agg(round(sum("credit"), 6).as("total_credit"))
+      val wAll = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      agg
+        .withColumn("share",
+          round(col("total_credit") / sum("total_credit").over(wAll), 4))
+        .orderBy("channel")
+    }),
+
     // Bot/automation detection by inter-event-time REGULARITY: humans
     // produce bursty, high-variance gaps; schedulers produce metronomic
     // ones, so a low coefficient of variation (sd/mean of a user's gap
@@ -1515,42 +1551,42 @@ object Events {
     // same chain: struct-keyed journey truncation, scenario-keyed matrix,
     // six unrolled iterations with 9-dp mass rounding
     "e_markov_attribution" ->
-      """WITH ev AS (
+      """WITH ev AS MATERIALIZED (
         |  SELECT user_id, epoch_us(ts) AS tsus, event_id, event_type FROM events),
-        |fp AS (
+        |fp AS MATERIALIZED (
         |  SELECT user_id, min({'t': tsus, 'e': event_id}) AS fpk
         |  FROM ev WHERE event_type = 'purchase' GROUP BY user_id),
-        |j AS (
+        |j AS MATERIALIZED (
         |  SELECT ev.user_id, tsus, event_id, event_type, fpk
         |  FROM ev LEFT JOIN fp USING (user_id)
         |  WHERE fpk IS NULL OR {'t': tsus, 'e': event_id} <= fpk),
-        |st AS (
+        |st AS MATERIALIZED (
         |  SELECT coalesce(lag(event_type) OVER
         |      (PARTITION BY user_id ORDER BY tsus, event_id), 'start') AS src,
         |    CASE WHEN event_type = 'purchase' THEN 'conv' ELSE event_type END AS dst
         |  FROM j),
-        |ld AS (
+        |ld AS MATERIALIZED (
         |  SELECT event_type AS src, 'drop' AS dst FROM (
         |    SELECT event_type, fpk,
         |      row_number() OVER (PARTITION BY user_id ORDER BY tsus DESC, event_id DESC) AS rn
         |    FROM j) WHERE rn = 1 AND fpk IS NULL),
-        |tr AS (SELECT src, dst, count(*) AS n
+        |tr AS MATERIALIZED (SELECT src, dst, count(*) AS n
         |       FROM (SELECT * FROM st UNION ALL SELECT * FROM ld) GROUP BY 1, 2),
         |tt AS (SELECT src, CAST(sum(n) AS BIGINT) AS tot FROM tr GROUP BY 1),
-        |base AS (SELECT tr.src, tr.dst, CAST(n AS DOUBLE) / tot AS p
+        |base AS MATERIALIZED (SELECT tr.src, tr.dst, CAST(n AS DOUBLE) / tot AS p
         |         FROM tr JOIN tt USING (src)),
-        |ch AS (SELECT DISTINCT ch FROM (
+        |ch AS MATERIALIZED (SELECT DISTINCT ch FROM (
         |  SELECT dst AS ch FROM tr WHERE dst NOT IN ('conv', 'drop')
         |  UNION ALL SELECT src AS ch FROM tr WHERE src <> 'start')),
         |scens AS (SELECT ch AS scen FROM ch UNION ALL SELECT 'full' AS scen),
-        |m0 AS (
+        |m0 AS MATERIALIZED (
         |  SELECT scen, src,
         |    CASE WHEN scen <> 'full' AND dst = scen THEN 'drop' ELSE dst END AS dst,
         |    sum(p) AS p
         |  FROM base CROSS JOIN scens
         |  WHERE NOT (scen <> 'full' AND src = scen)
         |  GROUP BY 1, 2, 3),
-        |mat AS (
+        |mat AS MATERIALIZED (
         |  SELECT * FROM m0
         |  UNION ALL SELECT scen, 'conv' AS src, 'conv' AS dst, 1.0 AS p FROM scens
         |  UNION ALL SELECT scen, 'drop' AS src, 'drop' AS dst, 1.0 AS p FROM scens),
@@ -1567,16 +1603,43 @@ object Events {
         |       FROM mat m JOIN r4 r ON m.scen = r.scen AND m.src = r.state GROUP BY 1, 2),
         |r6 AS (SELECT m.scen, m.dst AS state, round(sum(mass * p), 9) AS mass
         |       FROM mat m JOIN r5 r ON m.scen = r.scen AND m.src = r.state GROUP BY 1, 2),
-        |conv AS (SELECT scen, mass AS pconv FROM r6 WHERE state = 'conv'),
+        |conv AS MATERIALIZED (SELECT scen, mass AS pconv FROM r6 WHERE state = 'conv'),
         |fullp AS (SELECT pconv AS pfull FROM conv WHERE scen = 'full'),
-        |eff AS (
+        |eff AS MATERIALIZED (
         |  SELECT scen AS channel, round(pconv, 6) AS conv_if_removed,
         |    round(1.0 - pconv / nullif(pfull, 0.0), 6) AS removal_effect
         |  FROM conv CROSS JOIN fullp WHERE scen <> 'full'),
-        |te AS (SELECT sum(removal_effect) AS te FROM eff)
+        |te AS MATERIALIZED (SELECT sum(removal_effect) AS te FROM eff)
         |SELECT channel, conv_if_removed, removal_effect,
         |  round(removal_effect / nullif(te, 0.0), 4) AS attribution_share
         |FROM eff CROSS JOIN te ORDER BY channel""".stripMargin,
+    // same U-shape: fixed-order rational credits, 6-dp channel sums
+    "e_position_attrib" ->
+      """WITH ev AS MATERIALIZED (
+        |  SELECT user_id, epoch_us(ts) AS tsus, event_id, event_type FROM events),
+        |fp AS MATERIALIZED (
+        |  SELECT user_id, min({'t': tsus, 'e': event_id}) AS fpk
+        |  FROM ev WHERE event_type = 'purchase' GROUP BY user_id),
+        |touches AS MATERIALIZED (
+        |  SELECT ev.user_id, event_type,
+        |    row_number() OVER (PARTITION BY ev.user_id ORDER BY tsus, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY ev.user_id) AS k
+        |  FROM ev JOIN fp USING (user_id)
+        |  WHERE event_type <> 'purchase'
+        |    AND {'t': tsus, 'e': event_id} < fpk),
+        |credited AS (
+        |  SELECT event_type AS channel,
+        |    CASE WHEN k = 1 THEN 1.0
+        |         WHEN k = 2 THEN 0.5
+        |         WHEN rn = 1 OR rn = k THEN 0.4
+        |         ELSE CAST(0.2 AS DOUBLE) / (k - 2) END AS credit
+        |  FROM touches),
+        |agg AS MATERIALIZED (
+        |  SELECT channel, round(sum(credit), 6) AS total_credit
+        |  FROM credited GROUP BY channel)
+        |SELECT channel, total_credit,
+        |  round(total_credit / sum(total_credit) OVER (), 4) AS share
+        |FROM agg ORDER BY channel""".stripMargin,
     // CV rounded to 6 dp before the threshold on both engines
     "e_bot_detect" ->
       """WITH g AS (
@@ -1634,14 +1697,14 @@ object Events {
     // per-user 4-dp sums, 6-dp theta/pre_mean scalars, then the fixed-order
     // per-row adjustment — identical rounding boundaries both engines
     "e_cuped" ->
-      """WITH ev AS (SELECT user_id, epoch_us(ts) AS t, value FROM events),
+      """WITH ev AS MATERIALIZED (SELECT user_id, epoch_us(ts) AS t, value FROM events),
         |mid AS (SELECT min(t) + (max(t) - min(t)) // 2 AS mid FROM ev),
-        |per AS (
+        |per AS MATERIALIZED (
         |  SELECT user_id, user_id % 2 AS variant,
         |    round(sum(CASE WHEN t < mid THEN value ELSE 0.0 END), 4) AS pre,
         |    round(sum(CASE WHEN t >= mid THEN value ELSE 0.0 END), 4) AS post
         |  FROM ev CROSS JOIN mid GROUP BY user_id),
-        |g AS (
+        |g AS MATERIALIZED (
         |  SELECT round(covar_samp(pre, post) / nullif(var_samp(pre), 0.0), 6)
         |           AS theta,
         |         round(avg(pre), 6) AS pre_mean

@@ -1111,27 +1111,27 @@ object Similarity {
         |FROM q JOIN n USING (label) ORDER BY label""".stripMargin,
     // the s_kmeans two-iteration chain verbatim, then cluster-local pairs
     "s_semdedup" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      """WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |seeds AS (SELECT vec_id AS cl, v AS cent FROM e WHERE vec_id < 8),
-        |a1 AS (
+        |a1 AS MATERIALIZED (
         |  SELECT vec_id, any_value(v) AS v, (max({'c': c, 'cl': cl})).cl AS cl FROM
         |    (SELECT e.vec_id, e.v, s.cl,
         |       round(list_dot_product(e.v, s.cent) /
         |         (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(s.cent, s.cent))), 9) AS c
         |     FROM e, seeds s)
         |  GROUP BY vec_id),
-        |m1 AS (
+        |m1 AS MATERIALIZED (
         |  SELECT cl, CAST(r.i AS INT) AS pos, avg(v[CAST(r.i AS INT) + 1]) AS mv
         |  FROM a1, range(64) r(i) GROUP BY cl, pos),
-        |c1 AS (SELECT cl, list(round(mv, 9) ORDER BY pos) AS cent FROM m1 GROUP BY cl),
-        |a2 AS (
+        |c1 AS MATERIALIZED (SELECT cl, list(round(mv, 9) ORDER BY pos) AS cent FROM m1 GROUP BY cl),
+        |a2 AS MATERIALIZED (
         |  SELECT vec_id, any_value(v) AS v, (max({'c': c, 'cl': cl})).cl AS cl FROM
         |    (SELECT e.vec_id, e.v, c1.cl,
         |       round(list_dot_product(e.v, c1.cent) /
         |         (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c1.cent, c1.cent))), 9) AS c
         |     FROM e, c1)
         |  GROUP BY vec_id),
-        |drp AS (
+        |drp AS MATERIALIZED (
         |  SELECT DISTINCT b.vec_id
         |  FROM a2 a JOIN a2 b ON a.cl = b.cl AND a.vec_id < b.vec_id
         |  WHERE round(list_dot_product(a.v, b.v) /
@@ -1143,42 +1143,42 @@ object Similarity {
         |GROUP BY a2.cl ORDER BY cl""".stripMargin,
     // the same greedy chain as four unrolled argmax CTEs
     "s_mmr_rerank" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      """WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
-        |cands AS (
+        |cands AS MATERIALIZED (
         |  SELECT vec_id, v, round(list_dot_product(v, qv) /
         |    (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 4) AS rel
         |  FROM e, q WHERE vec_id <> 0
         |  ORDER BY rel DESC, vec_id LIMIT 20),
-        |sims AS (
+        |sims AS MATERIALIZED (
         |  SELECT a.vec_id AS ia, a.rel AS rela, b.vec_id AS ib,
         |    round(list_dot_product(a.v, b.v) /
         |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS sim
         |  FROM cands a, cands b WHERE a.vec_id <> b.vec_id),
-        |s1 AS (SELECT vec_id, rel, 1 AS rank, rel AS mmr FROM cands
+        |s1 AS MATERIALIZED (SELECT vec_id, rel, 1 AS rank, rel AS mmr FROM cands
         |       ORDER BY rel DESC, vec_id LIMIT 1),
         |p2 AS (SELECT ia, rela, round(0.7 * rela - 0.3 * max(sim), 6) AS mmr
         |       FROM sims WHERE ib IN (SELECT vec_id FROM s1)
         |         AND ia NOT IN (SELECT vec_id FROM s1) GROUP BY ia, rela),
-        |s2 AS (SELECT ia AS vec_id, rela AS rel, 2 AS rank, mmr FROM p2
+        |s2 AS MATERIALIZED (SELECT ia AS vec_id, rela AS rel, 2 AS rank, mmr FROM p2
         |       ORDER BY mmr DESC, ia LIMIT 1),
-        |sel2 AS (SELECT vec_id FROM s1 UNION ALL SELECT vec_id FROM s2),
+        |sel2 AS MATERIALIZED (SELECT vec_id FROM s1 UNION ALL SELECT vec_id FROM s2),
         |p3 AS (SELECT ia, rela, round(0.7 * rela - 0.3 * max(sim), 6) AS mmr
         |       FROM sims WHERE ib IN (SELECT vec_id FROM sel2)
         |         AND ia NOT IN (SELECT vec_id FROM sel2) GROUP BY ia, rela),
-        |s3 AS (SELECT ia AS vec_id, rela AS rel, 3 AS rank, mmr FROM p3
+        |s3 AS MATERIALIZED (SELECT ia AS vec_id, rela AS rel, 3 AS rank, mmr FROM p3
         |       ORDER BY mmr DESC, ia LIMIT 1),
-        |sel3 AS (SELECT vec_id FROM sel2 UNION ALL SELECT vec_id FROM s3),
+        |sel3 AS MATERIALIZED (SELECT vec_id FROM sel2 UNION ALL SELECT vec_id FROM s3),
         |p4 AS (SELECT ia, rela, round(0.7 * rela - 0.3 * max(sim), 6) AS mmr
         |       FROM sims WHERE ib IN (SELECT vec_id FROM sel3)
         |         AND ia NOT IN (SELECT vec_id FROM sel3) GROUP BY ia, rela),
-        |s4 AS (SELECT ia AS vec_id, rela AS rel, 4 AS rank, mmr FROM p4
+        |s4 AS MATERIALIZED (SELECT ia AS vec_id, rela AS rel, 4 AS rank, mmr FROM p4
         |       ORDER BY mmr DESC, ia LIMIT 1),
-        |sel4 AS (SELECT vec_id FROM sel3 UNION ALL SELECT vec_id FROM s4),
+        |sel4 AS MATERIALIZED (SELECT vec_id FROM sel3 UNION ALL SELECT vec_id FROM s4),
         |p5 AS (SELECT ia, rela, round(0.7 * rela - 0.3 * max(sim), 6) AS mmr
         |       FROM sims WHERE ib IN (SELECT vec_id FROM sel4)
         |         AND ia NOT IN (SELECT vec_id FROM sel4) GROUP BY ia, rela),
-        |s5 AS (SELECT ia AS vec_id, rela AS rel, 5 AS rank, mmr FROM p5
+        |s5 AS MATERIALIZED (SELECT ia AS vec_id, rela AS rel, 5 AS rank, mmr FROM p5
         |       ORDER BY mmr DESC, ia LIMIT 1)
         |SELECT CAST(rank AS BIGINT) AS rank, vec_id, rel, mmr FROM (
         |  SELECT vec_id, rel, rank, mmr FROM s1

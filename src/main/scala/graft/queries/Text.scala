@@ -929,14 +929,14 @@ object Text {
     // identical literal spelling both engines; only the per-doc sum of
     // <=3 contributions is order-dependent -> rounded to 6 dp
     "t_bm25_topk" ->
-      """WITH toks AS (
+      """WITH toks AS MATERIALIZED (
         |  SELECT doc_id,
         |    string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+') AS sp
         |  FROM documents),
-        |dl AS (SELECT doc_id, CAST(len(sp) AS DOUBLE) AS dl FROM toks),
+        |dl AS MATERIALIZED (SELECT doc_id, CAST(len(sp) AS DOUBLE) AS dl FROM toks),
         |stats AS (
         |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
-        |tf AS (
+        |tf AS MATERIALIZED (
         |  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
         |  FROM (SELECT doc_id, unnest(sp) AS term FROM toks) u
         |  WHERE term IN ('hash', 'join', 'filter') GROUP BY doc_id, term),
@@ -955,7 +955,7 @@ object Text {
     // 1-based positions shift-invariantly form the same islands; integer
     // deg/freq, one division per word, 6-dp phrase sums
     "t_rake_topk" ->
-      """WITH docs AS (
+      """WITH docs AS MATERIALIZED (
         |  SELECT doc_id,
         |    string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+') AS sp
         |  FROM documents),
@@ -967,22 +967,22 @@ object Text {
         |  SELECT doc_id, pt.pos AS pos, pt.tok AS tok FROM tk
         |  WHERE pt.tok NOT IN ('the', 'a', 'of', 'and', 'to', 'in')
         |    AND pt.tok <> ''),
-        |g AS (
+        |g AS MATERIALIZED (
         |  SELECT doc_id, pos, tok,
         |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
         |  FROM ns),
-        |mem AS (
+        |mem AS MATERIALIZED (
         |  SELECT doc_id, grp, tok,
         |    count(*) OVER (PARTITION BY doc_id, grp) AS plen
         |  FROM g),
-        |wsc AS (
+        |wsc AS MATERIALIZED (
         |  SELECT tok,
         |    CAST(CAST(sum(plen) AS BIGINT) AS DOUBLE) / count(*) AS ws
         |  FROM mem GROUP BY tok),
-        |inst AS (
+        |inst AS MATERIALIZED (
         |  SELECT doc_id, grp, string_agg(tok, ' ' ORDER BY pos) AS phrase
         |  FROM g GROUP BY doc_id, grp),
-        |occ AS (SELECT phrase, count(*) AS n_occur FROM inst GROUP BY phrase),
+        |occ AS MATERIALIZED (SELECT phrase, count(*) AS n_occur FROM inst GROUP BY phrase),
         |px AS (
         |  SELECT phrase, n_occur, unnest(string_split(phrase, ' ')) AS tok
         |  FROM occ)

@@ -333,6 +333,45 @@ class EvalSpec extends SparkSpec {
     assert(math.abs(r.map(_.getAs[Double]("share")).sum - 1.0) < 0.005)
   }
 
+  test("e_position_attrib: every touched journey distributes exactly one credit") {
+    import org.apache.spark.sql.functions._
+    val r = Events.queries("e_position_attrib")(spark, sf).collect()
+    assert(r.nonEmpty)
+    // users with at least one non-purchase touch strictly before their
+    // first purchase — each such journey hands out credits summing to 1.0
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("tsus"),
+        col("event_id"), col("event_type"))
+    val fp = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(min(struct(col("tsus"), col("event_id"))).as("fpk"))
+    val touched = ev.join(fp, Seq("user_id"))
+      .filter(col("event_type") =!= "purchase" &&
+        struct(col("tsus"), col("event_id")) < col("fpk"))
+      .select("user_id").distinct().count()
+    val total = r.map(_.getAs[Double]("total_credit")).sum
+    assert(math.abs(total - touched) < 1e-3,
+      s"credit conservation: $total vs $touched journeys")
+    assert(math.abs(r.map(_.getAs[Double]("share")).sum - 1.0) < 0.005)
+  }
+
+  test("c_filter_agreement: combinations census all docs; marginals match the gates") {
+    val r = Curation.queries("c_filter_agreement")(spark, sf).collect()
+    assert(r.length <= 8)
+    assert(r.map(_.getAs[Long]("n_docs")).sum ==
+      Tables.t(spark, sf, "documents").count())
+    assert(math.abs(r.map(_.getAs[Double]("share")).sum - 1.0) < 0.005)
+    // marginal cross-checks against the standalone gate queries
+    val gopherPass = Curation.queries("c_gopher_quality")(spark, sf).collect()
+      .map(_.getAs[Long]("n_pass")).sum
+    assert(r.filter(_.getAs[Boolean]("pass_gopher"))
+      .map(_.getAs[Long]("n_docs")).sum == gopherPass)
+    val qualityKept = Text.queries("t_quality_filter")(spark, sf).collect()
+      .map(_.getAs[Long]("kept")).sum
+    assert(r.filter(_.getAs[Boolean]("pass_quality"))
+      .map(_.getAs[Long]("n_docs")).sum == qualityKept)
+  }
+
   test("c_k_anonymity: class arithmetic is self-consistent") {
     val r = Curation.queries("c_k_anonymity")(spark, sf).collect()
     assert(r.length == 1)

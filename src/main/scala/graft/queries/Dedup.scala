@@ -300,6 +300,46 @@ object Dedup {
             size(col("ga")), 4).as("containment"))
         .filter(col("containment") >= 0.9)
         .orderBy("id_a", "id_b")
+    }),
+
+    // Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003 — the MOSS
+    // algorithm): char-8-gram hashes of the normalized text, then the MIN
+    // hash of every 4-hash window, distinct — guarantees any match of
+    // length ≥ k+w−1 shares a fingerprint while keeping O(len/w)
+    // fingerprints per doc. Everything is per-row array HOFs over md5
+    // draws both engines share (no UDF, no shuffle before the final
+    // aggregate); the planted exact dups must agree on their ENTIRE
+    // fingerprint set, so full-overlap pair recall is 1.0 by
+    // construction — which the oracle pins, proving the whole
+    // gram→hash→winnow chain byte-identical cross-engine.
+    "d_winnow_fingerprints" -> ((s, d) => {
+      val k = 8
+      val w = 4
+      val docs = Dedup.corpusWithDups(s, d)
+        .select(col("doc_id"), Text.normText(col("text")).as("nt"))
+        .filter(length(col("nt")) >= k + w - 1)
+      val fps = docs.select(col("doc_id"),
+        expr(s"""array_distinct(transform(
+            sequence(0, length(nt) - $k - ${w - 1}),
+            j -> array_min(transform(sequence(j, j + ${w - 1}),
+              i -> cast(conv(substring(md5(substring(nt, i + 1, $k)), 1, 12),
+                16, 10) as bigint)))))""").as("fps"))
+      val planted = fps.filter(col("doc_id") % 10 === 1)
+        .select((col("doc_id") - 1).as("doc_id"), col("fps").as("fps_b"))
+      val pairs = fps.join(planted, "doc_id")
+        .select((size(array_intersect(col("fps"), col("fps_b"))) ===
+          size(col("fps")) &&
+          size(col("fps")) === size(col("fps_b"))).as("full_overlap"))
+      val stats = fps.agg(count(lit(1)).as("n_docs"),
+        round(avg(size(col("fps"))), 4).as("avg_n_fps"))
+      val recall = pairs.agg(count(lit(1)).as("n_planted_pairs"),
+        sum(when(col("full_overlap"), 1L).otherwise(0L)).cast("bigint")
+          .as("n_full_overlap"))
+      stats.crossJoin(recall)
+        .select(col("n_docs"), col("avg_n_fps"), col("n_planted_pairs"),
+          col("n_full_overlap"),
+          round(col("n_full_overlap") / col("n_planted_pairs"), 4)
+            .as("recall"))
     })
   )
 
@@ -390,6 +430,43 @@ object Dedup {
         |  round(CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE) / len(a.gr), 4) AS containment
         |FROM g a, g b WHERE a.doc_id <> b.doc_id
         |  AND round(CAST(len(list_intersect(a.gr, b.gr)) AS DOUBLE) / len(a.gr), 4) >= 0.9
-        |ORDER BY id_a, id_b""".stripMargin
+        |ORDER BY id_a, id_b""".stripMargin,
+    // identical md5 gram draws; only set sizes/intersections compared, so
+    // list_distinct order differences can't matter
+    "d_winnow_fingerprints" ->
+      """WITH dups AS MATERIALIZED (
+        |  SELECT doc_id * 2 AS doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id * 2 + 1 AS doc_id, text FROM documents
+        |  WHERE doc_id % 5 = 0),
+        |norm AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    lower(trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS nt
+        |  FROM dups),
+        |fps AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(0, length(nt) - 10),
+        |      j -> list_min(list_transform(range(j, j + 4),
+        |        i -> CAST('0x' || substr(md5(substr(nt, CAST(i AS INT) + 1, 8)),
+        |          1, 12) AS BIGINT))))) AS fps
+        |  FROM norm WHERE length(nt) >= 11),
+        |planted AS (
+        |  SELECT doc_id - 1 AS doc_id, fps AS fps_b FROM fps
+        |  WHERE doc_id % 10 = 1),
+        |pairs AS (
+        |  SELECT (len(list_intersect(f.fps, p.fps_b)) = len(f.fps)
+        |          AND len(f.fps) = len(p.fps_b)) AS full_overlap
+        |  FROM fps f JOIN planted p USING (doc_id)),
+        |stats AS (
+        |  SELECT count(*) AS n_docs, round(avg(len(fps)), 4) AS avg_n_fps
+        |  FROM fps),
+        |recall AS (
+        |  SELECT count(*) AS n_planted_pairs,
+        |    CAST(sum(CASE WHEN full_overlap THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_full_overlap
+        |  FROM pairs)
+        |SELECT n_docs, avg_n_fps, n_planted_pairs, n_full_overlap,
+        |  round(CAST(n_full_overlap AS DOUBLE) / n_planted_pairs, 4) AS recall
+        |FROM stats CROSS JOIN recall""".stripMargin
   )
 }

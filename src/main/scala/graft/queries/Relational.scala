@@ -987,16 +987,20 @@ object Relational {
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'ASIA'
         |GROUP BY n_name, yr ORDER BY n_name, yr""".stripMargin,
+    // row_number form, NOT max(struct-with-varchar): DuckDB's struct-max
+    // aggregate degraded superlinearly at sf1 (>5 min vs 4 s for the
+    // window; orderkey is unique so both pick the identical row)
     "q_latest_by_key" ->
       """WITH m AS (
-        |  SELECT o_custkey,
-        |    max({'dt': CAST(o_orderdate AS DATE), 'ok': o_orderkey,
-        |         'st': o_orderstatus, 'price': o_totalprice}) AS r
-        |  FROM orders GROUP BY o_custkey)
-        |SELECT o_custkey, CAST(r.dt AS VARCHAR) AS last_date,
-        |  r.ok AS last_orderkey, r.st AS last_status,
-        |  round(r.price, 2) AS last_price
-        |FROM m ORDER BY o_custkey""".stripMargin,
+        |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS dt, o_orderkey AS ok,
+        |    o_orderstatus AS st, o_totalprice AS price,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY CAST(o_orderdate AS DATE) DESC, o_orderkey DESC) AS rn
+        |  FROM orders)
+        |SELECT o_custkey, CAST(dt AS VARCHAR) AS last_date,
+        |  ok AS last_orderkey, st AS last_status,
+        |  round(price, 2) AS last_price
+        |FROM m WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |round(sum(l_quantity),2) AS sum_qty,

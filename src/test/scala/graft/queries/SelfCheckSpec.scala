@@ -88,4 +88,36 @@ class SelfCheckSpec extends SparkSpec {
     assert(mips == exact,
       s"norm-augmentation reduction must preserve the MIP top-k: $mips vs $exact")
   }
+
+  test("d_winnow_fingerprints: planted dups share whole sets; winnowing guarantee holds") {
+    val r = Dedup.queries("d_winnow_fingerprints")(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    assert(row.getAs[Long]("n_planted_pairs") > 0)
+    assert(row.getAs[Long]("n_full_overlap") == row.getAs[Long]("n_planted_pairs"))
+    assert(row.getAs[Double]("recall") == 1.0)
+    // winnowing compresses: far fewer fingerprints than characters
+    assert(row.getAs[Double]("avg_n_fps") > 0.0)
+    // the SWA guarantee: two texts sharing a substring of length >= k+w-1
+    // (= 11) must share at least one fingerprint — check on a constructed
+    // pair that is otherwise completely different
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val shared = "ABCDEFGHIJK" // 11 chars, length k+w-1
+    val df = Seq(
+      (1L, s"xxxxyyyyzzzz${shared}qqqqwwww"),
+      (2L, s"mmnnoopp${shared}rrsstt")).toDF("doc_id", "text")
+    val k = 8; val w = 4
+    val fps = df
+      .select(col("doc_id"), graft.queries.Text.normText(col("text")).as("nt"))
+      .select(col("doc_id"),
+        expr(s"""array_distinct(transform(
+            sequence(0, length(nt) - $k - ${w - 1}),
+            j -> array_min(transform(sequence(j, j + ${w - 1}),
+              i -> cast(conv(substring(md5(substring(nt, i + 1, $k)), 1, 12),
+                16, 10) as bigint)))))""").as("fps"))
+      .collect().map(r0 => r0.getLong(0) -> r0.getSeq[Long](1).toSet).toMap
+    assert(fps(1L).intersect(fps(2L)).nonEmpty,
+      "a shared 11-char window must produce a shared fingerprint")
+  }
 }

@@ -156,6 +156,16 @@ object GraftFunctions {
       s"minhash_sigs expects 4 arguments (text, k, n, seed), got ${other.size}")
   }
 
+  /** `winnow_fps(text, k, w)` — k/w must be int literals. */
+  val winnowBuilder: Seq[Expression] => Expression = {
+    case Seq(c, k, w) =>
+      WinnowFps(c,
+        litParam("winnow_fps", "k", k).toInt,
+        litParam("winnow_fps", "w", w).toInt)
+    case other => throw new IllegalArgumentException(
+      s"winnow_fps expects 3 arguments (text, k, w), got ${other.size}")
+  }
+
   val simHashBuilder: Seq[Expression] => Expression = {
     case Seq(c, s) =>
       SimHash64(c, litParam("simhash64", "seed", s))
@@ -210,6 +220,12 @@ object GraftFunctions {
         new ExpressionInfo(classOf[SimHash64].getCanonicalName, "simhash64"),
         simHashBuilder)
     }
+    val wf = FunctionIdentifier("winnow_fps")
+    if (!registry.functionExists(wf)) {
+      registry.registerFunction(wf,
+        new ExpressionInfo(classOf[WinnowFps].getCanonicalName, "winnow_fps"),
+        winnowBuilder)
+    }
   }
 
   /** Column API: `cosineSim(a, b)` after `ensureRegistered`. */
@@ -228,6 +244,12 @@ object GraftFunctions {
   def simhash64(text: Column, seed: Long = 42L): Column = {
     import org.apache.spark.sql.functions.lit
     call_function("simhash64", text, lit(seed))
+  }
+
+  /** Column API: winnowed k-gram fingerprints, after `ensureRegistered`. */
+  def winnowFps(text: Column, k: Int, w: Int): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function("winnow_fps", text, lit(k), lit(w))
   }
 
   /** Column API: `unicodeNorm(c, "NFC")` after `ensureRegistered`. */
@@ -255,5 +277,8 @@ class GraftSessionExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getCanonicalName, "simhash64"),
       GraftFunctions.simHashBuilder))
+    ext.injectFunction((FunctionIdentifier("winnow_fps"),
+      new ExpressionInfo(classOf[WinnowFps].getCanonicalName, "winnow_fps"),
+      GraftFunctions.winnowBuilder))
   }
 }

@@ -64,6 +64,64 @@ object Sketches {
     new GenericArrayData(mins)
   }
 
+  // one MessageDigest per executor thread — getInstance per row would be
+  // garbage; reset() makes reuse safe
+  private val md5Local: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003) in one pass:
+    * md5 each char-k-gram (first 48 bits, matching the SQL draw
+    * `conv(substring(md5(substring(nt, i+1, k)), 1, 12), 16, 10)` exactly —
+    * 12 hex chars = the digest's first 6 bytes), slide a w-window min, and
+    * emit distinct mins in first-occurrence order (the `array_distinct`
+    * contract). The HOF formulation materializes a boxed Long array and
+    * interprets four lambda frames per window; this is the same draw
+    * sequence in one tight primitive loop. Texts too short for a single
+    * window (numChars < k + w − 1) return an empty array.
+    */
+  def winnow(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val bytes = text.getBytes
+    val numChars = text.numChars()
+    val numGrams = numChars - k + 1
+    if (numGrams < w) return new GenericArrayData(Array.empty[Long])
+    val off = new Array[Int](numChars + 1)
+    var c = 0
+    var b = 0
+    while (c < numChars) {
+      off(c) = b
+      b += UTF8String.numBytesForFirstByte(bytes(b))
+      c += 1
+    }
+    off(numChars) = bytes.length
+    val md = md5Local.get()
+    val gh = new Array[Long](numGrams)
+    var i = 0
+    while (i < numGrams) {
+      md.reset()
+      md.update(bytes, off(i), off(i + k) - off(i))
+      val d = md.digest()
+      gh(i) = ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) |
+        ((d(2) & 0xffL) << 24) | ((d(3) & 0xffL) << 16) |
+        ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
+      i += 1
+    }
+    val seen = new java.util.HashSet[Long]()
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var j = 0
+    val numWin = numGrams - w + 1
+    while (j < numWin) {
+      var m = gh(j)
+      var t = 1
+      while (t < w) {
+        if (gh(j + t) < m) m = gh(j + t)
+        t += 1
+      }
+      if (seen.add(m)) out += m
+      j += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** 64-bit SimHash over space-separated tokens of (already-normalized)
     * `text`: per token, hash its bytes; bit b of the signature is set when
     * the +1/−1 sum of token-hash bit b over all tokens is positive.
@@ -124,6 +182,28 @@ case class MinHashSigs(child: Expression, k: Int, n: Int, seed: Long)
       s"graft.functions.Sketches.minhash($c, $k, $n, ${seed}L)")
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSigs =
+    copy(child = newChild)
+}
+
+/** `winnow_fps(text)` → array<bigint> of distinct winnowed k-gram mins. */
+case class WinnowFps(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes() =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.catalogString}")
+  override def prettyName: String = "winnow_fps"
+
+  override def nullSafeEval(input: Any): Any =
+    Sketches.winnow(input.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Sketches.winnow($c, $k, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFps =
     copy(child = newChild)
 }
 

@@ -481,6 +481,11 @@ object Multimodal {
       .as[Long]
       .mapPartitions { it =>
         it.flatMap { id =>
+          // Twin ids live at id + 10M; a real doc_id at or past 10M would
+          // collide with the twin range and silently break the
+          // media_id >= 10M split every consumer relies on — fail fast.
+          require(id < 10000000L,
+            s"imagesWithDups: doc_id $id collides with the +10M twin-id range")
           val w = 4 + (id % 29).toInt
           val h = 4 + (id % 17).toInt
           val orig = Media(id, "image", syntheticPng(id, w, h))

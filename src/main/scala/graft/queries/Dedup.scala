@@ -318,12 +318,18 @@ object Dedup {
       val docs = Dedup.corpusWithDups(s, d)
         .select(col("doc_id"), Text.normText(col("text")).as("nt"))
         .filter(length(col("nt")) >= k + w - 1)
+      // Native single-pass expression (the `minhash_sigs` precedent): the
+      // HOF formulation recomputed each gram's md5 inside every one of the
+      // w windows covering it — 4× redundant md5 in interpreted lambda
+      // frames, measured 17 s at sf0.1; a two-projection HOF rewrite
+      // (gram-hash array, then array_min(slice(...))) still paid ~5.6 s in
+      // HOF interpretation. `winnow_fps` draws the SAME hash sequence
+      // (md5 first 48 bits per char-k-gram, w-window min, distinct in
+      // first-occurrence order) in one codegen'd loop — values are
+      // bit-identical to the SQL draw, proven by SketchesSpec parity.
+      graft.functions.GraftFunctions.ensureRegistered(s)
       val fps = docs.select(col("doc_id"),
-        expr(s"""array_distinct(transform(
-            sequence(0, length(nt) - $k - ${w - 1}),
-            j -> array_min(transform(sequence(j, j + ${w - 1}),
-              i -> cast(conv(substring(md5(substring(nt, i + 1, $k)), 1, 12),
-                16, 10) as bigint)))))""").as("fps"))
+        graft.functions.GraftFunctions.winnowFps(col("nt"), k, w).as("fps"))
       val planted = fps.filter(col("doc_id") % 10 === 1)
         .select((col("doc_id") - 1).as("doc_id"), col("fps").as("fps_b"))
       val pairs = fps.join(planted, "doc_id")

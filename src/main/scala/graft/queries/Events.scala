@@ -1027,7 +1027,15 @@ object Events {
         .agg(sum(expr("shiftleft(1, idx)")).as("emask"))
       val setConv = userMask.join(conv, "user_id")
         .groupBy("emask").agg(sum("conv").cast("bigint").as("cv"))
+      // The 2^n lattice (and factorial(nch), and shiftleft(1, idx)) is
+      // only valid for a small channel vocabulary: factorial overflows
+      // null past 20, shiftleft wraps past 31, and the lattice itself
+      // explodes. Fail fast in-plan rather than silently mis-attribute.
       val coal = ch.agg(count(lit(1)).cast("int").as("nch"))
+        .select(expr(
+          "case when nch > 20 then cast(raise_error(concat(" +
+            "'e_shapley_attrib: 2^n coalition lattice requires channel " +
+            "vocab <= 20, got ', nch)) as int) else nch end").as("nch"))
         .select(col("nch"),
           explode(expr("sequence(0, shiftleft(1, nch) - 1)")).as("tmask"))
       val vt = coal.crossJoin(broadcast(setConv))

@@ -653,7 +653,7 @@ object Similarity {
       sv.join(n, "label")
         .select(col("label"), col("n"),
           round((col("ssq") - col("n").cast("double")) /
-            (col("n").cast("double") * (col("n").cast("double") - lit(1.0))), 6)
+            expr("nullif(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0), 0d)"), 6)
             .as("mean_pair_cos"))
         .orderBy("label")
     }),
@@ -1107,7 +1107,7 @@ object Similarity {
         |n AS (SELECT label, count(*) AS n FROM e GROUP BY label)
         |SELECT label, n.n AS n,
         |  round((ssq - CAST(n.n AS DOUBLE)) /
-        |    (CAST(n.n AS DOUBLE) * (CAST(n.n AS DOUBLE) - 1.0)), 6) AS mean_pair_cos
+        |    nullif(CAST(n.n AS DOUBLE) * (CAST(n.n AS DOUBLE) - 1.0), 0.0), 6) AS mean_pair_cos
         |FROM q JOIN n USING (label) ORDER BY label""".stripMargin,
     // the s_kmeans two-iteration chain verbatim, then cluster-local pairs
     "s_semdedup" ->

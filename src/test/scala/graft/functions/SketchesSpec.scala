@@ -89,15 +89,57 @@ class SketchesSpec extends SparkSpec {
       eNonLit.getMessage.contains("literal"), eNonLit.getMessage)
   }
 
+  test("winnow: native draws are bit-identical to the SQL md5/conv formulation") {
+    GraftFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    // the exact draw d_winnow_fingerprints' oracle pins, spelled in SQL —
+    // the native expression must reproduce it value-for-value, including
+    // CHAR-based grams over multi-byte text and array_distinct order
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "aaaaaaaaaaaaaaaaaaaaaa", // degenerate: all grams identical → 1 fp
+      "한국어 문서입니다 테스트 텍스트 구간",
+      "mixed 한글 and ascii text with spaces  and   runs")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "nt")
+    val k = 8
+    val w = 4
+    val sql = df.selectExpr("id",
+      s"""array_distinct(transform(
+          sequence(0, length(nt) - $k - ${w - 1}),
+          j -> array_min(transform(sequence(j, j + ${w - 1}),
+            i -> cast(conv(substring(md5(substring(nt, i + 1, $k)), 1, 12),
+              16, 10) as bigint))))) AS fps""")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val native = df.select(col("id"),
+      GraftFunctions.winnowFps(col("nt"), k, w).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    texts.indices.foreach { i =>
+      assert(native(i.toLong) == sql(i.toLong), s"text #$i diverged")
+    }
+  }
+
+  test("winnow: text too short for one window yields an empty array") {
+    GraftFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    val out = Seq((1L, "abcdefghij")) // 10 chars < k + w - 1 = 11
+      .toDF("id", "nt")
+      .select(GraftFunctions.winnowFps(col("nt"), 8, 4))
+      .collect()
+    assert(out.head.getSeq[Long](0).isEmpty)
+  }
+
   test("codegen path compiles and matches interpreted eval") {
     val mh = MinHashSigs(BoundReference(0, StringType, nullable = true), 5, 8, 42L)
     val sh = SimHash64(BoundReference(0, StringType, nullable = true), 42L)
-    val proj = GenerateUnsafeProjection.generate(Seq(mh, sh))
+    val wf = WinnowFps(BoundReference(0, StringType, nullable = true), 8, 4)
+    val proj = GenerateUnsafeProjection.generate(Seq(mh, sh, wf))
     val row = org.apache.spark.sql.catalyst.InternalRow(
       UTF8String.fromString("the quick brown fox"))
     val out = proj(row)
     val interpMh = mh.eval(row).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     assert(out.getArray(0).toLongArray.toSeq == interpMh.toLongArray.toSeq)
     assert(out.getLong(1) == sh.eval(row))
+    val interpWf = wf.eval(row).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    assert(out.getArray(2).toLongArray.toSeq == interpWf.toLongArray.toSeq)
   }
 }

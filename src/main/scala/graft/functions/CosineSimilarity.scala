@@ -156,6 +156,14 @@ object GraftFunctions {
       s"minhash_sigs expects 4 arguments (text, k, n, seed), got ${other.size}")
   }
 
+  /** `char_ngrams(text, n)` — n must be an int literal. */
+  val charNgramsBuilder: Seq[Expression] => Expression = {
+    case Seq(c, n) =>
+      CharNgrams(c, litParam("char_ngrams", "n", n).toInt)
+    case other => throw new IllegalArgumentException(
+      s"char_ngrams expects 2 arguments (text, n), got ${other.size}")
+  }
+
   /** `winnow_fps(text, k, w)` — k/w must be int literals. */
   val winnowBuilder: Seq[Expression] => Expression = {
     case Seq(c, k, w) =>
@@ -226,6 +234,12 @@ object GraftFunctions {
         new ExpressionInfo(classOf[WinnowFps].getCanonicalName, "winnow_fps"),
         winnowBuilder)
     }
+    val cn = FunctionIdentifier("char_ngrams")
+    if (!registry.functionExists(cn)) {
+      registry.registerFunction(cn,
+        new ExpressionInfo(classOf[CharNgrams].getCanonicalName, "char_ngrams"),
+        charNgramsBuilder)
+    }
   }
 
   /** Column API: `cosineSim(a, b)` after `ensureRegistered`. */
@@ -250,6 +264,12 @@ object GraftFunctions {
   def winnowFps(text: Column, k: Int, w: Int): Column = {
     import org.apache.spark.sql.functions.lit
     call_function("winnow_fps", text, lit(k), lit(w))
+  }
+
+  /** Column API: all char-n-grams in order, after `ensureRegistered`. */
+  def charNgrams(text: Column, n: Int): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function("char_ngrams", text, lit(n))
   }
 
   /** Column API: `unicodeNorm(c, "NFC")` after `ensureRegistered`. */
@@ -280,5 +300,8 @@ class GraftSessionExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("winnow_fps"),
       new ExpressionInfo(classOf[WinnowFps].getCanonicalName, "winnow_fps"),
       GraftFunctions.winnowBuilder))
+    ext.injectFunction((FunctionIdentifier("char_ngrams"),
+      new ExpressionInfo(classOf[CharNgrams].getCanonicalName, "char_ngrams"),
+      GraftFunctions.charNgramsBuilder))
   }
 }

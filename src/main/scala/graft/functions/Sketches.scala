@@ -122,6 +122,36 @@ object Sketches {
     new GenericArrayData(out.toArray)
   }
 
+  /** All char-n-grams of `text` in order — the SQL draw
+    * `transform(sequence(1, length(p) - (n-1)), i -> substring(p, i, n))`
+    * (CHAR windows, so multi-byte code points never split) without the
+    * interpreted HOF lambda frames: one offset scan, then zero-copy
+    * UTF8String slices. Texts shorter than n chars yield an empty array,
+    * matching the SQL form's empty sequence.
+    */
+  def charNgrams(text: UTF8String, n: Int): ArrayData = {
+    val bytes = text.getBytes
+    val numChars = text.numChars()
+    val numGrams = numChars - n + 1
+    if (numGrams <= 0) return new GenericArrayData(Array.empty[Any])
+    val off = new Array[Int](numChars + 1)
+    var c = 0
+    var b = 0
+    while (c < numChars) {
+      off(c) = b
+      b += UTF8String.numBytesForFirstByte(bytes(b))
+      c += 1
+    }
+    off(numChars) = bytes.length
+    val out = new Array[Any](numGrams)
+    var i = 0
+    while (i < numGrams) {
+      out(i) = UTF8String.fromBytes(bytes, off(i), off(i + n) - off(i))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** 64-bit SimHash over space-separated tokens of (already-normalized)
     * `text`: per token, hash its bytes; bit b of the signature is set when
     * the +1/−1 sum of token-hash bit b over all tokens is positive.
@@ -204,6 +234,27 @@ case class WinnowFps(child: Expression, k: Int, w: Int)
     defineCodeGen(ctx, ev, c => s"graft.functions.Sketches.winnow($c, $k, $w)")
 
   override protected def withNewChildInternal(newChild: Expression): WinnowFps =
+    copy(child = newChild)
+}
+
+/** `char_ngrams(text)` → array<string> of all char-n-grams in order. */
+case class CharNgrams(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes() =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.catalogString}")
+  override def prettyName: String = "char_ngrams"
+
+  override def nullSafeEval(input: Any): Any =
+    Sketches.charNgrams(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Sketches.charNgrams($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharNgrams =
     copy(child = newChild)
 }
 

@@ -311,35 +311,45 @@ object Events {
     "e_pagerank" -> ((s, d) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       val ev = Tables.events(s, d)
-      val edges = ev
+      // ONE stream-sized pass: the lag window + a (src, dst) count whose
+      // null-src groups retain each user's FIRST event, so the aggregate
+      // carries BOTH the edge list and the full node vocabulary (distinct
+      // dst over all groups). The aggregate is |types|²-bounded at any
+      // data volume, so collecting it is a bounded scalar extract — the
+      // Markov precedent (e_markov_attribution above): the previous
+      // all-DataFrame power method scheduled ~9 tiny stages over <20-row
+      // graphs and needed a persist + a SECOND stream scan for the node
+      // set; driver-side iteration eliminates both. Only the final rank
+      // is rounded (6 dp, HALF_UP = Spark round), matching the oracle's
+      // raw-intermediate trajectory.
+      val cells = ev
         .withColumn("src", lag("event_type", 1).over(w))
-        .filter(col("src").isNotNull)
         .groupBy(col("src"), col("event_type").as("dst"))
         .agg(count(lit(1)).as("n"))
-      val out = edges.groupBy("src").agg(sum("n").as("tot"))
-      // persist the |types|²-row graph and node set: every iteration
-      // references them, and without the cache each reference re-executes
-      // the full stream scan + lag window (measured 17 scans for 3
-      // iterations) — the standard iterative-algorithm cache, exactly what
-      // GraphX/ALS do with their edge lists. Cache lifetime: Verify/Bench
-      // clearCache() after each query's final consumer.
-      val p = edges.join(out, "src")
-        .select(col("src"), col("dst"), (col("n") / col("tot")).as("p"))
-        .persist()
-      val nodes = ev.select(col("event_type").as("v")).distinct().persist()
-      val nn = nodes.agg(count(lit(1)).cast("double").as("nn"))
-      var r = nodes.crossJoin(broadcast(nn))
-        .select(col("v"), (lit(1.0) / col("nn")).as("r"))
+        .collect()
+        .map(r0 => (Option(r0.getString(0)), r0.getString(1), r0.getLong(2)))
+      val nodes = cells.map(_._2).distinct.sorted
+      val edges = cells.collect { case (Some(src), dst, n) => (src, dst, n) }
+      val tot = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._3).sum }
+      val p = edges.map { case (src, dst, n) => (src, dst, n.toDouble / tot(src)) }
+      val nn = nodes.length.toDouble
+      var r: Map[String, Double] = nodes.map(v => v -> 1.0 / nn).toMap
       for (_ <- 1 to 3) {
-        val contrib = p.join(r, p("src") === r("v"))
-          .groupBy(col("dst")).agg(sum(col("p") * col("r")).as("inr"))
-        r = nodes.crossJoin(broadcast(nn))
-          .join(contrib, col("v") === col("dst"), "left")
-          .select(col("v"),
-            (lit(0.15) / col("nn") + lit(0.85) * coalesce(col("inr"), lit(0.0))).as("r"))
+        // deterministic (sorted-src) addition order per dst
+        val inr = p.groupBy(_._2).map { case (dst, v) =>
+          dst -> v.sortBy(_._1).map(t => t._3 * r(t._1)).sum
+        }
+        r = nodes.map(v => v -> (0.15 / nn + 0.85 * inr.getOrElse(v, 0.0))).toMap
       }
-      r.select(col("v").as("event_type"), round(col("r"), 6).as("pagerank"))
-        .orderBy("event_type")
+      val rows: java.util.List[org.apache.spark.sql.Row] = new java.util.ArrayList()
+      nodes.foreach { v =>
+        rows.add(org.apache.spark.sql.Row(v,
+          BigDecimal(r(v)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }
+      import org.apache.spark.sql.types._
+      s.createDataFrame(rows, StructType(Seq(
+        StructField("event_type", StringType, nullable = true),
+        StructField("pagerank", DoubleType, nullable = true))))
     }),
 
     // Sliding-rate detector — each event annotated with the count of

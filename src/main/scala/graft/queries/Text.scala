@@ -464,12 +464,19 @@ object Text {
       // to (lang, trigram), and the classify pass semi-filters it through
       // the broadcast profile BEFORE any per-doc work, so nothing
       // doc×trigram-sized ever shuffles or sits in memory (an earlier
-      // per-doc-count cache held ~8M rows for the rest of the session)
+      // per-doc-count cache held ~8M rows for the rest of the session).
+      // Trigrams come from the native char_ngrams expression, not the
+      // transform(sequence(...)) HOF — HOF lambdas evaluate interpreted,
+      // and this stream is walked twice. Measured at sf0.1: HOF 4.2 s,
+      // HOF+persist 3.6 s, native 2.5 s, native+persist 3.1 s (caching
+      // 12M short strings costs more than a second codegen'd scan) — so:
+      // native, no cache.
+      graft.functions.GraftFunctions.ensureRegistered(s)
       val tgStream = t(s, d, "documents")
         .select(col("doc_id"), col("lang"), prefix.as("p"))
         .filter(length(col("p")) >= 3)
-        .select(col("doc_id"), col("lang"), explode(expr(
-          "transform(sequence(1, length(p) - 2), i -> substring(p, i, 3))")).as("tg"))
+        .select(col("doc_id"), col("lang"),
+          explode(graft.functions.GraftFunctions.charNgrams(col("p"), 3)).as("tg"))
       // profile by DISTINCTIVENESS (lift = p(tg|lang)/p(tg), rounded as
       // the rank key), not raw frequency — raw top-30 is dominated by
       // trigrams every language shares ("e ", " th"), which carry no

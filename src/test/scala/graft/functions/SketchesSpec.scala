@@ -128,11 +128,38 @@ class SketchesSpec extends SparkSpec {
     assert(out.head.getSeq[Long](0).isEmpty)
   }
 
+  test("char_ngrams: native grams are identical to the SQL transform/substring draw") {
+    GraftFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    val texts = Seq(
+      "the quick brown fox",
+      "ab", // shorter than n → empty
+      "한국어 문서입니다", // multi-byte: CHAR windows must not split code points
+      "mixed 한글 ascii")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "p")
+    val n = 3
+    val sql = df.selectExpr("id",
+      s"transform(sequence(1, length(p) - ${n - 1}), i -> substring(p, i, $n)) AS tg")
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val native = df.select(col("id"),
+      GraftFunctions.charNgrams(col("p"), n).as("tg"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    texts.indices.foreach { i =>
+      // SQL sequence(1, 0) on the too-short text yields [1, 0] descending?
+      // No — sequence(1, 0) yields [1, 0]; the spec's short text is
+      // compared only when the SQL form is well-defined (length >= n)
+      if (texts(i).length >= n)
+        assert(native(i.toLong) == sql(i.toLong), s"text #$i diverged")
+      else assert(native(i.toLong).isEmpty)
+    }
+  }
+
   test("codegen path compiles and matches interpreted eval") {
     val mh = MinHashSigs(BoundReference(0, StringType, nullable = true), 5, 8, 42L)
     val sh = SimHash64(BoundReference(0, StringType, nullable = true), 42L)
     val wf = WinnowFps(BoundReference(0, StringType, nullable = true), 8, 4)
-    val proj = GenerateUnsafeProjection.generate(Seq(mh, sh, wf))
+    val cn = CharNgrams(BoundReference(0, StringType, nullable = true), 3)
+    val proj = GenerateUnsafeProjection.generate(Seq(mh, sh, wf, cn))
     val row = org.apache.spark.sql.catalyst.InternalRow(
       UTF8String.fromString("the quick brown fox"))
     val out = proj(row)
@@ -141,5 +168,8 @@ class SketchesSpec extends SparkSpec {
     assert(out.getLong(1) == sh.eval(row))
     val interpWf = wf.eval(row).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     assert(out.getArray(2).toLongArray.toSeq == interpWf.toLongArray.toSeq)
+    val interpCn = cn.eval(row).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    assert(out.getArray(3).toArray[UTF8String](StringType).toSeq ==
+      interpCn.toArray[UTF8String](StringType).toSeq)
   }
 }

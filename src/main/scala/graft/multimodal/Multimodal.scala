@@ -523,15 +523,34 @@ object Multimodal {
           round(col("n_recovered") / col("n_planted_pairs"), 4).as("recall"))
     }),
 
+    // Per-kind stats over REAL decoded metadata. Every reported column is
+    // pinned by the planted census (the m_phash_dedup oracle pattern): the
+    // generator derives each medium's true width/height/rate/duration from
+    // doc_id arithmetic, so the oracle recomputes them in SQL — they only
+    // agree if the full encode→decode→resize→frame-sample path reproduces
+    // the planted values through the genuine codecs. n_feat16 (rows whose
+    // decoded feature vector is 16-dim with a finite non-negative norm)
+    // must equal cnt, pinning that every decode produced a real
+    // descriptor; the norm VALUES are pixel-dependent and stay spec-land.
+    // Exactness notes: audio duration (400+id%800)·1000/8000 and video
+    // duration (1+id%5)·100000/1000 are exact in IEEE double on both
+    // engines (quotients are representable), so round(...,3) is stable.
     "m_media_features" -> ((s, d) => {
       val decoded = sampleFrames(resize(decodeAndFeaturize(mediaFromDocuments(s, d)), 256), 4)
       decoded.toDF()
-        .select(col("media_id"), col("kind"), col("width"), col("height"), col("n_frames"),
-          col("sample_rate"), col("duration_ms"),
-          graft.queries.Similarity.norm(col("features")).as("feat_norm"))
+        .select(col("media_id"), col("kind"),
+          col("width").cast("bigint").as("width"),
+          col("height").cast("bigint").as("height"),
+          col("n_frames").cast("bigint").as("n_frames"),
+          col("sample_rate").cast("bigint").as("sample_rate"),
+          col("duration_ms"),
+          graft.queries.Similarity.norm(col("features")).as("feat_norm"),
+          size(col("features")).as("feat_dim"))
         .groupBy("kind")
         .agg(count(lit(1)).as("cnt"),
-          round(avg("feat_norm"), 4).as("avg_feat_norm"),
+          sum(when(col("feat_dim") === 16 && !isnan(col("feat_norm")) &&
+            col("feat_norm") >= 0.0, 1L).otherwise(0L))
+            .cast("bigint").as("n_feat16"),
           max("width").as("max_w"), max("height").as("max_h"),
           max("n_frames").as("max_frames"),
           max("sample_rate").as("max_sample_rate"),
@@ -545,6 +564,29 @@ object Multimodal {
     * really collides identical pixels across containers.
     */
   val oracles: Map[String, String] = Map(
+    // every column is doc_id arithmetic mirroring mediaFromDocuments /
+    // resize(256, a no-op at these planted sizes) / sampleFrames(4)
+    "m_media_features" ->
+      """WITH m AS (SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |       ELSE 'video' END AS kind,
+        |  CASE doc_id % 3 WHEN 0 THEN 4 + doc_id % 29 WHEN 1 THEN 0
+        |       ELSE 8 + doc_id % 9 END AS w,
+        |  CASE doc_id % 3 WHEN 0 THEN 4 + doc_id % 17 WHEN 1 THEN 0
+        |       ELSE 8 + doc_id % 7 END AS h,
+        |  CASE doc_id % 3 WHEN 2 THEN (1 + doc_id % 5 + 3) // 4
+        |       ELSE 1 END AS nf,
+        |  CASE doc_id % 3 WHEN 1 THEN 8000 ELSE 0 END AS sr,
+        |  CASE doc_id % 3 WHEN 1 THEN (400 + doc_id % 800) / 8.0
+        |       WHEN 2 THEN (1 + doc_id % 5) * 100.0 ELSE 0.0 END AS dur
+        |FROM documents)
+        |SELECT kind, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(count(*) AS BIGINT) AS n_feat16,
+        |  CAST(max(w) AS BIGINT) AS max_w, CAST(max(h) AS BIGINT) AS max_h,
+        |  CAST(max(nf) AS BIGINT) AS max_frames,
+        |  CAST(max(sr) AS BIGINT) AS max_sample_rate,
+        |  round(max(dur), 3) AS max_duration_ms
+        |FROM m GROUP BY kind ORDER BY kind""".stripMargin,
     "m_phash_dedup" ->
       """WITH img AS (SELECT count(*) AS ni FROM documents WHERE doc_id % 3 = 0),
         |pl AS (SELECT count(*) AS np FROM documents WHERE doc_id % 15 = 0)

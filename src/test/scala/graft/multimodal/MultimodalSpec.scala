@@ -119,11 +119,14 @@ class MultimodalSpec extends SparkSpec {
     assert(out.map(_.getString(0)).toSet == Set("image", "audio", "video"))
     assert(out.forall(_.getLong(1) > 0))
     val byKind = out.map(r => r.getString(0) -> r).toMap
+    // every decoded row produced a real 16-dim finite descriptor
+    assert(out.forall(r => r.getAs[Long]("n_feat16") == r.getAs[Long]("cnt")))
     // image rows carry real ImageIO dimensions (4..32 per the generator)
-    assert(byKind("image").getInt(3) >= 4 && byKind("image").getInt(3) <= 32)
+    assert(byKind("image").getAs[Long]("max_w") >= 4 &&
+      byKind("image").getAs[Long]("max_w") <= 32)
     // audio rows carry a real sample rate and positive duration from the WAV parse
-    assert(byKind("audio").getInt(6) == 8000)
-    assert(byKind("audio").getDouble(7) > 0.0)
+    assert(byKind("audio").getAs[Long]("max_sample_rate") == 8000L)
+    assert(byKind("audio").getAs[Double]("max_duration_ms") > 0.0)
   }
 
   test("aHash64: container-invariant on identical pixels, seed-sensitive") {

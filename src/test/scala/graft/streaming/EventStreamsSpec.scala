@@ -280,6 +280,49 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizeStateful == batch session_window on the same cross-batch disordered input") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val mem = MemoryStream[Event]
+    val q = sessionizeStateful(mem.toDS(), gapMs = 30 * 60000L).writeStream
+      .format("memory").queryName("sess_parity").outputMode(OutputMode.Append).start()
+    // one logical history delivered DISORDERED across micro-batches: user 1's
+    // first session arrives middle-first, then extends BACKWARDS twice from a
+    // later batch; user 2's second session also extends backwards cross-batch
+    val batch1 = Seq(
+      Event(1, ts(20), 1, "click", 1.0),
+      Event(2, ts(0), 2, "view", 1.0))
+    val batch2 = Seq(
+      Event(3, ts(10), 1, "view", 1.0),
+      Event(4, ts(0), 1, "click", 1.0),
+      Event(5, ts(120), 2, "view", 1.0))
+    val batch3 = Seq(
+      Event(6, ts(140), 1, "click", 1.0),
+      Event(7, ts(130), 2, "view", 1.0))
+    // sentinel pushes the watermark (2 h delay) past every session's timeout
+    val sentinel = Event(99, ts(3000), 9, "view", 1.0)
+    try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+      mem.addData(batch3: _*); q.processAllAvailable()
+      mem.addData(sentinel); q.processAllAvailable()
+      val streamed = spark.table("sess_parity").as[Session].collect().toSet
+      // the batch mirror is the SAME aggregation e_sessionize's DuckDB
+      // oracle validates (gap-30min sessions); session_window's end is
+      // last_event + gap, the stateful form reports last_event — align them
+      val all = (batch1 ++ batch2 ++ batch3) :+ sentinel
+      val batchSessions = sessionWindows(all.toDF(), "30 minutes")
+        .select(col("user_id"), col("session_start"),
+          expr("session_end - INTERVAL 30 minutes").as("session_end"),
+          col("n_events").cast("int").as("n_events"))
+        .as[Session].collect().toSet
+      // the sentinel's own trailing session is still open in the stream
+      assert(streamed == batchSessions.filter(_.user_id != 9L))
+      assert(streamed.size == 4, s"expected 4 closed sessions, got $streamed")
+    } finally q.stop()
+  }
+
   test("compactCdc: emits only advancing changes, swallows stale replays, tombstones") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -462,38 +462,37 @@ object Multimodal {
       }
   }
 
-  /** Rows-only corpus query: generate real encoded media → decode → resize →
-    * frame-sample → per-kind statistics over REAL decoded metadata (width/
-    * height from ImageIO, duration from the WAV parse).
-    */
   /** Planted-duplicate image corpus: every image id (doc_id % 3 == 0) as a
     * real PNG; every 5th image (doc_id % 15 == 0) ALSO as a BMP twin with
-    * identical pixels under id + 10_000_000 — the `Dedup.corpusWithDups`
+    * identical pixels under id + twinBase — the `Dedup.corpusWithDups`
     * convention lifted to media, with the twist that the twin's BYTES
     * differ (different container), so only pixel-level hashing finds it.
+    * Returns the twin id offset alongside: it is DERIVED from the data
+    * (max doc_id + 1, a parquet-stats scalar extract — the A1 min/max
+    * pattern) rather than a fixed constant, so twin ids can never collide
+    * with real ids at any scale factor (ScaleUp offsets doc_ids by
+    * k·1.2×10¹⁰, far past any fixed literal).
     */
   private[multimodal] def imagesWithDups(
-      spark: SparkSession, dir: String): Dataset[Media] = {
+      spark: SparkSession, dir: String): (Dataset[Media], Long) = {
     import spark.implicits._
-    graft.queries.Tables.t(spark, dir, "documents")
+    val ids = graft.queries.Tables.t(spark, dir, "documents")
       .select(col("doc_id").cast("long").as("doc_id"))
       .filter(col("doc_id") % 3 === 0)
-      .as[Long]
+    val twinBase =
+      ids.agg(max("doc_id")).head.getLong(0) + 1L
+    val media = ids.as[Long]
       .mapPartitions { it =>
         it.flatMap { id =>
-          // Twin ids live at id + 10M; a real doc_id at or past 10M would
-          // collide with the twin range and silently break the
-          // media_id >= 10M split every consumer relies on — fail fast.
-          require(id < 10000000L,
-            s"imagesWithDups: doc_id $id collides with the +10M twin-id range")
           val w = 4 + (id % 29).toInt
           val h = 4 + (id % 17).toInt
           val orig = Media(id, "image", syntheticPng(id, w, h))
           if (id % 15 == 0)
-            Iterator(orig, Media(id + 10000000L, "image", syntheticBmp(id, w, h)))
+            Iterator(orig, Media(id + twinBase, "image", syntheticBmp(id, w, h)))
           else Iterator(orig)
         }
       }
+    (media, twinBase)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -508,11 +507,12 @@ object Multimodal {
     // images and are reported by the spec, not oracled.
     "m_phash_dedup" -> ((s, d) => {
       import s.implicits._
-      val hashes = imagesWithDups(s, d).mapPartitions { it =>
+      val (media, twinBase) = imagesWithDups(s, d)
+      val hashes = media.mapPartitions { it =>
         it.map(m => (m.media_id, aHash64(m.content)))
       }.toDF("media_id", "phash")
-      val twins = hashes.filter(col("media_id") >= 10000000L)
-        .select((col("media_id") - 10000000L).as("media_id"),
+      val twins = hashes.filter(col("media_id") >= twinBase)
+        .select((col("media_id") - twinBase).as("media_id"),
           col("phash").as("twin_hash"))
       val joined = hashes.join(twins, "media_id")
         .agg(count(lit(1)).as("n_planted_pairs"),

@@ -166,6 +166,37 @@ class PlanSpec extends SparkSpec {
       s"unicode_norm's Project must carry the WholeStageCodegen marker:\n$ws")
   }
 
+  test("d_winnow_fingerprints: native winnow_fps inside codegen, no interpreted HOF left") {
+    val df = SparkEntry.queries("d_winnow_fingerprints")(spark, TestSpark.sf0001)
+    df.collect()
+    val ws = df.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Project \[[^\n]*winnow_fps""".r.findFirstIn(ws).isDefined,
+      s"winnow_fps's Project must carry the WholeStageCodegen marker:\n$ws")
+    // the rewrite's point: the 4x-redundant-md5 lambda pipeline is gone
+    assert(!ws.contains("transform("),
+      s"no interpreted HOF may remain in the fingerprint path:\n$ws")
+  }
+
+  test("t_ngram_lang_id: native char_ngrams generator, no transform/sequence HOF") {
+    val df = SparkEntry.queries("t_ngram_lang_id")(spark, TestSpark.sf0001)
+    df.collect()
+    val ws = df.queryExecution.executedPlan.toString
+    assert(ws.contains("char_ngrams"),
+      s"trigram stream must come from the native char_ngrams expression:\n$ws")
+    assert(!ws.contains("transform("),
+      s"no interpreted HOF may remain in the trigram path:\n$ws")
+  }
+
+  test("e_pagerank: stream-sized work is ONE window pass + one aggregate (scalar extract)") {
+    // the driver-side power iteration leaves a plan whose ONLY data-sized
+    // stages are the lag window and the (src, dst) count — the result
+    // itself is a LocalTableScan of the vocabulary-sized rank table
+    val df = SparkEntry.queries("e_pagerank")(spark, TestSpark.sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("LocalTableScan"),
+      s"pagerank output must be a local (driver-computed) relation:\n$p")
+  }
+
   test("q_window_ntile: ntile/percent_rank/cume_dist share ONE Window node (one shuffle+sort)") {
     val windows = plan("q_window_ntile").collect {
       case w: org.apache.spark.sql.execution.window.WindowExec => w

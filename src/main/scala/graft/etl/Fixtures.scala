@@ -131,11 +131,21 @@ object Fixtures {
     dir
   }
 
-  /** Materialize a named fixture set under the system temp dir (idempotent —
-    * rewrites the same deterministic bytes) and return its path.
+  /** Root for materialized fixture sets. Repo-resident (checked in) rather
+    * than tmpdir-resident: the pipeline oracles replay these CSVs through
+    * DuckDB `read_csv` by ABSOLUTE PATH, so the files must survive tmp
+    * cleanup and be visible to the oracle process even if it never ran the
+    * Spark side. Overridable for deployments via GRAFT_FIXTURES_DIR.
+    */
+  val root: String =
+    sys.env.getOrElse("GRAFT_FIXTURES_DIR", "/root/repo/fixtures")
+
+  /** Materialize a named fixture set under [[root]] (idempotent — rewrites
+    * the same deterministic bytes over the checked-in copies) and return
+    * its path.
     */
   def materialize(name: String): String = {
-    val dir = Paths.get(sys.props("java.io.tmpdir"), "graft-fixtures", name)
+    val dir = Paths.get(root, name)
     name match {
       case "apsl"     => writeApslRaw(dir)
       case "like_eat" => writeLikeEatRaw(dir)

@@ -136,14 +136,13 @@ object EtlSurface {
         .orderBy("kind"))
   )
 
-  // The pipeline fixtures live under the SAME deterministic path
-  // Fixtures.materialize writes (the Verify run materializes them before
-  // the driver's DuckDB pass reads oracle_sql.json), so the pure-CSV
+  // The pipeline fixtures live at the SAME repo-resident path
+  // Fixtures.materialize writes (and which is checked in), so the pure-CSV
   // pipelines can be replayed cross-engine via read_csv — the flagship
   // read → detect → clean → standardize → merge contract hash-checked
-  // end-to-end, not just row-counted.
-  private val fixDir =
-    java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft-fixtures").toString
+  // end-to-end, not just row-counted — without depending on tmpdir
+  // lifetime or on the Spark side having run in the same container.
+  private val fixDir = graft.etl.Fixtures.root
 
   val oracles: Map[String, String] = Map(
     // apsl: all 5 sources with the capitalize step — capitalize only

@@ -13,8 +13,15 @@ import java.nio.file.{Files, Path, Paths}
 object Fixtures {
 
   private def write(dir: Path, name: String, lines: Seq[String]): Unit = {
-    Files.createDirectories(dir)
-    Files.write(dir.resolve(name), lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    val bytes = lines.mkString("\n").getBytes(StandardCharsets.UTF_8)
+    val target = dir.resolve(name)
+    // the fixtures are checked in: skip the write when the bytes already
+    // match, so a read-only checkout (or a pristine working tree) is fine
+    if (!(Files.exists(target) &&
+        java.util.Arrays.equals(Files.readAllBytes(target), bytes))) {
+      Files.createDirectories(dir)
+      Files.write(target, bytes)
+    }
   }
 
   /** apsl pipeline raw dir: 5 sources (FIXTURES.md §1.1). Headers are raw

@@ -725,48 +725,60 @@ object Similarity {
       val cos = graft.functions.GraftFunctions.cosineSim _
       val emb = t(s, d, "embeddings")
       val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
-      // persist: the 20-row candidate set feeds the pairwise-sim table and
-      // all five selection steps — without the cache each unrolled
-      // iteration replays the corpus-wide relevance scan (measured 5.0 s →
-      // ~0.6 s at sf0.1). Cache lifetime: Verify/Bench clearCache() after
-      // each query's final consumer.
+      // ONE data-sized stage: the corpus-wide relevance scan + top-20
+      // (TakeOrdered). Everything after lives on the FIXED 20-row
+      // candidate lattice, so collecting it is a bounded scalar extract
+      // (the Markov/pagerank precedent) and the greedy MMR selection runs
+      // driver-side — the previous all-DataFrame form scheduled ~20 tiny
+      // stages and needed a persist per greedy step (measured 2.9 s at
+      // sf0.1 for <500 rows of post-scan work). The driver cosine mirrors
+      // the native expression exactly (per-element float→double widening,
+      // sequential accumulation), and every rounding draw (4-dp rel/sim,
+      // 6-dp mmr, HALF_UP) is unchanged — same oracle hash.
       val cands = emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
         .select(col("vec_id"), col("embedding"),
           round(cos(col("embedding"), col("qv")), 4).as("rel"))
         .orderBy(col("rel").desc, col("vec_id")).limit(20)
-        .persist()
-      val sims = cands.select(col("vec_id").as("ia"), col("rel").as("rela"),
-          col("embedding").as("ea"))
-        .crossJoin(cands.select(col("vec_id").as("ib"),
-          col("embedding").as("eb")))
-        .filter(col("ia") =!= col("ib"))
-        .select(col("ia"), col("rela"), col("ib"),
-          round(cos(col("ea"), col("eb")), 4).as("sim"))
-      var selected = cands
-        .orderBy(col("rel").desc, col("vec_id")).limit(1)
-        .select(col("vec_id"), col("rel"), lit(1).as("rank"),
-          col("rel").as("mmr"))
-      for (i <- 2 to 5) {
-        val selIds = selected.select(col("vec_id").as("sid"))
-        val pick = sims.join(selIds, col("ib") === col("sid"))
-          .groupBy("ia", "rela").agg(max("sim").as("maxsim"))
-          .join(selIds.withColumnRenamed("sid", "ia"), Seq("ia"), "left_anti")
-          .select(col("ia"), col("rela"),
-            round(lit(0.7) * col("rela") - lit(0.3) * col("maxsim"), 6)
-              .as("mmr"))
-          .orderBy(col("mmr").desc, col("ia")).limit(1)
-          .select(col("ia").as("vec_id"), col("rela").as("rel"),
-            lit(i).as("rank"), col("mmr"))
-        // persist each step: pick_i's plan references selected_{i-1} twice
-        // (the sim restriction and the anti-join) — uncached, the greedy
-        // chain re-executes combinatorially (measured: flat 5 s at sf0.1
-        // despite the cached candidates)
-        selected = selected.union(pick).persist()
+        .collect()
+        .map(r0 => (r0.getLong(0), r0.getSeq[Float](1).toArray, r0.getDouble(2)))
+      def cosF(a: Array[Float], b: Array[Float]): Double = {
+        var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+        while (i < a.length) {
+          val x = a(i).toDouble; val y = b(i).toDouble
+          dot += x * y; nx += x * x; ny += y * y; i += 1
+        }
+        dot / (math.sqrt(nx) * math.sqrt(ny))
       }
-      selected
-        .select(col("rank").cast("bigint").as("rank"), col("vec_id"),
-          col("rel"), col("mmr"))
-        .orderBy("rank")
+      def rnd(x: Double, dp: Int) =
+        BigDecimal(x).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val sim: Map[(Long, Long), Double] = (for {
+        (ia, ea, _) <- cands; (ib, eb, _) <- cands if ia != ib
+      } yield (ia, ib) -> rnd(cosF(ea, eb), 4)).toMap
+      // greedy: seed with the best-rel candidate (cands are already in
+      // (rel desc, vec_id) order), then argmax of 0.7·rel − 0.3·max-sim
+      // over the unselected, ties (mmr desc, vec_id asc)
+      val first = cands.head
+      var selected = Vector((first._1, first._3, 1L, first._3))
+      for (i <- 2 to 5) {
+        val selIds = selected.map(_._1).toSet
+        val pick = cands.filter(c => !selIds.contains(c._1))
+          .map { case (ia, _, rela) =>
+            val maxsim = selIds.map(ib => sim((ia, ib))).max
+            (ia, rela, rnd(0.7 * rela - 0.3 * maxsim, 6))
+          }
+          .minBy { case (ia, _, mmr) => (-mmr, ia) }
+        selected :+= ((pick._1, pick._2, i.toLong, pick._3))
+      }
+      val rows: java.util.List[org.apache.spark.sql.Row] = new java.util.ArrayList()
+      selected.foreach { case (id, rel, rank, mmr) =>
+        rows.add(org.apache.spark.sql.Row(rank, id, rel, mmr))
+      }
+      import org.apache.spark.sql.types._
+      s.createDataFrame(rows, StructType(Seq(
+        StructField("rank", LongType, nullable = true),
+        StructField("vec_id", LongType, nullable = true),
+        StructField("rel", DoubleType, nullable = true),
+        StructField("mmr", DoubleType, nullable = true))))
     })
   )
 

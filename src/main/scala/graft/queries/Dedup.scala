@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import Tables._
@@ -346,6 +347,55 @@ object Dedup {
           col("n_full_overlap"),
           round(col("n_full_overlap") / col("n_planted_pairs"), 4)
             .as("recall"))
+    }),
+
+    // Exact duplicated-substring spans (the Lee et al. 2022 "Deduplicating
+    // Training Data" primitive): every char-20-gram of the normalized text
+    // is hashed (the shared 48-bit md5 draw), grams occurring in ≥2
+    // distinct docs are the duplicated anchors, and per doc the anchor
+    // positions merge into MAXIMAL spans (gaps-and-islands: a new span
+    // starts when the next anchor no longer overlaps/adjoins the previous
+    // gram's 20-char cover). Output per doc: span count, duplicated chars,
+    // duplicated fraction — the per-document "how much of this text exists
+    // elsewhere" signal span-level dedup filters on. All-integer after the
+    // hash, so cross-engine exact. Scale shape: the gram stream is
+    // O(total chars) but partial-aggregates map-side to unique gram
+    // hashes; the position join is against the (data-dependent, small)
+    // duplicated-gram set — unhinted, AQE picks broadcast when it fits;
+    // the island window partitions by doc_id (never a global sort). At
+    // 100 TB the standard refinement is sharding gram hashes by prefix —
+    // the plan shape is unchanged.
+    "d_dup_spans" -> ((s, d) => {
+      val k = 20
+      val docs = Dedup.corpusWithDups(s, d)
+        .select(col("doc_id"), Text.normText(col("text")).as("nt"))
+        .filter(length(col("nt")) >= k)
+      val grams = docs.select(col("doc_id"),
+          length(col("nt")).cast("bigint").as("len"),
+          explode(expr(s"sequence(0, length(nt) - $k)")).as("i"),
+          col("nt"))
+        .select(col("doc_id"), col("len"), col("i"),
+          expr(s"cast(conv(substring(md5(substring(nt, i + 1, $k)), 1, 12), 16, 10) as bigint)")
+            .as("gh"))
+      val dupg = grams.groupBy("gh")
+        .agg(countDistinct("doc_id").as("nd"))
+        .filter(col("nd") >= 2).select("gh")
+      val pos = grams.join(dupg, "gh")
+      val w = Window.partitionBy("doc_id").orderBy("i")
+      val spans = pos
+        .withColumn("brk",
+          when(col("i") - lag("i", 1).over(w) > k, 1L).otherwise(0L))
+        .withColumn("isl", sum("brk").over(w))
+        .groupBy("doc_id", "isl")
+        .agg(first("len").as("len"),
+          (max("i") - min("i") + k).cast("bigint").as("chars"))
+      spans.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum("chars").cast("bigint").as("dup_chars"),
+          first("len").as("len"))
+        .select(col("doc_id"), col("n_spans"), col("dup_chars"), col("len"),
+          round(col("dup_chars") / col("len"), 4).as("dup_frac"))
+        .orderBy("doc_id")
     })
   )
 
@@ -473,6 +523,51 @@ object Dedup {
         |  FROM pairs)
         |SELECT n_docs, avg_n_fps, n_planted_pairs, n_full_overlap,
         |  round(CAST(n_full_overlap AS DOUBLE) / n_planted_pairs, 4) AS recall
-        |FROM stats CROSS JOIN recall""".stripMargin
+        |FROM stats CROSS JOIN recall""".stripMargin,
+    // identical md5 gram draw; gram positions come from an unnested
+    // struct list (never re-carrying nt per gram row), then the same
+    // gaps-and-islands merge — all-integer after the hash
+    "d_dup_spans" ->
+      """WITH dups AS MATERIALIZED (
+        |  SELECT doc_id * 2 AS doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id * 2 + 1 AS doc_id, text FROM documents
+        |  WHERE doc_id % 5 = 0),
+        |norm AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    lower(trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS nt
+        |  FROM dups),
+        |g AS MATERIALIZED (
+        |  SELECT doc_id, len, unnest(ghs) AS u FROM (
+        |    SELECT doc_id, CAST(length(nt) AS BIGINT) AS len,
+        |      list_transform(range(0, length(nt) - 19),
+        |        i -> struct_pack(i := i,
+        |          gh := CAST('0x' || substr(md5(substr(nt, CAST(i AS INT) + 1, 20)),
+        |            1, 12) AS BIGINT))) AS ghs
+        |    FROM norm WHERE length(nt) >= 20)),
+        |dupg AS (
+        |  SELECT gh FROM (
+        |    SELECT u.gh AS gh, count(DISTINCT doc_id) AS nd FROM g GROUP BY 1)
+        |  WHERE nd >= 2),
+        |pos AS (
+        |  SELECT doc_id, len, u.i AS i FROM g JOIN dupg ON u.gh = dupg.gh),
+        |brk AS (
+        |  SELECT doc_id, len, i,
+        |    CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) > 20
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM pos),
+        |isl AS (
+        |  SELECT doc_id, len, i,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS isl
+        |  FROM brk),
+        |span AS (
+        |  SELECT doc_id, isl, min(len) AS len,
+        |    max(i) - min(i) + 20 AS chars
+        |  FROM isl GROUP BY doc_id, isl)
+        |SELECT doc_id, count(*) AS n_spans,
+        |  CAST(sum(chars) AS BIGINT) AS dup_chars,
+        |  min(len) AS len,
+        |  round(CAST(sum(chars) AS DOUBLE) / min(len), 4) AS dup_frac
+        |FROM span GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

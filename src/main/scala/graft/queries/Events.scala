@@ -262,6 +262,33 @@ object Events {
         .orderBy("user_id")
     }),
 
+    // Time-decay attribution — the classic recency-weighted multi-touch
+    // model (completes the attribution family: first/last/linear/U-shape/
+    // Markov/Shapley). Each click preceding a purchase gets weight
+    // 2^-floor(Δt / 10min); with the 1-hour pairing window the exponent is
+    // 0..6, so every weight is an EXACT binary double (1 … 1/64) — window
+    // sums of such weights are exact (multiples of 1/64, far inside the
+    // 53-bit mantissa), making the per-purchase normalization
+    // order-independent with NO transcendentals and NO rounding tricks
+    // (the e_ewma exact-binary-weights discipline). Credited value goes
+    // through the decimal money-sum discipline (order-independent).
+    "e_time_decay_attrib" -> ((s, d) => {
+      val pairs = graft.streaming.EventStreams.clickToPurchase(Tables.events(s, d))
+      val w = Window.partitionBy("purchase_id")
+      pairs
+        .withColumn("bucket",
+          expr("(unix_micros(purchase_ts) - unix_micros(click_ts)) div 600000000"))
+        .withColumn("wt",
+          expr("1.0D / cast(shiftleft(1, cast(bucket as int)) as double)"))
+        .withColumn("credit", col("wt") / sum("wt").over(w))
+        .select(col("user_id"), col("click_id"),
+          round(col("credit") * col("value"), 6).cast("decimal(18,6)").as("cv"))
+        .groupBy("user_id")
+        .agg(countDistinct("click_id").as("n_credited_clicks"),
+          round(sum("cv").cast("double"), 4).as("attributed_value"))
+        .orderBy("user_id")
+    }),
+
     // Exponentially-weighted moving average over the gap-filled hourly
     // error series (the smoothed form of e_gap_fill, as an alerting
     // baseline would consume it). True EWMA is a recurrence; this is the
@@ -1274,6 +1301,28 @@ object Events {
         |       FROM pairs)
         |SELECT user_id, CAST(count(DISTINCT click_id) AS BIGINT) AS n_credited_clicks,
         |  round(sum(credit), 4) AS attributed_value
+        |FROM cr GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // same exact-binary weights (1 << bucket is integer on both engines),
+    // same decimal money sum
+    "e_time_decay_attrib" ->
+      """WITH c AS (SELECT user_id AS cu, epoch_us(ts) AS cus, event_id AS click_id
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id AS pu, epoch_us(ts) AS pus, event_id AS pid, value
+        |      FROM events WHERE event_type = 'purchase'),
+        |pairs AS (
+        |  SELECT pu AS user_id, pid, click_id, value,
+        |    (pus - cus) // 600000000 AS bucket
+        |  FROM p JOIN c ON pu = cu AND pus >= cus AND pus - cus <= 3600000000),
+        |wts AS (
+        |  SELECT user_id, pid, click_id, value,
+        |    CAST(1 AS DOUBLE) / CAST((1 << CAST(bucket AS INT)) AS DOUBLE) AS wt
+        |  FROM pairs),
+        |cr AS (
+        |  SELECT user_id, click_id,
+        |    round(wt / sum(wt) OVER (PARTITION BY pid) * value, 6) AS cv
+        |  FROM wts)
+        |SELECT user_id, CAST(count(DISTINCT click_id) AS BIGINT) AS n_credited_clicks,
+        |  round(CAST(sum(CAST(cv AS DECIMAL(18,6))) AS DOUBLE), 4) AS attributed_value
         |FROM cr GROUP BY user_id ORDER BY user_id""".stripMargin,
     // same 8-tap kernel, same left-to-right fold, same exact binary weights
     "e_ewma" ->

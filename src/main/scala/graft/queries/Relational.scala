@@ -866,6 +866,64 @@ object Relational {
           round(col("n") / col("total"), 4).as("obs_share"),
           round(log10(lit(1.0) + lit(1.0) / col("digit")), 6).as("exp_share"))
         .orderBy("digit")
+    }),
+
+    // Bucketed co-located join — the write-once/join-many layout that
+    // removes the fact-side shuffle entirely at 100 TB: both sides are
+    // written `bucketBy(16, join_key).sortBy(join_key)`, so a later
+    // sort-merge join needs NO exchange and NO sort on either side (each
+    // bucket pair streams merged directly). The query performs the full
+    // cycle — write both bucketed tables, then join through the catalog —
+    // because the LAYOUT is the operator here; results are identical to a
+    // plain join, which is exactly what the oracle checks. At test SF the
+    // dimension side auto-broadcasts (also shuffle-free); the SMJ
+    // zero-exchange shape is pinned by LayoutSpec with broadcast disabled.
+    // Money sums go through decimal(18,4) (order-independent — the
+    // q_star_join discipline).
+    "q_bucketed_join" -> ((s, d) => {
+      val tag = java.lang.Integer.toHexString(d.hashCode)
+      val base = s"${sys.props("java.io.tmpdir")}/graft_bucketed_$tag"
+      val ot = s"graft_bkt_orders_$tag"
+      val ct = s"graft_bkt_customer_$tag"
+      s.sql(s"DROP TABLE IF EXISTS $ot")
+      s.sql(s"DROP TABLE IF EXISTS $ct")
+      t(s, d, "orders").select("o_custkey", "o_totalprice")
+        .write.mode("overwrite").option("path", s"$base/orders")
+        .bucketBy(16, "o_custkey").sortBy("o_custkey").saveAsTable(ot)
+      t(s, d, "customer").select("c_custkey", "c_mktsegment")
+        .write.mode("overwrite").option("path", s"$base/customer")
+        .bucketBy(16, "c_custkey").sortBy("c_custkey").saveAsTable(ct)
+      val o = s.table(ot)
+      val c = s.table(ct)
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice").cast("decimal(18,4)")), 2)
+            .cast("double").as("sum_price"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // Partition-pruned scan — the other half of the layout story: the
+    // fact table is written `partitionBy(o_orderpriority)` and read back
+    // with a partition-column filter, so the scan OPENS only the 2
+    // matching directories out of 5 (no row-level filtering, no I/O on
+    // the other 60% of the data — at 100 TB this is the difference
+    // between reading 40 TB and reading 100 TB). LayoutSpec pins the
+    // pruning (selectedPartitions == 2 of 5); the oracle checks the same
+    // aggregate as a WHERE over the unpartitioned table.
+    "q_partition_prune" -> ((s, d) => {
+      val tag = java.lang.Integer.toHexString(d.hashCode)
+      val base = s"${sys.props("java.io.tmpdir")}/graft_part_$tag/orders"
+      t(s, d, "orders").write.mode("overwrite")
+        .partitionBy("o_orderpriority").parquet(base)
+      s.read.parquet(base)
+        .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice").cast("decimal(18,4)")), 2)
+            .cast("double").as("sum_price"),
+          round(avg("o_totalprice"), 4).as("avg_price"))
+        .orderBy("o_orderpriority")
     })
   )
 
@@ -1280,6 +1338,23 @@ object Relational {
         |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
         |SELECT digit, n, round(CAST(n AS DOUBLE) / total, 4) AS obs_share,
         |  round(log10(1.0 + 1.0 / digit), 6) AS exp_share
-        |FROM c CROSS JOIN t ORDER BY digit""".stripMargin
+        |FROM c CROSS JOIN t ORDER BY digit""".stripMargin,
+    // the layout round-trip must be value-transparent: the oracle is the
+    // plain (unbucketed) join
+    "q_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // pruning must not change values: the oracle is a WHERE over the
+    // unpartitioned table
+    "q_partition_prune" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |    AS sum_price,
+        |  round(avg(o_totalprice), 4) AS avg_price
+        |FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
   )
 }

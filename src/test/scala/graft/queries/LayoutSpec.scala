@@ -1,0 +1,135 @@
+package graft.queries
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, TestSpark}
+
+/** Round-8 layout + span-dedup + time-decay invariants.
+  *
+  * - q_bucketed_join: the bucketed-table sort-merge join must need NO
+  *   shuffle exchange on either side (that is the operator's point); values
+  *   must equal the plain join's.
+  * - q_partition_prune: the partition-column filter must prune at the scan
+  *   (2 of 5 directories selected), not as a row-level filter.
+  * - d_dup_spans: planted twins (identical text) must each be ONE span
+  *   covering the whole normalized text — dup_frac exactly 1.0 — and the
+  *   twin rows must be identical.
+  * - e_time_decay_attrib: full local referee — the exact-binary weights,
+  *   per-purchase normalization, 6-dp HALF_UP credit rounding, decimal
+  *   money sum and 4-dp final round are all replayed in plain Scala and
+  *   compared for exact equality.
+  */
+class LayoutSpec extends SparkSpec {
+
+  private val sf = TestSpark.sf0001
+
+  test("q_bucketed_join: SMJ over the bucketed tables has zero shuffle exchanges") {
+    // running the corpus query writes both bucketed tables (and checks rows)
+    val corpus = Relational.queries("q_bucketed_join")(spark, sf).collect()
+    assert(corpus.nonEmpty)
+    val tag = java.lang.Integer.toHexString(sf.hashCode)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val o = spark.table(s"graft_bkt_orders_$tag")
+      val c = spark.table(s"graft_bkt_customer_$tag")
+      val joined = o.join(c, o("o_custkey") === c("c_custkey"))
+      val plan = joined.queryExecution.sparkPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n$plan")
+      // bucketing is value-transparent: same aggregate as the plain join
+      val plain = Tables.t(spark, sf, "orders")
+        .join(Tables.t(spark, sf, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice").cast("decimal(18,4)")), 2)
+            .cast("double").as("sum_price"))
+        .orderBy("c_mktsegment").collect()
+      assert(corpus.toSeq == plain.toSeq)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("q_partition_prune: scan selects only the 2 matching partition dirs of 5") {
+    // running the corpus query writes the partitioned layout
+    assert(Relational.queries("q_partition_prune")(spark, sf).collect().length == 2)
+    val tag = java.lang.Integer.toHexString(sf.hashCode)
+    val base = s"${sys.props("java.io.tmpdir")}/graft_part_$tag/orders"
+    val filtered = spark.read.parquet(base)
+      .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .select("o_totalprice")
+    val scan = filtered.queryExecution.sparkPlan.collectLeaves()
+      .collect { case f: FileSourceScanExec => f }.head
+    assert(scan.partitionFilters.nonEmpty,
+      "partition-column predicate must become a partition filter, not a data filter")
+    assert(scan.selectedPartitions.partitionCount == 2,
+      s"expected 2 of 5 partition dirs, got ${scan.selectedPartitions.partitionCount}")
+    assert(spark.read.parquet(base).queryExecution.sparkPlan.collectLeaves()
+      .collect { case f: FileSourceScanExec => f }.head
+      .selectedPartitions.partitionCount == 5)
+  }
+
+  test("d_dup_spans: planted twins are one whole-text span with dup_frac 1.0") {
+    val rows = Dedup.queries("d_dup_spans")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byId = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val twins = rows.filter(_.getAs[Long]("doc_id") % 10 == 0)
+    assert(twins.nonEmpty, "planted duplicate docs must surface spans")
+    twins.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("n_spans") == 1L, s"doc $id")
+      assert(r.getAs[Long]("dup_chars") == r.getAs[Long]("len"), s"doc $id")
+      assert(r.getAs[Double]("dup_frac") == 1.0, s"doc $id")
+      val twin = byId.getOrElse(id + 1, fail(s"missing twin of doc $id"))
+      assert(twin.getAs[Long]("n_spans") == 1L &&
+        twin.getAs[Long]("dup_chars") == r.getAs[Long]("dup_chars") &&
+        twin.getAs[Long]("len") == r.getAs[Long]("len"), s"twin of doc $id")
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("dup_chars") <= r.getAs[Long]("len"),
+        s"span cover exceeds doc length for doc ${r.getAs[Long]("doc_id")}")
+    }
+  }
+
+  test("e_time_decay_attrib: exact local referee replay of weights, credits, sums") {
+    val result = Events.queries("e_time_decay_attrib")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_credited_clicks"),
+        r.getAs[Double]("attributed_value"))).toSeq
+    assert(result.nonEmpty)
+
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("tsus"), col("value"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[String]("event_type"), r.getAs[Long]("tsus"),
+        r.getAs[Double]("value")))
+    val clicks = ev.filter(_._3 == "click")
+    val purchases = ev.filter(_._3 == "purchase")
+    // same pairing predicate as EventStreams.clickToPurchase
+    val pairs = for {
+      (pu, pid, _, pus, value) <- purchases
+      (cu, cid, _, cus, _) <- clicks
+      if pu == cu && pus >= cus && pus - cus <= 3600000000L
+    } yield (pu, pid, cid, pus - cus, value)
+    assert(pairs.nonEmpty)
+    def round6(d: Double): java.math.BigDecimal =
+      java.math.BigDecimal.valueOf(d).setScale(6, java.math.RoundingMode.HALF_UP)
+    val credits = pairs.groupBy(_._2).toSeq.flatMap { case (_, ps) =>
+      val wts = ps.map { case (u, _, cid, dt, v) =>
+        (u, cid, 1.0 / (1L << (dt / 600000000L)), v)
+      }
+      val sumWt = wts.map(_._3).sum // exact: multiples of 1/64
+      wts.map { case (u, cid, wt, v) => (u, cid, round6(wt / sumWt * v)) }
+    }
+    val expected = credits.groupBy(_._1).toSeq.map { case (u, cs) =>
+      val total = cs.map(_._3).reduce(_.add(_)) // exact decimal sum
+      val rounded = java.math.BigDecimal.valueOf(total.doubleValue)
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue
+      (u, cs.map(_._2).distinct.size.toLong, rounded)
+    }.sortBy(_._1)
+    assert(result == expected)
+  }
+}

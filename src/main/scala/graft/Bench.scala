@@ -66,7 +66,23 @@ object Bench {
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    println(line)
+    // also persist the line: the driver captures a bounded stdout tail, so
+    // a 183-entry queries map can get truncated there — the file copy is
+    // the durable artifact (BENCH_r08 lost the c_–m_ families this way)
+    try {
+      val out = java.nio.file.Paths.get("target", "bench.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.writeString(out, line + "\n")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write target/bench.json: ${e.getMessage}")
+    }
+    // the layout queries write catalog tables + tmpdir parquet per data
+    // dir (warm pass used sf0.001); drop both sets before exit
+    graft.queries.Relational.layoutCleanup(spark, sfDir)
+    graft.queries.Relational.layoutCleanup(spark, "/root/testdata/sf0.001")
     spark.stop()
   }
 }

@@ -37,6 +37,11 @@ object Verify {
       // every later query in the 149-query run
       finally spark.catalog.clearCache()
     }
+    // the two layout queries (q_bucketed_join / q_partition_prune) leave
+    // catalog tables + tmpdir parquet behind by design (the layout IS the
+    // operator; their DataFrames read through it) — their results are
+    // materialized above, so tear the artifacts down here
+    graft.queries.Relational.layoutCleanup(spark, sfDir)
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -142,10 +142,14 @@ object Fixtures {
     * than tmpdir-resident: the pipeline oracles replay these CSVs through
     * DuckDB `read_csv` by ABSOLUTE PATH, so the files must survive tmp
     * cleanup and be visible to the oracle process even if it never ran the
-    * Spark side. Overridable for deployments via GRAFT_FIXTURES_DIR.
+    * Spark side. Overridable for deployments via GRAFT_FIXTURES_DIR; the
+    * default derives from the runtime working directory (sbt runs from the
+    * checkout root), so a checkout anywhere on disk materializes into ITS
+    * OWN `fixtures/` and bakes matching absolute paths into the oracle SQL
+    * — never another machine's hardcoded path.
     */
-  val root: String =
-    sys.env.getOrElse("GRAFT_FIXTURES_DIR", "/root/repo/fixtures")
+  val root: String = sys.env.getOrElse("GRAFT_FIXTURES_DIR",
+    Paths.get(sys.props("user.dir"), "fixtures").toAbsolutePath.toString)
 
   /** Materialize a named fixture set under [[root]] (idempotent — rewrites
     * the same deterministic bytes over the checked-in copies) and return

@@ -174,6 +174,14 @@ object GraftFunctions {
       s"winnow_fps expects 3 arguments (text, k, w), got ${other.size}")
   }
 
+  /** `gram_fps(text, k)` — k must be an int literal. */
+  val gramFpsBuilder: Seq[Expression] => Expression = {
+    case Seq(c, k) =>
+      GramFps(c, litParam("gram_fps", "k", k).toInt)
+    case other => throw new IllegalArgumentException(
+      s"gram_fps expects 2 arguments (text, k), got ${other.size}")
+  }
+
   val simHashBuilder: Seq[Expression] => Expression = {
     case Seq(c, s) =>
       SimHash64(c, litParam("simhash64", "seed", s))
@@ -240,6 +248,12 @@ object GraftFunctions {
         new ExpressionInfo(classOf[CharNgrams].getCanonicalName, "char_ngrams"),
         charNgramsBuilder)
     }
+    val gf = FunctionIdentifier("gram_fps")
+    if (!registry.functionExists(gf)) {
+      registry.registerFunction(gf,
+        new ExpressionInfo(classOf[GramFps].getCanonicalName, "gram_fps"),
+        gramFpsBuilder)
+    }
   }
 
   /** Column API: `cosineSim(a, b)` after `ensureRegistered`. */
@@ -270,6 +284,14 @@ object GraftFunctions {
   def charNgrams(text: Column, n: Int): Column = {
     import org.apache.spark.sql.functions.lit
     call_function("char_ngrams", text, lit(n))
+  }
+
+  /** Column API: position-ordered k-gram md5-48 hashes, after
+    * `ensureRegistered`.
+    */
+  def gramFps(text: Column, k: Int): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function("gram_fps", text, lit(k))
   }
 
   /** Column API: `unicodeNorm(c, "NFC")` after `ensureRegistered`. */
@@ -303,5 +325,8 @@ class GraftSessionExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("char_ngrams"),
       new ExpressionInfo(classOf[CharNgrams].getCanonicalName, "char_ngrams"),
       GraftFunctions.charNgramsBuilder))
+    ext.injectFunction((FunctionIdentifier("gram_fps"),
+      new ExpressionInfo(classOf[GramFps].getCanonicalName, "gram_fps"),
+      GraftFunctions.gramFpsBuilder))
   }
 }

@@ -80,31 +80,10 @@ object Sketches {
     * window (numChars < k + w − 1) return an empty array.
     */
   def winnow(text: UTF8String, k: Int, w: Int): ArrayData = {
-    val bytes = text.getBytes
     val numChars = text.numChars()
     val numGrams = numChars - k + 1
     if (numGrams < w) return new GenericArrayData(Array.empty[Long])
-    val off = new Array[Int](numChars + 1)
-    var c = 0
-    var b = 0
-    while (c < numChars) {
-      off(c) = b
-      b += UTF8String.numBytesForFirstByte(bytes(b))
-      c += 1
-    }
-    off(numChars) = bytes.length
-    val md = md5Local.get()
-    val gh = new Array[Long](numGrams)
-    var i = 0
-    while (i < numGrams) {
-      md.reset()
-      md.update(bytes, off(i), off(i + k) - off(i))
-      val d = md.digest()
-      gh(i) = ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) |
-        ((d(2) & 0xffL) << 24) | ((d(3) & 0xffL) << 16) |
-        ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
-      i += 1
-    }
+    val gh = md5GramHashes(text, k, numChars, numGrams)
     val seen = new java.util.HashSet[Long]()
     val out = scala.collection.mutable.ArrayBuffer.empty[Long]
     var j = 0
@@ -120,6 +99,60 @@ object Sketches {
       j += 1
     }
     new GenericArrayData(out.toArray)
+  }
+
+  /** The shared 48-bit md5 gram draw: per char-k-gram, the first 6 digest
+    * bytes big-endian — bit-identical to the SQL form
+    * `conv(substring(md5(substring(nt, i+1, k)), 1, 12), 16, 10)` (12 hex
+    * chars = 6 bytes; conv of ≤48 bits never overflows a signed long).
+    * One UTF-8 offset scan, then one digest per gram.
+    */
+  private def md5GramHashes(text: UTF8String, k: Int,
+      numChars: Int, numGrams: Int): Array[Long] = {
+    val bytes = text.getBytes
+    val off = new Array[Int](numChars + 1)
+    var c = 0
+    var b = 0
+    while (c < numChars) {
+      off(c) = b
+      b += UTF8String.numBytesForFirstByte(bytes(b))
+      c += 1
+    }
+    off(numChars) = bytes.length
+    val md = md5Local.get()
+    val d = digestBuf.get()
+    val gh = new Array[Long](numGrams)
+    var i = 0
+    while (i < numGrams) {
+      md.reset()
+      md.update(bytes, off(i), off(i + k) - off(i))
+      // digest into the reused buffer — digest() would allocate a fresh
+      // 16-byte array PER GRAM (one per corpus character in span dedup)
+      md.digest(d, 0, 16)
+      gh(i) = ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) |
+        ((d(2) & 0xffL) << 24) | ((d(3) & 0xffL) << 16) |
+        ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
+      i += 1
+    }
+    gh
+  }
+
+  private val digestBuf: ThreadLocal[Array[Byte]] =
+    ThreadLocal.withInitial(() => new Array[Byte](16))
+
+  /** ALL k-gram hashes of `text` in position order (array index = 0-based
+    * gram start): the winnow draw without the windowed-min — built for
+    * span-level dedup, where every gram position matters. `posexplode` of
+    * the result replaces the `sequence(0, len-k)`-explode + per-row
+    * md5/conv with one codegen'd pass that never re-carries the full text
+    * into the exploded projection. Texts shorter than k chars yield an
+    * empty array (callers pre-filter `length >= k` anyway).
+    */
+  def gramFps(text: UTF8String, k: Int): ArrayData = {
+    val numChars = text.numChars()
+    val numGrams = numChars - k + 1
+    if (numGrams <= 0) return new GenericArrayData(Array.empty[Long])
+    new GenericArrayData(md5GramHashes(text, k, numChars, numGrams))
   }
 
   /** All char-n-grams of `text` in order — the SQL draw
@@ -234,6 +267,29 @@ case class WinnowFps(child: Expression, k: Int, w: Int)
     defineCodeGen(ctx, ev, c => s"graft.functions.Sketches.winnow($c, $k, $w)")
 
   override protected def withNewChildInternal(newChild: Expression): WinnowFps =
+    copy(child = newChild)
+}
+
+/** `gram_fps(text, k)` → array<bigint> of all k-gram md5-48 hashes, array
+  * index = 0-based gram start position.
+  */
+case class GramFps(child: Expression, k: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes() =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.catalogString}")
+  override def prettyName: String = "gram_fps"
+
+  override def nullSafeEval(input: Any): Any =
+    Sketches.gramFps(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Sketches.gramFps($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): GramFps =
     copy(child = newChild)
 }
 

@@ -479,8 +479,11 @@ object Multimodal {
     val ids = graft.queries.Tables.t(spark, dir, "documents")
       .select(col("doc_id").cast("long").as("doc_id"))
       .filter(col("doc_id") % 3 === 0)
-    val twinBase =
-      ids.agg(max("doc_id")).head.getLong(0) + 1L
+    // max over an empty/all-filtered table is NULL — read it through
+    // isNullAt so an empty corpus degrades to an empty media set (twin
+    // base 1 over zero rows) instead of a driver NPE
+    val maxRow = ids.agg(max("doc_id")).head
+    val twinBase = (if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)) + 1L
     val media = ids.as[Long]
       .mapPartitions { it =>
         it.flatMap { id =>

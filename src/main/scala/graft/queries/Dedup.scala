@@ -364,23 +364,35 @@ object Dedup {
     // duplicated-gram set — unhinted, AQE picks broadcast when it fits;
     // the island window partitions by doc_id (never a global sort). At
     // 100 TB the standard refinement is sharding gram hashes by prefix —
-    // the plan shape is unchanged.
+    // the plan shape is unchanged. The gram stage is the native `gram_fps`
+    // expression (one codegen'd md5 pass per doc; GramFpsParitySpec pins
+    // it bit-identical to the SQL md5/conv draw) posexploded to (i, gh) —
+    // the previous sequence-explode carried the FULL text into every
+    // per-character row and ran interpreted md5/conv per row (19.1 s at
+    // sf0.1; this shape ~2 s, same oracle hash).
     "d_dup_spans" -> ((s, d) => {
       val k = 20
+      graft.functions.GraftFunctions.ensureRegistered(s)
       val docs = Dedup.corpusWithDups(s, d)
         .select(col("doc_id"), Text.normText(col("text")).as("nt"))
         .filter(length(col("nt")) >= k)
       val grams = docs.select(col("doc_id"),
           length(col("nt")).cast("bigint").as("len"),
-          explode(expr(s"sequence(0, length(nt) - $k)")).as("i"),
-          col("nt"))
-        .select(col("doc_id"), col("len"), col("i"),
-          expr(s"cast(conv(substring(md5(substring(nt, i + 1, $k)), 1, 12), 16, 10) as bigint)")
-            .as("gh"))
-      val dupg = grams.groupBy("gh")
-        .agg(countDistinct("doc_id").as("nd"))
-        .filter(col("nd") >= 2).select("gh")
-      val pos = grams.join(dupg, "gh")
+          posexplode(graft.functions.GraftFunctions.gramFps(col("nt"), k)))
+        .select(col("doc_id"), col("len"),
+          col("pos").as("i"), col("col").as("gh"))
+      // "gram occurs in ≥2 distinct docs" ⟺ min(doc_id) ≠ max(doc_id)
+      // within the gram's hash group — ONE window over gh (hash-partition
+      // + partition-local sort, both scale-free) instead of the previous
+      // countDistinct aggregate + semi-join, which expanded into two
+      // shuffles over a ~unique-per-row key AND re-ran the gram pass on
+      // the join probe side (measured: 4.7 s → 1.6 s at sf0.1)
+      val wg = Window.partitionBy("gh")
+      val pos = grams
+        .withColumn("mn", min("doc_id").over(wg))
+        .withColumn("mx", max("doc_id").over(wg))
+        .filter(col("mn") =!= col("mx"))
+        .select("doc_id", "len", "i", "gh")
       val w = Window.partitionBy("doc_id").orderBy("i")
       val spans = pos
         .withColumn("brk",

@@ -355,6 +355,15 @@ object Events {
         .agg(count(lit(1)).as("n"))
         .collect()
         .map(r0 => (Option(r0.getString(0)), r0.getString(1), r0.getLong(2)))
+      // fail-fast vocabulary guard (the e_shapley discipline): the
+      // driver-side iteration is licensed by the |types|² bound, so
+      // enforce it rather than assume it — a grown event_type vocabulary
+      // must error loudly, not silently materialize a large graph here
+      require(cells.length <= 4160, // 64 types: 64² edges + 64 null-src groups
+        s"e_pagerank: (src,dst) aggregate has ${cells.length} cells; the " +
+          "bounded-scalar-extract contract assumes an event_type " +
+          "vocabulary of at most 64 — use a distributed power method " +
+          "for larger vocabularies")
       val nodes = cells.map(_._2).distinct.sorted
       val edges = cells.collect { case (Some(src), dst, n) => (src, dst, n) }
       val tot = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._3).sum }
@@ -782,6 +791,14 @@ object Events {
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       val cells = trans.collect()
         .map(r0 => (r0.getString(0), r0.getString(1), r0.getLong(2)))
+      // same fail-fast vocabulary guard as e_pagerank/e_shapley: the
+      // driver-side absorbing-chain solve is licensed by the bounded
+      // (channels+start)×(channels+conv+drop) transition lattice
+      require(cells.length <= 4422, // 64 channels (+start)×(+conv,drop)
+        s"e_markov_attribution: transition aggregate has ${cells.length} " +
+          "cells; the bounded-scalar-extract contract assumes a channel " +
+          "vocabulary of at most 64 — use a distributed chain solve for " +
+          "larger vocabularies")
       val tot = cells.groupBy(_._1).map { case (k, v) => k -> v.map(_._3).sum }
       val base = cells.map { case (src, dst, n) => (src, dst, n.toDouble / tot(src)) }
       val channels = (cells.map(_._2).filter(c => c != "conv" && c != "drop") ++

@@ -38,6 +38,34 @@ object Relational {
       s"((($x >> $b) & 1) << ${2 * b}) + ((($y >> $b) & 1) << ${2 * b + 1})"
     }.mkString(" + ")
 
+  /** Collision-free per-data-dir tag for the layout queries' table and
+    * tmpdir names: the sanitized path itself, NOT a 32-bit hash — two
+    * different data dirs colliding on `hashCode` would silently overwrite
+    * each other's bucketed tables mid-suite.
+    */
+  private[graft] def layoutTag(d: String): String =
+    d.replaceAll("[^A-Za-z0-9]", "_")
+
+  /** Drop the layout artifacts `q_bucketed_join` / `q_partition_prune`
+    * leave behind for `d` (catalog tables + tmpdir parquet). Idempotent;
+    * call after their results are MATERIALIZED (the returned DataFrames
+    * read through the catalog, so dropping earlier would break them).
+    */
+  private[graft] def layoutCleanup(s: org.apache.spark.sql.SparkSession,
+      d: String): Unit = {
+    val tag = layoutTag(d)
+    s.sql(s"DROP TABLE IF EXISTS graft_bkt_orders_$tag")
+    s.sql(s"DROP TABLE IF EXISTS graft_bkt_customer_$tag")
+    def rm(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles().foreach(rm)
+      p.delete(); ()
+    }
+    Seq(s"graft_bucketed_$tag", s"graft_part_$tag").foreach { n =>
+      val f = new java.io.File(sys.props("java.io.tmpdir"), n)
+      if (f.exists()) rm(f)
+    }
+  }
+
   val queries: Map[String, Q] = Map(
     // TPC-H-Q1-shaped pricing summary: scan → filter → partial+final agg.
     "q1_agg" -> ((s, d) => {
@@ -881,7 +909,7 @@ object Relational {
     // Money sums go through decimal(18,4) (order-independent — the
     // q_star_join discipline).
     "q_bucketed_join" -> ((s, d) => {
-      val tag = java.lang.Integer.toHexString(d.hashCode)
+      val tag = layoutTag(d)
       val base = s"${sys.props("java.io.tmpdir")}/graft_bucketed_$tag"
       val ot = s"graft_bkt_orders_$tag"
       val ct = s"graft_bkt_customer_$tag"
@@ -912,7 +940,7 @@ object Relational {
     // pruning (selectedPartitions == 2 of 5); the oracle checks the same
     // aggregate as a WHERE over the unpartitioned table.
     "q_partition_prune" -> ((s, d) => {
-      val tag = java.lang.Integer.toHexString(d.hashCode)
+      val tag = layoutTag(d)
       val base = s"${sys.props("java.io.tmpdir")}/graft_part_$tag/orders"
       t(s, d, "orders").write.mode("overwrite")
         .partitionBy("o_orderpriority").parquet(base)

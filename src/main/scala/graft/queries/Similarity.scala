@@ -735,39 +735,64 @@ object Similarity {
       // the native expression exactly (per-element float→double widening,
       // sequential accumulation), and every rounding draw (4-dp rel/sim,
       // 6-dp mmr, HALF_UP) is unchanged — same oracle hash.
+      // rel desc sorts NULL last in Spark, so null-rel rows (the native
+      // expression's zero-norm/null-element verdict) only reach the top-20
+      // when fewer than 20 rankable candidates exist; drop them rather
+      // than NPE in getDouble — matches the pre-rewrite DataFrame form
+      // where a null rel could never win a desc-ordered rank
       val cands = emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
         .select(col("vec_id"), col("embedding"),
           round(cos(col("embedding"), col("qv")), 4).as("rel"))
         .orderBy(col("rel").desc, col("vec_id")).limit(20)
         .collect()
+        .filter(r0 => !r0.isNullAt(2))
         .map(r0 => (r0.getLong(0), r0.getSeq[Float](1).toArray, r0.getDouble(2)))
-      def cosF(a: Array[Float], b: Array[Float]): Double = {
+      // mirrors the native CosineSimilarity null semantics: None for a
+      // zero-norm vector (denominator 0) instead of NaN — BigDecimal(NaN)
+      // throws, and the DataFrame form propagated NULL here, not a crash
+      def cosF(a: Array[Float], b: Array[Float]): Option[Double] = {
         var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
         while (i < a.length) {
           val x = a(i).toDouble; val y = b(i).toDouble
           dot += x * y; nx += x * x; ny += y * y; i += 1
         }
-        dot / (math.sqrt(nx) * math.sqrt(ny))
+        val denom = math.sqrt(nx) * math.sqrt(ny)
+        if (denom == 0.0) None else Some(dot / denom)
       }
       def rnd(x: Double, dp: Int) =
         BigDecimal(x).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble
       val sim: Map[(Long, Long), Double] = (for {
         (ia, ea, _) <- cands; (ib, eb, _) <- cands if ia != ib
-      } yield (ia, ib) -> rnd(cosF(ea, eb), 4)).toMap
+        c <- cosF(ea, eb)
+      } yield (ia, ib) -> rnd(c, 4)).toMap
       // greedy: seed with the best-rel candidate (cands are already in
       // (rel desc, vec_id) order), then argmax of 0.7·rel − 0.3·max-sim
-      // over the unselected, ties (mmr desc, vec_id asc)
+      // over the unselected, ties (mmr desc, vec_id asc). max-sim ignores
+      // undefined (null) sims — SQL max semantics; a candidate whose sims
+      // are ALL undefined gets a null mmr, which a desc sort ranks last,
+      // so it is only pickable when no scored candidate remains.
       val first = cands.head
-      var selected = Vector((first._1, first._3, 1L, first._3))
+      var selected =
+        Vector((first._1, first._3, 1L, Double.box(first._3): java.lang.Double))
       for (i <- 2 to 5) {
         val selIds = selected.map(_._1).toSet
-        val pick = cands.filter(c => !selIds.contains(c._1))
-          .map { case (ia, _, rela) =>
-            val maxsim = selIds.map(ib => sim((ia, ib))).max
-            (ia, rela, rnd(0.7 * rela - 0.3 * maxsim, 6))
+        val remaining = cands.filter(c => !selIds.contains(c._1))
+        if (remaining.nonEmpty) {
+          val scored = remaining.map { case (ia, _, rela) =>
+            val sims = selIds.flatMap(ib => sim.get((ia, ib)))
+            val mmr = if (sims.isEmpty) None
+                      else Some(rnd(0.7 * rela - 0.3 * sims.max, 6))
+            (ia, rela, mmr)
           }
-          .minBy { case (ia, _, mmr) => (-mmr, ia) }
-        selected :+= ((pick._1, pick._2, i.toLong, pick._3))
+          val pick =
+            if (scored.exists(_._3.isDefined))
+              scored.filter(_._3.isDefined)
+                .minBy { case (ia, _, mmr) => (-mmr.get, ia) }
+            else scored.minBy(_._1)
+          selected :+=
+            ((pick._1, pick._2, i.toLong,
+              pick._3.map(Double.box).orNull: java.lang.Double))
+        }
       }
       val rows: java.util.List[org.apache.spark.sql.Row] = new java.util.ArrayList()
       selected.foreach { case (id, rel, rank, mmr) =>

@@ -154,12 +154,51 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("gram_fps: native hashes are bit-identical to the SQL md5/conv draw") {
+    GraftFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    // the exact per-position draw d_dup_spans previously spelled in SQL
+    // (sequence-explode + md5/conv per row) — the native array must carry
+    // the same value at every index, including CHAR-grams over multi-byte
+    // text where char and byte offsets diverge
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "한국어 문서입니다 테스트 텍스트 구간 하나 더",
+      "mixed 한글 and ascii text with spaces  and   runs",
+      "aaaaaaaaaaaaaaaaaaaaaaaa")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "nt")
+    val k = 20
+    val sql = df.selectExpr("id",
+      s"""transform(sequence(0, length(nt) - $k),
+          i -> cast(conv(substring(md5(substring(nt, i + 1, $k)), 1, 12),
+            16, 10) as bigint)) AS gh""")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val native = df.select(col("id"),
+      GraftFunctions.gramFps(col("nt"), k).as("gh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    texts.indices.foreach { i =>
+      assert(native(i.toLong) == sql(i.toLong), s"text #$i diverged")
+    }
+  }
+
+  test("gram_fps: text shorter than k yields an empty array; length-k yields one") {
+    GraftFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    val out = Seq((1L, "short"), (2L, "exactly twenty chars"))
+      .toDF("id", "nt")
+      .select(col("id"), GraftFunctions.gramFps(col("nt"), 20).as("gh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(out(1L).isEmpty)
+    assert(out(2L).length == 1)
+  }
+
   test("codegen path compiles and matches interpreted eval") {
     val mh = MinHashSigs(BoundReference(0, StringType, nullable = true), 5, 8, 42L)
     val sh = SimHash64(BoundReference(0, StringType, nullable = true), 42L)
     val wf = WinnowFps(BoundReference(0, StringType, nullable = true), 8, 4)
     val cn = CharNgrams(BoundReference(0, StringType, nullable = true), 3)
-    val proj = GenerateUnsafeProjection.generate(Seq(mh, sh, wf, cn))
+    val gf = GramFps(BoundReference(0, StringType, nullable = true), 8)
+    val proj = GenerateUnsafeProjection.generate(Seq(mh, sh, wf, cn, gf))
     val row = org.apache.spark.sql.catalyst.InternalRow(
       UTF8String.fromString("the quick brown fox"))
     val out = proj(row)
@@ -171,5 +210,7 @@ class SketchesSpec extends SparkSpec {
     val interpCn = cn.eval(row).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     assert(out.getArray(3).toArray[UTF8String](StringType).toSeq ==
       interpCn.toArray[UTF8String](StringType).toSeq)
+    val interpGf = gf.eval(row).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    assert(out.getArray(4).toLongArray.toSeq == interpGf.toLongArray.toSeq)
   }
 }

@@ -20,15 +20,23 @@ import graft.{SparkSpec, TestSpark}
   *   money sum and 4-dp final round are all replayed in plain Scala and
   *   compared for exact equality.
   */
-class LayoutSpec extends SparkSpec {
+class LayoutSpec extends SparkSpec
+    with org.scalatest.BeforeAndAfterAll {
 
   private val sf = TestSpark.sf0001
+
+  // the layout queries leave catalog tables + tmpdir parquet behind by
+  // design; tear them down once the suite's plan assertions are done
+  override def afterAll(): Unit = {
+    try Relational.layoutCleanup(spark, sf)
+    finally super.afterAll()
+  }
 
   test("q_bucketed_join: SMJ over the bucketed tables has zero shuffle exchanges") {
     // running the corpus query writes both bucketed tables (and checks rows)
     val corpus = Relational.queries("q_bucketed_join")(spark, sf).collect()
     assert(corpus.nonEmpty)
-    val tag = java.lang.Integer.toHexString(sf.hashCode)
+    val tag = Relational.layoutTag(sf)
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
@@ -55,7 +63,7 @@ class LayoutSpec extends SparkSpec {
   test("q_partition_prune: scan selects only the 2 matching partition dirs of 5") {
     // running the corpus query writes the partitioned layout
     assert(Relational.queries("q_partition_prune")(spark, sf).collect().length == 2)
-    val tag = java.lang.Integer.toHexString(sf.hashCode)
+    val tag = Relational.layoutTag(sf)
     val base = s"${sys.props("java.io.tmpdir")}/graft_part_$tag/orders"
     val filtered = spark.read.parquet(base)
       .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))

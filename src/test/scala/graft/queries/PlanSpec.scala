@@ -177,6 +177,20 @@ class PlanSpec extends SparkSpec {
       s"no interpreted HOF may remain in the fingerprint path:\n$ws")
   }
 
+  test("d_dup_spans: native gram_fps generator, no sequence-explode or per-row md5") {
+    val df = SparkEntry.queries("d_dup_spans")(spark, TestSpark.sf0001)
+    df.collect()
+    val ws = df.queryExecution.executedPlan.toString
+    assert(ws.contains("gram_fps"),
+      s"the gram stream must come from the native gram_fps expression:\n$ws")
+    // the rewrite's point: no interpreted sequence() HOF generating one row
+    // per character, and no per-exploded-row md5/conv re-hash
+    assert(!ws.contains("sequence("),
+      s"no interpreted sequence() may remain in the gram path:\n$ws")
+    assert(!ws.toLowerCase.contains("md5("),
+      s"the md5 draw must happen once inside gram_fps, not per exploded row:\n$ws")
+  }
+
   test("t_ngram_lang_id: native char_ngrams generator, no transform/sequence HOF") {
     val df = SparkEntry.queries("t_ngram_lang_id")(spark, TestSpark.sf0001)
     df.collect()

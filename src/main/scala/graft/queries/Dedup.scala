@@ -408,6 +408,41 @@ object Dedup {
         .select(col("doc_id"), col("n_spans"), col("dup_chars"), col("len"),
           round(col("dup_chars") / col("len"), 4).as("dup_frac"))
         .orderBy("doc_id")
+    }),
+
+    // Cross-doc span PROVENANCE clustering — the composition on top of
+    // d_dup_spans: every doc pair sharing a duplicated 20-gram descends
+    // from common source material, and transitive sharing (A~B, B~C)
+    // groups docs into provenance clusters even when A and C share no
+    // gram directly. Edges come STAR-SHAPED from each dup gram's group
+    // (min-doc → member), never as per-gram cliques — a boilerplate gram
+    // in m docs emits m−1 edges, not m², so the edge set stays linear in
+    // the gram stream at any scale. Clustering is the shared
+    // connectedComponents (distributed label-min, no driver graph).
+    // Output is the cluster-size histogram (the d_dup_clusters shape):
+    // deterministic, integer-only, cross-engine exact.
+    "d_span_clusters" -> ((s, d) => {
+      val k = 20
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val docs = Dedup.corpusWithDups(s, d)
+        .select(col("doc_id"), Text.normText(col("text")).as("nt"))
+        .filter(length(col("nt")) >= k)
+      val grams = docs.select(col("doc_id"),
+          posexplode(graft.functions.GraftFunctions.gramFps(col("nt"), k)))
+        .select(col("doc_id"), col("col").as("gh"))
+      val wg = Window.partitionBy("gh")
+      val star = grams
+        .withColumn("mn", min("doc_id").over(wg))
+        .withColumn("mx", max("doc_id").over(wg))
+        .filter(col("mn") =!= col("mx"))
+      val nodes = star.select(col("doc_id").as("v")).distinct()
+      val edges = star.filter(col("doc_id") =!= col("mn"))
+        .select(col("mn").as("src"), col("doc_id").as("dst")).distinct()
+      val cc = connectedComponents(nodes, edges)
+      cc.groupBy("root").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(count(lit(1)).as("n_clusters"), min("root").as("min_root"))
+        .orderBy("cluster_size")
     })
   )
 
@@ -580,6 +615,45 @@ object Dedup {
         |  CAST(sum(chars) AS BIGINT) AS dup_chars,
         |  min(len) AS len,
         |  round(CAST(sum(chars) AS DOUBLE) / min(len), 4) AS dup_frac
-        |FROM span GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM span GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // same gram draw as d_dup_spans; star edges per dup gram (min-doc →
+    // member), recursive label-min replays connectedComponents exactly
+    "d_span_clusters" ->
+      """WITH dups AS MATERIALIZED (
+        |  SELECT doc_id * 2 AS doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id * 2 + 1 AS doc_id, text FROM documents
+        |  WHERE doc_id % 5 = 0),
+        |norm AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    lower(trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS nt
+        |  FROM dups),
+        |g AS MATERIALIZED (
+        |  SELECT doc_id, unnest(ghs) AS gh FROM (
+        |    SELECT doc_id,
+        |      list_transform(range(0, length(nt) - 19),
+        |        i -> CAST('0x' || substr(md5(substr(nt, CAST(i AS INT) + 1, 20)),
+        |          1, 12) AS BIGINT)) AS ghs
+        |    FROM norm WHERE length(nt) >= 20)),
+        |st AS MATERIALIZED (
+        |  SELECT doc_id, gh,
+        |    min(doc_id) OVER (PARTITION BY gh) AS mn,
+        |    max(doc_id) OVER (PARTITION BY gh) AS mx
+        |  FROM g),
+        |n AS (SELECT DISTINCT doc_id AS v FROM st WHERE mn <> mx),
+        |p AS (SELECT DISTINCT mn AS src, doc_id AS dst
+        |      FROM st WHERE mn <> mx AND doc_id <> mn),
+        |e AS (SELECT src, dst FROM p UNION SELECT dst, src FROM p),
+        |comp AS (
+        |  WITH RECURSIVE r(v, lbl) AS (
+        |    SELECT v, v FROM n
+        |    UNION
+        |    SELECT e.dst, r.lbl FROM r JOIN e ON e.src = r.v)
+        |  SELECT v, min(lbl) AS root FROM r GROUP BY v),
+        |cs AS (SELECT root, count(*) AS cluster_size FROM comp GROUP BY root)
+        |SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+        |       count(*) AS n_clusters, min(root) AS min_root
+        |FROM cs GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
   )
 }

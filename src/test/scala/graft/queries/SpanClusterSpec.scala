@@ -1,0 +1,73 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, TestSpark}
+
+/** Full local referee for d_span_clusters: recompute the provenance
+  * clusters WITHOUT the md5 draw — two docs are connected iff their
+  * normalized texts share any 20-char substring (the hash only encodes
+  * substring identity), so a plain Scala union-find over gram STRINGS must
+  * reproduce the cluster-size histogram and min-roots exactly. This checks
+  * the whole pipeline (gram extraction, star edges, label-min convergence)
+  * against an implementation that shares none of its moving parts.
+  */
+class SpanClusterSpec extends SparkSpec {
+
+  private val sf = TestSpark.sf0001
+
+  test("d_span_clusters: histogram matches a hash-free local union-find referee") {
+    val result = Dedup.queries("d_span_clusters")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("cluster_size"), r.getAs[Long]("n_clusters"),
+        r.getAs[Long]("min_root"))).toSeq
+    assert(result.nonEmpty)
+
+    val k = 20
+    val docs = Dedup.corpusWithDups(spark, sf)
+      .select(col("doc_id"), Text.normText(col("text")).as("nt"))
+      .filter(length(col("nt")) >= k)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("nt"))
+    // gram string -> docs containing it (CHAR windows, same as the query)
+    val byGram = scala.collection.mutable.HashMap.empty[String, List[Long]]
+    docs.foreach { case (id, nt) =>
+      (0 to nt.length - k).foreach { i =>
+        val g = nt.substring(i, i + k)
+        byGram(g) = id :: byGram.getOrElse(g, Nil)
+      }
+    }
+    // union-find over docs sharing a gram in >= 2 distinct docs
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val clustered = scala.collection.mutable.HashSet.empty[Long]
+    byGram.values.foreach { ds =>
+      val distinct = ds.distinct
+      if (distinct.length >= 2) {
+        clustered ++= distinct
+        distinct.tail.foreach(union(distinct.head, _))
+      }
+    }
+    val comps = clustered.toSeq.groupBy(find)
+    val expected = comps.toSeq
+      .map { case (_, members) => (members.size.toLong, members.min) }
+      .groupBy(_._1)
+      .map { case (size, v) => (size, v.size.toLong, v.map(_._2).min) }
+      .toSeq.sortBy(_._1)
+    assert(result == expected,
+      s"histogram diverged:\n got      $result\n expected $expected")
+    // planted twins (2k, 2k+1 for doc_id%5==0) must share a cluster
+    val twinIds = docs.map(_._1).filter(id => id % 10 == 0 && docs.exists(_._1 == id + 1))
+    assert(twinIds.nonEmpty)
+    twinIds.foreach { id =>
+      assert(clustered.contains(id) && clustered.contains(id + 1) &&
+        find(id) == find(id + 1), s"twins $id/${id + 1} not co-clustered")
+    }
+  }
+}

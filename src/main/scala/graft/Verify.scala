@@ -14,6 +14,9 @@ object Verify {
       .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // tz-naive parquet timestamps → TIMESTAMP (UTC session), not NTZ,
+      // matching the DuckDB oracle's naive-as-UTC epoch values
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -14,6 +14,9 @@ object TestSpark {
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // tz-naive parquet timestamps read as TIMESTAMP (UTC session) rather than
+    // TIMESTAMP_NTZ, matching the DuckDB oracle's naive-as-UTC epoch values
+    .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 

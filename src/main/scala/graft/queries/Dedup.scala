@@ -128,28 +128,133 @@ object Dedup {
     * variant (Kiveris et al., "Connected Components in MapReduce") drops in
     * with the same interface.
     */
-  def connectedComponents(nodes: DataFrame, edges: DataFrame, maxIter: Int = 50): DataFrame = {
+  def connectedComponents(nodes: DataFrame, edges: DataFrame, maxIter: Int = 50): DataFrame =
+    ccImpl(Some(nodes), edges, maxIter, edgesMaterialized = false)
+
+  /** Components of a graph given by edges alone (every node is an edge
+    * endpoint — the d_span_clusters case, where singleton nodes cannot
+    * exist by construction). Skips the separate node-set scan entirely:
+    * the label initialization's groupBy over `bidir` visits every endpoint
+    * as a `dst`, so one aggregate yields both the node list and the fused
+    * first round. `edges` MUST already be materialized (spanEdges returns
+    * a localCheckpoint) — the bidirectional expansion then stays cheap
+    * lineage (two scans + union, no shuffle) instead of paying its own
+    * checkpoint action.
+    */
+  def connectedComponentsFromEdges(edges: DataFrame, maxIter: Int = 50): DataFrame =
+    ccImpl(None, edges, maxIter, edgesMaterialized = true)
+
+  private def ccImpl(nodes: Option[DataFrame], edges: DataFrame, maxIter: Int,
+      edgesMaterialized: Boolean): DataFrame = {
     // Materialized once: without the checkpoint every round would re-run the
     // whole edges lineage (for d_dup_clusters that is the crossJoin+Jaccard).
-    val bidir = edges.select(col("src"), col("dst"))
+    // Callers that hand over an already-checkpointed edge set skip the
+    // second materialization.
+    val bidir0 = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint()
-    var labels = nodes.select(col("v"), col("v").as("lbl")).localCheckpoint()
+    val bidir = if (edgesMaterialized) bidir0 else bidir0.localCheckpoint()
+    // Round 1 FUSED into initialization: min-label's first round always
+    // yields lbl(v) = min(v, min neighbor), which one aggregate computes
+    // directly — one shuffle instead of a full round's
+    // join+agg+checkpoint cycle. With an explicit node set the left join
+    // keeps isolated nodes (their own label); edge-derived graphs skip
+    // even that join, since every node appears as a `dst` in `bidir`.
+    val minNb = bidir.groupBy(col("dst").as("v")).agg(min("src").as("mnb"))
+    val init = (nodes match {
+      case Some(n) => n.select(col("v")).join(minNb, Seq("v"), "left")
+        .select(col("v"),
+          least(col("v"), coalesce(col("mnb"), col("v"))).as("lbl"))
+      case None => minNb
+        .select(col("v"), least(col("v"), col("mnb")).as("lbl"))
+    }).localCheckpoint()
+    // SELF-LOOP edges (v → v, from the materialized init table) make one
+    // join+aggregate carry BOTH the neighbor-min and each node's own
+    // previous label (`own` survives as min over the single self row), so
+    // a round references `labels` exactly ONCE — no separate union branch,
+    // no labels⋈prop comparison join: per round one broadcast-able join,
+    // one shuffle, one checkpoint action.
+    val withSelf = bidir.union(init.select(col("v").as("src"), col("v").as("dst")))
+    // Pointer doubling (label-of-label shortcut): each round starts from
+    // lbl'(v) = min(lbl(v), lbl(lbl(v))), so label chains collapse
+    // geometrically and round count drops from O(diameter) toward
+    // O(log diameter) (measured on the sf0.1 span graph: 6 rounds → 3).
+    // Applied LAZILY over the just-checkpointed previous round — a
+    // broadcast-able self-join on materialized data that fuses into the
+    // consuming round's plan, costing no extra action and no recompute.
+    // Correctness is unchanged: lbl(lbl(v)) is a node of the same
+    // component with a smaller-or-equal id, labels stay monotone
+    // decreasing, and the fixpoint (component minima) is identical; the
+    // convergence test stays sound because a zero-change round proves
+    // adjacent nodes agree everywhere, which already makes labels
+    // component-constant and the shortcut a no-op.
+    def shortcut(df: DataFrame): DataFrame = {
+      val l2 = df.select(col("v").as("v2"), col("lbl").as("lbl2"))
+      df.join(l2, df("lbl") === l2("v2"), "left")
+        .select(df("v"),
+          least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("lbl"))
+    }
+    // Convergence detection is FOLDED into the round's materialization: a
+    // long accumulator ticks inside the filter that the eager
+    // localCheckpoint drives, so each round is exactly ONE Spark action
+    // (previously a second `count()` action per round re-scanned the
+    // checkpointed labels — pure stage-scheduling latency, ~2× the
+    // per-round action count on tiny label tables). Accumulator semantics
+    // under task retry can only OVER-count, which at worst schedules one
+    // extra round that then observes zero changes — never a premature stop.
+    val acc = init.sparkSession.sparkContext.longAccumulator("cc-changed")
+    var labels = init
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIter) {
-      val prop = bidir.join(labels, bidir("src") === labels("v"))
-        .select(col("dst").as("v"), col("lbl"))
-        .union(labels)
-        .groupBy("v").agg(min("lbl").as("nlbl"))
-      val joined = labels.join(prop, "v")
-        .select(col("v"), col("lbl"), col("nlbl")).localCheckpoint()
-      changed = joined.filter(col("nlbl") < col("lbl")).count()
+      val lab = shortcut(labels)
+      acc.reset()
+      val joined = withSelf.join(lab, withSelf("src") === lab("v"))
+        .select(withSelf("dst").as("v"), col("lbl"),
+          when(withSelf("src") === withSelf("dst"), col("lbl")).as("own"))
+        .groupBy("v").agg(min("lbl").as("nlbl"), min("own").as("old"))
+        .select(col("v"), col("nlbl"), (col("nlbl") < col("old")).as("ch"))
+        .filter(new org.apache.spark.api.java.function.FilterFunction[org.apache.spark.sql.Row] {
+          override def call(r: org.apache.spark.sql.Row): Boolean = {
+            if (r.getBoolean(2)) acc.add(1L)
+            true
+          }
+        })
+        .localCheckpoint()
+      changed = acc.value
       labels = joined.select(col("v"), col("nlbl").as("lbl"))
       it += 1
     }
     require(changed == 0, s"connectedComponents did not converge in $maxIter rounds")
     labels.select(col("v"), col("lbl").as("root"))
+  }
+
+  /** Star edges of the span-provenance graph (the d_span_clusters input):
+    * every duplicated char-k-gram (the shared 48-bit md5 draw of
+    * d_dup_spans) contributes hub → member edges, hub = the gram group's
+    * min doc_id. `mn` ALONE identifies dup grams — any row with
+    * doc_id ≠ mn proves its group spans ≥ 2 distinct docs — so one
+    * min-window pass suffices (the earlier mn/mx pair paid a second
+    * window column for a condition the star filter already implies).
+    * Edges stay LINEAR in the gram stream: a boilerplate gram in m docs
+    * emits m−1 edges, never an m² clique (SpanClusterSpec plants a
+    * hyper-frequent gram and pins this bound). The result is
+    * localCheckpoint-materialized: both CC's bidir union and the node-set
+    * derivation consume it without re-running the gram pass.
+    */
+  def spanEdges(s: org.apache.spark.sql.SparkSession, d: String, k: Int = 20): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val docs = corpusWithDups(s, d)
+      .select(col("doc_id"), Text.normText(col("text")).as("nt"))
+      .filter(length(col("nt")) >= k)
+    val grams = docs.select(col("doc_id"),
+        posexplode(graft.functions.GraftFunctions.gramFps(col("nt"), k)))
+      .select(col("doc_id"), col("col").as("gh"))
+    grams
+      .withColumn("mn", min("doc_id").over(Window.partitionBy("gh")))
+      .filter(col("doc_id") =!= col("mn"))
+      .select(col("mn").as("src"), col("doc_id").as("dst"))
+      .distinct()
+      .localCheckpoint()
   }
 
   /** Planted ground-truth pairs: corpusWithDups duplicates every 5th doc as
@@ -169,6 +274,27 @@ object Dedup {
         .groupBy("n_copies")
         .agg(count(lit(1)).as("n_groups"), min("keep_id").as("min_keep"))
         .orderBy("n_copies")),
+
+    // Oracled BATCH MIRROR of streaming.EventStreams.docDedupStream (the
+    // live-ingest content dedup): arrival order is stood in by doc_id (the
+    // deterministic event-time proxy), so the stream's first-arrival keep
+    // rule is exactly "doc_id = min(doc_id) within the content
+    // fingerprint" — the same md5-of-normalized-text draw both engines
+    // share. Output: per-source ingest accounting (docs seen / kept /
+    // dropped-as-duplicate), the ledger a crawl-ingest pipeline reports.
+    // One window + one partial-agg'd groupBy; no driver-side state.
+    "d_stream_dedup_mirror" -> ((s, d) => {
+      val fp = corpusWithDups(s, d)
+        .select(col("doc_id"), col("source"),
+          md5(Text.normText(col("text"))).as("fp"))
+      val w = Window.partitionBy("fp")
+      fp.withColumn("keep", col("doc_id") === min("doc_id").over(w))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).cast("bigint").as("n_kept"),
+          sum(when(col("keep"), 0L).otherwise(1L)).cast("bigint").as("n_dropped"))
+        .orderBy("source")
+    }),
 
     // Near-dup pair listing (hash-specific → rows-only check); the
     // oracle-checked recall companion is d_minhash_recall below.
@@ -422,23 +548,17 @@ object Dedup {
     // Output is the cluster-size histogram (the d_dup_clusters shape):
     // deterministic, integer-only, cross-engine exact.
     "d_span_clusters" -> ((s, d) => {
-      val k = 20
-      graft.functions.GraftFunctions.ensureRegistered(s)
-      val docs = Dedup.corpusWithDups(s, d)
-        .select(col("doc_id"), Text.normText(col("text")).as("nt"))
-        .filter(length(col("nt")) >= k)
-      val grams = docs.select(col("doc_id"),
-          posexplode(graft.functions.GraftFunctions.gramFps(col("nt"), k)))
-        .select(col("doc_id"), col("col").as("gh"))
-      val wg = Window.partitionBy("gh")
-      val star = grams
-        .withColumn("mn", min("doc_id").over(wg))
-        .withColumn("mx", max("doc_id").over(wg))
-        .filter(col("mn") =!= col("mx"))
-      val nodes = star.select(col("doc_id").as("v")).distinct()
-      val edges = star.filter(col("doc_id") =!= col("mn"))
-        .select(col("mn").as("src"), col("doc_id").as("dst")).distinct()
-      val cc = connectedComponents(nodes, edges)
+      val edges = spanEdges(s, d)
+      // Every clustered doc is an edge ENDPOINT by construction — a
+      // dup-gram group's hub (min doc) appears as src of its star edges
+      // and every other member as dst — so no separate node set exists at
+      // all: connectedComponentsFromEdges derives it inside the label
+      // initialization's aggregate. (The previous nodes branch re-ran
+      // the entire gram pass + window a second time: the two `.distinct()`
+      // branches off one `star` subplan are separate physical plans, and
+      // with a redundant `max` window column each pass sorted twice.
+      // 5.9 s → this shape materializes the gram window exactly once.)
+      val cc = connectedComponentsFromEdges(edges)
       cc.groupBy("root").agg(count(lit(1)).as("cluster_size"))
         .groupBy("cluster_size")
         .agg(count(lit(1)).as("n_clusters"), min("root").as("min_root"))
@@ -462,6 +582,24 @@ object Dedup {
         |       CAST(1.0 AS DOUBLE) AS recall,
         |       CAST(1 AS BOOLEAN) AS pass
         |FROM documents WHERE doc_id % 5 = 0""".stripMargin,
+    "d_stream_dedup_mirror" ->
+      """WITH dups AS (
+        |  SELECT doc_id * 2 AS doc_id, text, source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id * 2 + 1 AS doc_id, text, source
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |fp AS (
+        |  SELECT doc_id, source,
+        |    md5(lower(trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')))) AS fp
+        |  FROM dups),
+        |k AS (
+        |  SELECT source,
+        |    doc_id = min(doc_id) OVER (PARTITION BY fp) AS keep
+        |  FROM fp)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+        |FROM k GROUP BY source ORDER BY source""".stripMargin,
     "d_exact_dedup" ->
       """WITH dups AS (
         |  SELECT doc_id * 2 AS doc_id, text, lang, source, n_chars FROM documents

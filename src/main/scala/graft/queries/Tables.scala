@@ -24,6 +24,15 @@ object Tables {
       spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
       "session must set spark.sql.legacy.parquet.nanosAsLong=true at build " +
         "time (events.ts is parquet TIMESTAMP(NANOS))")
+    // the other half of the timestamp-semantics contract: tz-naive parquet
+    // timestamps (the ScaleUp-written µs datasets) must read as TIMESTAMP
+    // in the UTC session, not TIMESTAMP_NTZ — a session built without this
+    // would silently diverge from the DuckDB oracle's naive-as-UTC epochs
+    require(
+      spark.conf.getOption("spark.sql.parquet.inferTimestampNTZ.enabled")
+        .contains("false"),
+      "session must set spark.sql.parquet.inferTimestampNTZ.enabled=false " +
+        "at build time (tz-naive parquet ts must read as TIMESTAMP, not NTZ)")
     val raw = t(spark, dir, "events")
     raw.schema("ts").dataType match {
       // driver testdata: TIMESTAMP(NANOS) read as long ns → downcast

@@ -79,6 +79,30 @@ object EventStreams {
       events.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark("event_id")
     else events.dropDuplicates("event_id")
 
+  /** Streaming mirror of the DOCUMENT exact-dedup family (d_exact_dedup):
+    * live-ingest content dedup. Each arriving doc is fingerprinted with the
+    * SAME draw the batch query and its DuckDB oracle share (md5 of the
+    * whitespace-normalized lowercased text) and first-arrival-deduplicated
+    * on that fingerprint via `dropDuplicatesWithinWatermark` — a re-crawl
+    * or re-post whose content already arrived inside the watermark horizon
+    * is dropped at ingest. State is bounded by the watermark (fingerprints
+    * older than 2 h are evicted), NOT by corpus size — the property that
+    * makes content dedup runnable on an unbounded crawl stream; exact
+    * global dedup across horizons remains the batch query's job.
+    * Input schema: (doc_id long, ts timestamp, text string, ...); output
+    * adds the `fp` column so downstream stages can group on it. In batch,
+    * falls back to first-per-fingerprint dropDuplicates for the parity
+    * check (its deterministic, ORDERED batch mirror — arrival order stood
+    * in by doc_id — is the oracled `d_stream_dedup_mirror` query).
+    */
+  def docDedupStream(docs: DataFrame): DataFrame = {
+    val fp = docs.withColumn("fp",
+      md5(graft.queries.Text.normText(col("text"))))
+    if (fp.isStreaming)
+      fp.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark("fp")
+    else fp.dropDuplicates("fp")
+  }
+
   /** Stream-static SCD enrichment — each event looks up the dimension row
     * VALID AT ITS EVENT TIME (`valid_from <= ts < valid_to`), the standard
     * slowly-changing-dimension join a pipeline needs the moment a weight

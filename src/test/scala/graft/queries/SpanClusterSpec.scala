@@ -70,4 +70,53 @@ class SpanClusterSpec extends SparkSpec {
         find(id) == find(id + 1), s"twins $id/${id + 1} not co-clustered")
     }
   }
+
+  /** The gh-window skew exposure, pinned: a BOILERPLATE gram shared by
+    * every document is the pathological input for `Window.partitionBy
+    * ("gh")` — the whole group lands on one partition. The star-edge
+    * construction bounds what that group can COST downstream: m docs
+    * sharing a gram emit exactly m−1 hub→member edges, never an m²
+    * clique, so the per-group work is the window's local min scan (linear)
+    * plus a linear edge stream. 1,000 docs sharing one 20-gram: the edge
+    * count is exactly 999 and the full query still produces the single
+    * correct cluster. (At 100 TB the residual exposure is the one-partition
+    * sort of the hyper-frequent group itself; the documented refinement —
+    * prefix-sharding the gram hash — changes only the partitioning key,
+    * not this edge bound.)
+    */
+  test("spanEdges: hyper-frequent gram stays linear (star edges, no clique) and clusters correctly") {
+    import spark.implicits._
+    val m = 1000
+    val boiler = "zqxjkvbwpfmghdlcrtns" // exactly 20 chars, one shared gram
+    // each doc: the shared boilerplate + a filler unique to the doc (every
+    // 20-gram touching the filler contains a full "u%04d" block, so no
+    // cross-doc gram exists besides the boilerplate); ids ≡ 1 (mod 5) keep
+    // corpusWithDups from planting extra copies
+    val docs = (0 until m).map { i =>
+      (5L * i + 1, boiler + (f"u$i%04d" * 5))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("skew-docs").toString
+    docs.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    // The boilerplate gram itself contributes exactly m−1 edges. Boundary
+    // grams (boiler suffix + filler digit-prefix) form a handful of extra
+    // shared classes — each doc belongs to at most 4 of them (one per
+    // shared digit-prefix length), each ALSO star-shaped — so the total
+    // stays a small constant × m (measured: 2,700 = 2.7m) against the
+    // clique's m(m−1)/2 = 499,500. That factor-185 gap is the skew bound
+    // this spec pins.
+    val nEdges = Dedup.spanEdges(spark, dir).count()
+    assert(nEdges >= m - 1 && nEdges < 5L * m,
+      s"hyper-frequent gram must stay linear in m: got $nEdges edges for $m docs")
+    // hub = the min corpus doc id (doc_id*2 after corpusWithDups)
+    assert(Dedup.spanEdges(spark, dir)
+      .agg(org.apache.spark.sql.functions.min("src")).head.getLong(0) == 2L)
+
+    val hist = Dedup.queries("d_span_clusters")(spark, dir).collect()
+    assert(hist.length == 1)
+    assert(hist(0).getAs[Long]("cluster_size") == m.toLong)
+    assert(hist(0).getAs[Long]("n_clusters") == 1L)
+    assert(hist(0).getAs[Long]("min_root") == 2L)
+  }
 }

@@ -152,6 +152,31 @@ class EventStreamsSpec extends SparkSpec {
     assert(dedupStream(batch).count() == 2)
   }
 
+  test("docDedupStream drops re-posted CONTENT across micro-batches (normalized fingerprint)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val docs = mem.toDF().toDF("doc_id", "ts", "text")
+    val q = docDedupStream(docs).writeStream
+      .format("memory").queryName("docdedup_test").outputMode(OutputMode.Append).start()
+    try {
+      mem.addData((1L, ts(0), "Hello  World"), (2L, ts(1), "unique one"))
+      q.processAllAvailable()
+      // doc 3 re-posts doc 1's CONTENT (same normalized text, different
+      // whitespace/case) inside the watermark horizon → dropped at ingest;
+      // doc 4 is fresh content → kept
+      mem.addData((3L, ts(2), "hello   world"), (4L, ts(3), "another text"))
+      q.processAllAvailable()
+      val kept = spark.table("docdedup_test").select("doc_id").as[Long]
+        .collect().toSet
+      assert(kept == Set(1L, 2L, 4L))
+      // batch fallback: first-per-fingerprint dropDuplicates
+      val batch = Seq((1L, ts(0), "Hello  World"), (3L, ts(2), "hello world"),
+        (2L, ts(1), "unique one")).toDF("doc_id", "ts", "text")
+      assert(docDedupStream(batch).count() == 2)
+    } finally q.stop()
+  }
+
   test("batch/stream equivalence: hourlyCounts on batch events == e_hourly_window query") {
     val batch = hourlyCounts(Tables.events(spark, TestSpark.sf0001))
       .orderBy("hour_ts", "event_type")

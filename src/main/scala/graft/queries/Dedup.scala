@@ -756,40 +756,71 @@ object Dedup {
         |FROM span GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // same gram draw as d_dup_spans; star edges per dup gram (min-doc →
-    // member), recursive label-min replays connectedComponents exactly
+    // member), label-min rounds replay connectedComponents exactly.
+    // Memory-lean formulation (the sf1 lesson, twice over): (a) the first
+    // draft MATERIALIZED the full gram stream and ran a min/max WINDOW
+    // over it — at sf1 (~300 M gram rows) DuckDB's window materialization
+    // asked for 32 GiB on top of a 90 GiB working set and OOM'd; dup-gram
+    // hubs now come from a plain GROUP BY (hash-aggregatable, spillable)
+    // and the edge probe re-derives the gram stream instead of storing it
+    // (md5 runs twice, trading CPU for bounded memory). (b) the recursive
+    // label-min CTE accumulates the full (node × reachable-smaller-label)
+    // CLOSURE — O(Σ component²) rows once replication merges components —
+    // so the replay is instead UNROLLED: six (neighbor-min, label-of-label
+    // doubling) round pairs, each a plain join+aggregate over O(V+E)
+    // rows, covering > 100 hops of diameter — far past this graph family's
+    // star-chain depth. An unconverged replay cannot silently pass: its
+    // labels would differ from Spark's converged components and the gate
+    // would FAIL loudly. Nodes derive from edge endpoints (every
+    // clustered doc is one by construction — the Spark side's argument);
+    // the self-loops in `e` make each round's min include the node's own
+    // label.
     "d_span_clusters" ->
-      """WITH dups AS MATERIALIZED (
+      """WITH dups AS (
         |  SELECT doc_id * 2 AS doc_id, text FROM documents
         |  UNION ALL
         |  SELECT doc_id * 2 + 1 AS doc_id, text FROM documents
         |  WHERE doc_id % 5 = 0),
-        |norm AS MATERIALIZED (
+        |norm AS (
         |  SELECT doc_id,
         |    lower(trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS nt
         |  FROM dups),
-        |g AS MATERIALIZED (
+        |g AS (
         |  SELECT doc_id, unnest(ghs) AS gh FROM (
         |    SELECT doc_id,
         |      list_transform(range(0, length(nt) - 19),
         |        i -> CAST('0x' || substr(md5(substr(nt, CAST(i AS INT) + 1, 20)),
         |          1, 12) AS BIGINT)) AS ghs
         |    FROM norm WHERE length(nt) >= 20)),
-        |st AS MATERIALIZED (
-        |  SELECT doc_id, gh,
-        |    min(doc_id) OVER (PARTITION BY gh) AS mn,
-        |    max(doc_id) OVER (PARTITION BY gh) AS mx
-        |  FROM g),
-        |n AS (SELECT DISTINCT doc_id AS v FROM st WHERE mn <> mx),
-        |p AS (SELECT DISTINCT mn AS src, doc_id AS dst
-        |      FROM st WHERE mn <> mx AND doc_id <> mn),
-        |e AS (SELECT src, dst FROM p UNION SELECT dst, src FROM p),
-        |comp AS (
-        |  WITH RECURSIVE r(v, lbl) AS (
-        |    SELECT v, v FROM n
-        |    UNION
-        |    SELECT e.dst, r.lbl FROM r JOIN e ON e.src = r.v)
-        |  SELECT v, min(lbl) AS root FROM r GROUP BY v),
-        |cs AS (SELECT root, count(*) AS cluster_size FROM comp GROUP BY root)
+        |dupg AS (
+        |  SELECT gh, min(doc_id) AS mn FROM g GROUP BY gh
+        |  HAVING min(doc_id) <> max(doc_id)),
+        |p AS MATERIALIZED (
+        |  SELECT DISTINCT dupg.mn AS src, g.doc_id AS dst
+        |  FROM g JOIN dupg USING (gh) WHERE g.doc_id <> dupg.mn),
+        |e AS MATERIALIZED (
+        |  SELECT src, dst FROM p UNION SELECT dst, src FROM p
+        |  UNION SELECT src, src FROM p UNION SELECT dst, dst FROM p),
+        |l0 AS (SELECT dst AS v, min(src) AS lbl FROM e GROUP BY dst),
+        |r1 AS (SELECT e.dst AS v, min(l.lbl) AS lbl FROM e JOIN l0 l ON e.src = l.v GROUP BY e.dst),
+        |d1 AS (SELECT a.v, least(a.lbl, coalesce(b.lbl, a.lbl)) AS lbl
+        |       FROM r1 a LEFT JOIN r1 b ON a.lbl = b.v),
+        |r2 AS (SELECT e.dst AS v, min(l.lbl) AS lbl FROM e JOIN d1 l ON e.src = l.v GROUP BY e.dst),
+        |d2 AS (SELECT a.v, least(a.lbl, coalesce(b.lbl, a.lbl)) AS lbl
+        |       FROM r2 a LEFT JOIN r2 b ON a.lbl = b.v),
+        |r3 AS (SELECT e.dst AS v, min(l.lbl) AS lbl FROM e JOIN d2 l ON e.src = l.v GROUP BY e.dst),
+        |d3 AS (SELECT a.v, least(a.lbl, coalesce(b.lbl, a.lbl)) AS lbl
+        |       FROM r3 a LEFT JOIN r3 b ON a.lbl = b.v),
+        |r4 AS (SELECT e.dst AS v, min(l.lbl) AS lbl FROM e JOIN d3 l ON e.src = l.v GROUP BY e.dst),
+        |d4 AS (SELECT a.v, least(a.lbl, coalesce(b.lbl, a.lbl)) AS lbl
+        |       FROM r4 a LEFT JOIN r4 b ON a.lbl = b.v),
+        |r5 AS (SELECT e.dst AS v, min(l.lbl) AS lbl FROM e JOIN d4 l ON e.src = l.v GROUP BY e.dst),
+        |d5 AS (SELECT a.v, least(a.lbl, coalesce(b.lbl, a.lbl)) AS lbl
+        |       FROM r5 a LEFT JOIN r5 b ON a.lbl = b.v),
+        |r6 AS (SELECT e.dst AS v, min(l.lbl) AS lbl FROM e JOIN d5 l ON e.src = l.v GROUP BY e.dst),
+        |d6 AS (SELECT a.v, least(a.lbl, coalesce(b.lbl, a.lbl)) AS lbl
+        |       FROM r6 a LEFT JOIN r6 b ON a.lbl = b.v),
+        |cs AS (SELECT lbl AS root, count(*) AS cluster_size FROM d6 GROUP BY lbl)
         |SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
         |       count(*) AS n_clusters, min(root) AS min_root
         |FROM cs GROUP BY cluster_size ORDER BY cluster_size""".stripMargin

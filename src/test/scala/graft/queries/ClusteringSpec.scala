@@ -32,6 +32,22 @@ class ClusteringSpec extends SparkSpec {
     assert(cc.forall(_.getLong(1) == 1L))
   }
 
+  test("connectedComponentsFromEdges: endpoint-derived node set matches the explicit one") {
+    import spark.implicits._
+    // path + pair + cycle (no isolated node — the edge-derived contract)
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L), (7L, 8L), (8L, 9L), (9L, 7L))
+      .toDF("src", "dst").localCheckpoint()
+    val cc = Dedup.connectedComponentsFromEdges(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 4L, 7L -> 7L, 8L -> 7L, 9L -> 7L))
+    // long chain through the same entry point (pointer-doubling path)
+    val chain = (1L until 30L).map(i => (i, i + 1)).toDF("src", "dst")
+      .localCheckpoint()
+    assert(Dedup.connectedComponentsFromEdges(chain).collect()
+      .forall(_.getLong(1) == 1L))
+  }
+
   test("d_dup_clusters: sizes partition the bounded doc set") {
     val r = Dedup.queries("d_dup_clusters")(spark, sf).collect()
     val docs = Tables.t(spark, sf, "documents")

@@ -118,5 +118,16 @@ class SpanClusterSpec extends SparkSpec {
     assert(hist(0).getAs[Long]("cluster_size") == m.toLong)
     assert(hist(0).getAs[Long]("n_clusters") == 1L)
     assert(hist(0).getAs[Long]("min_root") == 2L)
+
+    // the pair's other member on the same pathological corpus: d_dup_spans'
+    // gh window sees the one m-doc gram group and must still emit one
+    // correct span per doc (each doc's duplicated region covers the
+    // boilerplate plus the shared digit-prefix boundary grams — strictly
+    // less than the whole text, since the per-doc unique filler tail is
+    // nowhere duplicated)
+    val spans = Dedup.queries("d_dup_spans")(spark, dir).collect()
+    assert(spans.length == m)
+    assert(spans.forall(_.getAs[Long]("dup_chars") >= boiler.length.toLong))
+    assert(spans.forall(r => r.getAs[Double]("dup_frac") < 1.0))
   }
 }

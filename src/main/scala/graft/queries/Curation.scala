@@ -276,6 +276,43 @@ object Curation {
         .orderBy("shard")
     }),
 
+    // Overlapping-window chunking — the retrieval/context-prep primitive
+    // between curation and tokenization: each document splits into
+    // fixed-width char windows (W=200) advancing by stride S=150, so
+    // consecutive chunks overlap by 50 chars and no boundary content is
+    // lost to a cut. The chunk COUNT is closed-form (n = 1 if len ≤ W
+    // else ceil((len−W)/S)+1), so the generator explodes O(len/S)
+    // CHUNK-sized rows per doc — never a per-character stream — and the
+    // last chunk clips to the doc end, making coverage exact. Output:
+    // per-source chunk accounting including the overlap volume
+    // (sum chunk chars − doc chars), the token-duplication cost the
+    // stride choice buys — the number a pipeline tunes W/S against.
+    "c_chunk_windows" -> ((s, d) => {
+      val w = 200
+      val st = 150
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          length(col("text")).cast("bigint").as("len"))
+        .withColumn("n_chunks",
+          when(col("len") <= w, lit(1L)).otherwise(
+            ceil((col("len") - w).cast("double") / st).cast("bigint") + lit(1L)))
+      val chunks = docs
+        .select(col("doc_id"), col("source"), col("len"),
+          explode(expr("sequence(0, n_chunks - 1)")).as("i"))
+        .select(col("doc_id"), col("source"), col("len"),
+          (col("i") * st).as("start"))
+        .withColumn("chunk_len", least(lit(w.toLong), col("len") - col("start")))
+      chunks.groupBy("source")
+        .agg(countDistinct("doc_id").as("n_docs"),
+          count(lit(1)).as("n_chunks"),
+          sum("chunk_len").cast("bigint").as("sum_chunk_chars"),
+          round((sum("chunk_len") -
+              sum(when(col("start") === 0, col("len")).otherwise(0L)))
+            .cast("double") / countDistinct("doc_id"), 4)
+            .as("avg_overlap_chars"))
+        .orderBy("source")
+    }),
+
     // Deterministic global shuffle / shard assignment: shard on the first
     // md5(text) nibble (16 shards). Balance stats per shard prove the
     // assignment spreads bytes evenly — the write-side primitive for
@@ -1070,6 +1107,27 @@ object Curation {
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
         |FROM documents GROUP BY shard ORDER BY shard""".stripMargin,
+    "c_chunk_windows" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, CAST(length(text) AS BIGINT) AS len,
+        |    CASE WHEN length(text) <= 200 THEN 1
+        |         ELSE CAST(ceil((length(text) - 200) / 150.0) AS BIGINT) + 1
+        |    END AS n_chunks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, len, unnest(range(0, n_chunks)) AS i
+        |  FROM d),
+        |k AS (
+        |  SELECT doc_id, source, len, i * 150 AS start,
+        |    least(200, len - i * 150) AS chunk_len
+        |  FROM c)
+        |SELECT source, count(DISTINCT doc_id) AS n_docs,
+        |  count(*) AS n_chunks,
+        |  CAST(sum(chunk_len) AS BIGINT) AS sum_chunk_chars,
+        |  round(CAST(sum(chunk_len) -
+        |        sum(CASE WHEN start = 0 THEN len ELSE 0 END) AS DOUBLE)
+        |      / count(DISTINCT doc_id), 4) AS avg_overlap_chars
+        |FROM k GROUP BY source ORDER BY source""".stripMargin,
     // chr(101)||chr(769) = decomposed e+combining-acute, chr(233) = é
     "c_unicode_norm" ->
       """WITH dirty AS (

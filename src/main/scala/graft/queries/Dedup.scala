@@ -241,7 +241,15 @@ object Dedup {
     * localCheckpoint-materialized: both CC's bidir union and the node-set
     * derivation consume it without re-running the gram pass.
     */
-  def spanEdges(s: org.apache.spark.sql.SparkSession, d: String, k: Int = 20): DataFrame = {
+  def spanEdges(s: org.apache.spark.sql.SparkSession, d: String, k: Int = 20): DataFrame =
+    spanEdgesPlan(s, d, k).localCheckpoint()
+
+  /** The un-materialized spanEdges plan — separate so PlanSpec can assert
+    * its shape (one gh window, native gram_fps, no per-row md5): the
+    * checkpointed frame spanEdges returns exposes only an RDD scan.
+    */
+  private[queries] def spanEdgesPlan(
+      s: org.apache.spark.sql.SparkSession, d: String, k: Int): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(s)
     val docs = corpusWithDups(s, d)
       .select(col("doc_id"), Text.normText(col("text")).as("nt"))
@@ -254,7 +262,6 @@ object Dedup {
       .filter(col("doc_id") =!= col("mn"))
       .select(col("mn").as("src"), col("doc_id").as("dst"))
       .distinct()
-      .localCheckpoint()
   }
 
   /** Planted ground-truth pairs: corpusWithDups duplicates every 5th doc as

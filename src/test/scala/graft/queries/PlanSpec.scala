@@ -191,6 +191,29 @@ class PlanSpec extends SparkSpec {
       s"the md5 draw must happen once inside gram_fps, not per exploded row:\n$ws")
   }
 
+  test("spanEdges: native gram_fps, exactly ONE gh window, no min/max pair, no per-row md5") {
+    val df = Dedup.spanEdgesPlan(spark, TestSpark.sf0001, 20)
+    df.collect()
+    val ws = df.queryExecution.executedPlan.toString
+    assert(ws.contains("gram_fps"),
+      s"the gram stream must come from the native gram_fps expression:\n$ws")
+    assert(!ws.contains("sequence("),
+      s"no interpreted sequence() may remain in the gram path:\n$ws")
+    assert(!ws.toLowerCase.contains("md5("),
+      s"the md5 draw must happen once inside gram_fps, not per exploded row:\n$ws")
+    // one min-window pass over gh — the round-10 rewrite's point: the
+    // mn/mx pair paid a second window column for a condition the star
+    // filter (doc_id != mn) already implies
+    // the AQE dump repeats the tree under "== Initial Plan ==" — count
+    // Window nodes in the final section only
+    val finalPlan = ws.split("== Initial Plan ==")(0)
+    val nWindow = finalPlan.linesIterator.count(
+      _.replaceAll("^[-+*:() \\d]+", "").startsWith("Window"))
+    assert(nWindow == 1, s"expected exactly one Window node, got $nWindow:\n$ws")
+    assert(!ws.contains("max(doc_id"),
+      s"no max window column may remain (mn alone identifies dup grams):\n$ws")
+  }
+
   test("t_ngram_lang_id: native char_ngrams generator, no transform/sequence HOF") {
     val df = SparkEntry.queries("t_ngram_lang_id")(spark, TestSpark.sf0001)
     df.collect()

@@ -51,6 +51,10 @@ object Bench {
     // artifact was 5-17x inflated on untouched queries by co-tenant load;
     // the min of 2 reproduces the judge's quiet-machine numbers).
     val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(2)
+    // reps <= 0 would skip every measurement loop and report best =
+    // Double.MaxValue (~1.8e308) per query with ok=true — fail loudly
+    // instead of emitting a nonsense artifact
+    require(reps >= 1, s"SPARK_GRAFT_BENCH_REPS must be >= 1, got $reps")
     val results = bench.toSeq.sortBy(_._1).map { case (name, fn) =>
       var best = Double.MaxValue
       var ok = true

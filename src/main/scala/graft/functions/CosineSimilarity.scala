@@ -183,10 +183,9 @@ object GraftFunctions {
   }
 
   val simHashBuilder: Seq[Expression] => Expression = {
-    case Seq(c, s) =>
-      SimHash64(c, litParam("simhash64", "seed", s))
+    case Seq(c) => SimHash64(c)
     case other => throw new IllegalArgumentException(
-      s"simhash64 expects 2 arguments (text, seed), got ${other.size}")
+      s"simhash64 expects 1 argument (text), got ${other.size}")
   }
 
   /** `unicode_norm(str)` defaults to NFC; `unicode_norm(str, 'NFKC')` takes
@@ -268,11 +267,10 @@ object GraftFunctions {
     call_function("minhash_sigs", text, lit(k), lit(n), lit(seed))
   }
 
-  /** Column API: 64-bit simhash of space-separated tokens. */
-  def simhash64(text: Column, seed: Long = 42L): Column = {
-    import org.apache.spark.sql.functions.lit
-    call_function("simhash64", text, lit(seed))
-  }
+  /** Column API: 48-bit md5-draw simhash of space-separated tokens (the
+    * family is seedless — one md5 prefix per token, DuckDB-replayable).
+    */
+  def simhash64(text: Column): Column = call_function("simhash64", text)
 
   /** Column API: winnowed k-gram fingerprints, after `ensureRegistered`. */
   def winnowFps(text: Column, k: Int, w: Int): Column = {

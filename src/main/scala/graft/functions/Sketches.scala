@@ -1,61 +1,73 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Single-pass document-sketch expressions.
   *
-  * The DataFrame formulation of MinHash (explode k-shingles → xxhash64 per
+  * The DataFrame formulation of MinHash (explode k-shingles → hash per
   * shingle → 16 min-aggregates per doc) materializes one ROW per shingle:
   * ~600 rows and a 16-column hash-aggregate entry per average document.
   * These expressions compute the same sketches in one tight loop per
   * document — no explode, no aggregation, no shuffle — which turns the
   * signature stage of near-dup pipelines into a narrow codegen'd map.
   * Shingle hashing walks the UTF-8 bytes in place (char→byte offsets
-  * computed once per document, `XXH64.hashUnsafeBytes` per window) — zero
-  * allocation per shingle.
+  * computed once per document, one digest per window).
   *
-  * The hash family (xxhash64 of shingle bytes, re-mixed per member with
-  * `XXH64.hashLong`) is deterministic, so planted exact duplicates get
-  * identical signatures — the property the oracle-checked recall queries
-  * (`d_minhash_recall` / `d_simhash_recall`) rely on, independent of the
-  * specific family.
+  * The whole family is DuckDB-replayable by construction (the
+  * `winnow_fps`/`gram_fps` precedent): every base draw is the first 48
+  * bits of md5 — `conv(substring(md5(gram), 1, 12), 16, 10)` in SQL — and
+  * every per-member mix is plain 64-bit integer arithmetic (XOR with
+  * seed-derived splitmix64 constants), so the LSH pair/bucket listings
+  * themselves hash-check against the SQL oracle, not just their recall
+  * companions. Identical text ⇒ identical signatures, the property the
+  * recall oracles (`d_minhash_recall` / `d_simhash_recall`) additionally
+  * pin independent of the family.
   */
 object Sketches {
 
-  /** All n minhashes of the k-char shingles of `text` in one pass.
-    * At least one shingle is always produced (a short text hashes whole),
-    * matching `Dedup.shingles`' `greatest(length - k + 1, 1)` contract.
+  /** Seed-derived XOR mixing constants of the minhash family (splitmix64
+    * finalizer draws, masked to 48 bits so mixed members stay in the
+    * md5-48 domain). Member j's value for a shingle with base draw h is
+    * `h ^ c(j)`; min over shingles selects a DIFFERENT pseudo-random
+    * argmin shingle per member, which is what makes the estimator work —
+    * an order-preserving mix (e.g. small-multiplier affine) would make
+    * every member pick the same argmin shingle and collapse est_sim to
+    * 0/1. Exposed so the DuckDB oracle SQL interpolates the same
+    * constants as literals.
+    */
+  def minhashXorConstants(n: Int, seed: Long): Array[Long] =
+    Array.tabulate(n) { j =>
+      var z = seed + (j + 1) * 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      (z ^ (z >>> 31)) & 0xFFFFFFFFFFFFL
+    }
+
+  /** All n minhashes of the k-char shingles of `text` in one pass:
+    * md5-48 per shingle (the shared SQL-replayable gram draw), then per
+    * member j the min over shingles of `h ^ c(j)`. At least one shingle
+    * is always produced (a short text hashes whole), matching
+    * `Dedup.shingles`' `greatest(length - k + 1, 1)` contract and the SQL
+    * form's `substr(text, i+1, k)` end-clamping. The constants are
+    * recomputed per row — n splitmix rounds, noise next to the per-gram
+    * digests.
     */
   def minhash(text: UTF8String, k: Int, n: Int, seed: Long): ArrayData = {
-    val bytes = text.getBytes // materialize once; offsets below are char-aligned
     val numChars = text.numChars()
-    // char index -> byte offset (UTF-8 is variable width; shingles are CHAR
-    // windows, so precompute the boundaries in one scan)
-    val off = new Array[Int](numChars + 1)
-    var c = 0
-    var b = 0
-    while (c < numChars) {
-      off(c) = b
-      val first = bytes(b)
-      b += UTF8String.numBytesForFirstByte(first)
-      c += 1
-    }
-    off(numChars) = bytes.length
     val numShingles = math.max(numChars - k + 1, 1)
+    val gh = md5GramHashes(text, k, numChars, numShingles)
+    val cs = minhashXorConstants(n, seed)
     val mins = Array.fill(n)(Long.MaxValue)
     var i = 0
     while (i < numShingles) {
-      val start = off(i)
-      val end = off(math.min(i + k, numChars))
-      val h = XXH64.hashUnsafeBytes(bytes,
-        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + start, end - start, seed)
+      val h = gh(i)
       var j = 0
       while (j < n) {
-        val m = XXH64.hashLong(h, j.toLong)
+        val m = h ^ cs(j)
         if (m < mins(j)) mins(j) = m
         j += 1
       }
@@ -105,7 +117,10 @@ object Sketches {
     * bytes big-endian — bit-identical to the SQL form
     * `conv(substring(md5(substring(nt, i+1, k)), 1, 12), 16, 10)` (12 hex
     * chars = 6 bytes; conv of ≤48 bits never overflows a signed long).
-    * One UTF-8 offset scan, then one digest per gram.
+    * One UTF-8 offset scan, then one digest per gram. Gram ends are
+    * clamped to the text (SQL `substr` semantics) so the minhash
+    * whole-text fallback for sub-k inputs draws the same value as
+    * `md5(substr(text, 1, k))`.
     */
   private def md5GramHashes(text: UTF8String, k: Int,
       numChars: Int, numGrams: Int): Array[Long] = {
@@ -125,7 +140,7 @@ object Sketches {
     var i = 0
     while (i < numGrams) {
       md.reset()
-      md.update(bytes, off(i), off(i + k) - off(i))
+      md.update(bytes, off(i), off(math.min(i + k, numChars)) - off(i))
       // digest into the reused buffer — digest() would allocate a fresh
       // 16-byte array PER GRAM (one per corpus character in span dedup)
       md.digest(d, 0, 16)
@@ -185,25 +200,37 @@ object Sketches {
     new GenericArrayData(out)
   }
 
-  /** 64-bit SimHash over space-separated tokens of (already-normalized)
-    * `text`: per token, hash its bytes; bit b of the signature is set when
-    * the +1/−1 sum of token-hash bit b over all tokens is positive.
-    * Empty-token runs are skipped, so leading/trailing/repeated spaces are
-    * harmless even on un-collapsed input.
+  /** 48-bit SimHash over space-separated tokens of (already-normalized)
+    * `text`: per token, the md5-48 draw of its bytes (the shared
+    * SQL-replayable form `conv(substring(md5(tok), 1, 12), 16, 10)`); bit
+    * b of the signature is set when the +1/−1 sum of token-hash bit b over
+    * all tokens is positive. 48 bits (not 64) so the ENTIRE signature is
+    * one md5 prefix per token — replayable in the oracle with a single
+    * conv, no second digest. Empty-token runs are skipped, so
+    * leading/trailing/repeated spaces are harmless even on un-collapsed
+    * input.
     */
-  def simhash(text: UTF8String, seed: Long): Long = {
+  val SimHashBits = 48
+
+  def simhash(text: UTF8String): Long = {
     val bytes = text.getBytes
-    val counts = new Array[Int](64)
+    val counts = new Array[Int](SimHashBits)
+    val md = md5Local.get()
+    val d = digestBuf.get()
     var start = 0
     var i = 0
     val len = bytes.length
     while (i <= len) {
       if (i == len || bytes(i) == ' '.toByte) {
         if (i > start) {
-          val h = XXH64.hashUnsafeBytes(bytes,
-            org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + start, i - start, seed)
+          md.reset()
+          md.update(bytes, start, i - start)
+          md.digest(d, 0, 16)
+          val h = ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) |
+            ((d(2) & 0xffL) << 24) | ((d(3) & 0xffL) << 16) |
+            ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
           var bit = 0
-          while (bit < 64) {
+          while (bit < SimHashBits) {
             if (((h >>> bit) & 1L) == 1L) counts(bit) += 1 else counts(bit) -= 1
             bit += 1
           }
@@ -214,7 +241,7 @@ object Sketches {
     }
     var sig = 0L
     var bit = 0
-    while (bit < 64) {
+    while (bit < SimHashBits) {
       if (counts(bit) > 0) sig |= (1L << bit)
       bit += 1
     }
@@ -314,8 +341,10 @@ case class CharNgrams(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
-/** `simhash64(text)` → bigint signature. */
-case class SimHash64(child: Expression, seed: Long) extends UnaryExpression {
+/** `simhash64(text)` → bigint signature (48 significant bits — see
+  * [[Sketches.simhash]]).
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def checkInputDataTypes() =
@@ -326,10 +355,10 @@ case class SimHash64(child: Expression, seed: Long) extends UnaryExpression {
   override def prettyName: String = "simhash64"
 
   override def nullSafeEval(input: Any): Any =
-    Sketches.simhash(input.asInstanceOf[UTF8String], seed)
+    Sketches.simhash(input.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.Sketches.simhash($c, ${seed}L)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.Sketches.simhash($c)")
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)

@@ -54,17 +54,22 @@ object Dedup {
     // expression: one tight loop per document computes all 16 family
     // members — no shingle explode, no 16-column aggregation, no shuffle
     // until the band join. (History of this stage: array-HOF form 3.4 s →
-    // explode+groupBy 2.1 s → native expression; the HOF lambdas were
-    // interpreted per element, and the explode form materialized one row
-    // per shingle. The hash family changed with the rewrite — legal, since
-    // LSH membership is hash-specific and the recall oracle is
-    // construction-guaranteed for ANY deterministic family.)
+    // explode+groupBy 2.1 s → native expression. The family is the
+    // DuckDB-replayable md5-48 + seed-derived XOR mix — see
+    // [[graft.functions.Sketches.minhash]] — which makes THIS listing
+    // hash-oracled, not just its recall companion.)
+    //
+    // The band key is the band's 4 RAW members as a struct, not a hash of
+    // them: equally shuffle-able (one exchange on (band, bsig)), exactly
+    // replayable in SQL, and immune to spurious band-hash collisions
+    // polluting the candidate set.
     val sig = corpusWithDups(s, d)
       .select(col("doc_id"),
         graft.functions.GraftFunctions.minhashSigs(col("text"), 5, n).as("mh"))
       .select(col("doc_id"), col("mh"), posexplode(
         array((0 until bands).map(b =>
-          xxhash64((0 until rows).map(r => col("mh")(b * rows + r)): _*)): _*)
+          struct((0 until rows).map(r =>
+            col("mh")(b * rows + r).as(s"m$r")): _*)): _*)
       ).as(Seq("band", "bsig")))
     // alias-based self-join: both sides are the SAME canonical subplan, so
     // the shuffle on (band, bsig) is computed once and the second side is
@@ -89,13 +94,13 @@ object Dedup {
 
   /** SimHash signatures over the dup corpus via the native single-pass
     * [[graft.functions.SimHash64]] expression: tokenization (space runs of
-    * the normalized text), per-token hashing, the 64 ±1 bit sums, and the
-    * sign fold all happen in one loop per document — a narrow codegen'd
-    * map, replacing the token-explode + 64-column aggregation formulation
-    * (which materialized a row per token and a 64-int state per doc in the
-    * hash aggregate). Signature values changed with the rewrite — legal:
-    * bucket membership is hash-specific (rows-only check) and the recall
-    * oracle is construction-guaranteed for any deterministic family.
+    * the normalized text), per-token md5-48 hashing, the 48 ±1 bit sums,
+    * and the sign fold all happen in one loop per document — a narrow
+    * codegen'd map, replacing the token-explode + per-bit aggregation
+    * formulation (which materialized a row per token and a 48-int state
+    * per doc in the hash aggregate). The md5-48 token draw replays in
+    * DuckDB SQL, so the bucket listing itself is hash-oracled; the recall
+    * oracle remains construction-guaranteed for any deterministic family.
     */
   def simhashSigs(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(s)
@@ -141,8 +146,18 @@ object Dedup {
     * lineage (two scans + union, no shuffle) instead of paying its own
     * checkpoint action.
     */
-  def connectedComponentsFromEdges(edges: DataFrame, maxIter: Int = 50): DataFrame =
-    ccImpl(None, edges, maxIter, edgesMaterialized = true)
+  def connectedComponentsFromEdges(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    // The "edges MUST be materialized" contract is enforced, not just
+    // documented: a lazy frame passed here would silently re-run its full
+    // lineage (for spanEdges, the whole gram pass) once per CC round. A
+    // localCheckpoint'd frame optimizes to a bare LogicalRDD scan — anything
+    // else gets checkpointed defensively on entry.
+    val materialized = edges.queryExecution.optimizedPlan match {
+      case _: org.apache.spark.sql.execution.LogicalRDD => edges
+      case _ => edges.localCheckpoint()
+    }
+    ccImpl(None, materialized, maxIter, edgesMaterialized = true)
+  }
 
   private def ccImpl(nodes: Option[DataFrame], edges: DataFrame, maxIter: Int,
       edgesMaterialized: Boolean): DataFrame = {
@@ -303,9 +318,14 @@ object Dedup {
         .orderBy("source")
     }),
 
-    // Near-dup pair listing (hash-specific → rows-only check); the
-    // oracle-checked recall companion is d_minhash_recall below.
-    "d_minhash_lsh" -> ((s, d) => minhashPairs(s, d).orderBy("id_a", "id_b")),
+    // Near-dup pair listing — fully hash-oracled: the md5-48 + XOR family
+    // replays in DuckDB SQL (see oracles below), so the LISTING itself is
+    // value-checked, with d_minhash_recall as the family-independent
+    // recall companion.
+    "d_minhash_lsh" -> ((s, d) =>
+      minhashPairs(s, d)
+        .select(col("id_a"), col("id_b"), round(col("est_sim"), 4).as("est_sim"))
+        .orderBy("id_a", "id_b")),
 
     // SELF-VERIFYING: recall of the planted exact-dup pairs. An exact
     // duplicate has an identical shingle set → identical minhash signature →
@@ -322,11 +342,12 @@ object Dedup {
           (col("n_found") === col("n_truth")).as("pass"))
     }),
 
-    // SimHash: near-dups bucket by the high 16 bits of the 64-bit signature.
-    // Rows-only check (hash-function specific); oracle-checked recall
-    // companion is d_simhash_recall below.
+    // SimHash: near-dups bucket by the high 16 bits of the 48-bit
+    // signature. Fully hash-oracled (the md5-48 token draw replays in
+    // DuckDB — see oracles below); d_simhash_recall remains the
+    // family-independent companion.
     "d_simhash" -> ((s, d) =>
-      simhashSigs(s, d).withColumn("bucket", shiftright(col("simhash"), 48))
+      simhashSigs(s, d).withColumn("bucket", shiftright(col("simhash"), 32))
         .groupBy("bucket")
         .agg(count(lit(1)).as("n_docs"))
         .filter(col("n_docs") > 1)
@@ -589,6 +610,80 @@ object Dedup {
         |       CAST(1.0 AS DOUBLE) AS recall,
         |       CAST(1 AS BOOLEAN) AS pass
         |FROM documents WHERE doc_id % 5 = 0""".stripMargin,
+    // Full replay of the minhash LSH listing: the same md5-48 gram draw as
+    // winnow_fps/gram_fps, the same seed-42 splitmix XOR constants
+    // (interpolated from Sketches.minhashXorConstants so Scala and SQL can
+    // never drift), band join on the 4 raw members, est_sim = equal-member
+    // fraction — value-for-value the Spark plan's semantics.
+    "d_minhash_lsh" -> {
+      val cs = graft.functions.Sketches.minhashXorConstants(16, 42L)
+        .mkString("[", ",", "]")
+      s"""WITH dups AS MATERIALIZED (
+        |  SELECT doc_id * 2 AS doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id * 2 + 1 AS doc_id, text FROM documents
+        |  WHERE doc_id % 5 = 0),
+        |grams AS MATERIALIZED (
+        |  SELECT doc_id, unnest(list_transform(range(0, greatest(length(text) - 4, 1)),
+        |    i -> CAST('0x' || substr(md5(substr(text, CAST(i AS INT) + 1, 5)),
+        |      1, 12) AS BIGINT))) AS h
+        |  FROM dups),
+        |mins AS (
+        |  SELECT doc_id, j, min(xor(h, list_extract($cs, CAST(j AS INT) + 1))) AS m
+        |  FROM grams CROSS JOIN range(0, 16) t(j) GROUP BY 1, 2),
+        |sigs AS MATERIALIZED (
+        |  SELECT doc_id, list(m ORDER BY j) AS mh FROM mins GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, b,
+        |    mh[CAST(4 * b + 1 AS INT)] AS m0, mh[CAST(4 * b + 2 AS INT)] AS m1,
+        |    mh[CAST(4 * b + 3 AS INT)] AS m2, mh[CAST(4 * b + 4 AS INT)] AS m3
+        |  FROM sigs CROSS JOIN range(0, 4) t(b)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+        |  FROM bands a JOIN bands c
+        |    ON a.b = c.b AND a.m0 = c.m0 AND a.m1 = c.m1
+        |    AND a.m2 = c.m2 AND a.m3 = c.m3
+        |  WHERE a.doc_id < c.doc_id),
+        |pairs AS (
+        |  SELECT id_a, id_b,
+        |    round(CAST(list_sum(list_transform(sa.mh, (x, i) ->
+        |      CASE WHEN x = sb.mh[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 16, 4)
+        |      AS est_sim
+        |  FROM cand JOIN sigs sa ON sa.doc_id = id_a
+        |            JOIN sigs sb ON sb.doc_id = id_b)
+        |SELECT id_a, id_b, est_sim FROM pairs
+        |WHERE est_sim >= 0.7 ORDER BY id_a, id_b""".stripMargin
+    },
+    // Full replay of the simhash bucket listing: one md5-48 draw per
+    // token of the normalized text, 48 ±1 bit sums, sign fold, top-16-bit
+    // bucket — the exact Sketches.simhash arithmetic in SQL.
+    "d_simhash" ->
+      """WITH dups AS MATERIALIZED (
+        |  SELECT doc_id * 2 AS doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id * 2 + 1 AS doc_id, text FROM documents
+        |  WHERE doc_id % 5 = 0),
+        |norm AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    lower(trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS nt
+        |  FROM dups),
+        |toks AS (
+        |  SELECT doc_id, unnest(string_split(nt, ' ')) AS tok
+        |  FROM norm WHERE nt <> ''),
+        |th AS MATERIALIZED (
+        |  SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 12) AS BIGINT) AS h
+        |  FROM toks WHERE tok <> ''),
+        |bits AS (
+        |  SELECT doc_id, b,
+        |    sum(CASE WHEN ((h >> CAST(b AS INT)) & 1) = 1 THEN 1 ELSE -1 END) AS cnt
+        |  FROM th CROSS JOIN range(0, 48) t(b) GROUP BY 1, 2),
+        |sig AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN cnt > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
+        |        ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM bits GROUP BY doc_id)
+        |SELECT CAST(simhash >> 32 AS BIGINT) AS bucket, count(*) AS n_docs
+        |FROM sig GROUP BY 1 HAVING count(*) > 1 ORDER BY bucket""".stripMargin,
     "d_stream_dedup_mirror" ->
       """WITH dups AS (
         |  SELECT doc_id * 2 AS doc_id, text, source FROM documents
@@ -825,11 +920,17 @@ object Dedup {
         |d5 AS (SELECT a.v, least(a.lbl, coalesce(b.lbl, a.lbl)) AS lbl
         |       FROM r5 a LEFT JOIN r5 b ON a.lbl = b.v),
         |r6 AS (SELECT e.dst AS v, min(l.lbl) AS lbl FROM e JOIN d5 l ON e.src = l.v GROUP BY e.dst),
-        |d6 AS (SELECT a.v, least(a.lbl, coalesce(b.lbl, a.lbl)) AS lbl
+        |d6 AS MATERIALIZED (SELECT a.v, least(a.lbl, coalesce(b.lbl, a.lbl)) AS lbl
         |       FROM r6 a LEFT JOIN r6 b ON a.lbl = b.v),
+        |r7 AS (SELECT e.dst AS v, min(l.lbl) AS lbl FROM e JOIN d6 l ON e.src = l.v GROUP BY e.dst),
+        |chk AS (SELECT count(*) AS n_changed
+        |        FROM r7 JOIN d6 ON r7.v = d6.v WHERE r7.lbl < d6.lbl),
         |cs AS (SELECT lbl AS root, count(*) AS cluster_size FROM d6 GROUP BY lbl)
         |SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
-        |       count(*) AS n_clusters, min(root) AS min_root
+        |       count(*) AS n_clusters,
+        |       min(root) + (SELECT CASE WHEN n_changed > 0 THEN error(
+        |         'd_span_clusters oracle: label-min replay NOT converged after the 6 unrolled rounds - deepen the unroll')
+        |         ELSE 0 END FROM chk) AS min_root
         |FROM cs GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
   )
 }

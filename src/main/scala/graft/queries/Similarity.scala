@@ -33,27 +33,50 @@ object Similarity {
   def cosineHof(a: Column, b: Column): Column =
     dot(a, b) / nullif(norm(a) * norm(b), lit(0.0))
 
-  /** Deterministic pseudo-random hyperplane `p` over `dim` components in
-    * [-1, 1]: evaluated ONCE driver-side through the same Catalyst XxHash64
-    * code path the per-row form used (bit-identical results), then shipped
-    * to executors as an array<double> literal.
+  /** Deterministic pseudo-random hyperplane `p`: component `i` is the
+    * INTEGER `md5_48("p_i") % 2001 − 1000` ∈ [−1000, 1000], carried as an
+    * integer-valued double. Evaluated ONCE driver-side through the same
+    * md5 draw the DuckDB oracle spells as
+    * `CAST('0x' || substr(md5(p || '_' || i), 1, 12) AS BIGINT)`, then
+    * shipped to executors as an array<double> literal. Integer weights ×
+    * the [[quantizedEmbedding]] integer components keep every projection a
+    * sum of exact integer-valued doubles (≤ ~2e6 per term, far under
+    * 2^53), so bucket SIGNS are order-independent and replay bit-for-bit
+    * in SQL — which is what upgrades the ANN listings from rows-only to
+    * hash-oracled.
     */
-  private[queries] def hyperplane(p: Int, dim: Int = 64): Array[Double] =
+  private[queries] def hyperplane(p: Int, dim: Int = 64): Array[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
     Array.tabulate(dim) { i =>
-      import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
-      val h = XxHash64(Seq(Literal(p), Literal(i)), 42L).eval(null).asInstanceOf[Long]
-      (h % 1000).toDouble / 1000.0
+      md.reset()
+      val d = md.digest(s"${p}_$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val h = ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) |
+        ((d(2) & 0xffL) << 24) | ((d(3) & 0xffL) << 16) |
+        ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
+      (h % 2001 - 1000).toDouble
     }
+  }
 
-  /** Signed projection of `embedding` onto hyperplane `p` via the native
-    * codegen'd [[graft.functions.DotProduct]] expression — a tight Java
-    * loop, no interpreted lambda per element. Bit-identical to the
-    * higher-order `aggregate(zip_with(...))` form it replaced (same
-    * left-to-right accumulation from 0.0), so bucket signs are unchanged.
-    * Callers must `GraftFunctions.ensureRegistered` first.
+  /** `floor(x_as_double * 1000)` per component — exact and engine-agnostic
+    * (float→double widening is exact, ×1000 is one deterministic IEEE op,
+    * floor rounds toward −∞ in both engines), unlike round() whose
+    * half-way rule differs across engines.
     */
-  private def planeProj(p: Int): Column =
-    graft.functions.GraftFunctions.dotProduct(col("embedding"), typedLit(hyperplane(p)))
+  private def quantizedEmbedding: Column =
+    transform(col("embedding"), x => floor(x.cast("double") * 1000).cast("double"))
+
+  /** Signed projection of the pre-quantized embedding column onto
+    * hyperplane `p` via the native codegen'd
+    * [[graft.functions.DotProduct]] expression — a tight Java loop, no
+    * interpreted lambda per element. All terms are integer-valued
+    * doubles, so the sum is exact regardless of accumulation order.
+    * Callers quantize ONCE per row (`quantizedEmbedding.as("qemb")`) and
+    * project that column per plane — re-deriving the transform inside
+    * each of 16–64 projections would repeat the per-element lambda per
+    * plane. Callers must `GraftFunctions.ensureRegistered` first.
+    */
+  private def planeProj(qemb: Column, p: Int): Column =
+    graft.functions.GraftFunctions.dotProduct(qemb, typedLit(hyperplane(p)))
 
   val queries: Map[String, Q] = Map(
     // Exact brute-force cosine top-k against one query vector (vec_id 0).
@@ -100,7 +123,9 @@ object Similarity {
 
     // LSH-bucketed ANN: sign-of-dot-product against 16 deterministic
     // pseudo-random hyperplanes → 16-bit bucket; same-bucket pairs are the
-    // candidate set. Rows-only check (bucketing is hash-specific).
+    // candidate set. Fully hash-oracled: integer plane weights × integer
+    // quantized components make every projection exact, so the bucket
+    // listing replays in DuckDB SQL (see oracles below).
     "s_ann_lsh_buckets" -> ((s, d) => {
       graft.functions.GraftFunctions.ensureRegistered(s)
       val emb = t(s, d, "embeddings")
@@ -109,9 +134,10 @@ object Similarity {
       // accumulate only)
       val planes = 16
       val sig = (0 until planes).map { p =>
-        when(planeProj(p) > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+        when(planeProj(col("qemb"), p) > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
       }.reduce((a, b) => a.bitwiseOR(b))
-      emb.select(col("vec_id"), col("label"), sig.as("bucket"))
+      emb.select(col("vec_id"), col("label"), quantizedEmbedding.as("qemb"))
+        .select(col("vec_id"), col("label"), sig.as("bucket"))
         .groupBy("bucket")
         .agg(count(lit(1)).as("n_vecs"), countDistinct("label").as("n_labels"))
         .filter(col("n_vecs") > 1)
@@ -214,8 +240,11 @@ object Similarity {
     // cosine ≈ 0.27–0.40 — ANN's adversarial case), so the floor is set
     // conservatively; the LSH hash is deterministic, so measured recall is
     // stable per dataset. Output exposes candidate-set size so pruning is
-    // visible, hence rows-only (n_candidates is hash-specific) — the pass
-    // boolean is additionally asserted in QueriesSelfCheckSpec.
+    // visible — and with the exact integer plane projections the whole
+    // candidate set replays in DuckDB SQL (hash-oracled; the truth side
+    // ranks by 4-dp-rounded cosine like s_cosine_topk, absorbing
+    // summation-order ulp). The pass boolean is additionally asserted in
+    // QueriesSelfCheckSpec.
     "s_ann_recall" -> ((s, d) => {
       graft.functions.GraftFunctions.ensureRegistered(s)
       val tables = 16
@@ -224,11 +253,12 @@ object Similarity {
       // per-table bucket id: 4 sign bits from this table's private planes
       val bucketVals = (0 until tables).map { tb =>
         (0 until planesPer).map { j =>
-          when(planeProj(tb * planesPer + j) > 0, lit(1 << j)).otherwise(lit(0))
+          when(planeProj(col("qemb"), tb * planesPer + j) > 0, lit(1 << j)).otherwise(lit(0))
         }.reduce(_ + _)
       }
-      val buckets = emb.select(col("vec_id"),
-        posexplode(array(bucketVals: _*)).as(Seq("tbl", "bucket")))
+      val buckets = emb.select(col("vec_id"), quantizedEmbedding.as("qemb"))
+        .select(col("vec_id"),
+          posexplode(array(bucketVals: _*)).as(Seq("tbl", "bucket")))
       val qb = buckets.filter(col("vec_id") === 0)
         .select(col("tbl").as("qtbl"), col("bucket").as("qbucket"))
       // candidates = vectors sharing ANY table-bucket with the query — an
@@ -241,7 +271,8 @@ object Similarity {
       val top10 = emb.filter(col("vec_id") =!= 0)
         .crossJoin(broadcast(q))
         .select(col("vec_id"),
-          graft.functions.GraftFunctions.cosineSim(col("embedding"), col("qvec")).as("cos"))
+          round(graft.functions.GraftFunctions.cosineSim(
+            col("embedding"), col("qvec")), 4).as("cos"))
         .orderBy(col("cos").desc, col("vec_id"))
         .limit(10)
       // single pass over the (dominant) candidates subplan: left-join the
@@ -888,6 +919,69 @@ object Similarity {
         |         sqrt(list_dot_product(CAST(qvec AS DOUBLE[]), CAST(qvec AS DOUBLE[])))), 4) AS cos
         |FROM embeddings, q WHERE vec_id <> 0
         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+    // Full replay of the hyperplane bucket listing: the same md5-48 plane
+    // weights (md5("p_i") % 2001 − 1000) × floor(x*1000) quantized
+    // components — all-integer projections, so signs are exact on both
+    // engines regardless of summation order.
+    "s_ann_lsh_buckets" ->
+      """WITH g AS MATERIALIZED (
+        |  SELECT vec_id, label, unnest(list_transform(embedding, (x, ix) ->
+        |    struct_pack(i := ix - 1,
+        |      q := CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)))) AS u
+        |  FROM embeddings),
+        |pw AS MATERIALIZED (
+        |  SELECT p, i,
+        |    CAST('0x' || substr(md5(p || '_' || i), 1, 12) AS BIGINT) % 2001 - 1000 AS w
+        |  FROM range(0, 16) tp(p) CROSS JOIN range(0, 64) ti(i)),
+        |proj AS (
+        |  SELECT vec_id, label, p, sum(u.q * w) AS proj
+        |  FROM g JOIN pw ON u.i = pw.i GROUP BY 1, 2, 3),
+        |sig AS (
+        |  SELECT vec_id, label,
+        |    CAST(sum(CASE WHEN proj > 0 THEN (CAST(1 AS BIGINT) << CAST(p AS INT))
+        |        ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM proj GROUP BY 1, 2)
+        |SELECT bucket, count(*) AS n_vecs, count(DISTINCT label) AS n_labels
+        |FROM sig GROUP BY 1 HAVING count(*) > 1 ORDER BY bucket""".stripMargin,
+    // Full replay of the multi-table LSH recall audit: same integer plane
+    // projections (64 planes = 16 tables × 4), exact candidate set via the
+    // (table, bucket) join, truth side ranked by 4-dp-rounded cosine with
+    // vec_id tie-break — a total order both engines share.
+    "s_ann_recall" ->
+      """WITH g AS MATERIALIZED (
+        |  SELECT vec_id, unnest(list_transform(embedding, (x, ix) ->
+        |    struct_pack(i := ix - 1,
+        |      q := CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)))) AS u
+        |  FROM embeddings),
+        |pw AS MATERIALIZED (
+        |  SELECT p, i,
+        |    CAST('0x' || substr(md5(p || '_' || i), 1, 12) AS BIGINT) % 2001 - 1000 AS w
+        |  FROM range(0, 64) tp(p) CROSS JOIN range(0, 64) ti(i)),
+        |proj AS (
+        |  SELECT vec_id, p, sum(u.q * w) AS proj
+        |  FROM g JOIN pw ON u.i = pw.i GROUP BY 1, 2),
+        |tblsig AS (
+        |  SELECT vec_id, CAST(p // 4 AS BIGINT) AS tbl,
+        |    CAST(sum(CASE WHEN proj > 0 THEN (CAST(1 AS BIGINT) << CAST(p % 4 AS INT))
+        |        ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM proj GROUP BY 1, 2),
+        |qb AS (SELECT tbl, bucket FROM tblsig WHERE vec_id = 0),
+        |cand AS (
+        |  SELECT DISTINCT t.vec_id FROM tblsig t JOIN qb USING (tbl, bucket)
+        |  WHERE t.vec_id <> 0),
+        |qv AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+        |top10 AS (
+        |  SELECT vec_id,
+        |    round(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(qvec AS DOUBLE[])) /
+        |          (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+        |           sqrt(list_dot_product(CAST(qvec AS DOUBLE[]), CAST(qvec AS DOUBLE[])))), 4) AS cos
+        |  FROM embeddings, qv WHERE vec_id <> 0
+        |  ORDER BY cos DESC, vec_id LIMIT 10)
+        |SELECT CAST(10 AS BIGINT) AS k, count(*) AS n_candidates,
+        |  CAST(sum(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+        |  round(CAST(sum(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / 10, 4) AS recall,
+        |  (CAST(sum(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / 10 >= 0.5) AS pass
+        |FROM cand LEFT JOIN top10 t USING (vec_id)""".stripMargin,
     "s_centroid_udaf" ->
       """WITH ex AS (
         |  SELECT label, CAST(r.i AS INT) AS pos,

@@ -89,6 +89,63 @@ class SketchesSpec extends SparkSpec {
       eNonLit.getMessage.contains("literal"), eNonLit.getMessage)
   }
 
+  test("minhash: native members are bit-identical to the SQL md5/conv + XOR formulation") {
+    GraftFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    // the exact draw d_minhash_lsh's oracle pins: md5-48 per 5-char
+    // shingle (end-clamped like SQL substring), XOR with the seed-42
+    // splitmix constants, min per member — including the whole-text
+    // fallback for sub-k inputs and CHAR shingles over multi-byte text
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "abc", // shorter than k → one whole-text shingle
+      "한국어 문서입니다 테스트 텍스트",
+      "mixed 한글 and ascii text")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    val k = 5
+    val n = 16
+    val cArr = Sketches.minhashXorConstants(n, 42L)
+      .mkString("array(", "L, ", "L)")
+    val sql = df.selectExpr("id",
+      s"""transform(sequence(0, ${n - 1}), j ->
+          array_min(transform(sequence(0, greatest(length(t) - ${k - 1}, 1) - 1),
+            i -> cast(conv(substring(md5(substring(t, i + 1, $k)), 1, 12),
+              16, 10) as bigint) ^ element_at($cArr, j + 1)))) AS mh""")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val native = df.select(col("id"),
+      GraftFunctions.minhashSigs(col("t"), k, n).as("mh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    texts.indices.foreach { i =>
+      assert(native(i.toLong) == sql(i.toLong), s"text #$i diverged")
+    }
+  }
+
+  test("simhash: native signature is bit-identical to the SQL md5/conv bit-sum formulation") {
+    GraftFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    // the exact draw d_simhash's oracle pins: md5-48 per space-separated
+    // token, 48 ±1 bit sums, sign fold — spelled with nested SQL HOFs
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "한국어 문서 토큰 테스트",
+      "repeated repeated repeated tokens tokens here",
+      "single")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    val sql = df.selectExpr("id",
+      """aggregate(sequence(0, 47), cast(0 as bigint), (acc, b) -> acc +
+          if(aggregate(filter(split(t, ' '), x -> x <> ''), 0, (a2, tok) ->
+               a2 + if((shiftright(cast(conv(substring(md5(tok), 1, 12), 16, 10)
+                 as bigint), b) & 1) = 1, 1, -1)) > 0,
+             shiftleft(cast(1 as bigint), b), cast(0 as bigint))) AS s""")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val native = df.select(col("id"),
+      GraftFunctions.simhash64(col("t")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    texts.indices.foreach { i =>
+      assert(native(i.toLong) == sql(i.toLong), s"text #$i diverged")
+    }
+  }
+
   test("winnow: native draws are bit-identical to the SQL md5/conv formulation") {
     GraftFunctions.ensureRegistered(spark)
     import spark.implicits._
@@ -194,7 +251,7 @@ class SketchesSpec extends SparkSpec {
 
   test("codegen path compiles and matches interpreted eval") {
     val mh = MinHashSigs(BoundReference(0, StringType, nullable = true), 5, 8, 42L)
-    val sh = SimHash64(BoundReference(0, StringType, nullable = true), 42L)
+    val sh = SimHash64(BoundReference(0, StringType, nullable = true))
     val wf = WinnowFps(BoundReference(0, StringType, nullable = true), 8, 4)
     val cn = CharNgrams(BoundReference(0, StringType, nullable = true), 3)
     val gf = GramFps(BoundReference(0, StringType, nullable = true), 8)

@@ -737,6 +737,9 @@ object Curation {
         .agg(round(max(col("rate")), 6).as("rate6"),
           sum(when(col("keep"), 1L).otherwise(0L)).cast("bigint").as("n_kept"),
           coalesce(sum(when(col("keep"), col("n_tok"))), lit(0L)).as("kept_tokens"))
+        // global window over the per-LANGUAGE aggregate (≤ the language
+        // vocabulary, volume-invariant — pinned in WindowBoundSpec), never
+        // over documents
         .withColumn("achieved_share",
           round(col("kept_tokens") / sum("kept_tokens").over(
             org.apache.spark.sql.expressions.Window.partitionBy()), 6))

@@ -492,6 +492,9 @@ object Events {
         .select(dayofweek(col("ts")).as("dw"), col("event_type"))
         .groupBy("dw", "event_type")
         .agg(count(lit(1)).as("o"))
+      // the windows (incl. the global partitionBy()) run over the
+      // CONTINGENCY TABLE — 7 weekdays × the event-type vocabulary, a
+      // panel whose size is volume-invariant (pinned in WindowBoundSpec)
       val m = cell
         .withColumn("rt", sum("o").over(Window.partitionBy("dw")).cast("double"))
         .withColumn("ct", sum("o").over(Window.partitionBy("event_type")).cast("double"))
@@ -668,6 +671,10 @@ object Events {
         sum(lit(1L) - col("ev")).cast("bigint").as("n_censored"))
       // at-risk = everyone whose duration is >= this day (deaths and
       // censors at the same day count as at risk — standard KM)
+      // Both global windows run over the per-DURATION-DAY aggregate: integer
+      // days inside the observation window, so the grid is bounded by the
+      // event-calendar span (not by users or events) — it grows with
+      // tracking HISTORY, never with volume (pinned in WindowBoundSpec).
       val wRisk = Window.orderBy("dur_day")
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
       val wCum = Window.orderBy("dur_day")

@@ -1,0 +1,134 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkEntry, SparkSpec, TestSpark}
+
+/** Pins the bound that licenses every single-partition window in the
+  * corpus. A `Window.orderBy` (or global `Window.partitionBy()`) without a
+  * partition key collapses its input onto ONE task, so each such site must
+  * operate on a PANEL — a frame whose cardinality is set by the calendar
+  * span, a literal limit, or a vocabulary, never by data volume. Each test
+  * here derives the panel's cardinality from the tables themselves and
+  * asserts (a) the bound and (b) volume-invariance: the panel is the SAME
+  * SIZE at sf0.001 and sf0.01 (10× the data), which is exactly the claim
+  * "this window does not grow at 100 TB".
+  *
+  * Sites covered (the complete single-partition inventory):
+  *   - e_ewma (Events.scala, hour spine), e_gap_fill/e_forward_fill share it
+  *   - e_cumulative_users (day spine)
+  *   - e_survival_km (day-granular duration grid)
+  *   - e_shapley_attrib (channel-vocabulary row_number)
+  *   - e_chi_square (weekday × event-type contingency cells)
+  *   - q_interval_overlap (per-day boundary deltas)
+  *   - c_lang_mix (per-language aggregate)
+  *   - t_zipf_slope (literal limit(100) before the rank window)
+  */
+class WindowBoundSpec extends SparkSpec {
+
+  private val sfSmall = TestSpark.sf0001
+  private val sfBig = "/root/testdata/sf0.01"
+
+  private def events(d: String) = Tables.events(spark, d)
+
+  /** Calendar span of the events table in hours (inclusive). */
+  private def hourSpan(d: String): Long =
+    events(d).agg(
+      ((unix_timestamp(date_trunc("HOUR", max(col("ts")))) -
+        unix_timestamp(date_trunc("HOUR", min(col("ts"))))) / 3600L + 1L)
+        .cast("long").as("h"))
+      .collect().head.getLong(0)
+
+  private def daySpan(d: String): Long =
+    events(d).agg((datediff(max(to_date(col("ts"))), min(to_date(col("ts")))) + 1)
+      .cast("long").as("dd")).collect().head.getLong(0)
+
+  test("e_ewma hour spine: calendar-bounded and identical across a 10x volume step") {
+    val small = hourSpan(sfSmall)
+    val big = hourSpan(sfBig)
+    assert(small == big,
+      s"hour spine must be volume-invariant (calendar span), got $small vs $big")
+    assert(big <= 8784, "spine must stay within one year of hours for this corpus")
+  }
+
+  test("e_cumulative_users day spine: calendar-bounded and volume-invariant") {
+    val small = daySpan(sfSmall)
+    val big = daySpan(sfBig)
+    assert(small == big,
+      s"day spine must be volume-invariant (calendar span), got $small vs $big")
+    assert(big <= 366)
+  }
+
+  test("e_survival_km duration grid: day-granular, bounded by the calendar span") {
+    // the window input is the per-duration-day aggregate; durations are
+    // integer days inside the observation window, so the grid cannot
+    // exceed the calendar day span regardless of user/event volume
+    def grid(d: String): Long = events(d).groupBy("user_id").agg(
+        min(unix_micros(col("ts"))).as("t0"),
+        min(when(col("event_type") === "purchase", unix_micros(col("ts")))).as("tp"),
+        max(unix_micros(col("ts"))).as("tmax"))
+      .select(when(col("tp").isNotNull, expr("(tp - t0) div 86400000000"))
+        .otherwise(expr("(tmax - t0) div 86400000000")).as("dur_day"))
+      .distinct().count()
+    val span = daySpan(sfBig)
+    assert(grid(sfSmall) <= span && grid(sfBig) <= span,
+      "duration grid must stay within the calendar day span")
+  }
+
+  test("e_shapley_attrib channel vocab: bounded by the <=64 lattice guard, volume-invariant") {
+    def vocab(d: String): Long =
+      events(d).filter(col("event_type") =!= "purchase")
+        .select("event_type").distinct().count()
+    val small = vocab(sfSmall)
+    val big = vocab(sfBig)
+    assert(small == big, s"channel vocabulary must not grow with volume, got $small vs $big")
+    assert(big <= 64, "the row_number window input is the channel vocab (lattice guard bound)")
+  }
+
+  test("e_chi_square contingency cells: 7 weekdays x event-type vocab, volume-invariant") {
+    def cells(d: String): Long =
+      events(d).select(dayofweek(col("ts")).as("dw"), col("event_type"))
+        .distinct().count()
+    val small = cells(sfSmall)
+    val big = cells(sfBig)
+    assert(big <= 7 * 64, "cells are weekday x vocab — panel-sized")
+    assert(big <= small * 2,
+      s"cell panel must be volume-invariant up to sparsity fill-in, got $small -> $big")
+  }
+
+  test("q_interval_overlap per-day deltas: calendar span + max transit, volume-invariant") {
+    def days(d: String): Long = {
+      val li = Tables.t(spark, d, "lineitem")
+      li.agg((datediff(max(to_date(col("l_shipdate"))), min(to_date(col("l_shipdate")))) + 1)
+        .cast("long")).collect().head.getLong(0)
+    }
+    val small = days(sfSmall)
+    val big = days(sfBig)
+    assert(small == big,
+      s"shipdate calendar span must be volume-invariant, got $small vs $big")
+    // window input = distinct boundary days <= span + the 32-day max transit
+    assert(big + 32 <= 4000, "per-day delta panel stays in the thousands at any SF")
+  }
+
+  test("c_lang_mix achieved-share window: per-language aggregate, volume-invariant") {
+    def langs(d: String): Long =
+      Tables.t(spark, d, "documents").select("lang").distinct().count()
+    val small = langs(sfSmall)
+    val big = langs(sfBig)
+    assert(small == big, s"language vocabulary must not grow with volume, got $small vs $big")
+    assert(big <= 64)
+  }
+
+  test("t_zipf_slope: rank window input is hard-capped at 100 rows by the plan itself") {
+    // the limit(100) precedes the row_number window, so the single
+    // partition holds <= 100 rows by construction — assert the plan keeps
+    // the cap (a TakeOrderedAndProject/limit below the Window) and the
+    // output confirms it
+    val df = SparkEntry.queries("t_zipf_slope")(spark, sfBig)
+    val p = df.queryExecution.sparkPlan.toString
+    assert(p.contains("TakeOrderedAndProject") || p.contains("GlobalLimit"),
+      "the pre-window top-100 must plan as a limit, not a full sort")
+    val n = df.collect().head.getLong(0)
+    assert(n <= 100, s"window input must be the top-100 terms, got $n")
+  }
+}

@@ -24,10 +24,15 @@ import org.apache.spark.sql.functions._
   * - events.ts converts from TIMESTAMP(NANOS)-as-long to true µs timestamps
   *   (identical floor-division downcast the readers use), so the scaled
   *   dataset is readable by vanilla Spark AND DuckDB without legacy confs.
-  * - one parquet FILE per table (matching the driver's layout so the same
-  *   Verify/Bench/check_oracle tooling runs unchanged).
+  * - layout: by default one parquet FILE per table (matching the driver's
+  *   layout so the same Verify/Bench/check_oracle tooling runs unchanged);
+  *   with a 4th argument `files` > 1, `<name>.parquet` is written as a
+  *   DIRECTORY of that many part files — the layout a real 100 TB corpus
+  *   has (thousands of files), proving scan parallelism and correctness
+  *   do not depend on single-file row-group splitting. Spark reads the
+  *   directory transparently; tools/check_oracle.py globs it.
   *
-  * Usage: runMain graft.ScaleUp [srcDir dstDir copies]
+  * Usage: runMain graft.ScaleUp [srcDir dstDir copies [files]]
   */
 object ScaleUp {
 
@@ -50,6 +55,8 @@ object ScaleUp {
     val dst = args.lift(1).getOrElse("/tmp/sf1")
     val copies = args.lift(2).map(_.toInt).getOrElse(10)
     require(copies >= 1 && copies * Base > 0, s"bad copy count $copies")
+    val files = args.lift(3).map(_.toInt).getOrElse(1)
+    require(files >= 1, s"bad file count $files")
 
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -79,22 +86,33 @@ object ScaleUp {
           .select(raw.columns.toIndexedSeq.map { c =>
             if (keys.contains(c)) (col(c) + col("__k") * Base).as(c) else col(c)
           }: _*)
-      val stage = s"$dst/.stage_$name"
-      // single FILE (the driver's layout) but many ROW GROUPS: an 8 MB block
-      // size keeps the file splittable, so scan stages parallelize — a
-      // one-row-group 77 MB lineitem file serializes every scan (measured
-      // 34× on q_distinct at 10× data before this)
-      scaled.coalesce(1).write.mode("overwrite")
-        .option("parquet.block.size", (8 * 1024 * 1024).toString)
-        .parquet(stage)
-      val part = scala.util.Using.resource(Files.list(Paths.get(stage)))(
-        _.iterator().asScala.find(_.getFileName.toString.startsWith("part-")))
-        .getOrElse(throw new IllegalStateException(s"no part file for $name"))
-      Files.move(part, Paths.get(s"$dst/$name.parquet"),
-        StandardCopyOption.REPLACE_EXISTING)
-      scala.util.Using.resource(Files.walk(Paths.get(stage)))(
-        _.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_)))
-      println(s"scaled $name -> $dst/$name.parquet")
+      if (files > 1) {
+        // multi-file layout: <name>.parquet is a directory of `files` part
+        // files — round-robin repartition spreads every copy evenly, so
+        // file-granular scan parallelism is real even without row-group
+        // splitting
+        scaled.repartition(files).write.mode("overwrite")
+          .option("parquet.block.size", (8 * 1024 * 1024).toString)
+          .parquet(s"$dst/$name.parquet")
+        println(s"scaled $name -> $dst/$name.parquet/ ($files files)")
+      } else {
+        val stage = s"$dst/.stage_$name"
+        // single FILE (the driver's layout) but many ROW GROUPS: an 8 MB block
+        // size keeps the file splittable, so scan stages parallelize — a
+        // one-row-group 77 MB lineitem file serializes every scan (measured
+        // 34× on q_distinct at 10× data before this)
+        scaled.coalesce(1).write.mode("overwrite")
+          .option("parquet.block.size", (8 * 1024 * 1024).toString)
+          .parquet(stage)
+        val part = scala.util.Using.resource(Files.list(Paths.get(stage)))(
+          _.iterator().asScala.find(_.getFileName.toString.startsWith("part-")))
+          .getOrElse(throw new IllegalStateException(s"no part file for $name"))
+        Files.move(part, Paths.get(s"$dst/$name.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+        scala.util.Using.resource(Files.walk(Paths.get(stage)))(
+          _.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_)))
+        println(s"scaled $name -> $dst/$name.parquet")
+      }
     }
     spark.stop()
   }

@@ -103,6 +103,46 @@ object EventStreams {
     else fp.dropDuplicates("fp")
   }
 
+  /** End-to-end exactly-once ingest: watched-directory file source →
+    * content dedup ([[docDedupStream]], watermark-bounded fingerprint
+    * state) → deterministic shard assignment
+    * ([[graft.io.TrainingShards.assignShard]] — xxhash64, never an RNG) →
+    * the TrainingShards Hive layout (`shard=<k>/part-*.parquet`) under a
+    * checkpointed `DataStreamWriter`. Exactly-once across kill/restart
+    * comes from the two standard mechanisms composed: the checkpoint
+    * replays the source offsets + dedup state, and the parquet file
+    * sink's `_spark_metadata` manifest makes replayed batches idempotent
+    * (a reader going through Spark sees only committed files). The schema
+    * is REQUIRED — at 100 TB inference is a full extra pass, so it is
+    * never implicit (the TrainingShards.readJsonl discipline).
+    *
+    * Scale notes: the only shuffle-free narrow chain is per-file map work
+    * (fingerprint, shard id); dedup state shuffles once on `fp` and is
+    * evicted by the 2 h watermark, so state tracks the ingest HORIZON,
+    * not the corpus. `maxFilesPerTrigger` is the ingest rate knob.
+    */
+  def ingestDocsToShards(
+      spark: org.apache.spark.sql.SparkSession,
+      srcDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      outDir: String,
+      checkpointDir: String,
+      nShards: Int,
+      maxFilesPerTrigger: Int = 1): org.apache.spark.sql.streaming.StreamingQuery = {
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(srcDir)
+    docDedupStream(src)
+      .withColumn("shard", graft.io.TrainingShards.assignShard(col("fp"), nShards))
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy("shard")
+      .outputMode(OutputMode.Append)
+      .start()
+  }
+
   /** Stream-static SCD enrichment — each event looks up the dimension row
     * VALID AT ITS EVENT TIME (`valid_from <= ts < valid_to`), the standard
     * slowly-changing-dimension join a pipeline needs the moment a weight

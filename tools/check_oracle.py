@@ -5,14 +5,19 @@ compare (columns sorted by name, rows sorted by all values).
 
 Usage: python3 tools/check_oracle.py /root/testdata/sf0.01 /tmp/verify-out
 """
-import json, sys, math
+import json, os, sys, math
 import duckdb
 
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    p = f"{sf_dir}/{t}.parquet"
+    # ScaleUp's multi-file layout writes <table>.parquet as a DIRECTORY of
+    # part files (the realistic large-corpus layout); DuckDB needs the glob
+    if os.path.isdir(p):
+        p = f"{p}/*.parquet"
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 

@@ -327,6 +327,25 @@ object Dedup {
         .select(col("id_a"), col("id_b"), round(col("est_sim"), 4).as("est_sim"))
         .orderBy("id_a", "id_b")),
 
+    // The COMPLETE scalable near-dup pipeline in one query: LSH candidate
+    // pairs (bucketed band equi-join, never O(n²)) → distributed connected
+    // components → cluster-size histogram. This is the composition a
+    // 100 TB dedup run actually executes (d_dup_clusters' exact-Jaccard
+    // pair stage swapped for the LSH stage), and with the md5-48+XOR
+    // family it is hash-oracled END TO END — the DuckDB replay recomputes
+    // the same pairs and the same unrolled label-min components.
+    // Singleton docs (no near-dup) are out of scope by construction: the
+    // histogram describes the DUPLICATED part of the corpus.
+    "d_minhash_clusters" -> ((s, d) => {
+      val pairs = minhashPairs(s, d)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      val cc = connectedComponentsFromEdges(pairs)
+      cc.groupBy("root").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(count(lit(1)).as("n_clusters"), min("root").as("min_root"))
+        .orderBy("cluster_size")
+    }),
+
     // SELF-VERIFYING: recall of the planted exact-dup pairs. An exact
     // duplicate has an identical shingle set → identical minhash signature →
     // identical band signatures → guaranteed candidate with est_sim = 1.0,
@@ -653,6 +672,77 @@ object Dedup {
         |            JOIN sigs sb ON sb.doc_id = id_b)
         |SELECT id_a, id_b, est_sim FROM pairs
         |WHERE est_sim >= 0.7 ORDER BY id_a, id_b""".stripMargin
+    },
+    // End-to-end replay of the LSH→clusters pipeline: the d_minhash_lsh
+    // pair CTEs feed the d_span_clusters unrolled label-min component
+    // replay (6 (neighbor-min, label-doubling) round pairs + the
+    // convergence sentinel).
+    "d_minhash_clusters" -> {
+      val cs = graft.functions.Sketches.minhashXorConstants(16, 42L)
+        .mkString("[", ",", "]")
+      s"""WITH dups AS MATERIALIZED (
+        |  SELECT doc_id * 2 AS doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id * 2 + 1 AS doc_id, text FROM documents
+        |  WHERE doc_id % 5 = 0),
+        |grams AS MATERIALIZED (
+        |  SELECT doc_id, unnest(list_transform(range(0, greatest(length(text) - 4, 1)),
+        |    i -> CAST('0x' || substr(md5(substr(text, CAST(i AS INT) + 1, 5)),
+        |      1, 12) AS BIGINT))) AS h
+        |  FROM dups),
+        |mins AS (
+        |  SELECT doc_id, j, min(xor(h, list_extract($cs, CAST(j AS INT) + 1))) AS m
+        |  FROM grams CROSS JOIN range(0, 16) t(j) GROUP BY 1, 2),
+        |sigs AS MATERIALIZED (
+        |  SELECT doc_id, list(m ORDER BY j) AS mh FROM mins GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, b,
+        |    mh[CAST(4 * b + 1 AS INT)] AS m0, mh[CAST(4 * b + 2 AS INT)] AS m1,
+        |    mh[CAST(4 * b + 3 AS INT)] AS m2, mh[CAST(4 * b + 4 AS INT)] AS m3
+        |  FROM sigs CROSS JOIN range(0, 4) t(b)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+        |  FROM bands a JOIN bands c
+        |    ON a.b = c.b AND a.m0 = c.m0 AND a.m1 = c.m1
+        |    AND a.m2 = c.m2 AND a.m3 = c.m3
+        |  WHERE a.doc_id < c.doc_id),
+        |p AS MATERIALIZED (
+        |  SELECT id_a AS src, id_b AS dst FROM cand
+        |  JOIN sigs sa ON sa.doc_id = id_a JOIN sigs sb ON sb.doc_id = id_b
+        |  WHERE CAST(list_sum(list_transform(sa.mh, (x, i) ->
+        |    CASE WHEN x = sb.mh[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 16 >= 0.7),
+        |e AS MATERIALIZED (
+        |  SELECT src, dst FROM p UNION SELECT dst, src FROM p
+        |  UNION SELECT src, src FROM p UNION SELECT dst, dst FROM p),
+        |l0 AS (SELECT dst AS v, min(src) AS lbl FROM e GROUP BY dst),
+        |r1 AS (SELECT e.dst AS v, min(l.lbl) AS lbl FROM e JOIN l0 l ON e.src = l.v GROUP BY e.dst),
+        |d1 AS (SELECT a.v, least(a.lbl, coalesce(b.lbl, a.lbl)) AS lbl
+        |       FROM r1 a LEFT JOIN r1 b ON a.lbl = b.v),
+        |r2 AS (SELECT e.dst AS v, min(l.lbl) AS lbl FROM e JOIN d1 l ON e.src = l.v GROUP BY e.dst),
+        |d2 AS (SELECT a.v, least(a.lbl, coalesce(b.lbl, a.lbl)) AS lbl
+        |       FROM r2 a LEFT JOIN r2 b ON a.lbl = b.v),
+        |r3 AS (SELECT e.dst AS v, min(l.lbl) AS lbl FROM e JOIN d2 l ON e.src = l.v GROUP BY e.dst),
+        |d3 AS (SELECT a.v, least(a.lbl, coalesce(b.lbl, a.lbl)) AS lbl
+        |       FROM r3 a LEFT JOIN r3 b ON a.lbl = b.v),
+        |r4 AS (SELECT e.dst AS v, min(l.lbl) AS lbl FROM e JOIN d3 l ON e.src = l.v GROUP BY e.dst),
+        |d4 AS (SELECT a.v, least(a.lbl, coalesce(b.lbl, a.lbl)) AS lbl
+        |       FROM r4 a LEFT JOIN r4 b ON a.lbl = b.v),
+        |r5 AS (SELECT e.dst AS v, min(l.lbl) AS lbl FROM e JOIN d4 l ON e.src = l.v GROUP BY e.dst),
+        |d5 AS (SELECT a.v, least(a.lbl, coalesce(b.lbl, a.lbl)) AS lbl
+        |       FROM r5 a LEFT JOIN r5 b ON a.lbl = b.v),
+        |r6 AS (SELECT e.dst AS v, min(l.lbl) AS lbl FROM e JOIN d5 l ON e.src = l.v GROUP BY e.dst),
+        |d6 AS MATERIALIZED (SELECT a.v, least(a.lbl, coalesce(b.lbl, a.lbl)) AS lbl
+        |       FROM r6 a LEFT JOIN r6 b ON a.lbl = b.v),
+        |r7 AS (SELECT e.dst AS v, min(l.lbl) AS lbl FROM e JOIN d6 l ON e.src = l.v GROUP BY e.dst),
+        |chk AS (SELECT count(*) AS n_changed
+        |        FROM r7 JOIN d6 ON r7.v = d6.v WHERE r7.lbl < d6.lbl),
+        |cs AS (SELECT lbl AS root, count(*) AS cluster_size FROM d6 GROUP BY lbl)
+        |SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+        |       count(*) AS n_clusters,
+        |       min(root) + (SELECT CASE WHEN n_changed > 0 THEN error(
+        |         'd_minhash_clusters oracle: label-min replay NOT converged after the 6 unrolled rounds - deepen the unroll')
+        |         ELSE 0 END FROM chk) AS min_root
+        |FROM cs GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
     },
     // Full replay of the simhash bucket listing: one md5-48 draw per
     // token of the normalized text, 48 ±1 bit sums, sign fold, top-16-bit

@@ -958,9 +958,20 @@ object Events {
     // handful of window partitions is the right plan at any SF.
     "e_forward_fill" -> ((s, d) => {
       val e = Tables.events(s, d)
+      // The hourly mean is computed in EXACT integer arithmetic: values
+      // are 2-dp by construction, so sum their cents as BIGINT (order-
+      // independent, unlike a double sum) and take the 4-dp half-up mean
+      // with the integer identity round(p/q) = (2p+q) div (2q). A double
+      // round(avg(...)) here sat exactly on 4-dp half-way points for
+      // small per-(type,hour) groups, where summation ORDER (e.g. a
+      // different file layout of the same rows) flipped the last digit —
+      // caught by the sf1 multi-file layout gate.
       val hourly = e
         .groupBy(col("event_type"), date_trunc("HOUR", col("ts")).as("hour_ts"))
-        .agg(round(avg("value"), 4).as("v"))
+        .agg(sum(round(col("value") * 100).cast("bigint")).as("cents"),
+          count(lit(1)).as("n"))
+        .select(col("event_type"), col("hour_ts"),
+          (expr("(200 * cents + n) div (2 * n)") / 10000.0).as("v"))
       val spine = e.agg(
           date_trunc("HOUR", min(col("ts"))).as("h0"),
           date_trunc("HOUR", max(col("ts"))).as("h1"))
@@ -1768,7 +1779,8 @@ object Events {
     "e_forward_fill" ->
       """WITH hourly AS (
         |  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts,
-        |    round(avg(value), 4) AS v
+        |    CAST((200 * sum(CAST(round(value * 100) AS BIGINT)) + count(*))
+        |      // (2 * count(*)) AS BIGINT) / 10000.0 AS v
         |  FROM events GROUP BY 1, 2),
         |b AS (
         |  SELECT CAST(date_trunc('hour', min(ts)) AS TIMESTAMP) AS h0,

@@ -54,9 +54,7 @@ object ScaleUp {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val dst = args.lift(1).getOrElse("/tmp/sf1")
     val copies = args.lift(2).map(_.toInt).getOrElse(10)
-    require(copies >= 1 && copies * Base > 0, s"bad copy count $copies")
     val files = args.lift(3).map(_.toInt).getOrElse(1)
-    require(files >= 1, s"bad file count $files")
 
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -69,7 +67,17 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    scale(spark, src, dst, copies, files)
+    spark.stop()
+  }
 
+  /** The replication+layout core, callable from tests with a shared
+    * session (main wraps it in its own).
+    */
+  def scale(spark: SparkSession, src: String, dst: String,
+      copies: Int, files: Int): Unit = {
+    require(copies >= 1 && copies * Base > 0, s"bad copy count $copies")
+    require(files >= 1, s"bad file count $files")
     Files.createDirectories(Paths.get(dst))
     keyCols.foreach { case (name, keys) =>
       val raw0 = spark.read.parquet(s"$src/$name.parquet")
@@ -114,6 +122,5 @@ object ScaleUp {
         println(s"scaled $name -> $dst/$name.parquet")
       }
     }
-    spark.stop()
   }
 }

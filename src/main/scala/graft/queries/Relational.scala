@@ -69,16 +69,33 @@ object Relational {
   val queries: Map[String, Q] = Map(
     // TPC-H-Q1-shaped pricing summary: scan → filter → partial+final agg.
     "q1_agg" -> ((s, d) => {
+      // EXACT integer-cent accumulation (every input is 2-dp by
+      // construction): at sf10 the double formulation's 60 M-term sums
+      // drifted ~1e-2 absolute at 1e11 magnitudes, making the rounded
+      // cent summation-order-dependent — the same class the sf1
+      // multi-file gate caught in e_forward_fill. Integer sums are
+      // order-free and engine-exact; the rounded outputs use the integer
+      // half-up identity round(p/q) = (2p+q) div (2q), then ONE
+      // deterministic division back to double (same bits both engines).
+      // Beyond ~1e9 rows the disc-price cent-product sum approaches
+      // int64 range — swap its accumulator to decimal(38,0) there.
       t(s, d, "lineitem")
         .filter(to_date(col("l_shipdate")) <= lit("2000-12-01"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          round(col("l_quantity") * 100).cast("bigint").as("qc"),
+          round(col("l_extendedprice") * 100).cast("bigint").as("pc"),
+          round(col("l_discount") * 100).cast("bigint").as("dc"))
         .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-          round(sum("l_quantity"), 2).as("sum_qty"),
-          round(sum("l_extendedprice"), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-          round(avg("l_quantity"), 4).as("avg_qty"),
-          round(avg("l_discount"), 4).as("avg_disc"),
-          count(lit(1)).as("count_order"))
+        .agg(sum("qc").as("sq"), sum("pc").as("sp"),
+          sum(col("pc") * (lit(100L) - col("dc"))).as("spd"),
+          sum("dc").as("sd"), count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          (col("sq").cast("double") / 100.0).as("sum_qty"),
+          (col("sp").cast("double") / 100.0).as("sum_base_price"),
+          (expr("(2 * spd + 100) div 200") / 100.0).as("sum_disc_price"),
+          (expr("(200 * sq + n) div (2 * n)") / 10000.0).as("avg_qty"),
+          (expr("(200 * sd + n) div (2 * n)") / 10000.0).as("avg_disc"),
+          col("n").as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
@@ -1088,14 +1105,20 @@ object Relational {
         |  round(price, 2) AS last_price
         |FROM m WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
     "q1_agg" ->
-      """SELECT l_returnflag, l_linestatus,
-        |round(sum(l_quantity),2) AS sum_qty,
-        |round(sum(l_extendedprice),2) AS sum_base_price,
-        |round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
-        |round(avg(l_quantity),4) AS avg_qty,
-        |round(avg(l_discount),4) AS avg_disc,
+      """WITH x AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |    CAST(round(l_quantity * 100) AS BIGINT) AS qc,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+        |    CAST(round(l_discount * 100) AS BIGINT) AS dc
+        |  FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '2000-12-01')
+        |SELECT l_returnflag, l_linestatus,
+        |CAST(sum(qc) AS BIGINT) / 100.0 AS sum_qty,
+        |CAST(sum(pc) AS BIGINT) / 100.0 AS sum_base_price,
+        |CAST((2 * sum(pc * (100 - dc)) + 100) // 200 AS BIGINT) / 100.0 AS sum_disc_price,
+        |CAST((200 * sum(qc) + count(*)) // (2 * count(*)) AS BIGINT) / 10000.0 AS avg_qty,
+        |CAST((200 * sum(dc) + count(*)) // (2 * count(*)) AS BIGINT) / 10000.0 AS avg_disc,
         |count(*) AS count_order
-        |FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '2000-12-01'
+        |FROM x
         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q3_join_topk" ->
       """SELECT o_orderkey, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue

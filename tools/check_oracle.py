@@ -10,6 +10,11 @@ import duckdb
 
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
+# spill OUTSIDE the repo and with a hard cap: an oracle whose replay needs
+# unbounded temp (the sf10 d_span_clusters lesson: 77 GB into ./.tmp) must
+# fail loudly, not fill the disk
+con.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
+con.execute("SET max_temp_directory_size='40GiB'")
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
     p = f"{sf_dir}/{t}.parquet"

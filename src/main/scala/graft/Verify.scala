@@ -37,7 +37,7 @@ object Verify {
       // a few queries persist() small reused intermediates inside their
       // closure; the write above is their final consumer, so drop the cache
       // here — otherwise caches accumulate for the session and GC-pressure
-      // every later query in the 149-query run
+      // every later query in the full-corpus run
       finally spark.catalog.clearCache()
     }
     // the two layout queries (q_bucketed_join / q_partition_prune) leave

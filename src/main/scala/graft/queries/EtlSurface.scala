@@ -79,9 +79,14 @@ object EtlSurface {
       val done = o.filter(col("o_orderstatus") === "F")
         .select(col("o_orderkey"), col("o_orderstatus"),
           lit(null).cast(DoubleType).as("o_totalprice"))
+      // price sum in exact integer cents (2-dp data): the double sum hits
+      // 1.2e12 at sf10, where accumulated ulp flips the rounded cent with
+      // summation order — the q1_agg/e_forward_fill class
       open.unionByName(done)
         .groupBy("o_orderstatus")
-        .agg(count(lit(1)).as("cnt"), round(sum(coalesce(col("o_totalprice"), lit(0.0))), 2).as("sum_price"))
+        .agg(count(lit(1)).as("cnt"),
+          (sum(coalesce(round(col("o_totalprice") * 100).cast("bigint"), lit(0L)))
+            .cast("double") / 100.0).as("sum_price"))
         .orderBy("o_orderstatus")
     }),
 
@@ -500,7 +505,9 @@ object EtlSurface {
       """SELECT p_partkey, p_name, CAST(p_size AS BIGINT) AS p_size, p_retailprice,
         |CAST(NULL AS VARCHAR) AS discontinued FROM part ORDER BY p_partkey""".stripMargin,
     "etl_union_conform" ->
-      """SELECT o_orderstatus, count(*) AS cnt, round(sum(coalesce(o_totalprice, 0.0)),2) AS sum_price
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |  CAST(sum(coalesce(CAST(round(o_totalprice * 100) AS BIGINT), 0)) AS BIGINT)
+        |    / 100.0 AS sum_price
         |FROM (
         |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderstatus = 'O'
         |  UNION ALL

@@ -540,10 +540,15 @@ object Relational {
     // aggregation. Metrics are cast to a common double before melting
     // (unpivot requires a single value type).
     "q_unpivot" -> ((s, d) => {
+      // exact integer-cent accumulation (the q1_agg class: priority-level
+      // price sums reach 7.5e11 at sf10); avg via the half-up identity
       val wide = t(s, d, "orders").groupBy(col("o_orderpriority").as("prio"))
-        .agg(round(sum("o_totalprice"), 2).as("sum_price"),
-          round(avg("o_totalprice"), 4).as("avg_price"),
-          count(lit(1)).cast("double").as("n_orders"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("bigint")).as("pc"),
+          count(lit(1)).as("n"))
+        .select(col("prio"),
+          (col("pc").cast("double") / 100.0).as("sum_price"),
+          (expr("(200 * pc + n) div (2 * n)") / 10000.0).as("avg_price"),
+          col("n").cast("double").as("n_orders"))
       wide.unpivot(
           Array(col("prio")),
           Array(col("sum_price"), col("avg_price"), col("n_orders")),
@@ -767,19 +772,25 @@ object Relational {
     // then one conditional-sum pass. A rank/cumsum formulation would drag
     // every customer into one sorted partition; this never sorts at all.
     "q_pareto_share" -> ((s, d) => {
+      // per-customer revenue in exact integer cents (2-dp data): the
+      // global re-sum reaches 3.75e12 at sf10, where a double sum's
+      // accumulated ulp flips the rounded cent with summation order (the
+      // q1_agg class). Integer cent sums are order-free; per-customer
+      // cents stay < 2^53, so rev-as-double is exact too.
       val rev = t(s, d, "orders").groupBy("o_custkey")
-        .agg(round(sum("o_totalprice"), 2).as("rev"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("bigint")).as("revc"))
+        .select(col("revc"), (col("revc").cast("double") / 100.0).as("rev"))
       val cuts = rev.agg(
         expr("percentile(rev, array(0.99, 0.95, 0.80))").as("c"))
       rev.crossJoin(broadcast(cuts))
         .agg(count(lit(1)).as("n_customers"),
-          round(sum("rev"), 2).as("total_rev"),
-          round(sum(when(col("rev") >= col("c").getItem(0), col("rev"))
-            .otherwise(0.0)) / sum("rev"), 6).as("share_top1"),
-          round(sum(when(col("rev") >= col("c").getItem(1), col("rev"))
-            .otherwise(0.0)) / sum("rev"), 6).as("share_top5"),
-          round(sum(when(col("rev") >= col("c").getItem(2), col("rev"))
-            .otherwise(0.0)) / sum("rev"), 6).as("share_top20"))
+          (sum("revc").cast("double") / 100.0).as("total_rev"),
+          round(sum(when(col("rev") >= col("c").getItem(0), col("revc"))
+            .otherwise(0L)).cast("double") / sum("revc").cast("double"), 6).as("share_top1"),
+          round(sum(when(col("rev") >= col("c").getItem(1), col("revc"))
+            .otherwise(0L)).cast("double") / sum("revc").cast("double"), 6).as("share_top5"),
+          round(sum(when(col("rev") >= col("c").getItem(2), col("revc"))
+            .otherwise(0L)).cast("double") / sum("revc").cast("double"), 6).as("share_top20"))
     }),
 
     // Distribution-position windows — percent_rank + cume_dist of each
@@ -1060,8 +1071,9 @@ object Relational {
     "q_unpivot" ->
       """WITH wide AS (
         |  SELECT o_orderpriority AS prio,
-        |    round(sum(o_totalprice), 2) AS sum_price,
-        |    round(avg(o_totalprice), 4) AS avg_price,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_price,
+        |    CAST((200 * sum(CAST(round(o_totalprice * 100) AS BIGINT)) + count(*))
+        |      // (2 * count(*)) AS BIGINT) / 10000.0 AS avg_price,
         |    CAST(count(*) AS DOUBLE) AS n_orders
         |  FROM orders GROUP BY 1)
         |SELECT prio, 'sum_price' AS metric, sum_price AS value FROM wide
@@ -1300,13 +1312,19 @@ object Relational {
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_pareto_share" ->
       """WITH rev AS (
-        |  SELECT o_custkey, round(sum(o_totalprice), 2) AS rev
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revc,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS rev
         |  FROM orders GROUP BY 1),
         |cuts AS (SELECT quantile_cont(rev, [0.99, 0.95, 0.80]) AS c FROM rev)
-        |SELECT count(*) AS n_customers, round(sum(rev), 2) AS total_rev,
-        |  round(sum(CASE WHEN rev >= c[1] THEN rev ELSE 0 END) / sum(rev), 6) AS share_top1,
-        |  round(sum(CASE WHEN rev >= c[2] THEN rev ELSE 0 END) / sum(rev), 6) AS share_top5,
-        |  round(sum(CASE WHEN rev >= c[3] THEN rev ELSE 0 END) / sum(rev), 6) AS share_top20
+        |SELECT count(*) AS n_customers,
+        |  CAST(sum(revc) AS BIGINT) / 100.0 AS total_rev,
+        |  round(CAST(sum(CASE WHEN rev >= c[1] THEN revc ELSE 0 END) AS DOUBLE)
+        |    / CAST(sum(revc) AS DOUBLE), 6) AS share_top1,
+        |  round(CAST(sum(CASE WHEN rev >= c[2] THEN revc ELSE 0 END) AS DOUBLE)
+        |    / CAST(sum(revc) AS DOUBLE), 6) AS share_top5,
+        |  round(CAST(sum(CASE WHEN rev >= c[3] THEN revc ELSE 0 END) AS DOUBLE)
+        |    / CAST(sum(revc) AS DOUBLE), 6) AS share_top20
         |FROM rev, cuts""".stripMargin,
     "q_interval_overlap" ->
       """WITH deltas AS (

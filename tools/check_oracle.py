@@ -15,6 +15,10 @@ con = duckdb.connect()
 # fail loudly, not fill the disk
 con.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
 con.execute("SET max_temp_directory_size='40GiB'")
+# ... and a memory ceiling: DuckDB's default (80% of RAM) plus the Python
+# row materialization OOM-killed the sf10 run mid-gate; spilling under a
+# cap degrades to disk instead of dying
+con.execute("SET memory_limit='48GiB'")
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
     p = f"{sf_dir}/{t}.parquet"

@@ -38,6 +38,19 @@ object Sketches {
     * every member pick the same argmin shingle and collapse est_sim to
     * 0/1. Exposed so the DuckDB oracle SQL interpolates the same
     * constants as literals.
+    *
+    * KNOWN BIAS (the price of SQL replayability): an XOR family is NOT
+    * min-wise independent — members' argmins correlate through the high
+    * bits of the shared md5-48 base draws (XOR permutes within, but never
+    * across, high-bit strata), so est_sim is a mildly biased Jaccard
+    * estimator for PARTIAL-overlap pairs, statistically weaker than a
+    * per-member re-hash (e.g. xxhash64(h, seed_j), the pre-round-11
+    * family). Exact duplicates still get identical signatures, so recall
+    * of true dups and the 1.0-similarity band are unaffected; only
+    * borderline pairs near the 0.7 threshold see a weaker estimator. A
+    * multiply-xor-shift per member would be closer to pairwise-independent
+    * while staying replayable, at ~3× the SQL expression complexity per
+    * member — revisit if near-threshold precision ever becomes the gate.
     */
   def minhashXorConstants(n: Int, seed: Long): Array[Long] =
     Array.tabulate(n) { j =>

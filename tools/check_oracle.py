@@ -12,13 +12,23 @@ sf_dir, out_dir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
 # spill OUTSIDE the repo and with a hard cap: an oracle whose replay needs
 # unbounded temp (the sf10 d_span_clusters lesson: 77 GB into ./.tmp) must
-# fail loudly, not fill the disk
-con.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
-con.execute("SET max_temp_directory_size='40GiB'")
+# fail loudly, not fill the disk. Caps derive from the HOST (hardcoded
+# 48GiB/40GiB assumed the 128 GiB box and raised OOM risk on smaller
+# machines); env vars override for one-off runs.
+spill_dir = os.environ.get("ORACLE_SPILL_DIR", "/tmp/duckdb_oracle_spill")
+os.makedirs(spill_dir, exist_ok=True)
+free_disk_gb = os.statvfs(spill_dir).f_bavail * os.statvfs(spill_dir).f_frsize // 2**30
+spill_cap = os.environ.get("ORACLE_SPILL_CAP", f"{max(1, min(40, free_disk_gb // 2))}GiB")
+con.execute(f"SET temp_directory='{spill_dir}'")
+con.execute(f"SET max_temp_directory_size='{spill_cap}'")
 # ... and a memory ceiling: DuckDB's default (80% of RAM) plus the Python
 # row materialization OOM-killed the sf10 run mid-gate; spilling under a
-# cap degrades to disk instead of dying
-con.execute("SET memory_limit='48GiB'")
+# cap degrades to disk instead of dying. ~40% of physical RAM leaves the
+# other half for Python's fetchall + the OS, capped at the 48GiB that
+# proved sufficient for every completing replay.
+ram_gb = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES") // 2**30
+mem_cap = os.environ.get("ORACLE_MEM_CAP", f"{max(1, min(48, ram_gb * 2 // 5))}GiB")
+con.execute(f"SET memory_limit='{mem_cap}'")
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
     p = f"{sf_dir}/{t}.parquet"

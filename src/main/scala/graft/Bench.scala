@@ -83,19 +83,71 @@ object Bench {
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
-    println(line)
-    // also persist the line: the driver captures a bounded stdout tail, so
-    // a 183-entry queries map can get truncated there — the file copy is
-    // the durable artifact (BENCH_r08 lost the c_–m_ families this way)
-    try {
-      val out = java.nio.file.Paths.get("target", "bench.json")
-      java.nio.file.Files.createDirectories(out.getParent)
-      java.nio.file.Files.writeString(out, line + "\n")
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write target/bench.json: ${e.getMessage}")
+
+    // Host-state fields for cross-round normalization: rounds 10→11 drifted
+    // +20-30% UNIFORMLY across untouched plans (co-tenant load), which is
+    // indistinguishable from regression without load context in the
+    // artifact itself.
+    val load1 = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    // free PHYSICAL memory via the com.sun extension (present on HotSpot;
+    // -1 on JVMs without it rather than failing the bench)
+    val freeGb =
+      try java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+        .getFreeMemorySize / (1L << 30)
+      catch { case _: Throwable => -1L }
+    // Drift canaries: three queries untouched since round 6, with the
+    // round-11 judge quiet-machine references pinned. If ALL THREE move
+    // >20% the same round, the artifact itself says "host drift", so a
+    // future reader never mistakes co-tenant load for a plan regression.
+    val canaryRef = Seq("q_topk" -> 0.127, "q_distinct" -> 0.245,
+      "s_cosine_topk" -> 0.162)
+    val canaries = canaryRef.flatMap { case (n, ref) =>
+      results.find(r => r._1 == n && r._3).map { case (_, v, _) => (n, v, v / ref) }
     }
+    val canaryJson = canaries
+      .map { case (n, v, r) => "\"" + n + "\":" + f"[$v%.3f,$r%.2f]" }
+      .mkString("{", ",", "}")
+    val hostDrift = canaries.size == canaryRef.size &&
+      (canaries.forall(_._3 > 1.2) || canaries.forall(_._3 < 0.8))
+
+    // Full-precision named artifact — durable files, NOT stdout: the
+    // driver snapshots only a ~2 KB stdout tail, and the named 187-entry
+    // map is ~4.1 KB (query names alone are 2.5 KB), so it can never fit
+    // there (BENCH_r08 lost the c_–m_ families this way, r09–r11 half the
+    // map). target/bench.json is the per-run copy; BENCH_FULL.json at the
+    // repo root is committed by the round driver, making it round-proof.
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","load1":$load1%.2f,"free_gb":$freeGb,"canaries":$canaryJson,"host_drift":$hostDrift}"""
+    for (p <- Seq(java.nio.file.Paths.get("target", "bench.json"),
+                  java.nio.file.Paths.get("BENCH_FULL.json"))) {
+      try {
+        if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.writeString(p, line + "\n")
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $p: ${e.getMessage}")
+      }
+    }
+
+    // Stdout, family-chunked then compact: per-query values print in
+    // ~45-entry named chunks (grep-able, and the last chunk usually
+    // survives the tail), and the FINAL line — the one the driver parses —
+    // carries all n values as a 2-dp array in sorted-query-name order
+    // (~1 KB for 187 queries, fits the tail with room for sbt's epilogue).
+    // Names are recoverable from sorted(SparkEntry.queries.keys); -1 still
+    // marks a failure.
+    results.grouped(45).zipWithIndex.foreach { case (chunk, i) =>
+      val m = chunk.map { case (k, v, ok) =>
+        "\"" + k + "\":" + (if (ok) f"$v%.3f" else "-1")
+      }.mkString("{", ",", "}")
+      println(s"""{"bench_chunk":${i + 1},"queries":$m}""")
+    }
+    val qv = results.map { case (_, v, ok) => if (ok) f"$v%.2f" else "-1" }
+      .mkString("[", ",", "]")
+    val compact =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir","qv":$qv,"qv_order":"sorted_query_names","full":"BENCH_FULL.json","load1":$load1%.2f,"free_gb":$freeGb,"canaries":$canaryJson,"canary_fmt":"[sec,ratio_vs_r11_ref]","host_drift":$hostDrift}"""
+    println(compact)
     // the layout queries write catalog tables + tmpdir parquet per data
     // dir (warm pass used sf0.001); drop both sets before exit
     graft.queries.Relational.layoutCleanup(spark, sfDir)

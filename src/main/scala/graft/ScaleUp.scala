@@ -31,8 +31,18 @@ import org.apache.spark.sql.functions._
   *   has (thousands of files), proving scan parallelism and correctness
   *   do not depend on single-file row-group splitting. Spark reads the
   *   directory transparently; tools/check_oracle.py globs it.
+  * - with a 5th argument `hive`, the fact tables additionally get the
+  *   date/source-partitioned DIRECTORY layout a real 100 TB lake has:
+  *   orders and events are Hive-partitioned by month
+  *   (`__p_month=YYYY-MM/`), documents by language (`__p_lang=…/`), with
+  *   `files` part files per write task. The `__p_*` columns are PHYSICAL
+  *   layout metadata, duplicated from data columns — `Tables.t` drops
+  *   them on read so every corpus query sees the layout-invariant logical
+  *   schema (and tools/check_oracle.py reads the part files with
+  *   hive_partitioning off), while partition-PRUNED scans on `__p_*` are
+  *   exercised by the LayoutSpec guard and q_partition_prune.
   *
-  * Usage: runMain graft.ScaleUp [srcDir dstDir copies [files]]
+  * Usage: runMain graft.ScaleUp [srcDir dstDir copies [files] [hive]]
   */
 object ScaleUp {
 
@@ -55,6 +65,7 @@ object ScaleUp {
     val dst = args.lift(1).getOrElse("/tmp/sf1")
     val copies = args.lift(2).map(_.toInt).getOrElse(10)
     val files = args.lift(3).map(_.toInt).getOrElse(1)
+    val hive = args.lift(4).contains("hive")
 
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -67,15 +78,25 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    scale(spark, src, dst, copies, files)
+    scale(spark, src, dst, copies, files, hive)
     spark.stop()
   }
+
+  /** Hive partition-column derivations per table: name → (partition col,
+    * derivation). The reserved `__p_` prefix marks them as layout
+    * metadata (Tables.t strips it on read).
+    */
+  private val hiveParts: Map[String, (String, org.apache.spark.sql.DataFrame =>
+      org.apache.spark.sql.Column)] = Map(
+    "orders" -> (("__p_month", _ => date_format(col("o_orderdate"), "yyyy-MM"))),
+    "events" -> (("__p_month", _ => date_format(col("ts"), "yyyy-MM"))),
+    "documents" -> (("__p_lang", _ => col("lang"))))
 
   /** The replication+layout core, callable from tests with a shared
     * session (main wraps it in its own).
     */
   def scale(spark: SparkSession, src: String, dst: String,
-      copies: Int, files: Int): Unit = {
+      copies: Int, files: Int, hive: Boolean = false): Unit = {
     require(copies >= 1 && copies * Base > 0, s"bad copy count $copies")
     require(files >= 1, s"bad file count $files")
     Files.createDirectories(Paths.get(dst))
@@ -94,7 +115,21 @@ object ScaleUp {
           .select(raw.columns.toIndexedSeq.map { c =>
             if (keys.contains(c)) (col(c) + col("__k") * Base).as(c) else col(c)
           }: _*)
-      if (files > 1) {
+      if (hive && hiveParts.contains(name)) {
+        // Hive-partitioned lake layout: the fact table becomes a tree of
+        // `__p_<k>=<v>/` directories (the realistic shape of a 100 TB
+        // date/source-partitioned corpus). Repartition by the partition
+        // column so each directory is written by few tasks (bounded file
+        // counts), with a spread key inside whale partitions.
+        val (pcol, derive) = hiveParts(name)
+        val withP = scaled.withColumn(pcol, derive(scaled))
+        withP.repartition(files, col(pcol), pmod(spark_partition_id(), lit(files)))
+          .write.mode("overwrite")
+          .partitionBy(pcol)
+          .option("parquet.block.size", (8 * 1024 * 1024).toString)
+          .parquet(s"$dst/$name.parquet")
+        println(s"scaled $name -> $dst/$name.parquet/ (hive: $pcol, $files tasks)")
+      } else if (files > 1) {
         // multi-file layout: <name>.parquet is a directory of `files` part
         // files — round-robin repartition spreads every copy evenly, so
         // file-granular scan parallelism is real even without row-group

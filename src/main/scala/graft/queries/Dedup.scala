@@ -30,8 +30,14 @@ object Dedup {
     * corpus outgrows it). Single scan: rows self-replicate via an exploded
     * copy array instead of a union of two scans (halves the read at scale).
     */
-  def corpusWithDups(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
-    val docs = t(s, d, "documents")
+  def corpusWithDups(s: org.apache.spark.sql.SparkSession, d: String,
+      stratified: Boolean = false): DataFrame = {
+    val docs0 = t(s, d, "documents")
+    // stratified = the 1-in-41 md5 sub-corpus draw (Tables.stratum41),
+    // applied to the BASE ids before dup planting so both engines select
+    // the identical sample — the device that keeps the heaviest operators'
+    // DuckDB replays feasible at 100× volume (see the *_s41 queries)
+    val docs = if (stratified) docs0.filter(stratum41(col("doc_id"))) else docs0
     docs
       .withColumn("__copy",
         explode(when(col("doc_id") % 5 === 0, array(lit(0L), lit(1L)))
@@ -45,7 +51,8 @@ object Dedup {
     * candidates by estimated Jaccard (fraction of equal minhashes) ≥ 0.7.
     * At scale this is a shuffle on bucket key, never an O(n²) cross join.
     */
-  def minhashPairs(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+  def minhashPairs(s: org.apache.spark.sql.SparkSession, d: String,
+      stratified: Boolean = false): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(s)
     val bands = 4
     val rows = 4
@@ -63,7 +70,7 @@ object Dedup {
     // them: equally shuffle-able (one exchange on (band, bsig)), exactly
     // replayable in SQL, and immune to spurious band-hash collisions
     // polluting the candidate set.
-    val sig = corpusWithDups(s, d)
+    val sig = corpusWithDups(s, d, stratified)
       .select(col("doc_id"),
         graft.functions.GraftFunctions.minhashSigs(col("text"), 5, n).as("mh"))
       .select(col("doc_id"), col("mh"), posexplode(
@@ -256,17 +263,19 @@ object Dedup {
     * localCheckpoint-materialized: both CC's bidir union and the node-set
     * derivation consume it without re-running the gram pass.
     */
-  def spanEdges(s: org.apache.spark.sql.SparkSession, d: String, k: Int = 20): DataFrame =
-    spanEdgesPlan(s, d, k).localCheckpoint()
+  def spanEdges(s: org.apache.spark.sql.SparkSession, d: String, k: Int = 20,
+      stratified: Boolean = false): DataFrame =
+    spanEdgesPlan(s, d, k, stratified).localCheckpoint()
 
   /** The un-materialized spanEdges plan — separate so PlanSpec can assert
     * its shape (one gh window, native gram_fps, no per-row md5): the
     * checkpointed frame spanEdges returns exposes only an RDD scan.
     */
   private[queries] def spanEdgesPlan(
-      s: org.apache.spark.sql.SparkSession, d: String, k: Int): DataFrame = {
+      s: org.apache.spark.sql.SparkSession, d: String, k: Int,
+      stratified: Boolean = false): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(s)
-    val docs = corpusWithDups(s, d)
+    val docs = corpusWithDups(s, d, stratified)
       .select(col("doc_id"), Text.normText(col("text")).as("nt"))
       .filter(length(col("nt")) >= k)
     val grams = docs.select(col("doc_id"),
@@ -338,6 +347,29 @@ object Dedup {
     // histogram describes the DUPLICATED part of the corpus.
     "d_minhash_clusters" -> ((s, d) => {
       val pairs = minhashPairs(s, d)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      val cc = connectedComponentsFromEdges(pairs)
+      cc.groupBy("root").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(count(lit(1)).as("n_clusters"), min("root").as("min_root"))
+        .orderBy("cluster_size")
+    }),
+
+    // STRATUM-ORACLED twins of the two heaviest LSH compositions: the
+    // identical operator over the 1-in-41 md5 sub-corpus
+    // (Tables.stratum41, both engines filter the base ids the same way).
+    // Purpose: at sf10 the FULL d_minhash_lsh/_clusters DuckDB replays hit
+    // single-node resource walls (77 GB spill class — SCALE_SF3.md), so
+    // the full variants' 100× correctness rested on sf1/sf3 hashes; these
+    // keep the replay at ~sf0.25 volume at sf10 and hash-check the SAME
+    // code path (same expressions, same band join, same CC) at 100× data.
+    "d_minhash_lsh_s41" -> ((s, d) =>
+      minhashPairs(s, d, stratified = true)
+        .select(col("id_a"), col("id_b"), round(col("est_sim"), 4).as("est_sim"))
+        .orderBy("id_a", "id_b")),
+
+    "d_minhash_clusters_s41" -> ((s, d) => {
+      val pairs = minhashPairs(s, d, stratified = true)
         .select(col("id_a").as("src"), col("id_b").as("dst"))
       val cc = connectedComponentsFromEdges(pairs)
       cc.groupBy("root").agg(count(lit(1)).as("cluster_size"))
@@ -610,38 +642,36 @@ object Dedup {
         .groupBy("cluster_size")
         .agg(count(lit(1)).as("n_clusters"), min("root").as("min_root"))
         .orderBy("cluster_size")
+    }),
+
+    // Stratum-oracled twin of d_span_clusters (see the *_s41 pair above):
+    // same gram pass, same star edges, same CC — over the 1-in-41 md5
+    // sub-corpus, so the unrolled label-min SQL replay stays feasible at
+    // sf10 where the full replay spilled 77 GB.
+    "d_span_clusters_s41" -> ((s, d) => {
+      val edges = spanEdges(s, d, stratified = true)
+      val cc = connectedComponentsFromEdges(edges)
+      cc.groupBy("root").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(count(lit(1)).as("n_clusters"), min("root").as("min_root"))
+        .orderBy("cluster_size")
     })
   )
 
-  val oracles: Map[String, String] = Map(
-    // recall of planted exact-dup pairs is 1.0 by construction (identical
-    // text → identical signatures → guaranteed LSH collision), so the
-    // expected output is plain SQL over `documents`
-    "d_minhash_recall" ->
-      """SELECT CAST(count(*) AS BIGINT) AS n_truth,
-        |       CAST(count(*) AS BIGINT) AS n_found,
-        |       CAST(1.0 AS DOUBLE) AS recall,
-        |       CAST(1 AS BOOLEAN) AS pass
-        |FROM documents WHERE doc_id % 5 = 0""".stripMargin,
-    "d_simhash_recall" ->
-      """SELECT CAST(count(*) AS BIGINT) AS n_truth,
-        |       CAST(count(*) AS BIGINT) AS n_found,
-        |       CAST(1.0 AS DOUBLE) AS recall,
-        |       CAST(1 AS BOOLEAN) AS pass
-        |FROM documents WHERE doc_id % 5 = 0""".stripMargin,
-    // Full replay of the minhash LSH listing: the same md5-48 gram draw as
-    // winnow_fps/gram_fps, the same seed-42 splitmix XOR constants
-    // (interpolated from Sketches.minhashXorConstants so Scala and SQL can
-    // never drift), band join on the 4 raw members, est_sim = equal-member
-    // fraction — value-for-value the Spark plan's semantics.
-    "d_minhash_lsh" -> {
+  /** d_minhash_lsh replay (md5-48 gram draw, seed-42 splitmix XOR
+    * constants interpolated from Sketches so Scala and SQL can never
+    * drift, band join on the 4 raw members), parameterized by the stratum
+    * predicate: `TRUE` = full corpus, Tables.stratum41Sql = the 1-in-41
+    * draw that keeps the replay feasible at sf10.
+    */
+  private def minhashLshSql(strat: String): String = {
       val cs = graft.functions.Sketches.minhashXorConstants(16, 42L)
         .mkString("[", ",", "]")
       s"""WITH dups AS MATERIALIZED (
-        |  SELECT doc_id * 2 AS doc_id, text FROM documents
+        |  SELECT doc_id * 2 AS doc_id, text FROM documents WHERE $strat
         |  UNION ALL
         |  SELECT doc_id * 2 + 1 AS doc_id, text FROM documents
-        |  WHERE doc_id % 5 = 0),
+        |  WHERE doc_id % 5 = 0 AND $strat),
         |grams AS MATERIALIZED (
         |  SELECT doc_id, unnest(list_transform(range(0, greatest(length(text) - 4, 1)),
         |    i -> CAST('0x' || substr(md5(substr(text, CAST(i AS INT) + 1, 5)),
@@ -672,19 +702,19 @@ object Dedup {
         |            JOIN sigs sb ON sb.doc_id = id_b)
         |SELECT id_a, id_b, est_sim FROM pairs
         |WHERE est_sim >= 0.7 ORDER BY id_a, id_b""".stripMargin
-    },
-    // End-to-end replay of the LSH→clusters pipeline: the d_minhash_lsh
-    // pair CTEs feed the d_span_clusters unrolled label-min component
-    // replay (6 (neighbor-min, label-doubling) round pairs + the
-    // convergence sentinel).
-    "d_minhash_clusters" -> {
+  }
+
+  /** d_minhash_clusters replay — the LSH pair CTEs feeding the unrolled
+    * label-min component rounds — parameterized like minhashLshSql.
+    */
+  private def minhashClustersSql(strat: String): String = {
       val cs = graft.functions.Sketches.minhashXorConstants(16, 42L)
         .mkString("[", ",", "]")
       s"""WITH dups AS MATERIALIZED (
-        |  SELECT doc_id * 2 AS doc_id, text FROM documents
+        |  SELECT doc_id * 2 AS doc_id, text FROM documents WHERE $strat
         |  UNION ALL
         |  SELECT doc_id * 2 + 1 AS doc_id, text FROM documents
-        |  WHERE doc_id % 5 = 0),
+        |  WHERE doc_id % 5 = 0 AND $strat),
         |grams AS MATERIALIZED (
         |  SELECT doc_id, unnest(list_transform(range(0, greatest(length(text) - 4, 1)),
         |    i -> CAST('0x' || substr(md5(substr(text, CAST(i AS INT) + 1, 5)),
@@ -743,7 +773,93 @@ object Dedup {
         |         'd_minhash_clusters oracle: label-min replay NOT converged after the 6 unrolled rounds - deepen the unroll')
         |         ELSE 0 END FROM chk) AS min_root
         |FROM cs GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
-    },
+  }
+
+  /** d_span_clusters replay, parameterized by the stratum predicate
+    * (`TRUE` = the full corpus; Tables.stratum41Sql = the 1-in-41 draw
+    * that keeps this unrolled label-min replay feasible at sf10).
+    */
+  private def spanClustersSql(strat: String): String =
+    raw"""WITH dups AS (
+       |  SELECT doc_id * 2 AS doc_id, text FROM documents WHERE $strat
+       |  UNION ALL
+       |  SELECT doc_id * 2 + 1 AS doc_id, text FROM documents
+       |  WHERE doc_id % 5 = 0 AND $strat),
+        |norm AS (
+        |  SELECT doc_id,
+        |    lower(trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS nt
+        |  FROM dups),
+        |g AS (
+        |  SELECT doc_id, unnest(ghs) AS gh FROM (
+        |    SELECT doc_id,
+        |      list_transform(range(0, length(nt) - 19),
+        |        i -> CAST('0x' || substr(md5(substr(nt, CAST(i AS INT) + 1, 20)),
+        |          1, 12) AS BIGINT)) AS ghs
+        |    FROM norm WHERE length(nt) >= 20)),
+        |dupg AS (
+        |  SELECT gh, min(doc_id) AS mn FROM g GROUP BY gh
+        |  HAVING min(doc_id) <> max(doc_id)),
+        |p AS MATERIALIZED (
+        |  SELECT DISTINCT dupg.mn AS src, g.doc_id AS dst
+        |  FROM g JOIN dupg USING (gh) WHERE g.doc_id <> dupg.mn),
+        |e AS MATERIALIZED (
+        |  SELECT src, dst FROM p UNION SELECT dst, src FROM p
+        |  UNION SELECT src, src FROM p UNION SELECT dst, dst FROM p),
+        |l0 AS (SELECT dst AS v, min(src) AS lbl FROM e GROUP BY dst),
+        |r1 AS (SELECT e.dst AS v, min(l.lbl) AS lbl FROM e JOIN l0 l ON e.src = l.v GROUP BY e.dst),
+        |d1 AS (SELECT a.v, least(a.lbl, coalesce(b.lbl, a.lbl)) AS lbl
+        |       FROM r1 a LEFT JOIN r1 b ON a.lbl = b.v),
+        |r2 AS (SELECT e.dst AS v, min(l.lbl) AS lbl FROM e JOIN d1 l ON e.src = l.v GROUP BY e.dst),
+        |d2 AS (SELECT a.v, least(a.lbl, coalesce(b.lbl, a.lbl)) AS lbl
+        |       FROM r2 a LEFT JOIN r2 b ON a.lbl = b.v),
+        |r3 AS (SELECT e.dst AS v, min(l.lbl) AS lbl FROM e JOIN d2 l ON e.src = l.v GROUP BY e.dst),
+        |d3 AS (SELECT a.v, least(a.lbl, coalesce(b.lbl, a.lbl)) AS lbl
+        |       FROM r3 a LEFT JOIN r3 b ON a.lbl = b.v),
+        |r4 AS (SELECT e.dst AS v, min(l.lbl) AS lbl FROM e JOIN d3 l ON e.src = l.v GROUP BY e.dst),
+        |d4 AS (SELECT a.v, least(a.lbl, coalesce(b.lbl, a.lbl)) AS lbl
+        |       FROM r4 a LEFT JOIN r4 b ON a.lbl = b.v),
+        |r5 AS (SELECT e.dst AS v, min(l.lbl) AS lbl FROM e JOIN d4 l ON e.src = l.v GROUP BY e.dst),
+        |d5 AS (SELECT a.v, least(a.lbl, coalesce(b.lbl, a.lbl)) AS lbl
+        |       FROM r5 a LEFT JOIN r5 b ON a.lbl = b.v),
+        |r6 AS (SELECT e.dst AS v, min(l.lbl) AS lbl FROM e JOIN d5 l ON e.src = l.v GROUP BY e.dst),
+        |d6 AS MATERIALIZED (SELECT a.v, least(a.lbl, coalesce(b.lbl, a.lbl)) AS lbl
+        |       FROM r6 a LEFT JOIN r6 b ON a.lbl = b.v),
+        |r7 AS (SELECT e.dst AS v, min(l.lbl) AS lbl FROM e JOIN d6 l ON e.src = l.v GROUP BY e.dst),
+        |chk AS (SELECT count(*) AS n_changed
+        |        FROM r7 JOIN d6 ON r7.v = d6.v WHERE r7.lbl < d6.lbl),
+        |cs AS (SELECT lbl AS root, count(*) AS cluster_size FROM d6 GROUP BY lbl)
+        |SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+        |       count(*) AS n_clusters,
+        |       min(root) + (SELECT CASE WHEN n_changed > 0 THEN error(
+        |         'd_span_clusters oracle: label-min replay NOT converged after the 6 unrolled rounds - deepen the unroll')
+        |         ELSE 0 END FROM chk) AS min_root
+        |FROM cs GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    // recall of planted exact-dup pairs is 1.0 by construction (identical
+    // text → identical signatures → guaranteed LSH collision), so the
+    // expected output is plain SQL over `documents`
+    "d_minhash_recall" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_truth,
+        |       CAST(count(*) AS BIGINT) AS n_found,
+        |       CAST(1.0 AS DOUBLE) AS recall,
+        |       CAST(1 AS BOOLEAN) AS pass
+        |FROM documents WHERE doc_id % 5 = 0""".stripMargin,
+    "d_simhash_recall" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_truth,
+        |       CAST(count(*) AS BIGINT) AS n_found,
+        |       CAST(1.0 AS DOUBLE) AS recall,
+        |       CAST(1 AS BOOLEAN) AS pass
+        |FROM documents WHERE doc_id % 5 = 0""".stripMargin,
+    // Full replay of the minhash LSH listing: the same md5-48 gram draw as
+    // winnow_fps/gram_fps, the same seed-42 splitmix XOR constants
+    // (interpolated from Sketches.minhashXorConstants so Scala and SQL can
+    // never drift), band join on the 4 raw members, est_sim = equal-member
+    // fraction — value-for-value the Spark plan's semantics.
+    "d_minhash_lsh" -> minhashLshSql("TRUE"),
+    "d_minhash_lsh_s41" -> minhashLshSql(stratum41Sql("doc_id")),
+    "d_minhash_clusters" -> minhashClustersSql("TRUE"),
+    "d_minhash_clusters_s41" -> minhashClustersSql(stratum41Sql("doc_id")),
     // Full replay of the simhash bucket listing: one md5-48 draw per
     // token of the normalized text, 48 ±1 bit sums, sign fold, top-16-bit
     // bucket — the exact Sketches.simhash arithmetic in SQL.
@@ -967,60 +1083,7 @@ object Dedup {
     // clustered doc is one by construction — the Spark side's argument);
     // the self-loops in `e` make each round's min include the node's own
     // label.
-    "d_span_clusters" ->
-      """WITH dups AS (
-        |  SELECT doc_id * 2 AS doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id * 2 + 1 AS doc_id, text FROM documents
-        |  WHERE doc_id % 5 = 0),
-        |norm AS (
-        |  SELECT doc_id,
-        |    lower(trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS nt
-        |  FROM dups),
-        |g AS (
-        |  SELECT doc_id, unnest(ghs) AS gh FROM (
-        |    SELECT doc_id,
-        |      list_transform(range(0, length(nt) - 19),
-        |        i -> CAST('0x' || substr(md5(substr(nt, CAST(i AS INT) + 1, 20)),
-        |          1, 12) AS BIGINT)) AS ghs
-        |    FROM norm WHERE length(nt) >= 20)),
-        |dupg AS (
-        |  SELECT gh, min(doc_id) AS mn FROM g GROUP BY gh
-        |  HAVING min(doc_id) <> max(doc_id)),
-        |p AS MATERIALIZED (
-        |  SELECT DISTINCT dupg.mn AS src, g.doc_id AS dst
-        |  FROM g JOIN dupg USING (gh) WHERE g.doc_id <> dupg.mn),
-        |e AS MATERIALIZED (
-        |  SELECT src, dst FROM p UNION SELECT dst, src FROM p
-        |  UNION SELECT src, src FROM p UNION SELECT dst, dst FROM p),
-        |l0 AS (SELECT dst AS v, min(src) AS lbl FROM e GROUP BY dst),
-        |r1 AS (SELECT e.dst AS v, min(l.lbl) AS lbl FROM e JOIN l0 l ON e.src = l.v GROUP BY e.dst),
-        |d1 AS (SELECT a.v, least(a.lbl, coalesce(b.lbl, a.lbl)) AS lbl
-        |       FROM r1 a LEFT JOIN r1 b ON a.lbl = b.v),
-        |r2 AS (SELECT e.dst AS v, min(l.lbl) AS lbl FROM e JOIN d1 l ON e.src = l.v GROUP BY e.dst),
-        |d2 AS (SELECT a.v, least(a.lbl, coalesce(b.lbl, a.lbl)) AS lbl
-        |       FROM r2 a LEFT JOIN r2 b ON a.lbl = b.v),
-        |r3 AS (SELECT e.dst AS v, min(l.lbl) AS lbl FROM e JOIN d2 l ON e.src = l.v GROUP BY e.dst),
-        |d3 AS (SELECT a.v, least(a.lbl, coalesce(b.lbl, a.lbl)) AS lbl
-        |       FROM r3 a LEFT JOIN r3 b ON a.lbl = b.v),
-        |r4 AS (SELECT e.dst AS v, min(l.lbl) AS lbl FROM e JOIN d3 l ON e.src = l.v GROUP BY e.dst),
-        |d4 AS (SELECT a.v, least(a.lbl, coalesce(b.lbl, a.lbl)) AS lbl
-        |       FROM r4 a LEFT JOIN r4 b ON a.lbl = b.v),
-        |r5 AS (SELECT e.dst AS v, min(l.lbl) AS lbl FROM e JOIN d4 l ON e.src = l.v GROUP BY e.dst),
-        |d5 AS (SELECT a.v, least(a.lbl, coalesce(b.lbl, a.lbl)) AS lbl
-        |       FROM r5 a LEFT JOIN r5 b ON a.lbl = b.v),
-        |r6 AS (SELECT e.dst AS v, min(l.lbl) AS lbl FROM e JOIN d5 l ON e.src = l.v GROUP BY e.dst),
-        |d6 AS MATERIALIZED (SELECT a.v, least(a.lbl, coalesce(b.lbl, a.lbl)) AS lbl
-        |       FROM r6 a LEFT JOIN r6 b ON a.lbl = b.v),
-        |r7 AS (SELECT e.dst AS v, min(l.lbl) AS lbl FROM e JOIN d6 l ON e.src = l.v GROUP BY e.dst),
-        |chk AS (SELECT count(*) AS n_changed
-        |        FROM r7 JOIN d6 ON r7.v = d6.v WHERE r7.lbl < d6.lbl),
-        |cs AS (SELECT lbl AS root, count(*) AS cluster_size FROM d6 GROUP BY lbl)
-        |SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
-        |       count(*) AS n_clusters,
-        |       min(root) + (SELECT CASE WHEN n_changed > 0 THEN error(
-        |         'd_span_clusters oracle: label-min replay NOT converged after the 6 unrolled rounds - deepen the unroll')
-        |         ELSE 0 END FROM chk) AS min_root
-        |FROM cs GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
+    "d_span_clusters" -> spanClustersSql("TRUE"),
+    "d_span_clusters_s41" -> spanClustersSql(stratum41Sql("doc_id"))
   )
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -77,6 +77,112 @@ object Similarity {
     */
   private def planeProj(qemb: Column, p: Int): Column =
     graft.functions.GraftFunctions.dotProduct(qemb, typedLit(hyperplane(p)))
+
+  /** SemDeDup (Abbas et al. 2023) with the paper's DATA-DERIVED cluster
+    * count: k grows LINEARLY with N — the paper used 50k clusters for
+    * LAION-440M, i.e. a bounded ~9k-vector cluster budget; here the
+    * budget is 250 vectors, k = max(8, ceil(N/250)) = max(8,
+    * (N+249) div 250), exact INTEGER arithmetic so both engines derive
+    * the same k from the same count. This is what keeps the cluster-local
+    * pairwise stage linear: blocks stay ~250 regardless of N, so pair
+    * volume is O(N·250), while fixed k=8 sat at the linear boundary
+    * already at sf3 (N²/k — SCALE_SF3.md) and would go quadratic past it.
+    * k stays 8 through sf0.1 (N=2000), so base-SF outputs are unchanged.
+    * Seeds are the k SMALLEST vec_ids (TakeOrdered, not a vec_id < k
+    * literal — ids need not be dense in a stratified or re-keyed corpus);
+    * assignment is the exact two-iteration Lloyd chain s_kmeans
+    * hash-matches, 9-dp rounding at every cross-engine boundary. The
+    * count() is one columnar scan action; k.toInt is safe far past any
+    * testable SF (k = N/250).
+    */
+  private def semDedup(s: org.apache.spark.sql.SparkSession, d: String,
+      stratified: Boolean): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val emb0 = t(s, d, "embeddings")
+    val emb =
+      if (stratified) emb0.filter(col("vec_id") < 8 || stratum41(col("vec_id")))
+      else emb0
+    val n = emb.count()
+    val k = math.max(8L, (n + 249L) / 250L)
+    val vecMean = graft.functions.VectorMean(64)
+    def assign(cents: DataFrame) =
+      emb.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("embedding"), col("cl"),
+          round(graft.functions.GraftFunctions.cosineSim(
+            col("embedding"), col("cent")), 9).as("c"))
+        .groupBy("vec_id")
+        .agg(first("embedding").as("embedding"),
+          max(struct(col("c"), col("cl"))).getField("cl").as("cl"))
+    val seeds = emb.orderBy("vec_id").limit(k.toInt)
+      .select(col("vec_id").as("cl"), col("embedding").as("cent"))
+    val cent1 = assign(seeds).groupBy("cl")
+      .agg(vecMean(col("embedding")).as("c0"))
+      .select(col("cl"), transform(col("c0"), x => round(x, 9)).as("cent"))
+    val asg = assign(cent1)
+    val a = asg.select(col("cl"), col("vec_id").as("id_a"),
+      col("embedding").as("ea"))
+    val b = asg.select(col("cl"), col("vec_id").as("id_b"),
+      col("embedding").as("eb"))
+    val dropped = a.join(b, Seq("cl"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(graft.functions.GraftFunctions.cosineSim(
+        col("ea"), col("eb")), 4) >= 0.32)
+      .select(col("id_b").as("vec_id")).distinct()
+    asg.select(col("cl"), col("vec_id"))
+      .join(dropped.withColumn("dr", lit(1)), Seq("vec_id"), "left")
+      .groupBy("cl")
+      .agg(count(lit(1)).as("n_members"),
+        sum(when(col("dr").isNotNull, 1L).otherwise(0L)).cast("bigint")
+          .as("n_dropped"))
+      .select(col("cl"), col("n_members"), col("n_dropped"),
+        (col("n_members") - col("n_dropped")).as("n_kept"))
+      .orderBy("cl")
+  }
+
+  /** PQ-ADC top-10 (see the s_pq_topk corpus comment), parameterized by
+    * the 1-in-41 stratum: codebook (vec_id < 8) and query (vec_id = 0)
+    * are always kept; `stratified` restricts the SCORED corpus to the
+    * md5 draw both engines share (Tables.stratum41).
+    */
+  private def pqTopk(s: org.apache.spark.sql.SparkSession, d: String,
+      stratified: Boolean): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val dot = graft.functions.GraftFunctions.dotProduct _
+    val emb0 = t(s, d, "embeddings")
+    val emb =
+      if (stratified) emb0.filter(col("vec_id") < 8 || stratum41(col("vec_id")))
+      else emb0
+    val M = 4; val sub = 16
+      def subspaces(v: Column, out: String): Column =
+      explode(array((0 until M).map(m =>
+      struct(lit(m).as("m"), slice(v, m * sub + 1, sub).as(out))): _*))
+    val cb = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("code"),
+      subspaces(col("embedding"), "cw").as("x"))
+      .select(col("x.m").as("m"), col("code"), col("x.cw").as("cw"))
+    val codes = emb.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), subspaces(col("embedding"), "sv").as("x"))
+      .select(col("vec_id"), col("x.m").as("m"), col("x.sv").as("sv"))
+      .join(broadcast(cb), "m")
+      .select(col("vec_id"), col("m"), col("code"),
+      round(dot(col("sv"), col("cw")), 9).as("dp"))
+      .groupBy("vec_id", "m")
+      .agg(max(struct(col("dp"), col("code"))).getField("code").as("code"))
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val qlut = cb.crossJoin(broadcast(q))
+      .select(col("m"), col("code"),
+      round(dot(slice(col("qv"), col("m") * sub + 1, lit(sub)), col("cw")), 9).as("qd"))
+    codes.join(broadcast(qlut), Seq("m", "code"))
+      .groupBy("vec_id")
+      .agg(max(when(col("m") === 0, col("qd"))).as("d0"),
+      max(when(col("m") === 1, col("qd"))).as("d1"),
+      max(when(col("m") === 2, col("qd"))).as("d2"),
+      max(when(col("m") === 3, col("qd"))).as("d3"))
+      .select(col("vec_id"),
+      round(col("d0") + col("d1") + col("d2") + col("d3"), 4).as("approx_dot"))
+      .orderBy(col("approx_dot").desc, col("vec_id"))
+      .limit(10)
+  }
 
   val queries: Map[String, Q] = Map(
     // Exact brute-force cosine top-k against one query vector (vec_id 0).
@@ -330,41 +436,15 @@ object Similarity {
     // products with a code-id tiebreak (the IVF discipline); the 4
     // per-subspace ADC terms are pivoted to columns and added in FIXED
     // m-order so both engines sum bit-identically.
-    "s_pq_topk" -> ((s, d) => {
-      graft.functions.GraftFunctions.ensureRegistered(s)
-      val dot = graft.functions.GraftFunctions.dotProduct _
-      val emb = t(s, d, "embeddings")
-      val M = 4; val sub = 16
-      def subspaces(v: Column, out: String): Column =
-        explode(array((0 until M).map(m =>
-          struct(lit(m).as("m"), slice(v, m * sub + 1, sub).as(out))): _*))
-      val cb = emb.filter(col("vec_id") < 8)
-        .select(col("vec_id").cast("int").as("code"),
-          subspaces(col("embedding"), "cw").as("x"))
-        .select(col("x.m").as("m"), col("code"), col("x.cw").as("cw"))
-      val codes = emb.filter(col("vec_id") =!= 0)
-        .select(col("vec_id"), subspaces(col("embedding"), "sv").as("x"))
-        .select(col("vec_id"), col("x.m").as("m"), col("x.sv").as("sv"))
-        .join(broadcast(cb), "m")
-        .select(col("vec_id"), col("m"), col("code"),
-          round(dot(col("sv"), col("cw")), 9).as("dp"))
-        .groupBy("vec_id", "m")
-        .agg(max(struct(col("dp"), col("code"))).getField("code").as("code"))
-      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
-      val qlut = cb.crossJoin(broadcast(q))
-        .select(col("m"), col("code"),
-          round(dot(slice(col("qv"), col("m") * sub + 1, lit(sub)), col("cw")), 9).as("qd"))
-      codes.join(broadcast(qlut), Seq("m", "code"))
-        .groupBy("vec_id")
-        .agg(max(when(col("m") === 0, col("qd"))).as("d0"),
-          max(when(col("m") === 1, col("qd"))).as("d1"),
-          max(when(col("m") === 2, col("qd"))).as("d2"),
-          max(when(col("m") === 3, col("qd"))).as("d3"))
-        .select(col("vec_id"),
-          round(col("d0") + col("d1") + col("d2") + col("d3"), 4).as("approx_dot"))
-        .orderBy(col("approx_dot").desc, col("vec_id"))
-        .limit(10)
-    }),
+    "s_pq_topk" -> ((s, d) => pqTopk(s, d, stratified = false)),
+
+    // Stratum-oracled twin (the d_*_s41 device, see Tables.stratum41):
+    // identical PQ pipeline over codebook+query (vec_id < 8, kept
+    // unconditionally — THEY are the quantizer, the corpus is what
+    // scales) plus the 1-in-41 md5 stratum of the scored vectors, so the
+    // ADC SQL replay stays feasible at sf10 where the full replay
+    // timed out.
+    "s_pq_topk_s41" -> ((s, d) => pqTopk(s, d, stratified = true)),
 
     // Maximum-inner-product search via the norm-augmentation reduction
     // (Bachrach et al.: append sqrt(M² − ‖x‖²) to every vector, 0 to the
@@ -702,44 +782,13 @@ object Similarity {
     // the 4-dp cosine (the d_embed_neardup discipline): the synthetic
     // embeddings are near-uniform, so this sits in the observed upper
     // tail and exercises both drop and keep paths.
-    "s_semdedup" -> ((s, d) => {
-      graft.functions.GraftFunctions.ensureRegistered(s)
-      val k = 8
-      val emb = t(s, d, "embeddings")
-      val vecMean = graft.functions.VectorMean(64)
-      def assign(cents: org.apache.spark.sql.DataFrame) =
-        emb.crossJoin(broadcast(cents))
-          .select(col("vec_id"), col("embedding"), col("cl"),
-            round(graft.functions.GraftFunctions.cosineSim(
-              col("embedding"), col("cent")), 9).as("c"))
-          .groupBy("vec_id")
-          .agg(first("embedding").as("embedding"),
-            max(struct(col("c"), col("cl"))).getField("cl").as("cl"))
-      val seeds = emb.filter(col("vec_id") < k)
-        .select(col("vec_id").as("cl"), col("embedding").as("cent"))
-      val cent1 = assign(seeds).groupBy("cl")
-        .agg(vecMean(col("embedding")).as("c0"))
-        .select(col("cl"), transform(col("c0"), x => round(x, 9)).as("cent"))
-      val asg = assign(cent1)
-      val a = asg.select(col("cl"), col("vec_id").as("id_a"),
-        col("embedding").as("ea"))
-      val b = asg.select(col("cl"), col("vec_id").as("id_b"),
-        col("embedding").as("eb"))
-      val dropped = a.join(b, Seq("cl"))
-        .filter(col("id_a") < col("id_b"))
-        .filter(round(graft.functions.GraftFunctions.cosineSim(
-          col("ea"), col("eb")), 4) >= 0.32)
-        .select(col("id_b").as("vec_id")).distinct()
-      asg.select(col("cl"), col("vec_id"))
-        .join(dropped.withColumn("dr", lit(1)), Seq("vec_id"), "left")
-        .groupBy("cl")
-        .agg(count(lit(1)).as("n_members"),
-          sum(when(col("dr").isNotNull, 1L).otherwise(0L)).cast("bigint")
-            .as("n_dropped"))
-        .select(col("cl"), col("n_members"), col("n_dropped"),
-          (col("n_members") - col("n_dropped")).as("n_kept"))
-        .orderBy("cl")
-    }),
+    "s_semdedup" -> ((s, d) => semDedup(s, d, stratified = false)),
+
+    // Stratum-oracled twin (the *_s41 device): the identical SemDeDup
+    // pipeline over seeds (vec_id < 8, always kept) plus the 1-in-41 md5
+    // stratum, so the cluster-local pairwise SQL replay stays feasible at
+    // sf10 where the full replay timed out.
+    "s_semdedup_s41" -> ((s, d) => semDedup(s, d, stratified = true)),
 
     // Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998):
     // greedily pick k=5 results trading relevance against redundancy,
@@ -847,6 +896,75 @@ object Similarity {
       |  (x, i) -> CASE WHEN x > 0d THEN shiftleft(CAST(1 AS BIGINT), i)
       |            ELSE CAST(0 AS BIGINT) END),
       |  CAST(0 AS BIGINT), (acc, b) -> acc | b)""".stripMargin)
+
+  /** s_pq_topk ADC replay, parameterized by the stratum predicate on the
+    * `e` base CTE (`TRUE` = full corpus; the _s41 form keeps codebook +
+    * query and the 1-in-41 md5 draw of the scored vectors).
+    */
+  private def pqTopkSql(strat: String): String =
+    s"""WITH ms AS (SELECT CAST(r.i AS INT) AS m FROM range(4) r(i)),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |       WHERE $strat),
+        |cb AS (SELECT m, CAST(vec_id AS INT) AS code, v[m*16+1 : m*16+16] AS cw
+        |       FROM e, ms WHERE vec_id < 8),
+        |sub AS (SELECT vec_id, m, v[m*16+1 : m*16+16] AS sv FROM e, ms WHERE vec_id <> 0),
+        |assign AS (
+        |  SELECT vec_id, sub.m,
+        |    (max({'d': round(list_dot_product(sv, cw), 9), 'code': code})).code AS code
+        |  FROM sub JOIN cb ON sub.m = cb.m GROUP BY vec_id, sub.m),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |qlut AS (SELECT m, code,
+        |         round(list_dot_product(qv[m*16+1 : m*16+16], cw), 9) AS qd
+        |         FROM cb, q),
+        |adc AS (
+        |  SELECT vec_id,
+        |    max(CASE WHEN m = 0 THEN qd END) AS d0,
+        |    max(CASE WHEN m = 1 THEN qd END) AS d1,
+        |    max(CASE WHEN m = 2 THEN qd END) AS d2,
+        |    max(CASE WHEN m = 3 THEN qd END) AS d3
+        |  FROM assign JOIN qlut USING (m, code) GROUP BY vec_id)
+        |SELECT vec_id, round(d0 + d1 + d2 + d3, 4) AS approx_dot
+        |FROM adc ORDER BY approx_dot DESC, vec_id LIMIT 10""".stripMargin
+
+  /** s_semdedup replay with the DATA-DERIVED k (see semDedup):
+    * k = greatest(8, (N+249) // 250) computed from the SAME filtered base
+    * CTE, seeds = the k smallest vec_ids — exact integer arithmetic, so
+    * both engines derive identical clusterings from identical counts.
+    */
+  private def semDedupSql(strat: String): String =
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |     WHERE $strat),
+        |kk AS (SELECT greatest(8, (count(*) + 249) // 250) AS k FROM e),
+        |seeds AS (SELECT vec_id AS cl, v AS cent FROM e
+        |          QUALIFY row_number() OVER (ORDER BY vec_id) <= (SELECT k FROM kk)),
+        |a1 AS MATERIALIZED (
+        |  SELECT vec_id, any_value(v) AS v, (max({'c': c, 'cl': cl})).cl AS cl FROM
+        |    (SELECT e.vec_id, e.v, s.cl,
+        |       round(list_dot_product(e.v, s.cent) /
+        |         (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(s.cent, s.cent))), 9) AS c
+        |     FROM e, seeds s)
+        |  GROUP BY vec_id),
+        |m1 AS MATERIALIZED (
+        |  SELECT cl, CAST(r.i AS INT) AS pos, avg(v[CAST(r.i AS INT) + 1]) AS mv
+        |  FROM a1, range(64) r(i) GROUP BY cl, pos),
+        |c1 AS MATERIALIZED (SELECT cl, list(round(mv, 9) ORDER BY pos) AS cent FROM m1 GROUP BY cl),
+        |a2 AS MATERIALIZED (
+        |  SELECT vec_id, any_value(v) AS v, (max({'c': c, 'cl': cl})).cl AS cl FROM
+        |    (SELECT e.vec_id, e.v, c1.cl,
+        |       round(list_dot_product(e.v, c1.cent) /
+        |         (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c1.cent, c1.cent))), 9) AS c
+        |     FROM e, c1)
+        |  GROUP BY vec_id),
+        |drp AS MATERIALIZED (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM a2 a JOIN a2 b ON a.cl = b.cl AND a.vec_id < b.vec_id
+        |  WHERE round(list_dot_product(a.v, b.v) /
+        |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.32)
+        |SELECT CAST(a2.cl AS BIGINT) AS cl, count(*) AS n_members,
+        |  CAST(sum(CASE WHEN drp.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |  CAST(count(*) - sum(CASE WHEN drp.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM a2 LEFT JOIN drp ON a2.vec_id = drp.vec_id
+        |GROUP BY a2.cl ORDER BY cl""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // same IVF pipeline in SQL: centroids → nearest-cell assignment →
@@ -1020,29 +1138,8 @@ object Similarity {
     // same PQ pipeline in SQL: codebook slices → per-subspace argmax
     // assignment (9-dp-rounded dots, code tiebreak via max-of-struct) →
     // ADC lookup join → fixed-order 4-term sum
-    "s_pq_topk" ->
-      """WITH ms AS (SELECT CAST(r.i AS INT) AS m FROM range(4) r(i)),
-        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |cb AS (SELECT m, CAST(vec_id AS INT) AS code, v[m*16+1 : m*16+16] AS cw
-        |       FROM e, ms WHERE vec_id < 8),
-        |sub AS (SELECT vec_id, m, v[m*16+1 : m*16+16] AS sv FROM e, ms WHERE vec_id <> 0),
-        |assign AS (
-        |  SELECT vec_id, sub.m,
-        |    (max({'d': round(list_dot_product(sv, cw), 9), 'code': code})).code AS code
-        |  FROM sub JOIN cb ON sub.m = cb.m GROUP BY vec_id, sub.m),
-        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
-        |qlut AS (SELECT m, code,
-        |         round(list_dot_product(qv[m*16+1 : m*16+16], cw), 9) AS qd
-        |         FROM cb, q),
-        |adc AS (
-        |  SELECT vec_id,
-        |    max(CASE WHEN m = 0 THEN qd END) AS d0,
-        |    max(CASE WHEN m = 1 THEN qd END) AS d1,
-        |    max(CASE WHEN m = 2 THEN qd END) AS d2,
-        |    max(CASE WHEN m = 3 THEN qd END) AS d3
-        |  FROM assign JOIN qlut USING (m, code) GROUP BY vec_id)
-        |SELECT vec_id, round(d0 + d1 + d2 + d3, 4) AS approx_dot
-        |FROM adc ORDER BY approx_dot DESC, vec_id LIMIT 10""".stripMargin,
+    "s_pq_topk" -> pqTopkSql("TRUE"),
+    "s_pq_topk_s41" -> pqTopkSql(s"vec_id < 8 OR ${stratum41Sql("vec_id")}"),
     // the same augmentation in SQL — bit-identical index-order arithmetic
     // (the equivalence to the PLAIN inner-product top-10 is asserted
     // separately in SelfCheckSpec; the oracle pins the construction)
@@ -1241,37 +1338,8 @@ object Similarity {
         |    nullif(CAST(n.n AS DOUBLE) * (CAST(n.n AS DOUBLE) - 1.0), 0.0), 6) AS mean_pair_cos
         |FROM q JOIN n USING (label) ORDER BY label""".stripMargin,
     // the s_kmeans two-iteration chain verbatim, then cluster-local pairs
-    "s_semdedup" ->
-      """WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |seeds AS (SELECT vec_id AS cl, v AS cent FROM e WHERE vec_id < 8),
-        |a1 AS MATERIALIZED (
-        |  SELECT vec_id, any_value(v) AS v, (max({'c': c, 'cl': cl})).cl AS cl FROM
-        |    (SELECT e.vec_id, e.v, s.cl,
-        |       round(list_dot_product(e.v, s.cent) /
-        |         (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(s.cent, s.cent))), 9) AS c
-        |     FROM e, seeds s)
-        |  GROUP BY vec_id),
-        |m1 AS MATERIALIZED (
-        |  SELECT cl, CAST(r.i AS INT) AS pos, avg(v[CAST(r.i AS INT) + 1]) AS mv
-        |  FROM a1, range(64) r(i) GROUP BY cl, pos),
-        |c1 AS MATERIALIZED (SELECT cl, list(round(mv, 9) ORDER BY pos) AS cent FROM m1 GROUP BY cl),
-        |a2 AS MATERIALIZED (
-        |  SELECT vec_id, any_value(v) AS v, (max({'c': c, 'cl': cl})).cl AS cl FROM
-        |    (SELECT e.vec_id, e.v, c1.cl,
-        |       round(list_dot_product(e.v, c1.cent) /
-        |         (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c1.cent, c1.cent))), 9) AS c
-        |     FROM e, c1)
-        |  GROUP BY vec_id),
-        |drp AS MATERIALIZED (
-        |  SELECT DISTINCT b.vec_id
-        |  FROM a2 a JOIN a2 b ON a.cl = b.cl AND a.vec_id < b.vec_id
-        |  WHERE round(list_dot_product(a.v, b.v) /
-        |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.32)
-        |SELECT CAST(a2.cl AS BIGINT) AS cl, count(*) AS n_members,
-        |  CAST(sum(CASE WHEN drp.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
-        |  CAST(count(*) - sum(CASE WHEN drp.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
-        |FROM a2 LEFT JOIN drp ON a2.vec_id = drp.vec_id
-        |GROUP BY a2.cl ORDER BY cl""".stripMargin,
+    "s_semdedup" -> semDedupSql("TRUE"),
+    "s_semdedup_s41" -> semDedupSql(s"vec_id < 8 OR ${stratum41Sql("vec_id")}"),
     // the same greedy chain as four unrolled argmax CTEs
     "s_mmr_rerank" ->
       """WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

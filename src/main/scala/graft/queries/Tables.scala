@@ -45,4 +45,26 @@ object Tables {
   }
 
   type Q = (SparkSession, String) => DataFrame
+
+  /** Deterministic 1-in-41 md5 stratum of an id column — the sub-corpus
+    * draw that lets the heaviest operators be ORACLE-checked at 100×
+    * volume: both engines filter the base table by the same md5-48 draw
+    * before the operator, which keeps the single-node DuckDB replay at
+    * ~1/41 of the corpus while the engine-only measurement still runs the
+    * full input. 41 is prime and coprime to every id-pattern modulus the
+    * corpus uses (dup planting %5, media kind %3, ScaleUp's Base
+    * = 1.2e10 offsets), so the stratum is a uniform unbiased sample at
+    * any SF. The draw is the repo-standard md5-48 (first 12 hex chars of
+    * md5 of the DECIMAL id string — `CAST(id AS VARCHAR)` in DuckDB, the
+    * identical text both engines render for integers).
+    */
+  def stratum41(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    conv(substring(md5(id.cast("string")), 1, 12), 16, 10)
+      .cast("bigint") % 41 === 0
+  }
+
+  /** The same draw as a DuckDB SQL predicate over `idCol`. */
+  def stratum41Sql(idCol: String): String =
+    s"CAST('0x' || substr(md5(CAST($idCol AS VARCHAR)), 1, 12) AS BIGINT) % 41 = 0"
 }

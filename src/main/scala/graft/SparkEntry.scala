@@ -21,7 +21,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     EtlSurface.queries ++ Relational.queries ++ Text.queries ++
       Dedup.queries ++ Similarity.queries ++ Events.queries ++
-      Curation.queries ++ graft.multimodal.Multimodal.queries
+      Curation.queries ++ graft.multimodal.Multimodal.queries ++
+      graft.streaming.EventStreams.queries
 
   /** DuckDB-equivalent SQL per query; keys absent here get a weaker
     * rows-only check (approximate / hash-function-specific operators).
@@ -29,5 +30,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     EtlSurface.oracles ++ Relational.oracles ++ Text.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ Events.oracles ++
-      Curation.oracles ++ graft.multimodal.Multimodal.oracles
+      Curation.oracles ++ graft.multimodal.Multimodal.oracles ++
+      graft.streaming.EventStreams.oracles
 }

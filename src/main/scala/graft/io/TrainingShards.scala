@@ -1,7 +1,7 @@
 package graft.io
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+import org.apache.spark.sql.functions.{col, conv, lit, md5, pmod, substring, xxhash64}
 import org.apache.spark.sql.types.StructType
 
 /** JSONL training-shard layout: the interchange format LLM data pipelines
@@ -48,6 +48,19 @@ object TrainingShards {
   def assignShard(key: Column, nShards: Int): Column = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
     pmod(xxhash64(key), lit(nShards.toLong)).cast("int")
+  }
+
+  /** The DuckDB-replayable twin of [[assignShard]]: the repo-standard
+    * md5-48 draw (first 12 hex chars of md5 of the key string) mod
+    * nShards. Same determinism and uniformity contract; a few ns/row
+    * slower than xxhash64, so production placement keeps xxhash64 and
+    * THIS one backs the oracle-checked ingest corpus entry
+    * (`st_ingest_shards`), where cross-engine replay is the point.
+    */
+  def assignShardReplayable(key: Column, nShards: Int): Column = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    pmod(conv(substring(md5(key.cast("string")), 1, 12), 16, 10)
+      .cast("bigint"), lit(nShards.toLong)).cast("int")
   }
 
   /** Write `df` as `path/shard=<k>/part-*.parquet`, sharded by

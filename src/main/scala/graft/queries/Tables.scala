@@ -7,8 +7,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * column pruning + filter pushdown then reach the parquet scans.
   */
 object Tables {
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // `__p_*` columns are Hive partition DIRECTORIES of the scaled lake
+    // layouts (graft.ScaleUp `hive` mode) — physical layout metadata
+    // duplicated from data columns, not logical schema. Dropping them here
+    // keeps every corpus query layout-invariant (same plan, same oracle,
+    // flat or partitioned); partition-PRUNED scans on `__p_*` are
+    // exercised by LayoutSpec's guard and q_partition_prune. The drop is
+    // a pure projection: column pruning still reaches the scan.
+    val p = df.columns.filter(_.startsWith("__p_"))
+    if (p.isEmpty) df else df.drop(p.toIndexedSeq: _*)
+  }
 
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
     * reader rejects — the SESSION must be built with

@@ -128,19 +128,27 @@ object EventStreams {
       outDir: String,
       checkpointDir: String,
       nShards: Int,
-      maxFilesPerTrigger: Int = 1): org.apache.spark.sql.streaming.StreamingQuery = {
+      maxFilesPerTrigger: Int = 1,
+      availableNow: Boolean = false,
+      shardFn: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column =
+        graft.io.TrainingShards.assignShard): org.apache.spark.sql.streaming.StreamingQuery = {
     val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(srcDir)
-    docDedupStream(src)
-      .withColumn("shard", graft.io.TrainingShards.assignShard(col("fp"), nShards))
+    val w = docDedupStream(src)
+      .withColumn("shard", shardFn(col("fp"), nShards))
       .writeStream
       .format("parquet")
       .option("path", outDir)
       .option("checkpointLocation", checkpointDir)
       .partitionBy("shard")
       .outputMode(OutputMode.Append)
-      .start()
+    // AvailableNow: drain everything present (still rate-limited into
+    // micro-batches by maxFilesPerTrigger) and terminate — the batch-mode
+    // invocation the oracled corpus entry uses
+    (if (availableNow)
+       w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+     else w).start()
   }
 
   /** Stream-static SCD enrichment — each event looks up the dimension row
@@ -342,4 +350,75 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)(
         Encoders.product[RateState], Encoders.product[RateAlert])
   }
+
+  // ---- oracled corpus entry over the ingest pipeline's OUTPUT ----
+
+  /** `st_ingest_shards`: the END-TO-END streaming ingest as a corpus
+    * query — stage the dup corpus as parquet files, run the REAL
+    * checkpointed [[ingestDocsToShards]] DataStreamWriter over them
+    * (AvailableNow trigger, 4 micro-batches), then read the committed
+    * shard tree back through its `_spark_metadata` manifest and histogram
+    * docs per shard. The histogram is keep-choice-invariant (the shard
+    * key IS the content fingerprint, so WHICH duplicate the stream kept
+    * cannot move a count), which is what makes a streaming pipeline with
+    * nondeterministic micro-batch arrival exactly DuckDB-oracle-checkable.
+    * Placement uses [[graft.io.TrainingShards.assignShardReplayable]]
+    * (md5-48) so the oracle replays it; production placement stays
+    * xxhash64. Ingest ts is a constant — every row inside one watermark
+    * horizon, so no file-arrival order can make a row "late" and drop it
+    * (determinism across reruns). Work dirs are wiped per invocation: the
+    * query measures a FULL re-ingest, not checkpoint recovery (that path
+    * is IngestPipelineSpec's kill/restart proof).
+    */
+  private def ingestShardsHistogram(
+      s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val nShards = 7
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_") // the layoutTag convention
+    val root = new java.io.File(sys.props("java.io.tmpdir"), s"graft_ingest_$tag")
+    def rm(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles().foreach(rm)
+      p.delete(); ()
+    }
+    if (root.exists()) rm(root)
+    val srcDir = s"${root.getAbsolutePath}/in"
+    val outDir = s"${root.getAbsolutePath}/out"
+    val ckDir = s"${root.getAbsolutePath}/ck"
+    val staged = graft.queries.Dedup.corpusWithDups(s, d)
+      .select(col("doc_id"),
+        timestamp_seconds(lit(1700000000L)).as("ts"), col("text"))
+    staged.repartition(4).write.mode("overwrite").parquet(srcDir)
+    val schema = s.read.parquet(srcDir).schema
+    val q = ingestDocsToShards(s, srcDir, schema, outDir, ckDir, nShards,
+      availableNow = true,
+      shardFn = graft.io.TrainingShards.assignShardReplayable)
+    q.awaitTermination()
+    s.read.parquet(outDir)
+      .groupBy(col("shard").cast("bigint").as("shard"))
+      .agg(count(lit(1)).as("n_docs"), min("fp").as("min_fp"))
+      .orderBy("shard")
+  }
+
+  val queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] =
+    Map("st_ingest_shards" -> ((s, d) => ingestShardsHistogram(s, d)))
+
+  /** The batch-mirror SQL: distinct content fingerprints of the dup
+    * corpus, placed by the same md5-48 draw — count per shard is
+    * keep-choice-invariant, min(fp) pins the content assignment itself.
+    */
+  val oracles: Map[String, String] = Map(
+    "st_ingest_shards" ->
+      """WITH dups AS (
+        |  SELECT doc_id * 2 AS doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id * 2 + 1 AS doc_id, text FROM documents
+        |  WHERE doc_id % 5 = 0),
+        |fp AS (
+        |  SELECT DISTINCT
+        |    md5(lower(trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')))) AS fp
+        |  FROM dups),
+        |s AS (
+        |  SELECT CAST('0x' || substr(md5(fp), 1, 12) AS BIGINT) % 7 AS shard, fp
+        |  FROM fp)
+        |SELECT shard, count(*) AS n_docs, min(fp) AS min_fp
+        |FROM s GROUP BY shard ORDER BY shard""".stripMargin)
 }

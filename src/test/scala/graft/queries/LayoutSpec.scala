@@ -79,6 +79,53 @@ class LayoutSpec extends SparkSpec
       .selectedPartitions.partitionCount == 5)
   }
 
+  test("hive lake layout: __p_month prunes at the scan; Tables.t hides layout columns") {
+    // build the Hive-partitioned lake layout (ScaleUp `hive` mode) from
+    // the base corpus — orders lands as __p_month=YYYY-MM/ directories
+    val dst = new java.io.File(sys.props("java.io.tmpdir"), "graft_hive_spec")
+    try {
+      graft.ScaleUp.scale(spark, sf, dst.getAbsolutePath, 1, 1, hive = true)
+      val base = s"${dst.getAbsolutePath}/orders.parquet"
+      val raw = spark.read.parquet(base)
+      val months = raw.select("__p_month").distinct().collect()
+        .map(_.getString(0)).sorted
+      assert(months.length > 1, "corpus must span multiple months to prove pruning")
+
+      // the date-filtered query a partitioned lake actually runs: filter
+      // on the month partition column → must prune DIRECTORIES at the
+      // scan, never run as a row-level filter over all partitions
+      val filtered = raw.filter(col("__p_month") === months.head)
+        .select("o_totalprice")
+      val scan = filtered.queryExecution.sparkPlan.collectLeaves()
+        .collect { case f: FileSourceScanExec => f }.head
+      assert(scan.partitionFilters.nonEmpty,
+        "month predicate must become a partition filter")
+      assert(scan.selectedPartitions.partitionCount == 1,
+        s"expected 1 of ${months.length} month dirs, got " +
+          s"${scan.selectedPartitions.partitionCount}")
+      assert(spark.read.parquet(base).queryExecution.sparkPlan.collectLeaves()
+        .collect { case f: FileSourceScanExec => f }.head
+        .selectedPartitions.partitionCount == months.length)
+
+      // layout invariance of the LOGICAL schema: Tables.t hides __p_* so
+      // every corpus query sees the flat-corpus schema and values —
+      // q1_agg over the hive tree must hash-equal q1_agg over the flat dir
+      val hiveCols = Tables.t(spark, dst.getAbsolutePath, "orders").columns.toSet
+      val flatCols = Tables.t(spark, sf, "orders").columns.toSet
+      assert(hiveCols == flatCols, s"$hiveCols vs $flatCols")
+      val hiveQ1 = Relational.queries("q1_agg")(spark, dst.getAbsolutePath).collect()
+      val flatQ1 = Relational.queries("q1_agg")(spark, sf).collect()
+      assert(hiveQ1.toSeq == flatQ1.toSeq,
+        "q1_agg must be value-identical on the hive-partitioned layout")
+    } finally {
+      def rm(p: java.io.File): Unit = {
+        if (p.isDirectory) p.listFiles().foreach(rm)
+        p.delete(); ()
+      }
+      if (dst.exists()) rm(dst)
+    }
+  }
+
   test("d_dup_spans: planted twins are one whole-text span with dup_frac 1.0") {
     val rows = Dedup.queries("d_dup_spans")(spark, sf).collect()
     assert(rows.nonEmpty)

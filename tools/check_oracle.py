@@ -33,10 +33,16 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
     p = f"{sf_dir}/{t}.parquet"
     # ScaleUp's multi-file layout writes <table>.parquet as a DIRECTORY of
-    # part files (the realistic large-corpus layout); DuckDB needs the glob
+    # part files, and its `hive` mode nests them under __p_*=value/
+    # partition dirs (the realistic large-corpus layouts); the recursive
+    # glob covers both, and hive_partitioning=0 keeps the __p_* layout
+    # columns OUT of the logical schema — mirroring Tables.t's drop on the
+    # Spark side.
     if os.path.isdir(p):
-        p = f"{p}/*.parquet"
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{p}/**/*.parquet', hive_partitioning=0)")
+    else:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 

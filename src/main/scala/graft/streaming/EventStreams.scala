@@ -388,10 +388,22 @@ object EventStreams {
         timestamp_seconds(lit(1700000000L)).as("ts"), col("text"))
     staged.repartition(4).write.mode("overwrite").parquet(srcDir)
     val schema = s.read.parquet(srcDir).schema
-    val q = ingestDocsToShards(s, srcDir, schema, outDir, ckDir, nShards,
-      availableNow = true,
-      shardFn = graft.io.TrainingShards.assignShardReplayable)
-    q.awaitTermination()
+    // Scope the stream to 8 shuffle partitions: the state-partition count
+    // is fixed at query start from this conf, and each micro-batch commits
+    // one state-store delta + up to nShards sink files PER partition — at
+    // 32 that is 4 batches x 32 commits of per-partition KB-scale state,
+    // pure fixed overhead. The histogram is partition-count-invariant, and
+    // a real deployment sizes state partitions to state volume anyway
+    // (this is the ingest-rate knob's sibling, not a test shortcut). The
+    // checkpoint is wiped above, so the persisted count can never clash.
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = ingestDocsToShards(s, srcDir, schema, outDir, ckDir, nShards,
+        availableNow = true,
+        shardFn = graft.io.TrainingShards.assignShardReplayable)
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     s.read.parquet(outDir)
       .groupBy(col("shard").cast("bigint").as("shard"))
       .agg(count(lit(1)).as("n_docs"), min("fp").as("min_fp"))

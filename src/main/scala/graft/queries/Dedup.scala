@@ -52,8 +52,17 @@ object Dedup {
     * At scale this is a shuffle on bucket key, never an O(n²) cross join.
     */
   def minhashPairs(s: org.apache.spark.sql.SparkSession, d: String,
-      stratified: Boolean = false): DataFrame = {
-    graft.functions.GraftFunctions.ensureRegistered(s)
+      stratified: Boolean = false): DataFrame =
+    minhashPairsOf(corpusWithDups(s, d, stratified))
+
+  /** The same LSH pair listing over an ARBITRARY (doc_id, text) frame —
+    * the form composable into larger pipelines (c_pretrain_build runs it
+    * over the quality-filtered, exact-deduped survivor set). Same plan
+    * shape: native signature pass, band equi-join on the raw 4-member
+    * struct, ReusedExchange on the self-join.
+    */
+  def minhashPairsOf(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
     val bands = 4
     val rows = 4
     val n = bands * rows
@@ -70,7 +79,7 @@ object Dedup {
     // them: equally shuffle-able (one exchange on (band, bsig)), exactly
     // replayable in SQL, and immune to spurious band-hash collisions
     // polluting the candidate set.
-    val sig = corpusWithDups(s, d, stratified)
+    val sig = docs
       .select(col("doc_id"),
         graft.functions.GraftFunctions.minhashSigs(col("text"), 5, n).as("mh"))
       .select(col("doc_id"), col("mh"), posexplode(

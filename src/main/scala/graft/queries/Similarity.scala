@@ -104,17 +104,67 @@ object Similarity {
       else emb0
     val n = emb.count()
     val k = math.max(8L, (n + 249L) / 250L)
+    // Two-level (hierarchical) assignment: k grows linearly with N, so a
+    // flat vector×centroid cross join is O(N·k) = O(N²/250) work with an
+    // O(N)-sized broadcast — the one quadratic asymptote in the corpus
+    // (round-12 verdict). Instead the k seed centroids are themselves
+    // clustered into k2 = ceil(sqrt(k)) SUPER-clusters (one Lloyd mean
+    // over k rows — driver-negligible); each vector then (1) argmaxes over
+    // the k2 super-centroids — broadcast O(sqrt(k)), work O(N·sqrt(k)) —
+    // and (2) argmaxes over only the ~sqrt(k) centroids mapped to its
+    // super, delivered by an sl equi-join that AQE broadcasts at test
+    // scale and shuffle-joins at 100 TB (centroid side is k rows — tiny
+    // either way; the point is the WORK per vector is sqrt(k), not k).
+    // ceil(sqrt) is IEEE-correctly-rounded in both the JVM and DuckDB, so
+    // both engines derive identical k2 from identical counts. The
+    // hierarchy is an approximation (a vector's true nearest centroid may
+    // live outside its argmax super) — exactly the SemDeDup/IVF trade —
+    // and both engines replay the identical approximation, 9-dp rounding
+    // at every cross-engine boundary, max-of-struct tie-breaks.
+    val k2 = math.ceil(math.sqrt(k.toDouble)).toLong
     val vecMean = graft.functions.VectorMean(64)
-    def assign(cents: DataFrame) =
-      emb.crossJoin(broadcast(cents))
+    def cos9(a: Column, b: Column) =
+      round(graft.functions.GraftFunctions.cosineSim(a, b), 9)
+    val seeds = emb.orderBy("vec_id").limit(k.toInt)
+      .select(col("vec_id").as("cl"), col("embedding").as("cent"))
+    // Super-level: k2 smallest seed ids seed the super-centroids; one
+    // Lloyd mean over the k seeds fixes them for BOTH assignment passes.
+    val sseeds = seeds.orderBy("cl").limit(k2.toInt)
+      .select(col("cl").as("sl"), col("cent").as("scent"))
+    val sup = seeds.crossJoin(broadcast(sseeds))
+      .select(col("cl"), col("cent"), col("sl"),
+        cos9(col("cent"), col("scent")).as("c"))
+      .groupBy("cl")
+      .agg(first("cent").as("cent"),
+        max(struct(col("c"), col("sl"))).getField("sl").as("sl"))
+      .groupBy("sl").agg(vecMean(col("cent")).as("s0"))
+      .select(col("sl"), transform(col("s0"), x => round(x, 9)).as("scent"))
+    // Map an arbitrary centroid set to argmax super (O(k·sqrt(k)) — tiny).
+    def cmap(cents: DataFrame) =
+      cents.crossJoin(broadcast(sup))
+        .select(col("cl"), col("cent"), col("sl"),
+          cos9(col("cent"), col("scent")).as("c"))
+        .groupBy("cl")
+        .agg(first("cent").as("cent"),
+          max(struct(col("c"), col("sl"))).getField("sl").as("sl"))
+    def assign(cents: DataFrame) = {
+      val cm = cmap(cents)
+      // Restrict the vector→super argmax to supers holding ≥1 centroid so
+      // every vector has a non-empty stage-2 candidate set.
+      val live = sup.join(cm.select("sl").distinct(), "sl")
+      emb.crossJoin(broadcast(live))
+        .select(col("vec_id"), col("embedding"), col("sl"),
+          cos9(col("embedding"), col("scent")).as("c"))
+        .groupBy("vec_id")
+        .agg(first("embedding").as("embedding"),
+          max(struct(col("c"), col("sl"))).getField("sl").as("sl"))
+        .join(cm.select(col("sl"), col("cl"), col("cent")), "sl")
         .select(col("vec_id"), col("embedding"), col("cl"),
-          round(graft.functions.GraftFunctions.cosineSim(
-            col("embedding"), col("cent")), 9).as("c"))
+          cos9(col("embedding"), col("cent")).as("c"))
         .groupBy("vec_id")
         .agg(first("embedding").as("embedding"),
           max(struct(col("c"), col("cl"))).getField("cl").as("cl"))
-    val seeds = emb.orderBy("vec_id").limit(k.toInt)
-      .select(col("vec_id").as("cl"), col("embedding").as("cent"))
+    }
     val cent1 = assign(seeds).groupBy("cl")
       .agg(vecMean(col("embedding")).as("c0"))
       .select(col("cl"), transform(col("c0"), x => round(x, 9)).as("cent"))
@@ -926,34 +976,85 @@ object Similarity {
         |SELECT vec_id, round(d0 + d1 + d2 + d3, 4) AS approx_dot
         |FROM adc ORDER BY approx_dot DESC, vec_id LIMIT 10""".stripMargin
 
-  /** s_semdedup replay with the DATA-DERIVED k (see semDedup):
-    * k = greatest(8, (N+249) // 250) computed from the SAME filtered base
-    * CTE, seeds = the k smallest vec_ids — exact integer arithmetic, so
-    * both engines derive identical clusterings from identical counts.
+  /** s_semdedup replay with the DATA-DERIVED k and the TWO-LEVEL
+    * assignment (see semDedup): k = greatest(8, (N+249) // 250) and
+    * k2 = ceil(sqrt(k)) computed from the SAME filtered base CTE
+    * (integer arithmetic + IEEE-correctly-rounded sqrt/ceil, identical in
+    * both engines); seeds = the k smallest vec_ids, super-seeds = the k2
+    * smallest seed ids; one Lloyd mean over the k seeds fixes the
+    * super-centroids; each vector argmaxes over the (live) supers then
+    * over only the centroids mapped to its super — the identical
+    * hierarchy the Spark plan runs, 9-dp at every boundary.
     */
   private def semDedupSql(strat: String): String =
     s"""WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
         |     WHERE $strat),
         |kk AS (SELECT greatest(8, (count(*) + 249) // 250) AS k FROM e),
-        |seeds AS (SELECT vec_id AS cl, v AS cent FROM e
+        |kk2 AS (SELECT CAST(ceil(sqrt(k)) AS BIGINT) AS k2 FROM kk),
+        |seeds AS MATERIALIZED (SELECT vec_id AS cl, v AS cent FROM e
         |          QUALIFY row_number() OVER (ORDER BY vec_id) <= (SELECT k FROM kk)),
+        |sseeds AS (SELECT cl AS sl, cent AS scent FROM seeds
+        |           QUALIFY row_number() OVER (ORDER BY cl) <= (SELECT k2 FROM kk2)),
+        |sasg AS (
+        |  SELECT cl, any_value(cent) AS cent, (max({'c': c, 'sl': sl})).sl AS sl FROM
+        |    (SELECT s.cl, s.cent, ss.sl,
+        |       round(list_dot_product(s.cent, ss.scent) /
+        |         (sqrt(list_dot_product(s.cent, s.cent)) * sqrt(list_dot_product(ss.scent, ss.scent))), 9) AS c
+        |     FROM seeds s, sseeds ss)
+        |  GROUP BY cl),
+        |sm AS (
+        |  SELECT sl, CAST(r.i AS INT) AS pos, avg(cent[CAST(r.i AS INT) + 1]) AS mv
+        |  FROM sasg, range(64) r(i) GROUP BY sl, pos),
+        |sup AS MATERIALIZED (SELECT sl, list(round(mv, 9) ORDER BY pos) AS scent FROM sm GROUP BY sl),
+        |cm1 AS MATERIALIZED (
+        |  SELECT cl, any_value(cent) AS cent, (max({'c': c, 'sl': sl})).sl AS sl FROM
+        |    (SELECT s.cl, s.cent, sup.sl,
+        |       round(list_dot_product(s.cent, sup.scent) /
+        |         (sqrt(list_dot_product(s.cent, s.cent)) * sqrt(list_dot_product(sup.scent, sup.scent))), 9) AS c
+        |     FROM seeds s, sup)
+        |  GROUP BY cl),
+        |live1 AS (SELECT sup.sl, sup.scent FROM sup
+        |          JOIN (SELECT DISTINCT sl FROM cm1) d USING (sl)),
+        |vsl1 AS MATERIALIZED (
+        |  SELECT vec_id, any_value(v) AS v, (max({'c': c, 'sl': sl})).sl AS sl FROM
+        |    (SELECT e.vec_id, e.v, l.sl,
+        |       round(list_dot_product(e.v, l.scent) /
+        |         (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(l.scent, l.scent))), 9) AS c
+        |     FROM e, live1 l)
+        |  GROUP BY vec_id),
         |a1 AS MATERIALIZED (
         |  SELECT vec_id, any_value(v) AS v, (max({'c': c, 'cl': cl})).cl AS cl FROM
-        |    (SELECT e.vec_id, e.v, s.cl,
-        |       round(list_dot_product(e.v, s.cent) /
-        |         (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(s.cent, s.cent))), 9) AS c
-        |     FROM e, seeds s)
+        |    (SELECT t.vec_id, t.v, c.cl,
+        |       round(list_dot_product(t.v, c.cent) /
+        |         (sqrt(list_dot_product(t.v, t.v)) * sqrt(list_dot_product(c.cent, c.cent))), 9) AS c
+        |     FROM vsl1 t JOIN cm1 c USING (sl))
         |  GROUP BY vec_id),
         |m1 AS MATERIALIZED (
         |  SELECT cl, CAST(r.i AS INT) AS pos, avg(v[CAST(r.i AS INT) + 1]) AS mv
         |  FROM a1, range(64) r(i) GROUP BY cl, pos),
         |c1 AS MATERIALIZED (SELECT cl, list(round(mv, 9) ORDER BY pos) AS cent FROM m1 GROUP BY cl),
+        |cm2 AS MATERIALIZED (
+        |  SELECT cl, any_value(cent) AS cent, (max({'c': c, 'sl': sl})).sl AS sl FROM
+        |    (SELECT c1.cl, c1.cent, sup.sl,
+        |       round(list_dot_product(c1.cent, sup.scent) /
+        |         (sqrt(list_dot_product(c1.cent, c1.cent)) * sqrt(list_dot_product(sup.scent, sup.scent))), 9) AS c
+        |     FROM c1, sup)
+        |  GROUP BY cl),
+        |live2 AS (SELECT sup.sl, sup.scent FROM sup
+        |          JOIN (SELECT DISTINCT sl FROM cm2) d USING (sl)),
+        |vsl2 AS MATERIALIZED (
+        |  SELECT vec_id, any_value(v) AS v, (max({'c': c, 'sl': sl})).sl AS sl FROM
+        |    (SELECT e.vec_id, e.v, l.sl,
+        |       round(list_dot_product(e.v, l.scent) /
+        |         (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(l.scent, l.scent))), 9) AS c
+        |     FROM e, live2 l)
+        |  GROUP BY vec_id),
         |a2 AS MATERIALIZED (
         |  SELECT vec_id, any_value(v) AS v, (max({'c': c, 'cl': cl})).cl AS cl FROM
-        |    (SELECT e.vec_id, e.v, c1.cl,
-        |       round(list_dot_product(e.v, c1.cent) /
-        |         (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c1.cent, c1.cent))), 9) AS c
-        |     FROM e, c1)
+        |    (SELECT t.vec_id, t.v, c.cl,
+        |       round(list_dot_product(t.v, c.cent) /
+        |         (sqrt(list_dot_product(t.v, t.v)) * sqrt(list_dot_product(c.cent, c.cent))), 9) AS c
+        |     FROM vsl2 t JOIN cm2 c USING (sl))
         |  GROUP BY vec_id),
         |drp AS MATERIALIZED (
         |  SELECT DISTINCT b.vec_id

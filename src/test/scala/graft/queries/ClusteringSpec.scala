@@ -68,13 +68,26 @@ class ClusteringSpec extends SparkSpec {
     assert(a.forall(_.getAs[Double]("centroid_norm") > 0.0))
   }
 
-  test("s_semdedup: clusters match s_kmeans, keep/drop arithmetic closes") {
+  test("s_semdedup: hierarchical census covers every vector, keep/drop arithmetic closes") {
     val sd = Similarity.queries("s_semdedup")(spark, sf).collect()
-    // the assignment chain is the s_kmeans chain — cluster census must match
-    val km = Similarity.queries("s_kmeans")(spark, sf).collect()
-      .map(r => r.getAs[Long]("cl") -> r.getAs[Long]("n_members")).toMap
-    assert(sd.map(r =>
-      r.getAs[Long]("cl") -> r.getAs[Long]("n_members")).toMap == km)
+    // two-level assignment (vector → argmax super-cluster → argmax centroid
+    // within it) still PARTITIONS the corpus: every vector lands in exactly
+    // one cluster, and clusters are identified by seed ids (the k smallest
+    // vec_ids). Exact per-cluster values are pinned by the DuckDB oracle,
+    // which replays the identical hierarchy; this spec pins the partition
+    // contract and the keep/drop arithmetic. (Pre-round-13 this asserted
+    // census equality with s_kmeans's FLAT argmax — no longer expected: the
+    // hierarchy can legally route a vector whose nearest centroid lives
+    // outside its argmax super, the standard IVF/SemDeDup approximation.)
+    val total = Tables.t(spark, sf, "embeddings").count()
+    assert(sd.map(_.getAs[Long]("n_members")).sum == total)
+    val k = math.max(8L, (total + 249L) / 250L)
+    assert(sd.length <= k && sd.nonEmpty)
+    val seedIds = Tables.t(spark, sf, "embeddings")
+      .orderBy("vec_id").limit(k.toInt)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(sd.forall(r => seedIds.contains(r.getAs[Long]("cl"))),
+      "cluster ids must be seed vec_ids")
     sd.foreach { r =>
       assert(r.getAs[Long]("n_kept") + r.getAs[Long]("n_dropped") ==
         r.getAs[Long]("n_members"))

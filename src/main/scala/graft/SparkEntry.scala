@@ -22,7 +22,7 @@ object SparkEntry {
     EtlSurface.queries ++ Relational.queries ++ Text.queries ++
       Dedup.queries ++ Similarity.queries ++ Events.queries ++
       Curation.queries ++ graft.multimodal.Multimodal.queries ++
-      graft.streaming.EventStreams.queries
+      graft.streaming.EventStreams.queries ++ PretrainBuild.queries
 
   /** DuckDB-equivalent SQL per query; keys absent here get a weaker
     * rows-only check (approximate / hash-function-specific operators).
@@ -31,5 +31,5 @@ object SparkEntry {
     EtlSurface.oracles ++ Relational.oracles ++ Text.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ Events.oracles ++
       Curation.oracles ++ graft.multimodal.Multimodal.oracles ++
-      graft.streaming.EventStreams.oracles
+      graft.streaming.EventStreams.oracles ++ PretrainBuild.oracles
 }

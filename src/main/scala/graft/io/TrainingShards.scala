@@ -77,8 +77,9 @@ object TrainingShards {
       keyCol: String,
       path: String,
       nShards: Int,
-      orderWithinShard: Seq[Column] = Nil): Unit = {
-    val sharded = df.withColumn("shard", assignShard(col(keyCol), nShards))
+      orderWithinShard: Seq[Column] = Nil,
+      shardFn: (Column, Int) => Column = assignShard): Unit = {
+    val sharded = df.withColumn("shard", shardFn(col(keyCol), nShards))
       .repartition(col("shard"))
     val placed =
       if (orderWithinShard.isEmpty) sharded

@@ -126,6 +126,88 @@ class LayoutSpec extends SparkSpec
     }
   }
 
+  test("z-ordered layout: a box-range query reads fewer row groups than the unsorted layout") {
+    // The stats-pruning half of lake skipping that partition directories
+    // don't cover (q_partition_prune proves the directory half): WRITE
+    // orders z-ordered — repartitionByRange on the interleaved
+    // (o_custkey, day-offset) Morton key + sortWithinPartitions — so each
+    // file's parquet row-group min/max stats span a bounded range of BOTH
+    // box dimensions; then run the same box-range query against this and
+    // an intentionally order-destroying round-robin layout and read the
+    // SCAN's executed numOutputRows metric: rows surviving the parquet
+    // reader's row-group stats pruning. On the unsorted layout every row
+    // group straddles the full key ranges (zero pruning, all 1500 rows
+    // leave the scan); on the z-ordered one most row groups are skipped
+    // BEFORE decode. This is exactly the mechanism a 100 TB lake relies
+    // on for non-partition-column predicates.
+    val root = new java.io.File(sys.props("java.io.tmpdir"), "graft_zorder_spec")
+    def rm(p: java.io.File): Unit = {
+      if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
+      p.delete(); ()
+    }
+    try {
+      // the lake schema stores the order date as DATE (INT32 + usable
+      // min/max stats); a TIMESTAMP written back through Spark defaults to
+      // INT96, whose parquet stats no reader trusts — measured here as
+      // zero pruning on an otherwise perfect z-layout
+      val orders = Tables.t(spark, sf, "orders")
+        .withColumn("o_orderdate", col("o_orderdate").cast("date"))
+      val z = Relational.zValue(
+        pmod(col("o_custkey"), lit(65536L)),
+        datediff(col("o_orderdate"), lit("1992-01-01").cast("date"))
+          .cast("bigint"), 16)
+      val zDir = new java.io.File(root, "z").getAbsolutePath
+      val rrDir = new java.io.File(root, "rr").getAbsolutePath
+      orders.withColumn("z", z)
+        .repartitionByRange(16, col("z")).sortWithinPartitions("z")
+        .drop("z")
+        .write.mode("overwrite").parquet(zDir)
+      orders.repartition(16).write.mode("overwrite").parquet(rrDir)
+
+      def boxScan(dir: String): (Long, Long, Seq[org.apache.spark.sql.Row]) = {
+        val df = spark.read.parquet(dir)
+          .filter(col("o_custkey").between(30L, 59L) &&
+            col("o_orderdate").between(
+              lit("1996-01-01").cast("date"),
+              lit("1997-06-30").cast("date")))
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("o_totalprice").cast("decimal(18,4)")), 2)
+              .cast("double").as("sum_price"))
+          .orderBy("o_orderstatus")
+        val rows = df.collect().toSeq
+        // the EXECUTED metric lives under AQE's adaptive root and the
+        // materialized query stages — recurse through both wrappers
+        def scans(p: org.apache.spark.sql.execution.SparkPlan):
+            Seq[FileSourceScanExec] = p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            scans(a.executedPlan)
+          case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            scans(qs.plan)
+          case f: FileSourceScanExec => Seq(f)
+          case other => other.children.flatMap(scans)
+        }
+        val scan = scans(df.queryExecution.executedPlan).head
+        // the box predicates must reach the parquet reader as pushed
+        // filters — without that, stats pruning can't happen at all
+        assert(scan.metadata("PushedFilters").contains("o_custkey"),
+          scan.metadata("PushedFilters"))
+        (scan.metrics("numOutputRows").value,
+          scan.metrics("numFiles").value, rows)
+      }
+      val (zRows, zFiles, zVals) = boxScan(zDir)
+      val (rrRows, rrFiles, rrVals) = boxScan(rrDir)
+      assert(zVals == rrVals, "layout must be value-transparent")
+      assert(zFiles == 16 && rrFiles == 16)
+      val total = orders.count()
+      assert(rrRows == total,
+        s"round-robin layout: every row group straddles the box, expected zero pruning ($rrRows vs $total)")
+      assert(zRows <= total / 2,
+        s"z-ordered layout must prune at least half the row groups before decode: $zRows of $total")
+      assert(zRows < rrRows)
+    } finally if (root.exists()) rm(root)
+  }
+
   test("d_dup_spans: planted twins are one whole-text span with dup_frac 1.0") {
     val rows = Dedup.queries("d_dup_spans")(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every SparkEntry query against
@@ -97,20 +99,58 @@ object Bench {
         .asInstanceOf[com.sun.management.OperatingSystemMXBean]
         .getFreeMemorySize / (1L << 30)
       catch { case _: Throwable => -1L }
-    // Drift canaries: three queries untouched since round 6, with the
-    // round-11 judge quiet-machine references pinned. If ALL THREE move
-    // >20% the same round, the artifact itself says "host drift", so a
-    // future reader never mistakes co-tenant load for a plan regression.
-    val canaryRef = Seq("q_topk" -> 0.127, "q_distinct" -> 0.245,
-      "s_cosine_topk" -> 0.162)
+    // Drift canaries: three queries untouched since round 6. If ALL THREE
+    // move >20% the same round, the artifact itself says "host drift", so
+    // a future reader never mistakes co-tenant load for a plan regression.
+    // References come from the committed BENCH_CANARIES.json history (one
+    // JSON object per line, this bench APPENDS quiet full-corpus runs):
+    // ref = median of the last <= 3 recorded runs, so the references
+    // track the machine instead of rotting as source constants (they were
+    // hardcoded r11 values before round 13 — correct until the first
+    // hardware/JVM change, silently wrong after). If the file is missing
+    // the canary block is omitted rather than computed against nothing.
+    val canaryNames = Seq("q_topk", "q_distinct", "s_cosine_topk")
+    val canaryFile = java.nio.file.Paths.get("BENCH_CANARIES.json")
+    def parseVal(line: String, key: String): Option[Double] =
+      ("\"" + key + "\"\\s*:\\s*([0-9.eE+-]+)").r
+        .findFirstMatchIn(line).map(_.group(1).toDouble)
+    val history: Seq[String] =
+      if (java.nio.file.Files.exists(canaryFile))
+        java.nio.file.Files.readAllLines(canaryFile).asScala.toSeq
+          .filter(_.trim.nonEmpty)
+      else Seq.empty
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val canaryRef = canaryNames.flatMap { n =>
+      val vs = history.takeRight(3).flatMap(parseVal(_, n))
+      if (vs.nonEmpty) Some(n -> median(vs)) else None
+    }
     val canaries = canaryRef.flatMap { case (n, ref) =>
       results.find(r => r._1 == n && r._3).map { case (_, v, _) => (n, v, v / ref) }
     }
     val canaryJson = canaries
       .map { case (n, v, r) => "\"" + n + "\":" + f"[$v%.3f,$r%.2f]" }
       .mkString("{", ",", "}")
-    val hostDrift = canaries.size == canaryRef.size &&
+    val hostDrift = canaryRef.nonEmpty && canaries.size == canaryRef.size &&
       (canaries.forall(_._3 > 1.2) || canaries.forall(_._3 < 0.8))
+    // Append THIS run to the history when it can serve as a future
+    // reference: a full-corpus run (no SPARK_GRAFT_ONLY subset) at the
+    // default bench SF, all three canaries measured, and not itself
+    // drifted (drifted runs would make the median chase load spikes; a
+    // genuine permanent host change is seeded by hand — the provenance
+    // lives in the file, not in source).
+    if (only.isEmpty && sfDir == "/root/testdata/sf0.1" && !hostDrift &&
+        canaries.size == canaryNames.size && history.nonEmpty) {
+      val entry = canaries.map { case (n, v, _) => "\"" + n + "\":" + f"$v%.3f" }
+        .mkString(s"""{"round":"auto","ts":${System.currentTimeMillis()},""", ",", "}")
+      try java.nio.file.Files.writeString(canaryFile, entry + "\n",
+        java.nio.file.StandardOpenOption.APPEND)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] could not append canary history: ${e.getMessage}")
+      }
+    }
 
     // Full-precision named artifact — durable files, NOT stdout: the
     // driver snapshots only a ~2 KB stdout tail, and the named 187-entry
@@ -146,7 +186,7 @@ object Bench {
     val qv = results.map { case (_, v, ok) => if (ok) f"$v%.2f" else "-1" }
       .mkString("[", ",", "]")
     val compact =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir","qv":$qv,"qv_order":"sorted_query_names","full":"BENCH_FULL.json","load1":$load1%.2f,"free_gb":$freeGb,"canaries":$canaryJson,"canary_fmt":"[sec,ratio_vs_r11_ref]","host_drift":$hostDrift}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir","qv":$qv,"qv_order":"sorted_query_names","full":"BENCH_FULL.json","load1":$load1%.2f,"free_gb":$freeGb,"canaries":$canaryJson,"canary_fmt":"[sec,ratio_vs_median_last3_of_BENCH_CANARIES.json]","host_drift":$hostDrift}"""
     println(compact)
     // the layout queries write catalog tables + tmpdir parquet per data
     // dir (warm pass used sf0.001); drop both sets before exit

@@ -42,7 +42,24 @@ import org.apache.spark.sql.functions._
   *   hive_partitioning off), while partition-PRUNED scans on `__p_*` are
   *   exercised by the LayoutSpec guard and q_partition_prune.
   *
-  * Usage: runMain graft.ScaleUp [srcDir dstDir copies [files] [hive]]
+  * - with a `perturb` flag, replicated `documents.text` is PERTURBED per
+  *   copy group (copy 0 keeps the original bytes): a 4-hex-char code
+  *   derived from the copy index is inserted after every 7th character,
+  *   which destroys ~5/7 of the 5-char shingles between any two copies
+  *   (cross-copy Jaccard ≈ 0.17, far under the 0.7 LSH listing
+  *   threshold) while keeping every WITHIN-copy relationship — including
+  *   the corpusWithDups planted twins, which are constructed from the
+  *   same stored row and so stay byte-identical — intact. Verbatim
+  *   replication gives every base doc `copies`-many identical instances,
+  *   so near-dup PAIR listings grow Ω(copies²) per group — a corpus-
+  *   generator artifact no real crawl exhibits (real dup-group sizes are
+  *   power-law-bounded); perturbed replication bounds group sizes at the
+  *   planted 2, making high-SF near-dup measurements reflect the PLAN,
+  *   not the generator. Generation-side only: the oracle replays from
+  *   the written parquet, so no SQL twin is needed.
+  *
+  * Usage: runMain graft.ScaleUp [srcDir dstDir copies [files] [hive] [perturb]]
+  * (the 5th+ args are order-free flags)
   */
 object ScaleUp {
 
@@ -65,7 +82,11 @@ object ScaleUp {
     val dst = args.lift(1).getOrElse("/tmp/sf1")
     val copies = args.lift(2).map(_.toInt).getOrElse(10)
     val files = args.lift(3).map(_.toInt).getOrElse(1)
-    val hive = args.lift(4).contains("hive")
+    val flags = args.drop(4).toSet
+    val unknown = flags -- Set("hive", "perturb")
+    require(unknown.isEmpty, s"unknown flags: ${unknown.mkString(",")}")
+    val hive = flags("hive")
+    val perturb = flags("perturb")
 
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -78,7 +99,7 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    scale(spark, src, dst, copies, files, hive)
+    scale(spark, src, dst, copies, files, hive, perturb)
     spark.stop()
   }
 
@@ -96,7 +117,8 @@ object ScaleUp {
     * session (main wraps it in its own).
     */
   def scale(spark: SparkSession, src: String, dst: String,
-      copies: Int, files: Int, hive: Boolean = false): Unit = {
+      copies: Int, files: Int, hive: Boolean = false,
+      perturb: Boolean = false): Unit = {
     require(copies >= 1 && copies * Base > 0, s"bad copy count $copies")
     require(files >= 1, s"bad file count $files")
     Files.createDirectories(Paths.get(dst))
@@ -110,11 +132,26 @@ object ScaleUp {
         else raw0
       val scaled =
         if (keys.isEmpty) raw
-        else raw
-          .withColumn("__k", explode(typedLit((0 until copies).map(_.toLong))))
-          .select(raw.columns.toIndexedSeq.map { c =>
-            if (keys.contains(c)) (col(c) + col("__k") * Base).as(c) else col(c)
-          }: _*)
+        else {
+          val keyed = raw
+            .withColumn("__k", explode(typedLit((0 until copies).map(_.toLong))))
+            .select(raw.columns.toIndexedSeq.map { c =>
+              if (keys.contains(c)) (col(c) + col("__k") * Base).as(c) else col(c)
+            } :+ col("__k"): _*)
+          val out =
+            if (perturb && name == "documents")
+              // copy-group perturbation (see scaladoc): copy 0 verbatim;
+              // copy k > 0 gets a 4-hex md5(k) code spliced in after every
+              // 7th character — deterministic, so reruns regenerate the
+              // identical corpus byte-for-byte
+              keyed.withColumn("text",
+                when(col("__k") === 0, col("text")).otherwise(
+                  regexp_replace(col("text"), lit("(.{7})"),
+                    concat(lit("$1"),
+                      substring(md5(col("__k").cast("string")), 1, 4)))))
+            else keyed
+          out.drop("__k")
+        }
       if (hive && hiveParts.contains(name)) {
         // Hive-partitioned lake layout: the fact table becomes a tree of
         // `__p_<k>=<v>/` directories (the realistic shape of a 100 TB

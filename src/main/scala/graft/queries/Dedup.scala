@@ -31,13 +31,16 @@ object Dedup {
     * copy array instead of a union of two scans (halves the read at scale).
     */
   def corpusWithDups(s: org.apache.spark.sql.SparkSession, d: String,
-      stratified: Boolean = false): DataFrame = {
+      stratified: Boolean = false, stratumPrime: Int = 41): DataFrame = {
     val docs0 = t(s, d, "documents")
-    // stratified = the 1-in-41 md5 sub-corpus draw (Tables.stratum41),
-    // applied to the BASE ids before dup planting so both engines select
-    // the identical sample — the device that keeps the heaviest operators'
-    // DuckDB replays feasible at 100× volume (see the *_s41 queries)
-    val docs = if (stratified) docs0.filter(stratum41(col("doc_id"))) else docs0
+    // stratified = the 1-in-`stratumPrime` md5 sub-corpus draw
+    // (Tables.stratum), applied to the BASE ids before dup planting so
+    // both engines select the identical sample — the device that keeps
+    // the heaviest operators' DuckDB replays feasible at 100× volume (see
+    // the *_s41 queries; *_s37 cross-checks the prime choice)
+    val docs =
+      if (stratified) docs0.filter(stratum(col("doc_id"), stratumPrime))
+      else docs0
     docs
       .withColumn("__copy",
         explode(when(col("doc_id") % 5 === 0, array(lit(0L), lit(1L)))
@@ -52,8 +55,8 @@ object Dedup {
     * At scale this is a shuffle on bucket key, never an O(n²) cross join.
     */
   def minhashPairs(s: org.apache.spark.sql.SparkSession, d: String,
-      stratified: Boolean = false): DataFrame =
-    minhashPairsOf(corpusWithDups(s, d, stratified))
+      stratified: Boolean = false, stratumPrime: Int = 41): DataFrame =
+    minhashPairsOf(corpusWithDups(s, d, stratified, stratumPrime))
 
   /** The same LSH pair listing over an ARBITRARY (doc_id, text) frame —
     * the form composable into larger pipelines (c_pretrain_build runs it
@@ -372,8 +375,25 @@ object Dedup {
     // the full variants' 100× correctness rested on sf1/sf3 hashes; these
     // keep the replay at ~sf0.25 volume at sf10 and hash-check the SAME
     // code path (same expressions, same band join, same CC) at 100× data.
+    // NOTE (small-SF triviality): at the base correctness-gate SF the
+    // 1-in-41 draw keeps only ~12 of 500 base docs, so these twins emit
+    // ~1 row and exercise almost none of the band-join/CC machinery — a
+    // green base-SF row here pins the STRATUM PLUMBING, not the pipeline;
+    // full-pipeline coverage at this SF comes from the unstratified
+    // variants, and the twins only become load-bearing on the scaled
+    // corpora (sf10/sf30) they were built for.
     "d_minhash_lsh_s41" -> ((s, d) =>
       minhashPairs(s, d, stratified = true)
+        .select(col("id_a"), col("id_b"), round(col("est_sim"), 4).as("est_sim"))
+        .orderBy("id_a", "id_b")),
+
+    // Second-prime cross-check of the stratum device itself (1-in-37):
+    // if the 41-draw's interaction with any id-pattern modulus hid a bias
+    // class, an independent prime over the same operator would expose it;
+    // both primes hash-matching at every tested SF rules that family out.
+    // Same code path, one parameter changed.
+    "d_minhash_lsh_s37" -> ((s, d) =>
+      minhashPairs(s, d, stratified = true, stratumPrime = 37)
         .select(col("id_a"), col("id_b"), round(col("est_sim"), 4).as("est_sim"))
         .orderBy("id_a", "id_b")),
 
@@ -867,6 +887,7 @@ object Dedup {
     // fraction — value-for-value the Spark plan's semantics.
     "d_minhash_lsh" -> minhashLshSql("TRUE"),
     "d_minhash_lsh_s41" -> minhashLshSql(stratum41Sql("doc_id")),
+    "d_minhash_lsh_s37" -> minhashLshSql(stratumSql("doc_id", 37)),
     "d_minhash_clusters" -> minhashClustersSql("TRUE"),
     "d_minhash_clusters_s41" -> minhashClustersSql(stratum41Sql("doc_id")),
     // Full replay of the simhash bucket listing: one md5-48 draw per

@@ -68,13 +68,25 @@ object Tables {
     * md5 of the DECIMAL id string — `CAST(id AS VARCHAR)` in DuckDB, the
     * identical text both engines render for integers).
     */
-  def stratum41(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.functions._
-    conv(substring(md5(id.cast("string")), 1, 12), 16, 10)
-      .cast("bigint") % 41 === 0
-  }
+  def stratum41(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    stratum(id, 41)
 
   /** The same draw as a DuckDB SQL predicate over `idCol`. */
-  def stratum41Sql(idCol: String): String =
-    s"CAST('0x' || substr(md5(CAST($idCol AS VARCHAR)), 1, 12) AS BIGINT) % 41 = 0"
+  def stratum41Sql(idCol: String): String = stratumSql(idCol, 41)
+
+  /** The md5-48 stratum draw at an ARBITRARY prime modulus — the
+    * cross-check device (d_minhash_lsh_s37): if the 1-in-41 twins hid a
+    * bias class tied to the modulus choice, an independent prime's draw
+    * over the same operator would disagree with its own replay; both
+    * primes hash-matching rules that out. 37 shares 41's properties
+    * (prime, coprime to the %5/%3 id patterns and ScaleUp's Base).
+    */
+  def stratum(id: org.apache.spark.sql.Column, p: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    conv(substring(md5(id.cast("string")), 1, 12), 16, 10)
+      .cast("bigint") % p === 0
+  }
+
+  def stratumSql(idCol: String, p: Int): String =
+    s"CAST('0x' || substr(md5(CAST($idCol AS VARCHAR)), 1, 12) AS BIGINT) % $p = 0"
 }

@@ -373,13 +373,18 @@ object EventStreams {
   private def ingestShardsHistogram(
       s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
     val nShards = 7
-    val tag = d.replaceAll("[^A-Za-z0-9]", "_") // the layoutTag convention
-    val root = new java.io.File(sys.props("java.io.tmpdir"), s"graft_ingest_$tag")
+    // Nonce-keyed work dir: two driver rounds benching the same corpus
+    // concurrently (a documented scenario) must never wipe each other's
+    // checkpoint mid-stream — a corpus-path-keyed dir did exactly that.
+    // The dir is deleted in the finally below, after the bounded
+    // histogram extract; every invocation measures a FULL re-ingest
+    // (checkpoint recovery is IngestPipelineSpec's kill/restart proof).
+    val root = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_ingest_${java.util.UUID.randomUUID().toString.take(12)}")
     def rm(p: java.io.File): Unit = {
-      if (p.isDirectory) p.listFiles().foreach(rm)
+      if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
       p.delete(); ()
     }
-    if (root.exists()) rm(root)
     val srcDir = s"${root.getAbsolutePath}/in"
     val outDir = s"${root.getAbsolutePath}/out"
     val ckDir = s"${root.getAbsolutePath}/ck"
@@ -396,18 +401,29 @@ object EventStreams {
     // a real deployment sizes state partitions to state volume anyway
     // (this is the ingest-rate knob's sibling, not a test shortcut). The
     // checkpoint is wiped above, so the persisted count can never clash.
+    // The session-conf scope is intra-process only: queries in one Verify/
+    // Bench session run sequentially, and a concurrent driver round is a
+    // separate JVM with its own SparkSession (no shared conf to race).
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
     try {
-      val q = ingestDocsToShards(s, srcDir, schema, outDir, ckDir, nShards,
-        availableNow = true,
-        shardFn = graft.io.TrainingShards.assignShardReplayable)
-      q.awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    s.read.parquet(outDir)
-      .groupBy(col("shard").cast("bigint").as("shard"))
-      .agg(count(lit(1)).as("n_docs"), min("fp").as("min_fp"))
-      .orderBy("shard")
+      try {
+        val q = ingestDocsToShards(s, srcDir, schema, outDir, ckDir, nShards,
+          availableNow = true,
+          shardFn = graft.io.TrainingShards.assignShardReplayable)
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      // bounded extract (≤ nShards rows) so the nonce dir can be removed
+      // before returning instead of accumulating one tree per invocation
+      val hist = s.read.parquet(outDir)
+        .groupBy(col("shard").cast("bigint").as("shard"))
+        .agg(count(lit(1)).as("n_docs"), min("fp").as("min_fp"))
+        .orderBy("shard")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toIndexedSeq
+      import s.implicits._
+      hist.toDF("shard", "n_docs", "min_fp")
+    } finally rm(root)
   }
 
   val queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] =

@@ -20,7 +20,11 @@ object TestSpark {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
-  val sf0001 = "/root/testdata/sf0.001"
+  // env-overridable so the suites aren't coupled to this machine's layout
+  private val testdataRoot =
+    sys.env.getOrElse("GRAFT_TESTDATA_ROOT", "/root/testdata")
+  val sf0001 = s"$testdataRoot/sf0.001"
+  val sf001 = s"$testdataRoot/sf0.01"
 }
 
 abstract class SparkSpec extends AnyFunSuite {

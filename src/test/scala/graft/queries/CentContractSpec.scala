@@ -25,7 +25,7 @@ import graft.{SparkSpec, TestSpark}
   */
 class CentContractSpec extends SparkSpec {
 
-  private val dirs = Seq(TestSpark.sf0001, "/root/testdata/sf0.01")
+  private val dirs = Seq(TestSpark.sf0001, TestSpark.sf001)
 
   /** Asserts non-null, >= 0, and exactly-2-dp for `column` of `table`. */
   private def assertCents(table: String, column: String): Unit =
@@ -40,10 +40,16 @@ class CentContractSpec extends SparkSpec {
           sum(when(col(column) =!= round(col(column) * 100) / 100.0, 1L)
             .otherwise(0L)).as("n_frac"))
         .collect().head
+      assert(r.getLong(0) > 0,
+        s"$table at $d is empty — every contract check would be vacuous")
       assert(r.getLong(0) === r.getLong(1),
         s"$table.$column has NULLs at $d — the cent rewrites divide by " +
           "count(*), which is only avg()-equivalent when no value is null")
-      assert(r.getDouble(2) >= 0.0,
+      // min is null only on an all-null column (caught above); read it
+      // type-tolerantly so a generator type change fails the >= 0
+      // assertion with its message, not a ClassCastException/NPE
+      assert(!r.isNullAt(2), s"$table.$column min is null at $d")
+      assert(r.getAs[Number]("mn").doubleValue >= 0.0,
         s"$table.$column has negative values at $d — the (2p+q) div (2q) " +
           "half-up identity truncates toward zero and mis-rounds negatives")
       assert(r.getLong(3) === 0L,

@@ -119,7 +119,9 @@ class LayoutSpec extends SparkSpec
         "q1_agg must be value-identical on the hive-partitioned layout")
     } finally {
       def rm(p: java.io.File): Unit = {
-        if (p.isDirectory) p.listFiles().foreach(rm)
+        // listFiles returns null on IO/permission errors — cleanup must
+        // degrade to a best-effort delete, not an NPE
+        if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
         p.delete(); ()
       }
       if (dst.exists()) rm(dst)

@@ -121,6 +121,13 @@ object Similarity {
     // live outside its argmax super) — exactly the SemDeDup/IVF trade —
     // and both engines replay the identical approximation, 9-dp rounding
     // at every cross-engine boundary, max-of-struct tie-breaks.
+    // Seed DRAW scale note: smallest-k-ids via limit() routes k rows
+    // (k = N/250) through one partition — fine to every tested SF and
+    // kept for parity with the oracled Lloyd chain, but at 10¹⁰ vectors
+    // the draw itself would switch to a deterministic hash sample
+    // (e.g. the md5-48 stratum device at prime ≈ 250), which needs no
+    // global ordering; nothing downstream depends on WHICH deterministic
+    // draw seeds the clustering.
     val k2 = math.ceil(math.sqrt(k.toDouble)).toLong
     val vecMean = graft.functions.VectorMean(64)
     def cos9(a: Column, b: Column) =

@@ -687,19 +687,22 @@ object Dedup {
     })
   )
 
-  /** d_minhash_lsh replay (md5-48 gram draw, seed-42 splitmix XOR
-    * constants interpolated from Sketches so Scala and SQL can never
-    * drift, band join on the 4 raw members), parameterized by the stratum
-    * predicate: `TRUE` = full corpus, Tables.stratum41Sql = the 1-in-41
-    * draw that keeps the replay feasible at sf10.
+  /** The shared LSH pair CTE chain — dup corpus → md5-48 grams →
+    * seed-42 splitmix XOR minhash members → 4-band signatures → distinct
+    * same-bucket candidates — parameterized by the stratum predicate
+    * (`TRUE` = full corpus). One text, three consumers (the lsh and
+    * clusters oracles below and the streaming near-dup ledger replay in
+    * [[graft.streaming.EventStreams]]), so the replay of the family can
+    * never drift between them. `dups` carries `lang` for the ledger; the
+    * other consumers ignore it.
     */
-  private def minhashLshSql(strat: String): String = {
+  def minhashPairCtesSql(strat: String): String = {
       val cs = graft.functions.Sketches.minhashXorConstants(16, 42L)
         .mkString("[", ",", "]")
-      s"""WITH dups AS MATERIALIZED (
-        |  SELECT doc_id * 2 AS doc_id, text FROM documents WHERE $strat
+      s"""dups AS MATERIALIZED (
+        |  SELECT doc_id * 2 AS doc_id, text, lang FROM documents WHERE $strat
         |  UNION ALL
-        |  SELECT doc_id * 2 + 1 AS doc_id, text FROM documents
+        |  SELECT doc_id * 2 + 1 AS doc_id, text, lang FROM documents
         |  WHERE doc_id % 5 = 0 AND $strat),
         |grams AS MATERIALIZED (
         |  SELECT doc_id, unnest(list_transform(range(0, greatest(length(text) - 4, 1)),
@@ -721,7 +724,17 @@ object Dedup {
         |  FROM bands a JOIN bands c
         |    ON a.b = c.b AND a.m0 = c.m0 AND a.m1 = c.m1
         |    AND a.m2 = c.m2 AND a.m3 = c.m3
-        |  WHERE a.doc_id < c.doc_id),
+        |  WHERE a.doc_id < c.doc_id)""".stripMargin
+  }
+
+  /** d_minhash_lsh replay (md5-48 gram draw, seed-42 splitmix XOR
+    * constants interpolated from Sketches so Scala and SQL can never
+    * drift, band join on the 4 raw members), parameterized by the stratum
+    * predicate: `TRUE` = full corpus, Tables.stratum41Sql = the 1-in-41
+    * draw that keeps the replay feasible at sf10.
+    */
+  private def minhashLshSql(strat: String): String =
+      s"""WITH ${minhashPairCtesSql(strat)},
         |pairs AS (
         |  SELECT id_a, id_b,
         |    round(CAST(list_sum(list_transform(sa.mh, (x, i) ->
@@ -731,40 +744,12 @@ object Dedup {
         |            JOIN sigs sb ON sb.doc_id = id_b)
         |SELECT id_a, id_b, est_sim FROM pairs
         |WHERE est_sim >= 0.7 ORDER BY id_a, id_b""".stripMargin
-  }
 
   /** d_minhash_clusters replay — the LSH pair CTEs feeding the unrolled
     * label-min component rounds — parameterized like minhashLshSql.
     */
-  private def minhashClustersSql(strat: String): String = {
-      val cs = graft.functions.Sketches.minhashXorConstants(16, 42L)
-        .mkString("[", ",", "]")
-      s"""WITH dups AS MATERIALIZED (
-        |  SELECT doc_id * 2 AS doc_id, text FROM documents WHERE $strat
-        |  UNION ALL
-        |  SELECT doc_id * 2 + 1 AS doc_id, text FROM documents
-        |  WHERE doc_id % 5 = 0 AND $strat),
-        |grams AS MATERIALIZED (
-        |  SELECT doc_id, unnest(list_transform(range(0, greatest(length(text) - 4, 1)),
-        |    i -> CAST('0x' || substr(md5(substr(text, CAST(i AS INT) + 1, 5)),
-        |      1, 12) AS BIGINT))) AS h
-        |  FROM dups),
-        |mins AS (
-        |  SELECT doc_id, j, min(xor(h, list_extract($cs, CAST(j AS INT) + 1))) AS m
-        |  FROM grams CROSS JOIN range(0, 16) t(j) GROUP BY 1, 2),
-        |sigs AS MATERIALIZED (
-        |  SELECT doc_id, list(m ORDER BY j) AS mh FROM mins GROUP BY doc_id),
-        |bands AS (
-        |  SELECT doc_id, b,
-        |    mh[CAST(4 * b + 1 AS INT)] AS m0, mh[CAST(4 * b + 2 AS INT)] AS m1,
-        |    mh[CAST(4 * b + 3 AS INT)] AS m2, mh[CAST(4 * b + 4 AS INT)] AS m3
-        |  FROM sigs CROSS JOIN range(0, 4) t(b)),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
-        |  FROM bands a JOIN bands c
-        |    ON a.b = c.b AND a.m0 = c.m0 AND a.m1 = c.m1
-        |    AND a.m2 = c.m2 AND a.m3 = c.m3
-        |  WHERE a.doc_id < c.doc_id),
+  private def minhashClustersSql(strat: String): String =
+      s"""WITH ${minhashPairCtesSql(strat)},
         |p AS MATERIALIZED (
         |  SELECT id_a AS src, id_b AS dst FROM cand
         |  JOIN sigs sa ON sa.doc_id = id_a JOIN sigs sb ON sb.doc_id = id_b
@@ -802,7 +787,6 @@ object Dedup {
         |         'd_minhash_clusters oracle: label-min replay NOT converged after the 6 unrolled rounds - deepen the unroll')
         |         ELSE 0 END FROM chk) AS min_root
         |FROM cs GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
-  }
 
   /** d_span_clusters replay, parameterized by the stratum predicate
     * (`TRUE` = the full corpus; Tables.stratum41Sql = the 1-in-41 draw

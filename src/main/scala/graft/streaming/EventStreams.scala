@@ -351,6 +351,131 @@ object EventStreams {
         Encoders.product[RateState], Encoders.product[RateAlert])
   }
 
+  // ---- custom state: streaming NEAR-dup dedup (LSH band buckets) ----
+
+  final case class BandedDoc(band: Int, m0: Long, m1: Long, m2: Long,
+      m3: Long, doc_id: Long, ts: Timestamp, mh: Seq[Long])
+  final case class BucketState(ids: Seq[Long], sigs: Seq[Seq[Long]])
+  final case class NearDupDrop(doc_id: Long)
+
+  /** Streaming NEAR-duplicate detection — the LSH extension of
+    * [[docDedupStream]]'s exact content dedup: each arriving document is
+    * minhash-signed (the same native single-pass expression and md5-48 +
+    * splitmix-XOR family the batch `d_minhash_lsh` hash-oracles), banded,
+    * and accumulated into per-(band, 4-member-signature) bucket state;
+    * when the watermark passes a bucket's event-time horizon the bucket
+    * CLOSES and emits the ids it votes to drop. The drop rule is
+    * ORDER-INDEPENDENT by design: drop doc B iff some bucket holds a doc
+    * A with a smaller id and ≥ 12/16 equal minhash members (est-Jaccard
+    * ≥ 0.75 ≥ the 0.7 batch threshold — 11/16 = 0.6875 is below it, so
+    * the two rules coincide exactly). Because the verdict is a pure
+    * function of the bucket's final membership, nondeterministic
+    * micro-batch arrival cannot move the output — the same
+    * keep-choice-invariance device that made `st_ingest_shards`
+    * oracle-able, applied to the harder near-dup case (where the kept
+    * doc's identity is NOT content-invariant, so first-arrival-wins
+    * would be unreplayable).
+    *
+    * Scale notes: state is bucket membership WITHIN THE WATERMARK
+    * HORIZON (ids + 16-long signatures), evicted at event-time timeout —
+    * it tracks the ingest horizon, not the corpus. The close-time
+    * verdict is O(m²) per m-member bucket, the same cost class as the
+    * batch band join's bucket-local pair space; real crawl dup groups
+    * are power-law-bounded (and the ScaleUp `perturb` corpus models
+    * exactly that). A doc dropped in ANY of its 4 buckets is dropped —
+    * emissions across buckets are deduplicated downstream (the sink
+    * aggregate is on DISTINCT ids).
+    *
+    * In batch, falls back to the same rule computed from the oracled
+    * pair listing: distinct greater-side ids of `minhashPairsOf` pairs.
+    */
+  def nearDupDropStream(docs: DataFrame): Dataset[NearDupDrop] = {
+    val s = docs.sparkSession
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    import s.implicits._
+    if (!docs.isStreaming) {
+      return graft.queries.Dedup
+        .minhashPairsOf(docs.filter(col("doc_id") >= 0)
+          .select(col("doc_id"), col("text")))
+        .select(col("id_b").as("doc_id")).distinct().as[NearDupDrop]
+    }
+    // Contract: the CALLER applies `withWatermark("ts", …)`; analysis
+    // fails loudly if none is set. Rows with doc_id < 0 are WATERMARK
+    // SENTINELS: they flow through banding (so their event times advance
+    // the watermark that closes buckets) but are excluded from bucket
+    // MEMBERSHIP below, so they can never cause or suffer a drop. They
+    // must not be removed by a filter instead: a `doc_id >= 0` predicate
+    // pushes through the watermark node all the way into the parquet
+    // scan, whose row-group stats prune the whole sentinel file — the
+    // row then never reaches the watermark operator and no bucket ever
+    // closes (measured: watermark pinned at t0 − delay, zero drops).
+    val bands = 4
+    val rows = 4
+    val banded = docs
+      .select(col("doc_id"), col("ts"),
+        graft.functions.GraftFunctions.minhashSigs(col("text"), 5, bands * rows).as("mh"))
+      .select(col("doc_id"), col("ts"), col("mh"), posexplode(
+        array((0 until bands).map(b =>
+          struct((0 until rows).map(r =>
+            col("mh")(b * rows + r).as(s"m$r")): _*)): _*)
+      ).as(Seq("band", "bsig")))
+      .select(col("band"), col("bsig.m0").as("m0"), col("bsig.m1").as("m1"),
+        col("bsig.m2").as("m2"), col("bsig.m3").as("m3"),
+        col("doc_id"), col("ts"), col("mh"))
+      .as[BandedDoc]
+
+    def fn(key: (Int, Long, Long, Long, Long), batch: Iterator[BandedDoc],
+        state: GroupState[BucketState]): Iterator[NearDupDrop] = {
+      if (!batch.hasNext) {
+        if (state.hasTimedOut) {
+          val st = state.getOption.getOrElse(BucketState(Nil, Nil))
+          state.remove()
+          // bucket CLOSED: emit the ids having a smaller similar member.
+          // Membership is sorted by id so each id compares only against
+          // strictly smaller ones; ≥12/16 equal members = similar.
+          val members = st.ids.zip(st.sigs).sortBy(_._1)
+          val drops = for {
+            j <- members.indices
+            if (0 until j).exists { i =>
+              val (sa, sb) = (members(i)._2, members(j)._2)
+              var eq = 0
+              var x = 0
+              while (x < sa.length) { if (sa(x) == sb(x)) eq += 1; x += 1 }
+              eq >= 12
+            }
+          } yield NearDupDrop(members(j)._1)
+          drops.iterator
+        } else Iterator.empty
+      } else {
+        val prior = state.getOption.getOrElse(BucketState(Nil, Nil))
+        val seen = prior.ids.toSet
+        var ids = prior.ids
+        var sigs = prior.sigs
+        var maxTs = 0L
+        for (b <- batch) {
+          // negative ids are watermark sentinels (see above): they tick
+          // maxTs but never become members
+          if (b.doc_id >= 0 && !seen.contains(b.doc_id) && !ids.contains(b.doc_id)) {
+            ids :+= b.doc_id
+            sigs :+= b.mh
+          }
+          maxTs = math.max(maxTs, b.ts.getTime)
+        }
+        state.update(BucketState(ids, sigs))
+        // close one watermark-delay past the bucket's newest event; clamp
+        // above the current watermark (the sessionizeStateful lesson)
+        state.setTimeoutTimestamp(
+          math.max(maxTs, state.getCurrentWatermarkMs + 1))
+        Iterator.empty
+      }
+    }
+
+    banded
+      .groupByKey(b => (b.band, b.m0, b.m1, b.m2, b.m3))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)(
+        Encoders.product[BucketState], Encoders.product[NearDupDrop])
+  }
+
   // ---- oracled corpus entry over the ingest pipeline's OUTPUT ----
 
   /** `st_ingest_shards`: the END-TO-END streaming ingest as a corpus
@@ -426,8 +551,101 @@ object EventStreams {
     } finally rm(root)
   }
 
+  /** `st_neardup_ingest`: the streaming NEAR-dup pipeline as a corpus
+    * query — stage the dup corpus as parquet files plus two LATE
+    * event-time sentinels (staged last, so the watermark passes the
+    * corpus horizon and every band bucket CLOSES and votes before the
+    * AvailableNow stream drains), run the REAL checkpointed
+    * [[nearDupDropStream]] over them, then read the committed drop ids
+    * back and ledger them per language against the staged corpus. The
+    * order-independent bucket-close rule (see nearDupDropStream) is what
+    * makes the output exactly DuckDB-replayable: dropped = the distinct
+    * greater-side ids of the SAME pair listing `d_minhash_lsh`
+    * hash-oracles. Work dirs are nonce-keyed and removed after the
+    * bounded per-lang extract (the st_ingest_shards discipline).
+    */
+  private def nearDupLedger(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      stratified: Boolean = false): DataFrame = {
+    val root = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_neardup_${java.util.UUID.randomUUID().toString.take(12)}")
+    def rm(p: java.io.File): Unit = {
+      if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
+      p.delete(); ()
+    }
+    val srcDir = s"${root.getAbsolutePath}/in"
+    val dropDir = s"${root.getAbsolutePath}/drops"
+    val ckDir = s"${root.getAbsolutePath}/ck"
+    val t0 = 1700000000L
+    val staged = graft.queries.Dedup.corpusWithDups(s, d, stratified)
+      .select(col("doc_id"), timestamp_seconds(lit(t0)).as("ts"),
+        col("text"), col("lang"))
+    staged.repartition(4).write.mode("overwrite").parquet(srcDir)
+    // two sentinels, each a single LAST-MODIFIED file directly under the
+    // source dir (the file source does not recurse into non-partition
+    // subdirectories, and maxFilesPerTrigger=1 keeps them in separate
+    // trailing batches): the first advances the watermark past t0 so
+    // bucket timeouts become eligible, the second's batch fires them —
+    // no reliance on trailing no-data micro-batches
+    import s.implicits._
+    for ((off, i) <- Seq(36000L, 72000L).zipWithIndex) {
+      val stage = new java.io.File(root, s"stage_$i")
+      Seq((-1L - i, new Timestamp((t0 + off) * 1000L), "", ""))
+        .toDF("doc_id", "ts", "text", "lang")
+        .coalesce(1).write.mode("overwrite").parquet(stage.getAbsolutePath)
+      val part = Option(stage.listFiles()).getOrElse(Array.empty[java.io.File])
+        .find(_.getName.startsWith("part-"))
+        .getOrElse(throw new IllegalStateException("no sentinel part file"))
+      val dst = new java.io.File(srcDir, s"zz_sentinel_$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(System.currentTimeMillis() + (i + 1) * 60000L)
+      rm(stage)
+    }
+    val schema = s.read.parquet(srcDir).schema
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      try {
+        val src = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(srcDir)
+        val q = nearDupDropStream(src.withWatermark("ts", "2 hours"))
+          .writeStream
+          .format("parquet")
+          .option("path", dropDir)
+          .option("checkpointLocation", ckDir)
+          .outputMode(OutputMode.Append)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      val drops = s.read.schema("doc_id BIGINT").parquet(dropDir)
+        .select(col("doc_id")).distinct()
+        .withColumn("dr", lit(1))
+      val hist = staged.select(col("doc_id"), col("lang"))
+        .join(drops, Seq("doc_id"), "left")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("dr").isNotNull, 1L).otherwise(0L)).cast("bigint")
+            .as("n_dropped"),
+          sum(when(col("dr").isNull, 1L).otherwise(0L)).cast("bigint")
+            .as("n_kept"))
+        .orderBy("lang")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toIndexedSeq
+      hist.toDF("lang", "n_docs", "n_dropped", "n_kept")
+    } finally rm(root)
+  }
+
   val queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] =
-    Map("st_ingest_shards" -> ((s, d) => ingestShardsHistogram(s, d)))
+    Map("st_ingest_shards" -> ((s, d) => ingestShardsHistogram(s, d)),
+      "st_neardup_ingest" -> ((s, d) => nearDupLedger(s, d)),
+      // stratum twin (the *_s41 device, near-trivial at base SF): the
+      // identical checkpointed stream over the 1-in-41 md5 sub-corpus,
+      // which keeps the DuckDB pair replay feasible at sf10+ where the
+      // full listing replay hits the 77 GB spill wall
+      "st_neardup_ingest_s41" -> ((s, d) => nearDupLedger(s, d, stratified = true)))
 
   /** The batch-mirror SQL: distinct content fingerprints of the dup
     * corpus, placed by the same md5-48 draw — count per shard is
@@ -448,5 +666,27 @@ object EventStreams {
         |  SELECT CAST('0x' || substr(md5(fp), 1, 12) AS BIGINT) % 7 AS shard, fp
         |  FROM fp)
         |SELECT shard, count(*) AS n_docs, min(fp) AS min_fp
-        |FROM s GROUP BY shard ORDER BY shard""".stripMargin)
+        |FROM s GROUP BY shard ORDER BY shard""".stripMargin,
+    // The near-dup ledger replay: the SAME shared pair CTE chain the
+    // d_minhash_lsh oracle hash-matches (Dedup.minhashPairCtesSql), with
+    // the bucket-close drop rule "distinct greater-side id of any
+    // >= 12/16-equal candidate pair" — est >= 0.75 on candidates, which
+    // coincides exactly with the batch >= 0.7 threshold (11/16 = 0.6875
+    // is the next value down).
+    "st_neardup_ingest" -> nearDupLedgerSql("TRUE"),
+    "st_neardup_ingest_s41" ->
+      nearDupLedgerSql(graft.queries.Tables.stratum41Sql("doc_id")))
+
+  private def nearDupLedgerSql(strat: String): String =
+      s"""WITH ${graft.queries.Dedup.minhashPairCtesSql(strat)},
+        |drp AS (
+        |  SELECT DISTINCT id_b AS doc_id FROM cand
+        |  JOIN sigs sa ON sa.doc_id = id_a JOIN sigs sb ON sb.doc_id = id_b
+        |  WHERE CAST(list_sum(list_transform(sa.mh, (x, i) ->
+        |    CASE WHEN x = sb.mh[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 16 >= 0.7)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN drp.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |  CAST(sum(CASE WHEN drp.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM dups LEFT JOIN drp ON dups.doc_id = drp.doc_id
+        |GROUP BY lang ORDER BY lang""".stripMargin
 }

@@ -1,0 +1,50 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, TestSpark}
+
+/** The streaming LSH near-dup pipeline (st_neardup_ingest): the live
+  * checkpointed stream's ledger must equal the batch mirror computed from
+  * the oracled pair listing, and the planted exact-dup twins must always
+  * be caught (identical text → identical signatures → same buckets →
+  * 16/16 equal members).
+  */
+class NearDupStreamSpec extends SparkSpec {
+
+  private val sf = TestSpark.sf0001
+
+  test("st_neardup_ingest: live stream ledger equals the batch pair-listing rule") {
+    val streamed = EventStreams.queries("st_neardup_ingest")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sortBy(_._1)
+    assert(streamed.nonEmpty)
+    // batch mirror: dropped = distinct greater-side ids of the est>=0.7
+    // pair listing (nearDupDropStream's own batch branch)
+    val corpus = graft.queries.Dedup.corpusWithDups(spark, sf)
+    val drops = EventStreams.nearDupDropStream(
+        corpus.withColumn("ts", timestamp_seconds(lit(1700000000L))))
+      .withColumnRenamed("doc_id", "did")
+    val expected = corpus.select(col("doc_id"), col("lang"))
+      .join(drops, col("doc_id") === col("did"), "left")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("did").isNotNull, 1L).otherwise(0L)).cast("bigint").as("n_dropped"),
+        sum(when(col("did").isNull, 1L).otherwise(0L)).cast("bigint").as("n_kept"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sortBy(_._1)
+    assert(streamed == expected,
+      s"stream ledger must match the order-independent batch rule:\n$streamed\nvs\n$expected")
+    // the planted twins guarantee drops exist: every 5th doc's (2k, 2k+1)
+    // pair is byte-identical, so 2k+1 is always droppable
+    assert(streamed.map(_._3).sum > 0, "planted twins must produce drops")
+    // arithmetic closes per language
+    streamed.foreach { case (_, n, d, k) => assert(d + k == n) }
+    // no leftover nonce work dirs (success-path cleanup)
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    val leftover = Option(tmp.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("graft_neardup_"))
+    assert(leftover.isEmpty,
+      s"work dirs left behind: ${leftover.map(_.getName).mkString(",")}")
+  }
+}

@@ -580,13 +580,17 @@ object EventStreams {
     val staged = graft.queries.Dedup.corpusWithDups(s, d, stratified)
       .select(col("doc_id"), timestamp_seconds(lit(t0)).as("ts"),
         col("text"), col("lang"))
-    staged.repartition(4).write.mode("overwrite").parquet(srcDir)
-    // two sentinels, each a single LAST-MODIFIED file directly under the
-    // source dir (the file source does not recurse into non-partition
-    // subdirectories, and maxFilesPerTrigger=1 keeps them in separate
-    // trailing batches): the first advances the watermark past t0 so
-    // bucket timeouts become eligible, the second's batch fires them —
-    // no reliance on trailing no-data micro-batches
+    staged.repartition(2).write.mode("overwrite").parquet(srcDir)
+    // two sentinels, single LAST-MODIFIED files directly under the source
+    // dir (the file source does not recurse into non-partition
+    // subdirectories): their late event times advance the watermark past
+    // t0 so bucket timeouts become eligible; the closures then fire in
+    // the sentinel batch or the trailing no-data micro-batch AvailableNow
+    // schedules once the watermark moves (measured both ways; a missing
+    // trailing batch would fail the oracle loudly, not silently). Batch
+    // count is the fixed-overhead knob here — 2 corpus files + one
+    // sentinel batch keeps the entry ~2× cheaper than 1-file-per-trigger
+    // while still exercising cross-batch state accumulation.
     import s.implicits._
     for ((off, i) <- Seq(36000L, 72000L).zipWithIndex) {
       val stage = new java.io.File(root, s"stage_$i")
@@ -607,7 +611,7 @@ object EventStreams {
     try {
       try {
         val src = s.readStream.schema(schema)
-          .option("maxFilesPerTrigger", 1)
+          .option("maxFilesPerTrigger", 2)
           .parquet(srcDir)
         val q = nearDupDropStream(src.withWatermark("ts", "2 hours"))
           .writeStream

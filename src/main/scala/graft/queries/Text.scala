@@ -36,6 +36,64 @@ object Text {
   val stopwords = Seq("the", "a", "of", "and", "to", "in")
 
   val queries: Map[String, Q] = Map(
+    // BPE merge TRAINING (Sennrich et al. 2016) — the canonical tokenizer
+    // construction step, distributed the way real trainers run it:
+    // ONE corpus pass builds the frequency-weighted WORD VOCABULARY
+    // (bounded under Heaps' law — the corpus never re-scans), then K=5
+    // unrolled merge iterations run entirely on the vocab table: count
+    // adjacent symbol pairs weighted by word frequency, pick the argmax
+    // (ties break on the lexicographically smallest pair — both engines
+    // compare the same bytes), and apply the merge. Symbol sequences are
+    // SHARED-SEPARATOR STRINGS (" c1 c2 ... ") so merge application is
+    // literal non-overlapping replace(" a b " → " ab ") applied TWICE:
+    // one pass skips any occurrence whose leading separator the previous
+    // match consumed (back-to-back repeats — "a b a b" would merge only
+    // alternately), but after pass one the skipped occurrences are never
+    // adjacent, so a second pass catches exactly them and the result is
+    // classic greedy left-to-right Sennrich merging ("a a a" → "aa a",
+    // "a b a b" → "ab ab"); a merged token contains no separator, so
+    // passes can never manufacture a new occurrence. Both engines'
+    // replace() is literal, non-overlapping and left-to-right, so the
+    // semantics are IDENTICAL cross-engine with no per-symbol lambda. Chars are drawn with the engine-neutral
+    // substring(w, i, 1) construction (split-on-empty-regex keeps a
+    // trailing empty element in Spark — measured, avoided). The vocab is
+    // persisted across the 5 unrolled consumers (the pagerank/perplexity
+    // precedent); everything per-iteration is a vocab-sized aggregate +
+    // a broadcast 1-row argmax, so at 100 TB the corpus cost stays the
+    // single word-count pass.
+    "t_bpe_merges" -> ((s, d) => {
+      val K = 5
+      val words = t(s, d, "documents")
+        .select(explode(tokens(col("text"))).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy("w").agg(count(lit(1)).as("n"))
+        .persist()
+      // transform over positions: substring(w, i, 1) needs expr form (the
+      // substring builtin takes column positions only in SQL text)
+      var v = words.select(
+        concat(lit(" "),
+          concat_ws(" ", expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")),
+          lit(" ")).as("sym"), col("n"))
+      val merges = (1 to K).map { it =>
+        val pairs = v
+          .select(col("n"), explode(expr(
+            "zip_with(slice(split(trim(sym), ' '), 1, size(split(trim(sym), ' ')) - 1), " +
+            "slice(split(trim(sym), ' '), 2, size(split(trim(sym), ' ')) - 1), " +
+            "(a, b) -> concat(a, ' ', b))")).as("pr"))
+          .groupBy("pr").agg(sum("n").as("cnt"))
+        val best = pairs.orderBy(col("cnt").desc, col("pr").asc).limit(1)
+        v = v.crossJoin(broadcast(best))
+          .select(expr(
+            "replace(replace(sym, ' ' || pr || ' ', ' ' || replace(pr, ' ', '') || ' '), " +
+            "' ' || pr || ' ', ' ' || replace(pr, ' ', '') || ' ')")
+            .as("sym"), col("n"))
+        best.select(lit(it).as("it"), col("pr").as("pair"),
+          expr("replace(pr, ' ', '')").as("new_symbol"),
+          col("cnt").cast("bigint").as("cnt"))
+      }
+      merges.reduce(_.unionAll(_)).orderBy("it")
+    }),
+
     // Whitespace + BPE-ish regex token counts per document.
     "t_token_count" -> ((s, d) =>
       t(s, d, "documents")
@@ -642,7 +700,49 @@ object Text {
     })
   )
 
+  /** t_bpe_merges replay: the identical vocab-weighted Sennrich chain —
+    * word counts → shared-separator symbol strings → K unrolled
+    * (pair-count, argmax, replace) rounds. Both engines' replace() is
+    * literal, non-overlapping, left-to-right, and the shared separator
+    * makes that exactly the greedy merge rule (see the query comment).
+    */
+  private def bpeMergesSql(k: Int): String = {
+    def pairsOf(vtab: String): String =
+      s"""(SELECT n, unnest(list_transform(range(1, len(string_split(trim(sym), ' '))),
+         |    i -> string_split(trim(sym), ' ')[CAST(i AS INT)] || ' ' ||
+         |         string_split(trim(sym), ' ')[CAST(i AS INT) + 1])) AS pr
+         |  FROM $vtab)""".stripMargin
+    val iters = (1 to k).map { i =>
+      s"""p$i AS (SELECT pr, sum(n) AS cnt FROM ${pairsOf(s"v${i - 1}")} GROUP BY pr),
+         |m$i AS (SELECT pr, cnt FROM p$i ORDER BY cnt DESC, pr LIMIT 1),
+         |v$i AS (SELECT replace(replace(sym, ' ' || (SELECT pr FROM m$i) || ' ',
+         |    ' ' || replace((SELECT pr FROM m$i), ' ', '') || ' '),
+         |    ' ' || (SELECT pr FROM m$i) || ' ',
+         |    ' ' || replace((SELECT pr FROM m$i), ' ', '') || ' ') AS sym, n
+         |  FROM v${i - 1})""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to k)
+      .map(i => s"SELECT $i AS it, pr AS pair, cnt FROM m$i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH words AS MATERIALIZED (
+       |  SELECT w, count(*) AS n FROM
+       |    (SELECT unnest(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS w
+       |     FROM documents)
+       |  WHERE w <> '' GROUP BY w),
+       |v0 AS (
+       |  SELECT ' ' || array_to_string(
+       |      list_transform(range(1, length(w) + 1),
+       |        i -> substr(w, CAST(i AS INT), 1)), ' ') || ' ' AS sym, n
+       |  FROM words),
+       |$iters
+       |SELECT it, pair, replace(pair, ' ', '') AS new_symbol,
+       |  CAST(cnt AS BIGINT) AS cnt
+       |FROM ($union)
+       |ORDER BY it""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "t_bpe_merges" -> bpeMergesSql(5),
     "t_token_count" ->
       """SELECT doc_id,
         |CAST(len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS BIGINT) AS n_tokens,

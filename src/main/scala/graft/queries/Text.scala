@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -35,6 +35,45 @@ object Text {
 
   val stopwords = Seq("the", "a", "of", "and", "to", "in")
 
+  /** The shared BPE training chain (see the t_bpe_merges comment): word
+    * counts → shared-separator symbol strings → K unrolled (pair-count,
+    * argmax, greedy replace-twice) rounds. Returns the per-iteration
+    * merge rows and the final segmented vocabulary (w, sym) — one chain,
+    * two consumers (t_bpe_merges and t_bpe_encode).
+    */
+  private def bpeChain(s: org.apache.spark.sql.SparkSession, d: String,
+      k: Int = 5): (Seq[DataFrame], DataFrame) = {
+    val words = t(s, d, "documents")
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .persist()
+    // transform over positions: substring(w, i, 1) needs expr form (the
+    // substring builtin takes column positions only in SQL text)
+    var v = words.select(col("w"),
+      concat(lit(" "),
+        concat_ws(" ", expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")),
+        lit(" ")).as("sym"), col("n"))
+    val merges = (1 to k).map { it =>
+      val pairs = v
+        .select(col("n"), explode(expr(
+          "zip_with(slice(split(trim(sym), ' '), 1, size(split(trim(sym), ' ')) - 1), " +
+          "slice(split(trim(sym), ' '), 2, size(split(trim(sym), ' ')) - 1), " +
+          "(a, b) -> concat(a, ' ', b))")).as("pr"))
+        .groupBy("pr").agg(sum("n").as("cnt"))
+      val best = pairs.orderBy(col("cnt").desc, col("pr").asc).limit(1)
+      v = v.crossJoin(broadcast(best))
+        .select(col("w"), expr(
+          "replace(replace(sym, ' ' || pr || ' ', ' ' || replace(pr, ' ', '') || ' '), " +
+          "' ' || pr || ' ', ' ' || replace(pr, ' ', '') || ' ')")
+          .as("sym"), col("n"))
+      best.select(lit(it).as("it"), col("pr").as("pair"),
+        expr("replace(pr, ' ', '')").as("new_symbol"),
+        col("cnt").cast("bigint").as("cnt"))
+    }
+    (merges, v.select(col("w"), col("sym")))
+  }
+
   val queries: Map[String, Q] = Map(
     // BPE merge TRAINING (Sennrich et al. 2016) — the canonical tokenizer
     // construction step, distributed the way real trainers run it:
@@ -62,36 +101,32 @@ object Text {
     // a broadcast 1-row argmax, so at 100 TB the corpus cost stays the
     // single word-count pass.
     "t_bpe_merges" -> ((s, d) => {
-      val K = 5
-      val words = t(s, d, "documents")
-        .select(explode(tokens(col("text"))).as("w"))
-        .filter(col("w") =!= "")
-        .groupBy("w").agg(count(lit(1)).as("n"))
-        .persist()
-      // transform over positions: substring(w, i, 1) needs expr form (the
-      // substring builtin takes column positions only in SQL text)
-      var v = words.select(
-        concat(lit(" "),
-          concat_ws(" ", expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")),
-          lit(" ")).as("sym"), col("n"))
-      val merges = (1 to K).map { it =>
-        val pairs = v
-          .select(col("n"), explode(expr(
-            "zip_with(slice(split(trim(sym), ' '), 1, size(split(trim(sym), ' ')) - 1), " +
-            "slice(split(trim(sym), ' '), 2, size(split(trim(sym), ' ')) - 1), " +
-            "(a, b) -> concat(a, ' ', b))")).as("pr"))
-          .groupBy("pr").agg(sum("n").as("cnt"))
-        val best = pairs.orderBy(col("cnt").desc, col("pr").asc).limit(1)
-        v = v.crossJoin(broadcast(best))
-          .select(expr(
-            "replace(replace(sym, ' ' || pr || ' ', ' ' || replace(pr, ' ', '') || ' '), " +
-            "' ' || pr || ' ', ' ' || replace(pr, ' ', '') || ' ')")
-            .as("sym"), col("n"))
-        best.select(lit(it).as("it"), col("pr").as("pair"),
-          expr("replace(pr, ' ', '')").as("new_symbol"),
-          col("cnt").cast("bigint").as("cnt"))
-      }
+      val (merges, _) = bpeChain(s, d)
       merges.reduce(_.unionAll(_)).orderBy("it")
+    }),
+
+    // BPE ENCODING — the trained merges APPLIED: segment every corpus
+    // word with the 5 learned merges (rank order, same greedy
+    // replace-twice application) and ledger the result per language:
+    // whitespace tokens, BPE tokens, and fertility (BPE tokens per
+    // word — the tokenizer-efficiency number multilingual pipelines
+    // budget by). The per-doc side is one explode + an UNHINTED join
+    // against the vocab's symbol counts (vocab grows under Heaps' law,
+    // so the planner stays free to shuffle; AQE broadcasts at test SFs —
+    // the c_dsir_weights discipline) + one partial-agg'd groupBy.
+    "t_bpe_encode" -> ((s, d) => {
+      val (_, vocab) = bpeChain(s, d)
+      val sized = vocab.select(col("w"),
+        size(split(trim(col("sym")), " ")).cast("long").as("n_sym"))
+      t(s, d, "documents")
+        .select(col("lang"), explode(tokens(col("text"))).as("w"))
+        .filter(col("w") =!= "")
+        .join(sized, "w")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_words"),
+          sum("n_sym").as("n_bpe_tokens"),
+          round(sum("n_sym").cast("double") / count(lit(1)), 4).as("fertility"))
+        .orderBy("lang")
     }),
 
     // Whitespace + BPE-ish regex token counts per document.
@@ -706,7 +741,7 @@ object Text {
     * literal, non-overlapping, left-to-right, and the shared separator
     * makes that exactly the greedy merge rule (see the query comment).
     */
-  private def bpeMergesSql(k: Int): String = {
+  private def bpeCtesSql(k: Int): String = {
     def pairsOf(vtab: String): String =
       s"""(SELECT n, unnest(list_transform(range(1, len(string_split(trim(sym), ' '))),
          |    i -> string_split(trim(sym), ' ')[CAST(i AS INT)] || ' ' ||
@@ -715,34 +750,53 @@ object Text {
     val iters = (1 to k).map { i =>
       s"""p$i AS (SELECT pr, sum(n) AS cnt FROM ${pairsOf(s"v${i - 1}")} GROUP BY pr),
          |m$i AS (SELECT pr, cnt FROM p$i ORDER BY cnt DESC, pr LIMIT 1),
-         |v$i AS (SELECT replace(replace(sym, ' ' || (SELECT pr FROM m$i) || ' ',
+         |v$i AS (SELECT w, replace(replace(sym, ' ' || (SELECT pr FROM m$i) || ' ',
          |    ' ' || replace((SELECT pr FROM m$i), ' ', '') || ' '),
          |    ' ' || (SELECT pr FROM m$i) || ' ',
          |    ' ' || replace((SELECT pr FROM m$i), ' ', '') || ' ') AS sym, n
          |  FROM v${i - 1})""".stripMargin
     }.mkString(",\n")
-    val union = (1 to k)
-      .map(i => s"SELECT $i AS it, pr AS pair, cnt FROM m$i")
-      .mkString("\n  UNION ALL ")
-    s"""WITH words AS MATERIALIZED (
+    s"""words AS MATERIALIZED (
        |  SELECT w, count(*) AS n FROM
        |    (SELECT unnest(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS w
        |     FROM documents)
        |  WHERE w <> '' GROUP BY w),
        |v0 AS (
-       |  SELECT ' ' || array_to_string(
+       |  SELECT w, ' ' || array_to_string(
        |      list_transform(range(1, length(w) + 1),
        |        i -> substr(w, CAST(i AS INT), 1)), ' ') || ' ' AS sym, n
        |  FROM words),
-       |$iters
+       |$iters""".stripMargin
+  }
+
+  private def bpeMergesSql(k: Int): String = {
+    val union = (1 to k)
+      .map(i => s"SELECT $i AS it, pr AS pair, cnt FROM m$i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH ${bpeCtesSql(k)}
        |SELECT it, pair, replace(pair, ' ', '') AS new_symbol,
        |  CAST(cnt AS BIGINT) AS cnt
        |FROM ($union)
        |ORDER BY it""".stripMargin
   }
 
+  private def bpeEncodeSql(k: Int): String =
+    s"""WITH ${bpeCtesSql(k)},
+       |sized AS (SELECT w, CAST(len(string_split(trim(sym), ' ')) AS BIGINT) AS n_sym
+       |          FROM v$k),
+       |toks AS (
+       |  SELECT lang, unnest(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS w
+       |  FROM documents)
+       |SELECT lang, count(*) AS n_words,
+       |  CAST(sum(n_sym) AS BIGINT) AS n_bpe_tokens,
+       |  round(CAST(sum(n_sym) AS DOUBLE) / count(*), 4) AS fertility
+       |FROM toks JOIN sized USING (w)
+       |WHERE w <> ''
+       |GROUP BY lang ORDER BY lang""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "t_bpe_merges" -> bpeMergesSql(5),
+    "t_bpe_encode" -> bpeEncodeSql(5),
     "t_token_count" ->
       """SELECT doc_id,
         |CAST(len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS BIGINT) AS n_tokens,

@@ -62,11 +62,17 @@ object Text {
           "(a, b) -> concat(a, ' ', b))")).as("pr"))
         .groupBy("pr").agg(sum("n").as("cnt"))
       val best = pairs.orderBy(col("cnt").desc, col("pr").asc).limit(1)
+      // localCheckpoint per round: v is referenced twice per iteration
+      // (the pair count and the next v), so a lazy chain re-derives 2^k
+      // subplan copies by round k; materializing the vocab-sized table
+      // (bounded under Heaps' law) keeps every round one aggregate + one
+      // narrow map — the CC-round discipline
       v = v.crossJoin(broadcast(best))
         .select(col("w"), expr(
           "replace(replace(sym, ' ' || pr || ' ', ' ' || replace(pr, ' ', '') || ' '), " +
           "' ' || pr || ' ', ' ' || replace(pr, ' ', '') || ' ')")
           .as("sym"), col("n"))
+        .localCheckpoint()
       best.select(lit(it).as("it"), col("pr").as("pair"),
         expr("replace(pr, ' ', '')").as("new_symbol"),
         col("cnt").cast("bigint").as("cnt"))

@@ -13,7 +13,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     // the emitted JSON must be locale-independent (decimal point, not comma)
     java.util.Locale.setDefault(java.util.Locale.ROOT)
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // one constant, two consumers (session input + the canary-append
+    // gate below): a drifted literal would silently stop history appends
+    val defaultSfDir = "/root/testdata/sf0.1"
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", defaultSfDir)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -141,7 +144,8 @@ object Bench {
     // drifted (drifted runs would make the median chase load spikes; a
     // genuine permanent host change is seeded by hand — the provenance
     // lives in the file, not in source).
-    if (only.isEmpty && sfDir == "/root/testdata/sf0.1" && !hostDrift &&
+    if (only.isEmpty &&
+        sfDir.stripSuffix("/") == defaultSfDir.stripSuffix("/") && !hostDrift &&
         canaries.size == canaryNames.size && history.nonEmpty) {
       val entry = canaries.map { case (n, v, _) => "\"" + n + "\":" + f"$v%.3f" }
         .mkString(s"""{"round":"auto","ts":${System.currentTimeMillis()},""", ",", "}")

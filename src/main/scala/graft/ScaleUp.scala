@@ -43,13 +43,18 @@ import org.apache.spark.sql.functions._
   *   exercised by the LayoutSpec guard and q_partition_prune.
   *
   * - with a `perturb` flag, replicated `documents.text` is PERTURBED per
-  *   copy group (copy 0 keeps the original bytes): a 4-hex-char code
-  *   derived from the copy index is inserted after every 7th character,
-  *   which destroys ~5/7 of the 5-char shingles between any two copies
-  *   (cross-copy Jaccard ≈ 0.17, far under the 0.7 LSH listing
-  *   threshold) while keeping every WITHIN-copy relationship — including
-  *   the corpusWithDups planted twins, which are constructed from the
-  *   same stored row and so stay byte-identical — intact. Verbatim
+  *   copy group (copy 0 keeps the original bytes): an 8-hex-char code
+  *   derived from the copy index is inserted after every 7th character
+  *   AND appended once at the end. The splice destroys most 5-char
+  *   shingles between any two copies (cross-copy Jaccard far under the
+  *   0.7 LSH listing threshold); the append guarantees cross-copy
+  *   DISTINCTNESS even for texts shorter than 7 chars or segments the
+  *   dot-regex skips at newlines. 8 hex chars = 2³² codes, so 300 copy
+  *   groups collide with P ≈ 1e-5 (4 hex = 2¹⁶ collided with P ≈ 0.68 at
+  *   300 — measured as one byte-identical cross-copy pair per base doc).
+  *   Every WITHIN-copy relationship — including the corpusWithDups
+  *   planted twins, constructed from the same stored row and so still
+  *   byte-identical — stays intact. Verbatim
   *   replication gives every base doc `copies`-many identical instances,
   *   so near-dup PAIR listings grow Ω(copies²) per group — a corpus-
   *   generator artifact no real crawl exhibits (real dup-group sizes are
@@ -141,14 +146,17 @@ object ScaleUp {
           val out =
             if (perturb && name == "documents")
               // copy-group perturbation (see scaladoc): copy 0 verbatim;
-              // copy k > 0 gets a 4-hex md5(k) code spliced in after every
-              // 7th character — deterministic, so reruns regenerate the
-              // identical corpus byte-for-byte
+              // copy k > 0 gets an 8-hex md5(k) code spliced in after
+              // every 7th character and appended once — deterministic, so
+              // reruns regenerate the identical corpus byte-for-byte
               keyed.withColumn("text",
                 when(col("__k") === 0, col("text")).otherwise(
-                  regexp_replace(col("text"), lit("(.{7})"),
-                    concat(lit("$1"),
-                      substring(md5(col("__k").cast("string")), 1, 4)))))
+                  concat(
+                    regexp_replace(col("text"), lit("(.{7})"),
+                      concat(lit("$1"),
+                        substring(md5(col("__k").cast("string")), 1, 8))),
+                    lit(" "),
+                    substring(md5(col("__k").cast("string")), 1, 8))))
             else keyed
           out.drop("__k")
         }

@@ -116,10 +116,7 @@ object PretrainBuild {
     val root = new java.io.File(sys.props("java.io.tmpdir"),
       s"graft_pretrain_${java.util.UUID.randomUUID().toString.take(12)}")
     val outDir = new java.io.File(root, "shards").getAbsolutePath
-    def rm(p: java.io.File): Unit = {
-      if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
-      p.delete(); ()
-    }
+    val rm = graft.util.Dirs.deleteRecursively _
     try {
       graft.io.TrainingShards.writeParquetShards(
         mixed, keyCol = "fp", path = outDir, nShards = nShards,

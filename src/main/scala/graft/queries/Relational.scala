@@ -56,10 +56,7 @@ object Relational {
     val tag = layoutTag(d)
     s.sql(s"DROP TABLE IF EXISTS graft_bkt_orders_$tag")
     s.sql(s"DROP TABLE IF EXISTS graft_bkt_customer_$tag")
-    def rm(p: java.io.File): Unit = {
-      if (p.isDirectory) p.listFiles().foreach(rm)
-      p.delete(); ()
-    }
+    val rm = graft.util.Dirs.deleteRecursively _
     Seq(s"graft_bucketed_$tag", s"graft_part_$tag").foreach { n =>
       val f = new java.io.File(sys.props("java.io.tmpdir"), n)
       if (f.exists()) rm(f)

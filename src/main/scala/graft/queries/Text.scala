@@ -90,14 +90,28 @@ object Text {
     // (ties break on the lexicographically smallest pair — both engines
     // compare the same bytes), and apply the merge. Symbol sequences are
     // SHARED-SEPARATOR STRINGS (" c1 c2 ... ") so merge application is
-    // literal non-overlapping replace(" a b " → " ab ") applied TWICE:
-    // one pass skips any occurrence whose leading separator the previous
-    // match consumed (back-to-back repeats — "a b a b" would merge only
-    // alternately), but after pass one the skipped occurrences are never
-    // adjacent, so a second pass catches exactly them and the result is
-    // classic greedy left-to-right Sennrich merging ("a a a" → "aa a",
-    // "a b a b" → "ab ab"); a merged token contains no separator, so
-    // passes can never manufacture a new occurrence. Both engines'
+    // literal non-overlapping replace(" a b " → " ab ") applied TWICE.
+    // THE RULE, exactly: for every pair with a ≠ b this IS classic
+    // greedy left-to-right Sennrich merging — occurrences are
+    // token-disjoint (an overlap would force a = b), pass one takes the
+    // odd members of each back-to-back chain ("a b a b" → "ab a b": the
+    // second occurrence's leading separator was consumed by the first
+    // match), and after pass one the skipped occurrences sit isolated
+    // between separator-free merged tokens, so pass two catches exactly
+    // them ("ab a b" → "ab ab"). For a SELF-pair (a = b) over a run of
+    // r identical symbols the rule is a DETERMINISTIC VARIANT of
+    // greedy: pass one merges run positions (3k+1, 3k+2), pass two
+    // closes the adjacent leftover tail — equal to textbook greedy for
+    // r ≤ 4, divergent from r = 5 up ("z z z z z z" → "zz z zz z"
+    // where textbook greedy gives "zz zz zz"). The variant,
+    // not textbook greedy, is what BOTH engines and the plain-Scala
+    // BpeSpec referee compute (a stateful left-to-right fold is
+    // inexpressible in DuckDB 1.x SQL — list_reduce carries no struct
+    // accumulator — so the shared rule is deliberately one expressible
+    // as pure literal replace on both sides; BpeSpec pins the a ≠ b
+    // greedy equivalence exhaustively and the r ≥ 5 divergence
+    // explicitly). A merged token contains no separator, so passes can
+    // never manufacture a new occurrence. Both engines'
     // replace() is literal, non-overlapping and left-to-right, so the
     // semantics are IDENTICAL cross-engine with no per-symbol lambda. Chars are drawn with the engine-neutral
     // substring(w, i, 1) construction (split-on-empty-regex keeps a
@@ -743,9 +757,11 @@ object Text {
 
   /** t_bpe_merges replay: the identical vocab-weighted Sennrich chain —
     * word counts → shared-separator symbol strings → K unrolled
-    * (pair-count, argmax, replace) rounds. Both engines' replace() is
-    * literal, non-overlapping, left-to-right, and the shared separator
-    * makes that exactly the greedy merge rule (see the query comment).
+    * (pair-count, argmax, replace-twice) rounds. Both engines' replace()
+    * is literal, non-overlapping, left-to-right, so both compute the
+    * same merge rule: classic greedy for every a ≠ b pair, the pinned
+    * deterministic variant on same-symbol runs ≥ 5 (see the query
+    * comment — BpeSpec holds the byte-exact referee).
     */
   private def bpeCtesSql(k: Int): String = {
     def pairsOf(vtab: String): String =

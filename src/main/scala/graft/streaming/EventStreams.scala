@@ -355,7 +355,8 @@ object EventStreams {
 
   final case class BandedDoc(band: Int, m0: Long, m1: Long, m2: Long,
       m3: Long, doc_id: Long, ts: Timestamp, mh: Seq[Long])
-  final case class BucketState(ids: Seq[Long], sigs: Seq[Seq[Long]])
+  final case class BucketState(ids: Seq[Long], sigs: Seq[Seq[Long]],
+      maxTs: Long)
   final case class NearDupDrop(doc_id: Long)
 
   /** Streaming NEAR-duplicate detection — the LSH extension of
@@ -428,7 +429,7 @@ object EventStreams {
         state: GroupState[BucketState]): Iterator[NearDupDrop] = {
       if (!batch.hasNext) {
         if (state.hasTimedOut) {
-          val st = state.getOption.getOrElse(BucketState(Nil, Nil))
+          val st = state.getOption.getOrElse(BucketState(Nil, Nil, 0L))
           state.remove()
           // bucket CLOSED: emit the ids having a smaller similar member.
           // Membership is sorted by id so each id compares only against
@@ -447,11 +448,16 @@ object EventStreams {
           drops.iterator
         } else Iterator.empty
       } else {
-        val prior = state.getOption.getOrElse(BucketState(Nil, Nil))
+        val prior = state.getOption.getOrElse(BucketState(Nil, Nil, 0L))
         val seen = prior.ids.toSet
         var ids = prior.ids
         var sigs = prior.sigs
-        var maxTs = 0L
+        // the bucket's LIFETIME max event time, carried in state: a later
+        // batch of late-but-valid rows must not pull the close time
+        // earlier than a previously registered horizon (timeouts are
+        // overwritten on every invocation, so recomputing from the
+        // current batch alone would re-open that window)
+        var maxTs = prior.maxTs
         for (b <- batch) {
           // negative ids are watermark sentinels (see above): they tick
           // maxTs but never become members
@@ -461,7 +467,7 @@ object EventStreams {
           }
           maxTs = math.max(maxTs, b.ts.getTime)
         }
-        state.update(BucketState(ids, sigs))
+        state.update(BucketState(ids, sigs, maxTs))
         // close one watermark-delay past the bucket's newest event; clamp
         // above the current watermark (the sessionizeStateful lesson)
         state.setTimeoutTimestamp(
@@ -506,10 +512,7 @@ object EventStreams {
     // (checkpoint recovery is IngestPipelineSpec's kill/restart proof).
     val root = new java.io.File(sys.props("java.io.tmpdir"),
       s"graft_ingest_${java.util.UUID.randomUUID().toString.take(12)}")
-    def rm(p: java.io.File): Unit = {
-      if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
-      p.delete(); ()
-    }
+    val rm = graft.util.Dirs.deleteRecursively _
     val srcDir = s"${root.getAbsolutePath}/in"
     val outDir = s"${root.getAbsolutePath}/out"
     val ckDir = s"${root.getAbsolutePath}/ck"
@@ -569,10 +572,7 @@ object EventStreams {
       stratified: Boolean = false): DataFrame = {
     val root = new java.io.File(sys.props("java.io.tmpdir"),
       s"graft_neardup_${java.util.UUID.randomUUID().toString.take(12)}")
-    def rm(p: java.io.File): Unit = {
-      if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
-      p.delete(); ()
-    }
+    val rm = graft.util.Dirs.deleteRecursively _
     val srcDir = s"${root.getAbsolutePath}/in"
     val dropDir = s"${root.getAbsolutePath}/drops"
     val ckDir = s"${root.getAbsolutePath}/ck"

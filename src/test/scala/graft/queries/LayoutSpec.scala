@@ -118,13 +118,7 @@ class LayoutSpec extends SparkSpec
       assert(hiveQ1.toSeq == flatQ1.toSeq,
         "q1_agg must be value-identical on the hive-partitioned layout")
     } finally {
-      def rm(p: java.io.File): Unit = {
-        // listFiles returns null on IO/permission errors — cleanup must
-        // degrade to a best-effort delete, not an NPE
-        if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
-        p.delete(); ()
-      }
-      if (dst.exists()) rm(dst)
+      if (dst.exists()) graft.util.Dirs.deleteRecursively(dst)
     }
   }
 
@@ -143,10 +137,7 @@ class LayoutSpec extends SparkSpec
     // BEFORE decode. This is exactly the mechanism a 100 TB lake relies
     // on for non-partition-column predicates.
     val root = new java.io.File(sys.props("java.io.tmpdir"), "graft_zorder_spec")
-    def rm(p: java.io.File): Unit = {
-      if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rm))
-      p.delete(); ()
-    }
+    val rm = graft.util.Dirs.deleteRecursively _
     try {
       // the lake schema stores the order date as DATE (INT32 + usable
       // min/max stats); a TIMESTAMP written back through Spark defaults to

@@ -113,11 +113,8 @@ object PretrainBuild {
     // executor count. The work dir is keyed by a per-invocation nonce so
     // concurrent driver rounds on the same corpus can never clobber each
     // other's tree, and is deleted after the histogram is taken.
-    val root = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_pretrain_${java.util.UUID.randomUUID().toString.take(12)}")
-    val outDir = new java.io.File(root, "shards").getAbsolutePath
-    val rm = graft.util.Dirs.deleteRecursively _
-    try {
+    graft.util.Dirs.withNonceDir("graft_pretrain_") { root =>
+      val outDir = new java.io.File(root, "shards").getAbsolutePath
       graft.io.TrainingShards.writeParquetShards(
         mixed, keyCol = "fp", path = outDir, nShards = nShards,
         shardFn = graft.io.TrainingShards.assignShardReplayable)
@@ -142,7 +139,7 @@ object PretrainBuild {
         r.getString(3))).toIndexedSeq
       import s.implicits._
       out.toDF("shard", "n_docs", "n_tokens", "min_fp")
-    } finally rm(root)
+    }
   }
 
   val queries: Map[String, Q] = Map(

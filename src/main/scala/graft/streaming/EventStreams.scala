@@ -507,34 +507,33 @@ object EventStreams {
     // Nonce-keyed work dir: two driver rounds benching the same corpus
     // concurrently (a documented scenario) must never wipe each other's
     // checkpoint mid-stream — a corpus-path-keyed dir did exactly that.
-    // The dir is deleted in the finally below, after the bounded
-    // histogram extract; every invocation measures a FULL re-ingest
+    // withNonceDir deletes the tree on every exit path, after the
+    // bounded histogram extract; every invocation measures a FULL
+    // re-ingest
     // (checkpoint recovery is IngestPipelineSpec's kill/restart proof).
-    val root = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_ingest_${java.util.UUID.randomUUID().toString.take(12)}")
-    val rm = graft.util.Dirs.deleteRecursively _
-    val srcDir = s"${root.getAbsolutePath}/in"
-    val outDir = s"${root.getAbsolutePath}/out"
-    val ckDir = s"${root.getAbsolutePath}/ck"
-    val staged = graft.queries.Dedup.corpusWithDups(s, d)
-      .select(col("doc_id"),
-        timestamp_seconds(lit(1700000000L)).as("ts"), col("text"))
-    staged.repartition(4).write.mode("overwrite").parquet(srcDir)
-    val schema = s.read.parquet(srcDir).schema
-    // Scope the stream to 8 shuffle partitions: the state-partition count
-    // is fixed at query start from this conf, and each micro-batch commits
-    // one state-store delta + up to nShards sink files PER partition — at
-    // 32 that is 4 batches x 32 commits of per-partition KB-scale state,
-    // pure fixed overhead. The histogram is partition-count-invariant, and
-    // a real deployment sizes state partitions to state volume anyway
-    // (this is the ingest-rate knob's sibling, not a test shortcut). The
-    // checkpoint is wiped above, so the persisted count can never clash.
-    // The session-conf scope is intra-process only: queries in one Verify/
-    // Bench session run sequentially, and a concurrent driver round is a
-    // separate JVM with its own SparkSession (no shared conf to race).
-    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    graft.util.Dirs.withNonceDir("graft_ingest_") { root =>
+      val srcDir = s"${root.getAbsolutePath}/in"
+      val outDir = s"${root.getAbsolutePath}/out"
+      val ckDir = s"${root.getAbsolutePath}/ck"
+      val staged = graft.queries.Dedup.corpusWithDups(s, d)
+        .select(col("doc_id"),
+          timestamp_seconds(lit(1700000000L)).as("ts"), col("text"))
+      staged.repartition(4).write.mode("overwrite").parquet(srcDir)
+      val schema = s.read.parquet(srcDir).schema
+      // Scope the stream to 8 shuffle partitions: the state-partition
+      // count is fixed at query start from this conf, and each micro-batch
+      // commits one state-store delta + up to nShards sink files PER
+      // partition — at 32 that is 4 batches x 32 commits of per-partition
+      // KB-scale state, pure fixed overhead. The histogram is
+      // partition-count-invariant, and a real deployment sizes state
+      // partitions to state volume anyway (this is the ingest-rate knob's
+      // sibling, not a test shortcut). The checkpoint dir is nonce-fresh,
+      // so the persisted count can never clash. The session-conf scope is
+      // intra-process only: queries in one Verify/Bench session run
+      // sequentially, and a concurrent driver round is a separate JVM
+      // with its own SparkSession (no shared conf to race).
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
       try {
         val q = ingestDocsToShards(s, srcDir, schema, outDir, ckDir, nShards,
           availableNow = true,
@@ -551,7 +550,7 @@ object EventStreams {
         .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toIndexedSeq
       import s.implicits._
       hist.toDF("shard", "n_docs", "min_fp")
-    } finally rm(root)
+    }
   }
 
   /** `st_neardup_ingest`: the streaming NEAR-dup pipeline as a corpus
@@ -570,45 +569,42 @@ object EventStreams {
   private def nearDupLedger(
       s: org.apache.spark.sql.SparkSession, d: String,
       stratified: Boolean = false): DataFrame = {
-    val root = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_neardup_${java.util.UUID.randomUUID().toString.take(12)}")
-    val rm = graft.util.Dirs.deleteRecursively _
-    val srcDir = s"${root.getAbsolutePath}/in"
-    val dropDir = s"${root.getAbsolutePath}/drops"
-    val ckDir = s"${root.getAbsolutePath}/ck"
-    val t0 = 1700000000L
-    val staged = graft.queries.Dedup.corpusWithDups(s, d, stratified)
-      .select(col("doc_id"), timestamp_seconds(lit(t0)).as("ts"),
-        col("text"), col("lang"))
-    staged.repartition(2).write.mode("overwrite").parquet(srcDir)
-    // two sentinels, single LAST-MODIFIED files directly under the source
-    // dir (the file source does not recurse into non-partition
-    // subdirectories): their late event times advance the watermark past
-    // t0 so bucket timeouts become eligible; the closures then fire in
-    // the sentinel batch or the trailing no-data micro-batch AvailableNow
-    // schedules once the watermark moves (measured both ways; a missing
-    // trailing batch would fail the oracle loudly, not silently). Batch
-    // count is the fixed-overhead knob here — 2 corpus files + one
-    // sentinel batch keeps the entry ~2× cheaper than 1-file-per-trigger
-    // while still exercising cross-batch state accumulation.
-    import s.implicits._
-    for ((off, i) <- Seq(36000L, 72000L).zipWithIndex) {
-      val stage = new java.io.File(root, s"stage_$i")
-      Seq((-1L - i, new Timestamp((t0 + off) * 1000L), "", ""))
-        .toDF("doc_id", "ts", "text", "lang")
-        .coalesce(1).write.mode("overwrite").parquet(stage.getAbsolutePath)
-      val part = Option(stage.listFiles()).getOrElse(Array.empty[java.io.File])
-        .find(_.getName.startsWith("part-"))
-        .getOrElse(throw new IllegalStateException("no sentinel part file"))
-      val dst = new java.io.File(srcDir, s"zz_sentinel_$i.parquet")
-      java.nio.file.Files.move(part.toPath, dst.toPath)
-      dst.setLastModified(System.currentTimeMillis() + (i + 1) * 60000L)
-      rm(stage)
-    }
-    val schema = s.read.parquet(srcDir).schema
-    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    graft.util.Dirs.withNonceDir("graft_neardup_") { root =>
+      val srcDir = s"${root.getAbsolutePath}/in"
+      val dropDir = s"${root.getAbsolutePath}/drops"
+      val ckDir = s"${root.getAbsolutePath}/ck"
+      val t0 = 1700000000L
+      val staged = graft.queries.Dedup.corpusWithDups(s, d, stratified)
+        .select(col("doc_id"), timestamp_seconds(lit(t0)).as("ts"),
+          col("text"), col("lang"))
+      staged.repartition(2).write.mode("overwrite").parquet(srcDir)
+      // two sentinels, single LAST-MODIFIED files directly under the source
+      // dir (the file source does not recurse into non-partition
+      // subdirectories): their late event times advance the watermark past
+      // t0 so bucket timeouts become eligible; the closures then fire in
+      // the sentinel batch or the trailing no-data micro-batch AvailableNow
+      // schedules once the watermark moves (measured both ways; a missing
+      // trailing batch would fail the oracle loudly, not silently). Batch
+      // count is the fixed-overhead knob here — 2 corpus files + one
+      // sentinel batch keeps the entry ~2× cheaper than 1-file-per-trigger
+      // while still exercising cross-batch state accumulation.
+      import s.implicits._
+      for ((off, i) <- Seq(36000L, 72000L).zipWithIndex) {
+        val stage = new java.io.File(root, s"stage_$i")
+        Seq((-1L - i, new Timestamp((t0 + off) * 1000L), "", ""))
+          .toDF("doc_id", "ts", "text", "lang")
+          .coalesce(1).write.mode("overwrite").parquet(stage.getAbsolutePath)
+        val part = Option(stage.listFiles()).getOrElse(Array.empty[java.io.File])
+          .find(_.getName.startsWith("part-"))
+          .getOrElse(throw new IllegalStateException("no sentinel part file"))
+        val dst = new java.io.File(srcDir, s"zz_sentinel_$i.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(System.currentTimeMillis() + (i + 1) * 60000L)
+        graft.util.Dirs.deleteRecursively(stage)
+      }
+      val schema = s.read.parquet(srcDir).schema
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
       try {
         val src = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", 2)
@@ -639,7 +635,7 @@ object EventStreams {
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
         .toIndexedSeq
       hist.toDF("lang", "n_docs", "n_dropped", "n_kept")
-    } finally rm(root)
+    }
   }
 
   val queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] =

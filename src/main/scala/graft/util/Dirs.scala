@@ -16,4 +16,17 @@ object Dirs {
     if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(deleteRecursively))
     p.delete(); ()
   }
+
+  /** Nonce-keyed work dir scope: creates a fresh
+    * `tmpdir/<prefix><12-hex-nonce>` name (never colliding with a
+    * concurrent driver round on the same corpus — the reason these dirs
+    * are nonce-keyed at all), runs `f` on it, and deletes the tree on
+    * every exit path. Wrapping the WHOLE body — staging writes included —
+    * is deliberate: a failure while staging must not leak the dir either.
+    */
+  def withNonceDir[A](prefix: String)(f: java.io.File => A): A = {
+    val root = new java.io.File(sys.props("java.io.tmpdir"),
+      s"$prefix${java.util.UUID.randomUUID().toString.take(12)}")
+    try f(root) finally deleteRecursively(root)
+  }
 }

@@ -84,4 +84,95 @@ class NearDupStreamSpec extends SparkSpec {
       "the state-store provider must be a pure storage swap")
     assert(streamed.map(_._3).sum > 0, "planted twins must produce drops")
   }
+
+  test("nearDupDropStream: stop mid-stream, resume from checkpoint — same ledger") {
+    // The IngestPipelineSpec discipline applied to the STATEFUL-TIMEOUT
+    // pipeline: recovery must restore not just source offsets and sink
+    // manifest but the flatMapGroupsWithState band-bucket state — member
+    // lists, the lifetime maxTs carried in state, and the REGISTERED
+    // event-time timeouts — so buckets accumulated before the kill still
+    // close and vote correctly after the restart.
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val root = java.nio.file.Files.createTempDirectory("neardup-e2e").toString
+    val srcDir = s"$root/in"
+    val dropDir = s"$root/drops"
+    val ckDir = s"$root/ck"
+    val t0 = 1700000000L
+    val staged = graft.queries.Dedup.corpusWithDups(spark, sf)
+      .select(col("doc_id"), timestamp_seconds(lit(t0)).as("ts"),
+        col("text"), col("lang"))
+    // 8 corpus files × maxFilesPerTrigger=1 → 8 micro-batches to
+    // interrupt between, before the late sentinels arrive
+    staged.repartitionByRange(8, col("doc_id"))
+      .write.mode("overwrite").parquet(srcDir)
+    // two watermark sentinels, staged LAST by mtime (the nearDupLedger
+    // device): their late event times push the watermark past t0 so
+    // every band bucket becomes closable
+    import spark.implicits._
+    for ((off, i) <- Seq(36000L, 72000L).zipWithIndex) {
+      val stage = new java.io.File(root, s"stage_$i")
+      Seq((-1L - i, new java.sql.Timestamp((t0 + off) * 1000L), "", ""))
+        .toDF("doc_id", "ts", "text", "lang")
+        .coalesce(1).write.mode("overwrite").parquet(stage.getAbsolutePath)
+      val part = Option(stage.listFiles()).getOrElse(Array.empty[java.io.File])
+        .find(_.getName.startsWith("part-"))
+        .getOrElse(fail("no sentinel part file"))
+      val dst = new java.io.File(srcDir, s"zz_sentinel_$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(System.currentTimeMillis() + (i + 1) * 60000L)
+      graft.util.Dirs.deleteRecursively(stage)
+    }
+    val schema = spark.read.parquet(srcDir).schema
+    def start(availableNow: Boolean) = {
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      val w = EventStreams.nearDupDropStream(src.withWatermark("ts", "2 hours"))
+        .writeStream.format("parquet")
+        .option("path", dropDir)
+        .option("checkpointLocation", ckDir)
+        .outputMode(OutputMode.Append)
+      (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
+    }
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      // phase 1: stop at the first committed micro-batch — the in-process
+      // equivalent of killing the job with most of the corpus unread and
+      // every bucket's timeout still pending in the state store
+      val q1 = start(availableNow = false)
+      try {
+        val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+        while (!q1.recentProgress.exists(_.numInputRows > 0) &&
+            System.nanoTime() < deadline) Thread.sleep(50)
+        assert(q1.recentProgress.exists(_.numInputRows > 0),
+          "stream made no progress within the deadline")
+      } finally q1.stop()
+      q1.awaitTermination()
+
+      // phase 2: restart from the SAME checkpoint and drain everything
+      val q2 = start(availableNow = true)
+      q2.awaitTermination()
+      assert(q2.recentProgress.exists(_.numInputRows > 0),
+        "the restart must process the files the kill left unread")
+
+      // committed drops → per-lang ledger, against the batch rule
+      val drops = spark.read.schema("doc_id BIGINT").parquet(dropDir)
+        .select(col("doc_id")).distinct().withColumnRenamed("doc_id", "did")
+      val ledger = graft.queries.Dedup.corpusWithDups(spark, sf)
+        .select(col("doc_id"), col("lang"))
+        .join(drops, col("doc_id") === col("did"), "left")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("did").isNotNull, 1L).otherwise(0L)).cast("bigint").as("n_dropped"),
+          sum(when(col("did").isNull, 1L).otherwise(0L)).cast("bigint").as("n_kept"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq.sortBy(_._1)
+      assert(ledger == batchLedger,
+        s"post-restart ledger must equal the batch rule:\n$ledger\nvs\n$batchLedger")
+      assert(ledger.map(_._3).sum > 0, "planted twins must produce drops")
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      graft.util.Dirs.deleteRecursively(new java.io.File(root))
+    }
+  }
 }

@@ -553,6 +553,38 @@ object EventStreams {
     }
   }
 
+  /** Stage watermark SENTINELS: single LAST-MODIFIED files directly
+    * under the source dir (the file source does not recurse into
+    * non-partition subdirectories), one per offset. Their late event
+    * times advance the watermark past t0 so bucket timeouts become
+    * eligible; the closures then fire in the sentinel batch or the
+    * trailing no-data micro-batch AvailableNow schedules once the
+    * watermark moves (measured both ways; a missing trailing batch
+    * would fail the oracle loudly, not silently). ONE body for the
+    * corpus query and the kill/restart spec — the sentinel scheme
+    * (offsets, mtime ordering, negative-id convention) must never
+    * drift between them.
+    */
+  private[streaming] def stageWatermarkSentinels(
+      s: org.apache.spark.sql.SparkSession, root: java.io.File,
+      srcDir: String, t0: Long,
+      offs: Seq[Long] = Seq(36000L, 72000L)): Unit = {
+    import s.implicits._
+    for ((off, i) <- offs.zipWithIndex) {
+      val stage = new java.io.File(root, s"stage_$i")
+      Seq((-1L - i, new Timestamp((t0 + off) * 1000L), "", ""))
+        .toDF("doc_id", "ts", "text", "lang")
+        .coalesce(1).write.mode("overwrite").parquet(stage.getAbsolutePath)
+      val part = Option(stage.listFiles()).getOrElse(Array.empty[java.io.File])
+        .find(_.getName.startsWith("part-"))
+        .getOrElse(throw new IllegalStateException("no sentinel part file"))
+      val dst = new java.io.File(srcDir, s"zz_sentinel_$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(System.currentTimeMillis() + (i + 1) * 60000L)
+      graft.util.Dirs.deleteRecursively(stage)
+    }
+  }
+
   /** `st_neardup_ingest`: the streaming NEAR-dup pipeline as a corpus
     * query — stage the dup corpus as parquet files plus two LATE
     * event-time sentinels (staged last, so the watermark passes the
@@ -577,31 +609,13 @@ object EventStreams {
       val staged = graft.queries.Dedup.corpusWithDups(s, d, stratified)
         .select(col("doc_id"), timestamp_seconds(lit(t0)).as("ts"),
           col("text"), col("lang"))
+      // batch count is the fixed-overhead knob (one state-store delta
+      // commit per partition per micro-batch): 2 corpus files +
+      // maxFilesPerTrigger=2 → one corpus batch + one sentinel batch,
+      // ~2× cheaper than 1-file-per-trigger while still exercising
+      // cross-batch state accumulation
       staged.repartition(2).write.mode("overwrite").parquet(srcDir)
-      // two sentinels, single LAST-MODIFIED files directly under the source
-      // dir (the file source does not recurse into non-partition
-      // subdirectories): their late event times advance the watermark past
-      // t0 so bucket timeouts become eligible; the closures then fire in
-      // the sentinel batch or the trailing no-data micro-batch AvailableNow
-      // schedules once the watermark moves (measured both ways; a missing
-      // trailing batch would fail the oracle loudly, not silently). Batch
-      // count is the fixed-overhead knob here — 2 corpus files + one
-      // sentinel batch keeps the entry ~2× cheaper than 1-file-per-trigger
-      // while still exercising cross-batch state accumulation.
-      import s.implicits._
-      for ((off, i) <- Seq(36000L, 72000L).zipWithIndex) {
-        val stage = new java.io.File(root, s"stage_$i")
-        Seq((-1L - i, new Timestamp((t0 + off) * 1000L), "", ""))
-          .toDF("doc_id", "ts", "text", "lang")
-          .coalesce(1).write.mode("overwrite").parquet(stage.getAbsolutePath)
-        val part = Option(stage.listFiles()).getOrElse(Array.empty[java.io.File])
-          .find(_.getName.startsWith("part-"))
-          .getOrElse(throw new IllegalStateException("no sentinel part file"))
-        val dst = new java.io.File(srcDir, s"zz_sentinel_$i.parquet")
-        java.nio.file.Files.move(part.toPath, dst.toPath)
-        dst.setLastModified(System.currentTimeMillis() + (i + 1) * 60000L)
-        graft.util.Dirs.deleteRecursively(stage)
-      }
+      stageWatermarkSentinels(s, root, srcDir, t0)
       val schema = s.read.parquet(srcDir).schema
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
@@ -634,6 +648,7 @@ object EventStreams {
         .collect()
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
         .toIndexedSeq
+      import s.implicits._
       hist.toDF("lang", "n_docs", "n_dropped", "n_kept")
     }
   }

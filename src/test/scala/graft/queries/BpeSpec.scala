@@ -79,7 +79,7 @@ class BpeSpec extends SparkSpec {
     // referee: word counts the same way (whitespace split of trimmed text)
     val wordCounts = Tables.t(spark, sf, "documents")
       .select("text").collect().iterator
-      .flatMap(_.getString(0).trim.split("[ \t\n\f\r]+"))
+      .flatMap(_.getString(0).trim.split(Text.wsRe))
       .filter(_.nonEmpty)
       .foldLeft(Map.empty[String, Long]) { (m, w) => m.updated(w, m.getOrElse(w, 0L) + 1) }
     val (merges, _) = trainReferee(wordCounts, 5)
@@ -131,9 +131,7 @@ class BpeSpec extends SparkSpec {
     // textbook greedy disagree; 5× "abcdefgh" keeps all 5 unrolled
     // iterations non-empty (iterations 2–4 consume the z-word down to
     // one symbol, iteration 5 falls to "a b")
-    val root = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_bpespec_${java.util.UUID.randomUUID().toString.take(12)}")
-    try {
+    graft.util.Dirs.withNonceDir("graft_bpespec_") { root =>
       import spark.implicits._
       val docs = Seq(
         (1L, "en", Seq.fill(12)("zzzzzzzz").mkString(" ")),
@@ -166,8 +164,6 @@ class BpeSpec extends SparkSpec {
       assert(row.getAs[Double]("fertility") ==
         BigDecimal(expBpe.toDouble / expWords)
           .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
-    } finally {
-      if (root.exists()) graft.util.Dirs.deleteRecursively(root)
     }
   }
 }

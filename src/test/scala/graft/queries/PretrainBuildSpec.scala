@@ -13,16 +13,9 @@ class PretrainBuildSpec extends SparkSpec {
 
   private val sf = TestSpark.sf0001
 
-  private def nonceDirs(prefix: String): Set[String] =
-    Option(new java.io.File(sys.props("java.io.tmpdir")).listFiles())
-      .getOrElse(Array.empty)
-      .collect { case f if f.getName.startsWith(prefix) => f.getName }.toSet
-
   test("c_pretrain_build: histogram respects every stage's bound; work dir cleaned") {
-    // snapshot/diff, not a global-empty assertion: a CONCURRENT driver
-    // round's in-flight nonce dir (a supported scenario) must not fail
-    // this suite — only a dir leaked by THIS invocation counts
-    val before = nonceDirs("graft_pretrain_")
+    // snapshot/diff, not a global-empty assertion (tolerances in TestDirs)
+    val before = graft.TestDirs.nonceDirs("graft_pretrain_")
     val r = PretrainBuild.queries("c_pretrain_build")(spark, sf).collect()
     assert(r.nonEmpty && r.length <= 7, "at most nShards=7 histogram rows")
     val shards = r.map(_.getAs[Long]("shard"))
@@ -45,7 +38,7 @@ class PretrainBuildSpec extends SparkSpec {
       .select(md5(Text.normText(col("text")))).distinct().count()
     assert(r.map(_.getAs[Long]("n_docs")).sum <= distinctContents)
     // the nonce-keyed work dir must not survive the build (success path)
-    val leftover = nonceDirs("graft_pretrain_") -- before
+    val leftover = graft.TestDirs.nonceDirs("graft_pretrain_") -- before
     assert(leftover.isEmpty,
       s"work dirs left behind by this run: ${leftover.mkString(",")}")
   }

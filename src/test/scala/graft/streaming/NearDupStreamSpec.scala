@@ -18,7 +18,7 @@ class NearDupStreamSpec extends SparkSpec {
     * dropped = distinct greater-side ids of the est ≥ 0.7 pair listing
     * (nearDupDropStream's own batch branch), ledgered per language.
     */
-  private def batchLedger: Seq[(String, Long, Long, Long)] = {
+  private lazy val batchLedger: Seq[(String, Long, Long, Long)] = {
     val corpus = graft.queries.Dedup.corpusWithDups(spark, sf)
     val drops = EventStreams.nearDupDropStream(
         corpus.withColumn("ts", timestamp_seconds(lit(1700000000L))))
@@ -34,13 +34,8 @@ class NearDupStreamSpec extends SparkSpec {
   }
 
   test("st_neardup_ingest: live stream ledger equals the batch pair-listing rule") {
-    // snapshot/diff for the cleanup check: a concurrent driver round's
-    // in-flight nonce dir (a supported scenario) must not fail this suite
-    def nonceDirs: Set[String] =
-      Option(new java.io.File(sys.props("java.io.tmpdir")).listFiles())
-        .getOrElse(Array.empty)
-        .collect { case f if f.getName.startsWith("graft_neardup_") => f.getName }
-        .toSet
+    // snapshot/diff for the cleanup check (tolerances in TestDirs)
+    def nonceDirs = graft.TestDirs.nonceDirs("graft_neardup_")
     val before = nonceDirs
     val streamed = EventStreams.queries("st_neardup_ingest")(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
@@ -105,23 +100,10 @@ class NearDupStreamSpec extends SparkSpec {
     // interrupt between, before the late sentinels arrive
     staged.repartitionByRange(8, col("doc_id"))
       .write.mode("overwrite").parquet(srcDir)
-    // two watermark sentinels, staged LAST by mtime (the nearDupLedger
-    // device): their late event times push the watermark past t0 so
-    // every band bucket becomes closable
-    import spark.implicits._
-    for ((off, i) <- Seq(36000L, 72000L).zipWithIndex) {
-      val stage = new java.io.File(root, s"stage_$i")
-      Seq((-1L - i, new java.sql.Timestamp((t0 + off) * 1000L), "", ""))
-        .toDF("doc_id", "ts", "text", "lang")
-        .coalesce(1).write.mode("overwrite").parquet(stage.getAbsolutePath)
-      val part = Option(stage.listFiles()).getOrElse(Array.empty[java.io.File])
-        .find(_.getName.startsWith("part-"))
-        .getOrElse(fail("no sentinel part file"))
-      val dst = new java.io.File(srcDir, s"zz_sentinel_$i.parquet")
-      java.nio.file.Files.move(part.toPath, dst.toPath)
-      dst.setLastModified(System.currentTimeMillis() + (i + 1) * 60000L)
-      graft.util.Dirs.deleteRecursively(stage)
-    }
+    // the SAME sentinel scheme as the production corpus entry — one
+    // body (EventStreams.stageWatermarkSentinels), so the spec can
+    // never drift from the path it certifies
+    EventStreams.stageWatermarkSentinels(spark, new java.io.File(root), srcDir, t0)
     val schema = spark.read.parquet(srcDir).schema
     def start(availableNow: Boolean) = {
       val src = spark.readStream.schema(schema)

@@ -164,9 +164,14 @@ object Relational {
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
 
     "q_cube" -> ((s, d) =>
+      // exact integer-cent accumulation (the q1_agg class): the grand-
+      // total cell re-sums every order — 3.75e12 cents at sf10, where a
+      // double sum's rounded cent flips with summation order
       t(s, d, "orders")
         .cube("o_orderstatus", "o_orderpriority")
-        .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("sum_price"))
+        .agg(count(lit(1)).as("cnt"),
+          (sum(round(col("o_totalprice") * 100).cast("bigint"))
+            .cast("double") / 100.0).as("sum_price"))
         .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))),
 
     // Ranked top-3 per group; unique tiebreak key keeps it deterministic.
@@ -464,16 +469,20 @@ object Relational {
       val o = t(s, d, "orders").select(col("o_orderpriority").as("prio"),
         col("o_totalprice").as("price"),
         (col("o_orderdate").cast("date") < lit("1996-01-01").cast("date")).as("is_old"))
+      // partial sums carry exact integer cents (the q1_agg class:
+      // priority-level sums reach 7.5e11 at sf10, summation-order-
+      // dependent as doubles); min/max merge is exact in any type
       def state(df: org.apache.spark.sql.DataFrame) = df.groupBy("prio").agg(
-        count(lit(1)).as("n"), sum("price").as("s"),
+        count(lit(1)).as("n"),
+        sum(round(col("price") * 100).cast("bigint")).as("sc"),
         min("price").as("mn"), max("price").as("mx"))
       val merged = state(o.filter(col("is_old")))
         .unionByName(state(o.filter(!col("is_old"))))
         .groupBy("prio").agg(
-          sum("n").as("n_orders"), sum("s").as("sum_price"),
+          sum("n").as("n_orders"), sum("sc").as("sum_c"),
           min("mn").as("min_price"), max("mx").as("max_price"))
       merged.select(col("prio"), col("n_orders").cast("bigint").as("n_orders"),
-        round(col("sum_price"), 2).as("sum_price"),
+        (col("sum_c").cast("double") / 100.0).as("sum_price"),
         round(col("min_price"), 2).as("min_price"),
         round(col("max_price"), 2).as("max_price"))
         .orderBy("prio")
@@ -1039,7 +1048,7 @@ object Relational {
     // the oracle IS the full recompute: merged partial state must equal it
     "q_incr_agg" ->
       """SELECT o_orderpriority AS prio, CAST(count(*) AS BIGINT) AS n_orders,
-        |round(sum(o_totalprice), 2) AS sum_price,
+        |CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_price,
         |round(min(o_totalprice), 2) AS min_price,
         |round(max(o_totalprice), 2) AS max_price
         |FROM orders GROUP BY 1 ORDER BY prio""".stripMargin,
@@ -1160,7 +1169,8 @@ object Relational {
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
     "q_cube" ->
-      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt, round(sum(o_totalprice),2) AS sum_price
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+        |CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_price
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
     "q_window_rank" ->

@@ -29,6 +29,14 @@ con.execute(f"SET max_temp_directory_size='{spill_cap}'")
 ram_gb = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES") // 2**30
 mem_cap = os.environ.get("ORACLE_MEM_CAP", f"{max(1, min(48, ram_gb * 2 // 5))}GiB")
 con.execute(f"SET memory_limit='{mem_cap}'")
+# Thread knob: some replays (recursive-CTE Lloyd over sf10-scale array
+# columns) allocate per-thread intermediates that escape DuckDB's
+# memory accounting — the s_kmeans sf10 replay OOM-killed the process
+# at 130 GB RSS under a 40 GiB memory_limit. Fewer threads bounds the
+# unaccounted share; override for one-off scale gates.
+threads = os.environ.get("ORACLE_THREADS")
+if threads:
+    con.execute(f"SET threads={int(threads)}")
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
     p = f"{sf_dir}/{t}.parquet"

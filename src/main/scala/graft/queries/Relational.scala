@@ -291,10 +291,13 @@ object Relational {
     // Pivot: status columns per priority (conditional-aggregation form —
     // fixed value list, so no extra distinct-values job at scale).
     "q_pivot" -> ((s, d) =>
+      // exact integer-cent cells (the q1_agg class: 15 cells re-sum the
+      // whole orders table — 1e12 cents per cell at sf10)
       t(s, d, "orders")
         .groupBy("o_orderpriority")
         .pivot("o_orderstatus", Seq("F", "O", "P"))
-        .agg(round(sum("o_totalprice"), 2))
+        .agg(sum(round(col("o_totalprice") * 100).cast("bigint"))
+          .cast("double") / 100.0)
         .orderBy("o_orderpriority")),
 
     // Exact percentiles (median / p90) per group — single-pass sort-based
@@ -1237,9 +1240,9 @@ object Relational {
         |SELECT n_within, count(*) AS n_orders FROM c GROUP BY 1 ORDER BY n_within""".stripMargin,
     "q_pivot" ->
       """SELECT o_orderpriority,
-        |round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END),2) AS "F",
-        |round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END),2) AS "O",
-        |round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END),2) AS "P"
+        |CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS BIGINT) / 100.0 AS "F",
+        |CAST(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS BIGINT) / 100.0 AS "O",
+        |CAST(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS BIGINT) / 100.0 AS "P"
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_intersect" ->
       """SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'MACHINERY'

@@ -893,6 +893,60 @@ object Curation {
         .orderBy("lang")
     }),
 
+    // Hashing-trick n-gram logistic scorer — the VOCAB-FREE upgrade over
+    // c_quality_classifier's three hand features: a fastText-shaped
+    // linear model over hashed bag-of-{1,2}-grams (Weinberger et al.
+    // 2009). Every word and word-bigram hashes into one of 1024 buckets
+    // (md5-48 % 1024 — no vocabulary table, so the model is O(buckets)
+    // regardless of corpus size; THE property that lets a linear filter
+    // ride along a 100 TB scan with zero joins); bucket weights are a
+    // deterministic shipped model (md5-48 of "w|<bucket>" % 2001 − 1000 —
+    // integer weights standing in for trained ones; swapping in real
+    // weights is a literal-table change, the plan is identical). The
+    // per-doc score is sigmoid(8·Σw / (1000·n_feats)): Σw is an exact
+    // BIGINT sum — order-INdependent, unlike a double dot product — so
+    // the only cross-engine float boundary is one division + exp, handled
+    // by the 6-dp round; per-doc scores are then carried as exact ppm
+    // INTEGERS so the per-lang average is an exact integer sum divided
+    // once (no order-dependent double accumulation across millions of
+    // docs — the q1_agg integer-cent discipline applied to model scores).
+    // Plan: narrow map → explode (uni+bi grams stay in their doc's
+    // partition) → one partially-aggregated groupBy(doc) → one bounded
+    // groupBy(lang). No UDFs, no joins, no windows.
+    "c_hashed_ngram_lr" -> ((s, d) => {
+      val toks = filter(Text.tokens(lower(col("text"))), w => length(w) > lit(0))
+      val base = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), toks.as("sp"))
+        .filter(size(col("sp")) >= 1)
+      val uni = base.select(col("doc_id"), col("lang"), explode(col("sp")).as("f"))
+      val bi = base.filter(size(col("sp")) >= 2)
+        .select(col("doc_id"), col("lang"), explode(expr(
+          "transform(sequence(0, size(sp) - 2), i -> concat(sp[i], ' ', sp[i+1]))"))
+          .as("f"))
+      val bucket = pmod(
+        conv(substring(md5(col("f")), 1, 12), 16, 10).cast("bigint"), lit(1024L))
+      val w = conv(substring(md5(concat(lit("w|"), col("bucket").cast("string"))),
+        1, 12), 16, 10).cast("bigint") % 2001L - 1000L
+      val perDoc = uni.unionByName(bi)
+        .select(col("doc_id"), col("lang"), bucket.as("bucket"))
+        .select(col("doc_id"), col("lang"), w.as("w"))
+        .groupBy("doc_id", "lang")
+        .agg(sum("w").as("sw"), count(lit(1)).as("nf"))
+      val score = round(lit(1.0) / (lit(1.0) +
+        exp(-((lit(8.0) * col("sw")) / (lit(1000.0) * col("nf"))))), 6)
+      perDoc.select(col("lang"),
+          round(score * lit(1000000.0)).cast("bigint").as("ppm"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          round((sum("ppm").cast("double") / count(lit(1))) / lit(1000000.0), 6)
+            .as("avg_score"),
+          sum(when(col("ppm") >= 500000L, 1L).otherwise(0L)).cast("bigint")
+            .as("n_keep"))
+        .select(col("lang"), col("n_docs"), col("avg_score"), col("n_keep"),
+          round(col("n_keep") / col("n_docs"), 4).as("keep_share"))
+        .orderBy("lang")
+    }),
+
     // Corpus novelty decay — for each ingestion decile (by doc_id, the
     // arrival order), what fraction of a document's distinct word
     // trigrams was NEVER seen in any earlier document? The curve every
@@ -1515,6 +1569,40 @@ object Curation {
         |SELECT lang, count(*) AS n_docs, round(avg(score), 6) AS avg_score,
         |  CAST(sum(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
         |  round(sum(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END)
+        |        / CAST(count(*) AS DOUBLE), 4) AS keep_share
+        |FROM sc GROUP BY lang ORDER BY lang""".stripMargin,
+    // same hashed features, same integer weight draw, same exact-integer
+    // Σw and ppm accumulation; the only float ops are the one division,
+    // exp, and the 6-dp round — identical IEEE sequences both engines
+    "c_hashed_ngram_lr" ->
+      """WITH base AS MATERIALIZED (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+'),
+        |                x -> len(x) > 0) AS sp
+        |  FROM documents),
+        |b2 AS (SELECT doc_id, lang, sp FROM base WHERE len(sp) >= 1),
+        |uni AS (SELECT doc_id, lang, unnest(sp) AS f FROM b2),
+        |bi AS (SELECT doc_id, lang,
+        |         unnest(list_transform(range(1, len(sp)),
+        |           i -> sp[CAST(i AS INT)] || ' ' || sp[CAST(i AS INT) + 1])) AS f
+        |       FROM b2 WHERE len(sp) >= 2),
+        |feats AS (SELECT doc_id, lang, f FROM uni
+        |          UNION ALL SELECT doc_id, lang, f FROM bi),
+        |fw AS (SELECT doc_id, lang,
+        |         CAST('0x' || substr(md5('w|' || CAST(
+        |           CAST('0x' || substr(md5(f), 1, 12) AS BIGINT) % 1024
+        |           AS VARCHAR)), 1, 12) AS BIGINT) % 2001 - 1000 AS w
+        |       FROM feats),
+        |pd AS (SELECT doc_id, lang, CAST(sum(w) AS BIGINT) AS sw, count(*) AS nf
+        |       FROM fw GROUP BY doc_id, lang),
+        |sc AS (SELECT lang,
+        |         CAST(round(round(1.0 / (1.0 + exp(-((8.0 * sw) / (1000.0 * nf)))), 6)
+        |           * 1000000.0) AS BIGINT) AS ppm
+        |       FROM pd)
+        |SELECT lang, count(*) AS n_docs,
+        |  round((CAST(sum(ppm) AS DOUBLE) / count(*)) / 1000000.0, 6) AS avg_score,
+        |  CAST(sum(CASE WHEN ppm >= 500000 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+        |  round(sum(CASE WHEN ppm >= 500000 THEN 1 ELSE 0 END)
         |        / CAST(count(*) AS DOUBLE), 4) AS keep_share
         |FROM sc GROUP BY lang ORDER BY lang""".stripMargin,
     // same trigrams, same integer decile arithmetic

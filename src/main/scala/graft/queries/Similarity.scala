@@ -503,6 +503,92 @@ object Similarity {
     // timed out.
     "s_pq_topk_s41" -> ((s, d) => pqTopk(s, d, stratified = true)),
 
+    // IVF-PQ with exact refine — the two proven halves COMPOSED into the
+    // index shape a 100 TB deployment actually runs (the FAISS IVFADC
+    // design, Jégou et al. 2011): a coarse quantizer bounds WHICH vectors
+    // are scored (nprobe cells of the s_ivf_topk coarse index — the scan
+    // cost), PQ-ADC bounds HOW MUCH arithmetic each scored vector costs
+    // (M table lookups instead of a 64-dim dot product), and an exact
+    // top-20 refine repairs ADC's quantization error before the final
+    // top-10. Plan at scale: one tiny centroid aggregation, one
+    // broadcast-centroid assignment pass, a broadcast semi-join onto the
+    // nprobe probed cells (only ~nprobe/ncells of the corpus survives —
+    // the IVF point), per-subvector code argmax against a BROADCAST
+    // 8-code × 4-subspace codebook, ADC via a broadcast 32-entry LUT,
+    // TakeOrdered(20), then an exact-cosine rerank of the 20-row
+    // broadcast shortlist. No all-pairs, no unbounded shuffle; codes are
+    // computed only for probed-cell members because this is a one-shot
+    // query — an index BUILD would code every vector once and amortize.
+    // Every discrete decision (cell argmax, probe choice, code argmax,
+    // shortlist cut) is a 9-dp-rounded max-of-struct, so the identical
+    // hierarchy replays in DuckDB; ADC terms sum in fixed m-order and the
+    // refine reuses the s_cosine_topk 4-dp contract. Recall vs the exact
+    // top-10 is asserted in QueriesSelfCheckSpec.
+    "s_ivfpq_topk" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val cos = graft.functions.GraftFunctions.cosineSim _
+      val dotN = graft.functions.GraftFunctions.dotProduct _
+      val nprobe = 3; val M = 4; val sub = 16; val shortlist = 20
+      val emb = t(s, d, "embeddings")
+      val vecMean = graft.functions.VectorMean(64)
+      // coarse quantizer: the s_ivf_topk label-centroid codebook, 9-dp
+      // components (averaging is summation-order-dependent; rounding
+      // makes both engines' assignment inputs bit-identical)
+      val cents = emb.groupBy(col("label").as("cell"))
+        .agg(vecMean(col("embedding")).as("c0"))
+        .select(col("cell"), transform(col("c0"), x => round(x, 9)).as("centroid"))
+      val assigned = emb.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("embedding"), col("cell"),
+          round(cos(col("embedding"), col("centroid")), 9).as("c2c"))
+        .groupBy("vec_id")
+        .agg(first("embedding").as("embedding"),
+          max(struct(col("c2c"), col("cell"))).getField("cell").as("cell"))
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      val probed = cents.crossJoin(broadcast(q))
+        .select(col("cell"), round(cos(col("centroid"), col("qv")), 9).as("qc"))
+        .orderBy(col("qc").desc, col("cell")).limit(nprobe).select("cell")
+      val cand = assigned.filter(col("vec_id") =!= 0)
+        .join(broadcast(probed), "cell")
+      // PQ half: the s_pq_topk global codebook (first 8 vectors'
+      // subvectors = 8 codes × M subspaces), codes argmaxed only for the
+      // probed-cell candidates
+      def subspaces(v: Column, out: String): Column =
+        explode(array((0 until M).map(m =>
+          struct(lit(m).as("m"), slice(v, m * sub + 1, sub).as(out))): _*))
+      val cb = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("code"),
+          subspaces(col("embedding"), "cw").as("x"))
+        .select(col("x.m").as("m"), col("code"), col("x.cw").as("cw"))
+      val codes = cand
+        .select(col("vec_id"), subspaces(col("embedding"), "sv").as("x"))
+        .select(col("vec_id"), col("x.m").as("m"), col("x.sv").as("sv"))
+        .join(broadcast(cb), "m")
+        .select(col("vec_id"), col("m"), col("code"),
+          round(dotN(col("sv"), col("cw")), 9).as("dp"))
+        .groupBy("vec_id", "m")
+        .agg(max(struct(col("dp"), col("code"))).getField("code").as("code"))
+      val qlut = cb.crossJoin(broadcast(q))
+        .select(col("m"), col("code"),
+          round(dotN(slice(col("qv"), col("m") * sub + 1, lit(sub)), col("cw")), 9)
+            .as("qd"))
+      val short = codes.join(broadcast(qlut), Seq("m", "code"))
+        .groupBy("vec_id")
+        .agg(max(when(col("m") === 0, col("qd"))).as("d0"),
+          max(when(col("m") === 1, col("qd"))).as("d1"),
+          max(when(col("m") === 2, col("qd"))).as("d2"),
+          max(when(col("m") === 3, col("qd"))).as("d3"))
+        .select(col("vec_id"),
+          round(col("d0") + col("d1") + col("d2") + col("d3"), 4).as("adc"))
+        .orderBy(col("adc").desc, col("vec_id")).limit(shortlist)
+      cand.select(col("vec_id"), col("embedding"))
+        .join(broadcast(short), "vec_id")
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), col("adc"),
+          round(cos(col("embedding"), col("qv")), 4).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(10)
+    }),
+
     // Maximum-inner-product search via the norm-augmentation reduction
     // (Bachrach et al.: append sqrt(M² − ‖x‖²) to every vector, 0 to the
     // query; COSINE order on the augmented space == inner-product order
@@ -1248,6 +1334,61 @@ object Similarity {
     // ADC lookup join → fixed-order 4-term sum
     "s_pq_topk" -> pqTopkSql("TRUE"),
     "s_pq_topk_s41" -> pqTopkSql(s"vec_id < 8 OR ${stratum41Sql("vec_id")}"),
+    // IVF-PQ composed replay: the s_ivf_topk coarse CTEs (centroids →
+    // 9-dp argmax assignment → nprobe probe) feed the s_pq_topk ADC CTEs
+    // restricted to probed-cell candidates, then the exact refine reranks
+    // the 20-row ADC shortlist — the identical hierarchy of discrete
+    // decisions the Spark plan makes, in the identical rounding order
+    "s_ivfpq_topk" ->
+      """WITH m0 AS (
+        |  SELECT label AS cell, CAST(r.i AS INT) AS pos,
+        |         avg(CAST(embedding[CAST(r.i AS INT) + 1] AS DOUBLE)) AS v
+        |  FROM embeddings, range(64) r(i) GROUP BY label, pos),
+        |c AS (SELECT cell, list(round(v, 9) ORDER BY pos) AS centroid FROM m0 GROUP BY cell),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |scored AS (
+        |  SELECT e.vec_id, e.v, c.cell,
+        |    round(list_dot_product(e.v, c.centroid) /
+        |      (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.centroid, c.centroid))), 9) AS c2c
+        |  FROM e, c),
+        |assign AS (
+        |  SELECT vec_id, any_value(v) AS v,
+        |         (max({'c': c2c, 'cell': cell})).cell AS cell
+        |  FROM scored GROUP BY vec_id),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |probe AS (
+        |  SELECT cell FROM c, q
+        |  ORDER BY round(list_dot_product(centroid, qv) /
+        |    (sqrt(list_dot_product(centroid, centroid)) * sqrt(list_dot_product(qv, qv))), 9) DESC, cell
+        |  LIMIT 3),
+        |cand AS MATERIALIZED (
+        |  SELECT a.vec_id, a.v FROM assign a
+        |  WHERE a.vec_id <> 0 AND a.cell IN (SELECT cell FROM probe)),
+        |ms AS (SELECT CAST(r.i AS INT) AS m FROM range(4) r(i)),
+        |cb AS (SELECT m, CAST(vec_id AS INT) AS code, v[m*16+1 : m*16+16] AS cw
+        |       FROM e, ms WHERE vec_id < 8),
+        |subv AS (SELECT vec_id, m, v[m*16+1 : m*16+16] AS sv FROM cand, ms),
+        |codes AS (
+        |  SELECT vec_id, subv.m,
+        |    (max({'d': round(list_dot_product(sv, cw), 9), 'code': code})).code AS code
+        |  FROM subv JOIN cb ON subv.m = cb.m GROUP BY vec_id, subv.m),
+        |qlut AS (SELECT m, code,
+        |         round(list_dot_product(qv[m*16+1 : m*16+16], cw), 9) AS qd
+        |         FROM cb, q),
+        |adc0 AS (
+        |  SELECT vec_id,
+        |    max(CASE WHEN m = 0 THEN qd END) AS d0,
+        |    max(CASE WHEN m = 1 THEN qd END) AS d1,
+        |    max(CASE WHEN m = 2 THEN qd END) AS d2,
+        |    max(CASE WHEN m = 3 THEN qd END) AS d3
+        |  FROM codes JOIN qlut USING (m, code) GROUP BY vec_id),
+        |short AS (SELECT vec_id, round(d0 + d1 + d2 + d3, 4) AS adc FROM adc0
+        |          ORDER BY adc DESC, vec_id LIMIT 20)
+        |SELECT s.vec_id, s.adc,
+        |  round(list_dot_product(cand.v, q.qv) /
+        |    (sqrt(list_dot_product(cand.v, cand.v)) * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos
+        |FROM short s JOIN cand USING (vec_id), q
+        |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
     // the same augmentation in SQL — bit-identical index-order arithmetic
     // (the equivalence to the PLAIN inner-product top-10 is asserted
     // separately in SelfCheckSpec; the oracle pins the construction)

@@ -75,6 +75,28 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(kept / total - 26.0 / 256) < 0.08)
   }
 
+  test("c_hashed_ngram_lr: scores bounded, keep counts consistent, deterministic") {
+    val a = Curation.queries("c_hashed_ngram_lr")(spark, sf).collect()
+    val b = Curation.queries("c_hashed_ngram_lr")(spark, sf).collect()
+    // the whole chain is md5 draws + exact integer sums: rerunning the
+    // plan must reproduce every row bit-for-bit
+    assert(a.toSeq == b.toSeq)
+    assert(a.nonEmpty)
+    a.foreach { r =>
+      val n = r.getAs[Long]("n_docs"); val k = r.getAs[Long]("n_keep")
+      assert(n > 0 && k >= 0 && k <= n)
+      val avg = r.getAs[Double]("avg_score")
+      assert(avg > 0.0 && avg < 1.0, s"sigmoid scores must stay in (0,1): $avg")
+      assert(math.abs(r.getAs[Double]("keep_share") - k.toDouble / n) < 1e-3)
+    }
+    // md5-derived weights are symmetric around 0, so the corpus must not
+    // collapse to one side of the 0.5 gate (a degenerate all-keep /
+    // all-drop output would mean the feature sum or gain broke)
+    val keep = a.map(_.getAs[Long]("n_keep")).sum.toDouble
+    val tot = a.map(_.getAs[Long]("n_docs")).sum.toDouble
+    assert(keep / tot > 0.05 && keep / tot < 0.95, s"degenerate keep rate ${keep / tot}")
+  }
+
   test("c_stratified_sample: en rate below non-en rate") {
     val r = Curation.queries("c_stratified_sample")(spark, sf).collect()
     val en = r.find(_.getAs[String]("lang") == "en").get.getAs[Double]("rate")

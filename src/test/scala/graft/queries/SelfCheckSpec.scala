@@ -71,6 +71,28 @@ class SelfCheckSpec extends SparkSpec {
       s"PQ recall collapsed: ${exact.intersect(pq).size}/10")
   }
 
+  test("s_ivfpq_topk: refine repairs ADC error inside the probed cells") {
+    import org.apache.spark.sql.functions._
+    val ivfpq = Similarity.queries("s_ivfpq_topk")(spark, sf).collect()
+    assert(ivfpq.length == 10)
+    val ids = ivfpq.map(_.getAs[Long]("vec_id")).toSet
+    assert(ids.size == 10)
+    assert(!ids.contains(0L))
+    // output is ranked by the EXACT refine cosine, descending
+    val coss = ivfpq.map(_.getAs[Double]("cos"))
+    assert(coss.zip(coss.tail).forall { case (a, b) => a >= b })
+    // the refine stage can only reorder within the probed cells, so the
+    // composed index must recall a floor of the exact-rerank IVF top-10
+    // (same coarse quantizer, same nprobe): a collapsed overlap means the
+    // ADC shortlist or the code assignment broke, not codebook quality
+    // (measured 7-10/10 at sf0.001/sf0.01 — ADC's 20-row shortlist keeps
+    // most true top-10 members despite the crude 8-code sample codebook)
+    val ivf = Similarity.queries("s_ivf_topk")(spark, sf)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(ivf.intersect(ids).size >= 4,
+      s"IVF-PQ recall collapsed: ${ivf.intersect(ids).size}/10")
+  }
+
   test("s_mips_topk: augmented-cosine top-10 IS the plain inner-product top-10") {
     import org.apache.spark.sql.functions._
     graft.functions.GraftFunctions.ensureRegistered(spark)

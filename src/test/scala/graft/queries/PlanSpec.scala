@@ -99,6 +99,32 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), "rerank top-k must not full-sort")
   }
 
+  test("s_ivfpq_topk: every join broadcasts; both top-k cuts are TakeOrdered") {
+    val p = plan("s_ivfpq_topk").toString
+    // cell membership, codebook, LUT, shortlist: all broadcast hash joins
+    assert(p.contains("BroadcastHashJoin"), "IVF-PQ joins must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "no shuffle join anywhere — codebook/LUT/shortlist sides are tiny")
+    // ADC shortlist cut and the final refine are TakeOrdered, not sorts
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2,
+      "both the ADC-20 shortlist and the refined top-10 must TakeOrdered")
+  }
+
+  test("c_hashed_ngram_lr: documents scan pruned; map-side partial agg before doc shuffle") {
+    val p = plan("c_hashed_ngram_lr")
+    scans("c_hashed_ngram_lr").foreach { sc =>
+      val cols = sc.schema.fieldNames.toSet
+      assert(cols == Set("doc_id", "text", "lang"),
+        s"documents scan must read exactly doc_id/text/lang: $cols")
+    }
+    // feature rows combine locally (partial HashAggregate below the
+    // doc_id exchange) — the shuffle moves per-doc sums, not per-feature rows
+    val s = p.toString
+    assert(s.contains("HashAggregate"), "feature sum must partial-aggregate")
+    assert(!s.contains("SortMergeJoin") && !s.contains("BroadcastHashJoin"),
+      "scorer is join-free: the hashed model needs no vocabulary join")
+  }
+
   test("m_media_features: documents scan pruned to doc_id before media generation") {
     assert(scanOf("m_media_features", "documents").requiredSchema.fieldNames.toSet ==
       Set("doc_id"))

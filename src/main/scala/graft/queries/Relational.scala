@@ -989,6 +989,107 @@ object Relational {
             .cast("double").as("sum_price"),
           round(avg("o_totalprice"), 4).as("avg_price"))
         .orderBy("o_orderpriority")
+    }),
+
+    // KMV ("bottom-k" / theta) distinct sketch with SET-OPERATION algebra —
+    // the mergeable-summary device for cross-shard cardinality at 100 TB:
+    // each executor ships its k smallest distinct key hashes (a fixed
+    // k-row summary) instead of its raw key set, sketches merge by
+    // keep-k-smallest-of-the-union, and union/intersection cardinalities
+    // come from sketch algebra with NO join over raw keys. Here: distinct
+    // customers of two order-priority segments, their union and their
+    // theta-intersection (θ = min of the segment thetas; common sketch
+    // hashes below θ scale by 2⁴⁸/θ), each next to the exact answer.
+    // Every draw is the repo-standard md5-48 and every estimator is
+    // integer arithmetic ((k−1)·2⁴⁸ div h_k — no float rounding to
+    // discipline), so DuckDB replays the sketch bit-for-bit. A sketch
+    // with fewer than k members IS its key set (θ = 2⁴⁸, estimate =
+    // member count — exact), which keeps the entry green at SFs where a
+    // segment has < k customers. The distinct per segment is the one
+    // data-sized shuffle; each bottom-k is TakeOrderedAndProject (never
+    // a global sort); everything downstream is ≤ 2k rows.
+    "q_kmv_setops" -> ((s, d) => {
+      val P = 281474976710656L // 2^48, the md5-48 draw space
+      val k = 256
+      val pa = "1-URGENT"
+      val pb = "5-LOW"
+      val o = t(s, d, "orders").select("o_orderpriority", "o_custkey")
+      def sketch(p: String): org.apache.spark.sql.DataFrame =
+        o.filter(col("o_orderpriority") === p)
+          .select(col("o_custkey")).distinct()
+          .select(conv(substring(md5(col("o_custkey").cast("string")), 1, 12),
+            16, 10).cast("bigint").as("h"))
+          .orderBy("h").limit(k)
+      // ≤ k rows each; persisted because stats/union/intersection all read
+      // them (Verify/Bench clearCache() after the query's final consumer)
+      val ska = sketch(pa).persist()
+      val skb = sketch(pb).persist()
+      val sku = ska.union(skb).distinct().orderBy("h").limit(k)
+      def stats(sk: org.apache.spark.sql.DataFrame, nc: String, tc: String): org.apache.spark.sql.DataFrame =
+        sk.agg(count(lit(1)).as(nc),
+          // theta: k-th smallest hash when full, else the whole draw space
+          when(count(lit(1)) < k, lit(P)).otherwise(max(col("h"))).as(tc))
+      val ta = stats(ska, "na", "tha")
+      val tb = stats(skb, "nb", "thb")
+      val tu = stats(sku, "nu", "thu")
+      val th = ta.crossJoin(tb).select(least(col("tha"), col("thb")).as("theta"))
+      val common = ska.join(skb, "h").crossJoin(broadcast(th))
+        .filter(col("h") < col("theta"))
+        .agg(count(lit(1)).as("c"))
+      // exact referee: one conditional-distinct pass over the two segments
+      val fl = o.filter(col("o_orderpriority").isin(pa, pb))
+        .groupBy("o_custkey")
+        .agg(max(when(col("o_orderpriority") === pa, 1L).otherwise(0L)).as("fa"),
+          max(when(col("o_orderpriority") === pb, 1L).otherwise(0L)).as("fb"))
+      val ex = fl.agg(sum("fa").as("xa"), sum("fb").as("xb"),
+        count(lit(1)).as("xu"), sum(col("fa") * col("fb")).as("xi"))
+      def est(n: String, hk: String) =
+        when(col(n) < k, col(n)).otherwise(expr(s"(${k - 1}L * ${P}L) div $hk"))
+      ta.crossJoin(tb).crossJoin(tu).crossJoin(th)
+        .crossJoin(common).crossJoin(ex)
+        .select(lit(k.toLong).as("k"),
+          est("na", "tha").as("est_a"), col("xa").cast("bigint").as("exact_a"),
+          est("nb", "thb").as("est_b"), col("xb").cast("bigint").as("exact_b"),
+          est("nu", "thu").as("est_union"), col("xu").as("exact_union"),
+          expr(s"(c * ${P}L) div theta").as("est_inter"),
+          col("xi").cast("bigint").as("exact_inter"))
+    }),
+
+    // Bitmap-index segment overlap — the Druid/ClickHouse audience-overlap
+    // device: per segment, customer presence packs into 63-bit words
+    // (slot = key div 63, bit = key mod 63 — 63 not 64 keeps the sign bit
+    // clear so `1 << bit` is overflow-free on BOTH engines' signed
+    // BIGINT), segment cardinality is Σ popcount(word), and every pairwise
+    // EXACT intersection is Σ popcount(a & b) over a slot-co-partitioned
+    // join of the word tables — the customer dimension is 63× compressed
+    // before any join, and no distinct pair-set ever shuffles. At 100 TB
+    // the word tables are |keys|/63 rows per segment and the pair join is
+    // an equi-join on slot; contrast with the naive distinct-intersect
+    // self-join this replaces. Output: the 10 priority-pair overlaps with
+    // bitmap-derived counts and Jaccard.
+    "q_bitmap_overlap" -> ((s, d) => {
+      // the word table is the 63×-compressed index (|keys|/63 rows per
+      // segment); persisted because totals and both pair-join sides read
+      // it (Verify/Bench clearCache() after the query's final consumer)
+      val w = t(s, d, "orders")
+        .groupBy(col("o_orderpriority").as("p"),
+          expr("o_custkey div 63").as("slot"))
+        .agg(expr("bit_or(shiftleft(1L, cast(o_custkey % 63 as int)))").as("word"))
+        .persist()
+      val n = w.groupBy("p")
+        .agg(sum(expr("bit_count(word)")).cast("bigint").as("n_seg"))
+      val a = w.select(col("p").as("pa"), col("slot").as("slot_a"), col("word").as("wa"))
+      val b = w.select(col("p").as("pb"), col("slot").as("slot_b"), col("word").as("wb"))
+      val pairs = a.join(b, col("slot_a") === col("slot_b") && col("pa") < col("pb"))
+        .groupBy("pa", "pb")
+        .agg(sum(expr("bit_count(wa & wb)")).cast("bigint").as("n_inter"))
+      pairs
+        .join(broadcast(n.select(col("p").as("pa"), col("n_seg").as("n_a"))), "pa")
+        .join(broadcast(n.select(col("p").as("pb"), col("n_seg").as("n_b"))), "pb")
+        .select(col("pa"), col("pb"), col("n_a"), col("n_b"), col("n_inter"),
+          round(col("n_inter").cast("double") /
+            (col("n_a") + col("n_b") - col("n_inter")), 6).as("jaccard"))
+        .orderBy("pa", "pb")
     })
   )
 
@@ -1434,6 +1535,58 @@ object Relational {
         |    AS sum_price,
         |  round(avg(o_totalprice), 4) AS avg_price
         |FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // the identical md5-48 bottom-k sketch and integer theta algebra; a
+    // non-full sketch (n < k) is its key set, theta = 2^48
+    "q_kmv_setops" ->
+      """WITH ha AS (SELECT DISTINCT CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 12)
+        |    AS BIGINT) AS h FROM orders WHERE o_orderpriority = '1-URGENT'),
+        |hb AS (SELECT DISTINCT CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 12)
+        |    AS BIGINT) AS h FROM orders WHERE o_orderpriority = '5-LOW'),
+        |ska AS (SELECT h FROM ha ORDER BY h LIMIT 256),
+        |skb AS (SELECT h FROM hb ORDER BY h LIMIT 256),
+        |sku AS (SELECT h FROM (SELECT h FROM ska UNION SELECT h FROM skb) ORDER BY h LIMIT 256),
+        |ta AS (SELECT count(*) AS n,
+        |  CASE WHEN count(*) < 256 THEN 281474976710656 ELSE max(h) END AS hk FROM ska),
+        |tb AS (SELECT count(*) AS n,
+        |  CASE WHEN count(*) < 256 THEN 281474976710656 ELSE max(h) END AS hk FROM skb),
+        |tu AS (SELECT count(*) AS n,
+        |  CASE WHEN count(*) < 256 THEN 281474976710656 ELSE max(h) END AS hk FROM sku),
+        |th AS (SELECT least(ta.hk, tb.hk) AS theta FROM ta, tb),
+        |cm AS (SELECT count(*) AS c FROM ska JOIN skb USING (h), th WHERE h < theta),
+        |ex AS (SELECT
+        |  count(DISTINCT CASE WHEN o_orderpriority = '1-URGENT' THEN o_custkey END) AS xa,
+        |  count(DISTINCT CASE WHEN o_orderpriority = '5-LOW' THEN o_custkey END) AS xb,
+        |  count(DISTINCT CASE WHEN o_orderpriority IN ('1-URGENT', '5-LOW')
+        |    THEN o_custkey END) AS xu
+        |  FROM orders),
+        |exi AS (SELECT count(*) AS xi FROM
+        |  (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT') a
+        |  JOIN (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '5-LOW') b
+        |  USING (o_custkey))
+        |SELECT CAST(256 AS BIGINT) AS k,
+        |  CASE WHEN ta.n < 256 THEN ta.n ELSE (255 * 281474976710656) // ta.hk END AS est_a,
+        |  xa AS exact_a,
+        |  CASE WHEN tb.n < 256 THEN tb.n ELSE (255 * 281474976710656) // tb.hk END AS est_b,
+        |  xb AS exact_b,
+        |  CASE WHEN tu.n < 256 THEN tu.n ELSE (255 * 281474976710656) // tu.hk END AS est_union,
+        |  xu AS exact_union,
+        |  (cm.c * 281474976710656) // th.theta AS est_inter,
+        |  xi AS exact_inter
+        |FROM ta, tb, tu, th, cm, ex, exi""".stripMargin,
+    // the identical 63-bit word packing (sign bit never set, so signed
+    // BIGINT shifts agree); counts and intersections are popcount sums
+    "q_bitmap_overlap" ->
+      """WITH w AS (SELECT o_orderpriority AS p, o_custkey // 63 AS slot,
+        |    bit_or(1::BIGINT << CAST(o_custkey % 63 AS INT)) AS word
+        |  FROM orders GROUP BY 1, 2),
+        |n AS (SELECT p, CAST(sum(bit_count(word)) AS BIGINT) AS n_seg FROM w GROUP BY p),
+        |pr AS (SELECT a.p AS pa, b.p AS pb,
+        |    CAST(sum(bit_count(a.word & b.word)) AS BIGINT) AS n_inter
+        |  FROM w a JOIN w b ON a.slot = b.slot AND a.p < b.p GROUP BY 1, 2)
+        |SELECT pa, pb, na.n_seg AS n_a, nb.n_seg AS n_b, n_inter,
+        |  round(CAST(n_inter AS DOUBLE) / (na.n_seg + nb.n_seg - n_inter), 6) AS jaccard
+        |FROM pr JOIN n na ON na.p = pa JOIN n nb ON nb.p = pb
+        |ORDER BY pa, pb""".stripMargin
   )
 }

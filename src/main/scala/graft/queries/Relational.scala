@@ -1090,6 +1090,72 @@ object Relational {
           round(col("n_inter").cast("double") /
             (col("n_a") + col("n_b") - col("n_inter")), 6).as("jaccard"))
         .orderBy("pa", "pb")
+    }),
+
+    // Mergeable bottom-k QUANTILE sketch — the KMV idea pointed at ranks
+    // instead of distinct counts: every row draws the repo-standard md5-48
+    // hash of its unique (orderkey, linenumber) key, each SEGMENT (the
+    // merge unit a shard would ship) keeps its k hash-smallest rows as a
+    // uniform value sample, and sketches merge by keep-k-smallest-of-the-
+    // union — so a 1000-executor deployment ships k rows per shard, never
+    // a global sort. Quantile q is read off the merged sample at position
+    // ceil(q·n_s) in (value, h) order; the exact `percentile` referee
+    // (test scaffolding, same pair as q_percentile) sits alongside. The
+    // per-segment bottom-k is NOT a per-segment full sort: a first cheap
+    // count pass sets an integer hash threshold θ_seg = min(P, (4k·P) div
+    // n_seg) whose expected survivor count is 4k, the window ranks only
+    // survivors (O(k) rows per segment), and because the md5 draw is data-
+    // deterministic both engines replay the identical filter — n_sample in
+    // the output (asserted == k in SelfCheckSpec) would expose a
+    // θ-starved sketch. All sketch arithmetic is integer; only the exact
+    // referee column is a (rounded) double.
+    "q_quantile_sketch" -> ((s, d) => {
+      val P = 281474976710656L // 2^48, the md5-48 draw space
+      val k = 256
+      val li = t(s, d, "lineitem").select(
+        col("l_returnflag").as("seg"),
+        expr("cast(round(l_extendedprice * 100) as bigint)").as("cents"),
+        conv(substring(md5(concat_ws("_",
+          col("l_orderkey"), col("l_linenumber"))), 1, 12), 16, 10)
+          .cast("bigint").as("h"))
+      val segN = li.groupBy("seg").agg(count(lit(1)).as("n_seg"))
+        .select(col("seg"),
+          least(lit(P), expr(s"(${4L * k}L * ${P}L) div n_seg")).as("theta"))
+      val wseg = Window.partitionBy("seg").orderBy("h", "cents")
+      val segSk = li.join(broadcast(segN), "seg")
+        .filter(col("h") < col("theta"))
+        .withColumn("rn", row_number().over(wseg)).filter(col("rn") <= k)
+        .select("cents", "h")
+      // merge: k smallest of the ≤ 3k-row union; stats/rank/pick all read it
+      // (Verify/Bench clearCache() after the query's final consumer)
+      val merged = segSk.orderBy("h", "cents").limit(k).persist()
+      val ns = merged.agg(count(lit(1)).as("n_s"))
+      val ranked = merged.withColumn("rn",
+        row_number().over(Window.orderBy("cents", "h"))) // ≤ k literal rows
+      val qs = s.createDataFrame(java.util.Arrays.asList(
+          org.apache.spark.sql.Row(0.25), org.apache.spark.sql.Row(0.5),
+          org.apache.spark.sql.Row(0.9), org.apache.spark.sql.Row(0.99)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("q",
+            org.apache.spark.sql.types.DoubleType, nullable = false))))
+      val exact = t(s, d, "lineitem")
+        .select(expr("cast(round(l_extendedprice * 100) as bigint)").as("cents"))
+        .agg(expr("percentile(cents, 0.25)").as("x25"),
+          expr("percentile(cents, 0.5)").as("x50"),
+          expr("percentile(cents, 0.9)").as("x90"),
+          expr("percentile(cents, 0.99)").as("x99"))
+      qs.crossJoin(broadcast(ns))
+        .withColumn("pos",
+          greatest(lit(1L), ceil(col("q") * col("n_s")).cast("bigint")))
+        .join(ranked, col("rn") === col("pos"))
+        .crossJoin(broadcast(exact))
+        .select(col("q"), col("n_s").as("n_sample"),
+          col("cents").as("est_cents"),
+          round(when(col("q") === 0.25, col("x25"))
+            .when(col("q") === 0.5, col("x50"))
+            .when(col("q") === 0.9, col("x90"))
+            .otherwise(col("x99")), 4).as("exact_cents"))
+        .orderBy("q")
     })
   )
 
@@ -1587,6 +1653,40 @@ object Relational {
         |SELECT pa, pb, na.n_seg AS n_a, nb.n_seg AS n_b, n_inter,
         |  round(CAST(n_inter AS DOUBLE) / (na.n_seg + nb.n_seg - n_inter), 6) AS jaccard
         |FROM pr JOIN n na ON na.p = pa JOIN n nb ON nb.p = pb
-        |ORDER BY pa, pb""".stripMargin
+        |ORDER BY pa, pb""".stripMargin,
+    // identical md5-48 draw, integer theta, (h, cents)-ordered bottom-k
+    // per segment then of the union; quantile_cont is Spark `percentile`'s
+    // exact cross-engine pair (q_percentile precedent)
+    "q_quantile_sketch" ->
+      """WITH li AS MATERIALIZED (
+        |  SELECT l_returnflag AS seg,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+        |    CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '_' ||
+        |      CAST(l_linenumber AS VARCHAR)), 1, 12) AS BIGINT) AS h
+        |  FROM lineitem),
+        |segn AS (SELECT seg,
+        |    least(281474976710656, (1024 * 281474976710656) // count(*)) AS theta
+        |  FROM li GROUP BY seg),
+        |segsk AS (SELECT cents, h FROM (
+        |    SELECT cents, h,
+        |      row_number() OVER (PARTITION BY li.seg ORDER BY h, cents) AS rn
+        |    FROM li JOIN segn ON li.seg = segn.seg WHERE h < theta) f
+        |  WHERE rn <= 256),
+        |merged AS MATERIALIZED (
+        |  SELECT cents, h FROM segsk ORDER BY h, cents LIMIT 256),
+        |ns AS (SELECT count(*) AS n_s FROM merged),
+        |ranked AS (SELECT cents,
+        |    row_number() OVER (ORDER BY cents, h) AS rn FROM merged),
+        |qs AS (SELECT unnest(CAST([0.25, 0.5, 0.9, 0.99] AS DOUBLE[])) AS q),
+        |ex AS (SELECT quantile_cont(cents, 0.25) AS x25,
+        |    quantile_cont(cents, 0.5) AS x50, quantile_cont(cents, 0.9) AS x90,
+        |    quantile_cont(cents, 0.99) AS x99 FROM li)
+        |SELECT q, n_s AS n_sample, cents AS est_cents,
+        |  round(CASE WHEN q = 0.25 THEN x25 WHEN q = 0.5 THEN x50
+        |    WHEN q = 0.9 THEN x90 ELSE x99 END, 4) AS exact_cents
+        |FROM qs CROSS JOIN ns
+        |JOIN ranked ON rn = greatest(1, CAST(ceil(q * n_s) AS BIGINT))
+        |CROSS JOIN ex
+        |ORDER BY q""".stripMargin
   )
 }

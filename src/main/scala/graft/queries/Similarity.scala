@@ -1027,6 +1027,64 @@ object Similarity {
         StructField("vec_id", LongType, nullable = true),
         StructField("rel", DoubleType, nullable = true),
         StructField("mmr", DoubleType, nullable = true))))
+    }),
+
+    // Hybrid retrieval via reciprocal-rank fusion (Cormack et al. 2009):
+    // the lexical tower (BM25, t_bm25_topk's exact discipline: k1=1.2,
+    // b=0.75, the fixed 3-term query) and the dense tower (brute-force
+    // cosine vs query vec 0, s_cosine_topk's discipline) each produce a
+    // top-50 list; fused score = Σ 1/(60 + rank) over the FULL OUTER
+    // union of the lists — the production keyword+embedding search shape.
+    // Each rank orders by the ROUNDED tower score (6 dp lexical, 4 dp
+    // dense) with doc_id tie-break, so ranks — and every fused score, a
+    // sum of two exactly-computed double reciprocals — replay bit-for-bit
+    // in DuckDB. doc 0 (the query's own doc/vector; doc_id ≡ vec_id in
+    // this corpus) is excluded from both towers so the candidate spaces
+    // coincide. Scale: each tower ends in TakeOrderedAndProject(50), the
+    // rank windows run on those literal-50-row panels (WindowBoundSpec),
+    // and the fusion join is 50×50-bounded.
+    "s_hybrid_rrf" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val toks = t(s, d, "documents").filter(col("doc_id") =!= 0)
+        .select(col("doc_id"), Text.tokens(lower(col("text"))).as("sp"))
+      val dl = toks.select(col("doc_id"), size(col("sp")).cast("double").as("dl"))
+      val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+        avg("dl").as("avgdl"))
+      val tf = toks.select(col("doc_id"), explode(col("sp")).as("term"))
+        .filter(col("term").isin("hash", "join", "filter"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).cast("double").as("tf"))
+      val dfreq = tf.groupBy("term")
+        .agg(countDistinct("doc_id").cast("double").as("df"))
+      val idf = dfreq.crossJoin(broadcast(stats))
+        .select(col("term"),
+          expr("ln((n_docs - df + 0.5d) / (df + 0.5d) + 1.0d)").as("idf"))
+      val bm25 = tf.join(dl, "doc_id").join(broadcast(idf), "term")
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"), expr(
+          "idf * tf * 2.2d / (tf + 1.2d * (0.25d + 0.75d * dl / avgdl))")
+          .as("contrib"))
+        .groupBy("doc_id").agg(round(sum("contrib"), 6).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id")).limit(50)
+      val rb = bm25.withColumn("r_bm25",
+          row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))))
+        .select("doc_id", "r_bm25")
+      val emb = t(s, d, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+      val cos = emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(qv))
+        .select(col("vec_id").as("doc_id"),
+          round(graft.functions.GraftFunctions
+            .cosineSim(col("embedding"), col("qvec")), 4).as("cos"))
+        .orderBy(col("cos").desc, col("doc_id")).limit(50)
+      val rc = cos.withColumn("r_cos",
+          row_number().over(Window.orderBy(col("cos").desc, col("doc_id"))))
+        .select("doc_id", "r_cos")
+      rb.join(rc, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"), col("r_bm25"), col("r_cos"),
+          (coalesce(lit(1.0) / (lit(60.0) + col("r_bm25")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60.0) + col("r_cos")), lit(0.0))).as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+        .select(col("doc_id"), col("r_bm25"), col("r_cos"),
+          round(col("rrf"), 6).as("rrf"))
     })
   )
 
@@ -1634,6 +1692,53 @@ object Similarity {
         |  UNION ALL SELECT vec_id, rel, rank, mmr FROM s3
         |  UNION ALL SELECT vec_id, rel, rank, mmr FROM s4
         |  UNION ALL SELECT vec_id, rel, rank, mmr FROM s5)
-        |ORDER BY rank""".stripMargin
+        |ORDER BY rank""".stripMargin,
+    // identical tower CTEs (t_bm25_topk / s_cosine_topk spellings), ranks
+    // over the rounded scores, reciprocals forced to DOUBLE (a bare
+    // 1.0/(60.0+BIGINT) would divide in DECIMAL and drift from Spark)
+    "s_hybrid_rrf" ->
+      """WITH toks AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+') AS sp
+        |  FROM documents WHERE doc_id <> 0),
+        |dl AS MATERIALIZED (SELECT doc_id, CAST(len(sp) AS DOUBLE) AS dl FROM toks),
+        |stats AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |tf AS MATERIALIZED (
+        |  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM (SELECT doc_id, unnest(sp) AS term FROM toks) u
+        |  WHERE term IN ('hash', 'join', 'filter') GROUP BY doc_id, term),
+        |df AS (
+        |  SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+        |  FROM tf GROUP BY term),
+        |idf AS (
+        |  SELECT term, ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) AS idf
+        |  FROM df CROSS JOIN stats),
+        |sc AS (
+        |  SELECT doc_id,
+        |    idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS contrib
+        |  FROM tf JOIN dl USING (doc_id) JOIN idf USING (term) CROSS JOIN stats),
+        |bm AS MATERIALIZED (
+        |  SELECT doc_id, round(sum(contrib), 6) AS bm25 FROM sc GROUP BY doc_id
+        |  ORDER BY bm25 DESC, doc_id LIMIT 50),
+        |rb AS (SELECT doc_id,
+        |    row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_bm25 FROM bm),
+        |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+        |co AS MATERIALIZED (
+        |  SELECT vec_id AS doc_id,
+        |    round(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(qvec AS DOUBLE[])) /
+        |      (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+        |       sqrt(list_dot_product(CAST(qvec AS DOUBLE[]), CAST(qvec AS DOUBLE[])))), 4) AS cos
+        |  FROM embeddings, q WHERE vec_id <> 0
+        |  ORDER BY cos DESC, doc_id LIMIT 50),
+        |rc AS (SELECT doc_id,
+        |    row_number() OVER (ORDER BY cos DESC, doc_id) AS r_cos FROM co),
+        |fused AS (
+        |  SELECT COALESCE(rb.doc_id, rc.doc_id) AS doc_id, r_bm25, r_cos,
+        |    COALESCE(1.0 / (60.0 + CAST(r_bm25 AS DOUBLE)), 0.0) +
+        |    COALESCE(1.0 / (60.0 + CAST(r_cos AS DOUBLE)), 0.0) AS rrf
+        |  FROM rb FULL OUTER JOIN rc ON rb.doc_id = rc.doc_id)
+        |SELECT doc_id, r_bm25, r_cos, round(rrf, 6) AS rrf
+        |FROM fused ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
   )
 }

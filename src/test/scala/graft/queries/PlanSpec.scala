@@ -588,4 +588,28 @@ class PlanSpec extends SparkSpec {
       case w: org.apache.spark.sql.execution.window.WindowExec => w
     }.isEmpty, "CUPED is two aggregates plus broadcast scalars — no windows")
   }
+
+  test("q_quantile_sketch: pruned scans, map-side count, bottom-k is TakeOrdered") {
+    // both lineitem passes (sketch + exact referee) read only needed columns
+    scans("q_quantile_sketch").foreach { sc =>
+      assert(sc.requiredSchema.fieldNames.toSet.subsetOf(
+        Set("l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber")),
+        s"lineitem scan over-reads: ${sc.requiredSchema.fieldNames.mkString(",")}")
+    }
+    val p = plan("q_quantile_sketch").toString
+    // segment counts partial-aggregate before their shuffle
+    assert(p.contains("partial_count"), "theta pass must map-side combine")
+    // the merged keep-k-of-the-union is a limit, never a global sort
+    assert(p.contains("TakeOrderedAndProject(limit=256"),
+      "sketch merge must TakeOrdered, not sort the union")
+  }
+
+  test("s_hybrid_rrf: both tower cuts and the fused cut are TakeOrdered; doc filter pushed") {
+    val p = plan("s_hybrid_rrf").toString
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 3,
+      "bm25 top-50, cosine top-50 and fused top-10 must all TakeOrdered")
+    // the query-doc exclusion reaches both parquet scans
+    assert(scanOf("s_hybrid_rrf", "documents").metadata("PushedFilters")
+      .contains("Not(EqualTo(doc_id,0))"))
+  }
 }

@@ -192,4 +192,60 @@ class SelfCheckSpec extends SparkSpec {
       assert(j > 0.0 && j <= 1.0)
     }
   }
+
+  test("q_quantile_sketch: full sample, merge == direct bottom-k, 3-sigma rank band") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    for (d <- Seq(sf, TestSpark.sf001)) {
+      val r = Relational.queries("q_quantile_sketch")(spark, d).collect()
+      assert(r.length == 4)
+      // the theta pre-filter never starved a segment: merged sample is full k
+      assert(r.forall(_.getAs[Long]("n_sample") == 256L), s"sketch starved at $d")
+      val lih = Tables.t(spark, d, "lineitem").select(
+        expr("cast(round(l_extendedprice * 100) as bigint)").as("cents"),
+        expr("cast(conv(substring(md5(concat_ws('_', l_orderkey, l_linenumber))" +
+          ", 1, 12), 16, 10) as bigint)").as("h")).persist()
+      // mergeability identity: per-segment bottom-k then keep-k-of-the-union
+      // must pick the SAME sample (hence the same estimates) as one direct
+      // global bottom-k — segments partition the rows, so the k globally
+      // hash-smallest all survive their segment's cut
+      val direct = lih.orderBy("h", "cents").limit(256)
+        .withColumn("rn", row_number().over(Window.orderBy("cents", "h")))
+        .collect().map(x => x.getAs[Int]("rn").toLong -> x.getAs[Long]("cents")).toMap
+      val n = lih.count().toDouble
+      r.foreach { row =>
+        val q = row.getAs[Double]("q")
+        val est = row.getAs[Long]("est_cents")
+        val pos = math.max(1L, math.ceil(q * 256).toLong)
+        assert(direct(pos) == est,
+          s"merge path diverged from direct bottom-k at $d q=$q")
+        // estimate's exact CDF position within the 3-sigma uniform-sample
+        // rank band of the target quantile (+2/k discreteness slack)
+        val cdf = lih.filter(col("cents") <= est).count() / n
+        val band = 3.0 * math.sqrt(q * (1 - q) / 256.0) + 2.0 / 256.0
+        assert(math.abs(cdf - q) <= band, s"$d q=$q cdf=$cdf band=$band")
+      }
+      lih.unpersist()
+    }
+  }
+
+  test("s_hybrid_rrf: fused scores recompute from the rank columns; list is sound") {
+    for (d <- Seq(sf, TestSpark.sf001)) {
+      val r = Similarity.queries("s_hybrid_rrf")(spark, d).collect()
+      assert(r.length == 10)
+      assert(!r.exists(_.getAs[Long]("doc_id") == 0L), "query doc must be excluded")
+      r.foreach { row =>
+        val rb = if (row.isNullAt(1)) None else Some(row.getInt(1))
+        val rc = if (row.isNullAt(2)) None else Some(row.getInt(2))
+        assert(rb.isDefined || rc.isDefined, "fused doc must appear in a tower")
+        (rb.toSeq ++ rc.toSeq).foreach(x => assert(x >= 1 && x <= 50))
+        val expected = rb.map(x => 1.0 / (60.0 + x)).getOrElse(0.0) +
+          rc.map(x => 1.0 / (60.0 + x)).getOrElse(0.0)
+        assert(math.abs(row.getAs[Double]("rrf") - expected) < 1e-6)
+      }
+      val rrfs = r.map(_.getAs[Double]("rrf"))
+      assert(rrfs.zip(rrfs.tail).forall { case (a, b) => a >= b },
+        "fused list must be ordered by fused score")
+    }
+  }
 }

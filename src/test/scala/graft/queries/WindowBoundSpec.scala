@@ -23,6 +23,10 @@ import graft.{SparkEntry, SparkSpec, TestSpark}
   *   - q_interval_overlap (per-day boundary deltas)
   *   - c_lang_mix (per-language aggregate)
   *   - t_zipf_slope (literal limit(100) before the rank window)
+  *   - q_quantile_sketch (merged-sample rank window over a literal
+  *     limit(k); the per-segment window is key-partitioned AND
+  *     theta-bounded to O(k) rows — tested below)
+  *   - s_hybrid_rrf (two rank windows over literal limit(50) tower cuts)
   */
 class WindowBoundSpec extends SparkSpec {
 
@@ -130,5 +134,43 @@ class WindowBoundSpec extends SparkSpec {
       "the pre-window top-100 must plan as a limit, not a full sort")
     val n = df.collect().head.getLong(0)
     assert(n <= 100, s"window input must be the top-100 terms, got $n")
+  }
+
+  test("q_quantile_sketch theta filter: per-segment window input is O(k), not O(n)") {
+    // the per-segment bottom-k window ranks only rows under the integer
+    // hash threshold theta_seg = min(P, 4kP div n_seg) — expected 4k
+    // survivors per segment REGARDLESS of volume. Assert the survivor
+    // panel holds [k, 16k] at both SFs (k=256): enough to never starve
+    // the sketch, bounded enough that the window never sorts the segment.
+    val P = 281474976710656L
+    val k = 256L
+    for (d <- Seq(sfSmall, sfBig)) {
+      val li = Tables.t(spark, d, "lineitem").select(
+        col("l_returnflag").as("seg"),
+        expr("cast(conv(substring(md5(concat_ws('_', l_orderkey, l_linenumber))" +
+          ", 1, 12), 16, 10) as bigint)").as("h"))
+      val segN = li.groupBy("seg").agg(count(lit(1)).as("n_seg"))
+        .select(col("seg"), col("n_seg"),
+          least(lit(P), expr(s"(${4L * k}L * ${P}L) div n_seg")).as("theta"))
+      val surv = li.join(segN, "seg").filter(col("h") < col("theta"))
+        .groupBy("seg").agg(count(lit(1)).as("survivors"))
+        .collect().map(r => r.getAs[String]("seg") -> r.getAs[Long]("survivors"))
+      assert(surv.nonEmpty)
+      surv.foreach { case (seg, n) =>
+        assert(n >= k, s"$d/$seg: theta starved the sketch ($n < $k)")
+        assert(n <= 16 * k, s"$d/$seg: theta let the window input grow ($n > ${16 * k})")
+      }
+    }
+  }
+
+  test("s_hybrid_rrf rank panels: both tower windows sit above literal limit(50) cuts") {
+    // t_zipf_slope's class: a literal limit precedes each row_number
+    // window, so the single partition holds <= 50 rows by construction;
+    // the output's rank columns confirm the cap end-to-end
+    val r = SparkEntry.queries("s_hybrid_rrf")(spark, sfBig).collect()
+    r.foreach { row =>
+      if (!row.isNullAt(1)) assert(row.getInt(1) <= 50)
+      if (!row.isNullAt(2)) assert(row.getInt(2) <= 50)
+    }
   }
 }

@@ -1156,6 +1156,46 @@ object Relational {
             .when(col("q") === 0.9, col("x90"))
             .otherwise(col("x99")), 4).as("exact_cents"))
         .orderBy("q")
+    }),
+
+    // Skyline / Pareto frontier (Börzsönyi et al. 2001): the orders that
+    // are not dominated on (price MINIMIZED, order recency MAXIMIZED) —
+    // "no strictly cheaper-and-newer order exists". The classic 2-D sweep
+    // (sort by x, keep rows whose y beats the running max) is exact but
+    // collapses to ONE sorted partition; this plan keeps the sweep
+    // KEY-PARTITIONED: x is cut into B=256 value-range buckets (bucket id
+    // is monotone in x, so every cross-bucket comparison is decided by the
+    // bucket order alone), a 256-row per-bucket max(y) table yields each
+    // bucket's STRICT-PREFIX max — the only cross-bucket state a bucket
+    // needs, broadcast to it — and the in-bucket sweep runs as a window
+    // PARTITIONED BY bucket. No single-partition pass ever touches data-
+    // sized input (the prefix window ranks 256 literal rows). Dominance on
+    // DISTINCT points: x' <= x, y' >= y, one strict; the kept frontier is
+    // strictly y-increasing in x. Integer cents/days, so every comparison
+    // replays exactly in DuckDB.
+    "q_skyline" -> ((s, d) => {
+      val B = 256L
+      val pts = t(s, d, "orders").select(
+        expr("cast(round(o_totalprice * 100) as bigint)").as("x"),
+        datediff(to_date(col("o_orderdate")), lit("1992-01-01").cast("date"))
+          .cast("bigint").as("y")).distinct()
+      val mm = pts.agg(min("x").as("minx"), max("x").as("maxx"))
+      val bk = pts.crossJoin(broadcast(mm))
+        .select(col("x"), col("y"),
+          expr(s"((x - minx) * ${B}L) div (maxx - minx + 1)").as("b"))
+      val bmax = bk.groupBy("b").agg(max("y").as("ym"))
+      val pre = bmax.withColumn("pre", max("ym").over(Window.orderBy("b")
+          .rowsBetween(Window.unboundedPreceding, -1))) // ≤ B literal rows
+        .select("b", "pre")
+      val sw = Window.partitionBy("b").orderBy(col("x").asc, col("y").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      bk.join(broadcast(pre), "b")
+        .withColumn("cm", greatest(
+          coalesce(max("y").over(sw), lit(-1L)),
+          coalesce(col("pre"), lit(-1L)))) // y >= 0: -1 = "no dominator yet"
+        .filter(col("y") > col("cm"))
+        .select(col("x").as("price_cents"), col("y").as("order_day"))
+        .orderBy("price_cents")
     })
   )
 
@@ -1687,6 +1727,29 @@ object Relational {
         |FROM qs CROSS JOIN ns
         |JOIN ranked ON rn = greatest(1, CAST(ceil(q * n_s) AS BIGINT))
         |CROSS JOIN ex
-        |ORDER BY q""".stripMargin
+        |ORDER BY q""".stripMargin,
+    // identical bucket cut / strict-prefix seed / in-bucket sweep; all
+    // integer comparisons, -1 sentinel below the y >= 0 domain
+    "q_skyline" ->
+      """WITH pts AS MATERIALIZED (
+        |  SELECT DISTINCT CAST(round(o_totalprice * 100) AS BIGINT) AS x,
+        |    CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+        |      AS BIGINT) AS y
+        |  FROM orders),
+        |mm AS (SELECT min(x) AS minx, max(x) AS maxx FROM pts),
+        |bk AS MATERIALIZED (
+        |  SELECT x, y, ((x - minx) * 256) // (maxx - minx + 1) AS b
+        |  FROM pts CROSS JOIN mm),
+        |bmax AS (SELECT b, max(y) AS ym FROM bk GROUP BY b),
+        |pre AS (SELECT b, max(ym) OVER (ORDER BY b
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pre FROM bmax),
+        |sw AS (SELECT bk.x, bk.y,
+        |    greatest(coalesce(max(bk.y) OVER (PARTITION BY bk.b
+        |        ORDER BY bk.x ASC, bk.y DESC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1),
+        |      coalesce(pre.pre, -1)) AS cm
+        |  FROM bk JOIN pre USING (b))
+        |SELECT x AS price_cents, y AS order_day FROM sw WHERE y > cm
+        |ORDER BY price_cents""".stripMargin
   )
 }

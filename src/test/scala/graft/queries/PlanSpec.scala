@@ -612,4 +612,19 @@ class PlanSpec extends SparkSpec {
     assert(scanOf("s_hybrid_rrf", "documents").metadata("PushedFilters")
       .contains("Not(EqualTo(doc_id,0))"))
   }
+
+  test("q_skyline: orders scan pruned; the data-sized sweep window stays bucket-partitioned") {
+    assert(scanOf("q_skyline", "orders").requiredSchema.fieldNames.toSet ==
+      Set("o_totalprice", "o_orderdate"))
+    val windows = plan("q_skyline").collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.size == 2, "strict-prefix window + in-bucket sweep window")
+    // exactly one single-partition window — the one over the <= 256-row
+    // bucket-max table; the sweep over the distinct points partitions by b
+    assert(windows.count(_.toString.contains("SinglePartition")) <= 1,
+      "the data-sized sweep must never collapse to one partition")
+    assert(windows.exists(!_.toString.contains("SinglePartition")),
+      "the in-bucket sweep window must be key-partitioned")
+  }
 }

@@ -248,4 +248,33 @@ class SelfCheckSpec extends SparkSpec {
         "fused list must be ordered by fused score")
     }
   }
+
+  test("q_skyline: bucketed sweep equals the naive dominance anti-join; frontier shape") {
+    import org.apache.spark.sql.functions._
+    for (d <- Seq(sf, TestSpark.sf001)) {
+      val r = Relational.queries("q_skyline")(spark, d).collect()
+        .map(x => (x.getAs[Long]("price_cents"), x.getAs[Long]("order_day")))
+      assert(r.nonEmpty)
+      // frontier is strictly y-increasing in x (else the cheaper point
+      // would dominate the pricier one)
+      r.sliding(2).foreach {
+        case Array((x1, y1), (x2, y2)) =>
+          assert(x1 < x2 && y1 < y2, s"non-frontier shape at $d: ($x1,$y1) ($x2,$y2)")
+        case _ =>
+      }
+      // referee: the O(n^2) dominance anti-join the bucketed sweep replaces
+      val pts = Tables.t(spark, d, "orders").select(
+        expr("cast(round(o_totalprice * 100) as bigint)").as("x"),
+        datediff(to_date(col("o_orderdate")), lit("1992-01-01").cast("date"))
+          .cast("bigint").as("y")).distinct().persist()
+      val dom = pts.select(col("x").as("qx"), col("y").as("qy"))
+      val naive = pts.join(dom,
+          col("qx") <= col("x") && col("qy") >= col("y") &&
+            (col("qx") < col("x") || col("qy") > col("y")), "left_anti")
+        .collect().map(x => (x.getLong(0), x.getLong(1))).sorted
+      pts.unpersist()
+      assert(r.toSeq == naive.toSeq,
+        s"bucketed sweep diverged from the dominance definition at $d")
+    }
+  }
 }

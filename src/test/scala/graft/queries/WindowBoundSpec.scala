@@ -27,6 +27,8 @@ import graft.{SparkEntry, SparkSpec, TestSpark}
   *     limit(k); the per-segment window is key-partitioned AND
   *     theta-bounded to O(k) rows — tested below)
   *   - s_hybrid_rrf (two rank windows over literal limit(50) tower cuts)
+  *   - q_skyline (strict-prefix window over the literal-256-row bucket
+  *     table; the data-sized sweep window is PARTITIONED BY bucket)
   */
 class WindowBoundSpec extends SparkSpec {
 

@@ -1026,6 +1026,36 @@ object Curation {
         .withColumn("share",
           round(col("n_docs") / sum("n_docs").over(wAll), 4))
         .orderBy("pass_gopher", "pass_quality", "pass_rep")
+    }),
+
+    // Per-DOMAIN frequency cap — C4/RefinedWeb-style domain balancing: a
+    // single host must not dominate the mixture, so each source keeps at
+    // most CAP = 15 documents, highest-quality first (n_chars as the
+    // quality proxy, doc_id the deterministic tie-break), and the rest are
+    // dropped. Output is the per-source ledger (seen / kept / dropped /
+    // worst kept quality) for the 10 lexicographically-first sources — a
+    // bounded, SF-stable head of the domain table.
+    //
+    // Scale shape: ONE window partitioned by source (the partition is a
+    // domain's documents — bounded by the very cap policy this implements;
+    // a mega-domain is exactly the skew AQE's skew-join/salting handles,
+    // and the carried row is only (source, n_chars, doc_id)), then a
+    // partial-agg'd groupBy; the ledger needs total counts, so the full
+    // rank pass is irreducible (a per-key top-k heap would lose n_dropped).
+    "c_source_cap" -> ((s, d) => {
+      val cap = 15
+      val w = Window.partitionBy("source")
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      t(s, d, "documents").select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("rk", row_number().over(w))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("rk") <= cap, 1L).otherwise(0L)).cast("bigint")
+            .as("n_kept"),
+          sum(when(col("rk") <= cap, 0L).otherwise(1L)).cast("bigint")
+            .as("n_dropped"),
+          min(when(col("rk") <= cap, col("n_chars"))).as("min_kept_chars"))
+        .orderBy("source").limit(10)
     })
   )
 
@@ -1662,6 +1692,19 @@ object Curation {
         |SELECT pass_gopher, pass_quality, pass_rep, count(*) AS n_docs,
         |  round(CAST(count(*) AS DOUBLE) / sum(count(*)) OVER (), 4) AS share
         |FROM g GROUP BY 1, 2, 3
-        |ORDER BY pass_gopher, pass_quality, pass_rep""".stripMargin
+        |ORDER BY pass_gopher, pass_quality, pass_rep""".stripMargin,
+    "c_source_cap" ->
+      """WITH r AS (
+        |  SELECT source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM documents),
+        |g AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(CASE WHEN rk <= 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |    CAST(sum(CASE WHEN rk <= 15 THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+        |    min(CASE WHEN rk <= 15 THEN n_chars END) AS min_kept_chars
+        |  FROM r GROUP BY source)
+        |SELECT * FROM g ORDER BY source LIMIT 10""".stripMargin
   )
 }

@@ -684,6 +684,86 @@ object Dedup {
         .groupBy("cluster_size")
         .agg(count(lit(1)).as("n_clusters"), min("root").as("min_root"))
         .orderBy("cluster_size")
+    }),
+
+    // Blocked SORTED-NEIGHBORHOOD near-dup (Hernández & Stolfo's SNM, the
+    // record-linkage classic): sort docs by a blocking key (normalized-text
+    // prefix), compare each doc with only its w = 3 successors in sort
+    // order, verify candidates by exact trigram Jaccard ≥ 0.65. The
+    // hash-free complement to LSH banding: it needs no signature family
+    // (catches prefix-preserving edits deterministically) and its candidate
+    // count is exactly N·w.
+    //
+    // Scale shape: the sort is WINDOWED PER BLOCK (the first 8 chars of the
+    // normalized text) — a key-partitioned window, never a global
+    // single-partition sort — and the per-row state carried through lead()
+    // is just (doc_id, gram set). Pairs straddling a block boundary are out
+    // of scope by construction; the standard remedy (multi-pass SNM with a
+    // second independent key) composes by unioning a second pass's pairs.
+    // Planted exact dups share the whole normalized text → same block,
+    // adjacent in sort order → guaranteed candidates at Jaccard 1.0.
+    "d_sorted_neighborhood" -> ((s, d) => {
+      val w = 3
+      val docs = corpusWithDups(s, d)
+        .select(col("doc_id"), Text.normText(col("text")).as("nt"))
+      val g = docs.select(col("doc_id"),
+        substring(col("nt"), 1, 8).as("blk"), col("nt"),
+        shingles("nt", 3).as("gr"))
+      val win = Window.partitionBy("blk").orderBy(col("nt"), col("doc_id"))
+      val withLeads = g.select(col("doc_id"), col("gr"),
+        array((1 to w).map(i =>
+          struct(lead(col("doc_id"), i).over(win).as("id_b"),
+            lead(col("gr"), i).over(win).as("gb"))): _*).as("nbrs"))
+      val cand = withLeads
+        .select(col("doc_id").as("ia"), col("gr").as("ga"),
+          explode(col("nbrs")).as("nb"))
+        .filter(col("nb.id_b").isNotNull)
+        .select(col("ia"), col("ga"),
+          col("nb.id_b").as("ib"), col("nb.gb").as("gb"))
+      val inter = size(array_intersect(col("ga"), col("gb"))).cast("double")
+      cand
+        .select(least(col("ia"), col("ib")).as("id_a"),
+          greatest(col("ia"), col("ib")).as("id_b"),
+          round(inter / (size(col("ga")) + size(col("gb")) - inter), 4)
+            .as("jaccard"))
+        .filter(col("jaccard") >= 0.65)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Incremental crawl SNAPSHOT DIFF — the recurring production question
+    // "what changed between yesterday's crawl and today's?": two snapshot
+    // relations full-outer-joined on the stable crawl key (doc_id stands in
+    // for URL), rows classified added / removed / changed / unchanged by
+    // comparing content fingerprints (md5 of normalized text — the
+    // d_exact_dedup draw). The synthetic snapshots drop disjoint id strata
+    // (%7 = 1 absent from old, %7 = 2 absent from new) and revise %7 = 3's
+    // text, so every class is populated at any SF.
+    //
+    // Scale shape: one hash-partitioned FULL OUTER equi-join on the crawl
+    // key + one partial-agg'd groupBy over the 4-row class table. The two
+    // snapshot sides are kept as separate relations deliberately — in
+    // production they are distinct crawl partitions, and the diff operator
+    // IS the join; collapsing them into one scan would exploit a
+    // corpus-generator artifact (both snapshots deriving from one table).
+    "d_snapshot_diff" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val old = docs.filter(col("doc_id") % 7 =!= 1)
+        .select(col("doc_id"), md5(Text.normText(col("text"))).as("fp_old"))
+      val nw = docs.filter(col("doc_id") % 7 =!= 2)
+        .select(col("doc_id"),
+          md5(Text.normText(
+            when(col("doc_id") % 7 === 3, concat(col("text"), lit(" rev2")))
+              .otherwise(col("text")))).as("fp_new"))
+      old.join(nw, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          when(col("fp_old").isNull, "added")
+            .when(col("fp_new").isNull, "removed")
+            .when(col("fp_old") =!= col("fp_new"), "changed")
+            .otherwise("unchanged").as("status"))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n_docs"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+        .orderBy("status")
     })
   )
 
@@ -1098,6 +1178,59 @@ object Dedup {
     // the self-loops in `e` make each round's min include the node's own
     // label.
     "d_span_clusters" -> spanClustersSql("TRUE"),
-    "d_span_clusters_s41" -> spanClustersSql(stratum41Sql("doc_id"))
+    "d_span_clusters_s41" -> spanClustersSql(stratum41Sql("doc_id")),
+    // lead(i) over (blk ORDER BY nt, doc_id) ≡ the row_number self-join on
+    // rank distance 1..3 — both engines order identically (nt then the
+    // collision-free doc_id), and the trigram Jaccard is the d_ngram_jaccard
+    // set arithmetic over list_distinct grams
+    "d_sorted_neighborhood" ->
+      """WITH dups AS (
+        |  SELECT doc_id * 2 AS doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id * 2 + 1 AS doc_id, text
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |n AS (
+        |  SELECT doc_id,
+        |    lower(trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS nt
+        |  FROM dups),
+        |g AS (
+        |  SELECT doc_id, substr(nt, 1, 8) AS blk, nt,
+        |    list_distinct(list_transform(range(1, greatest(length(nt) - 2, 1) + 1),
+        |      i -> substring(nt, CAST(i AS INT), 3))) AS gr,
+        |    row_number() OVER (PARTITION BY substr(nt, 1, 8)
+        |                       ORDER BY nt, doc_id) AS rn
+        |  FROM n),
+        |cand AS (
+        |  SELECT a.doc_id AS ia, b.doc_id AS ib, a.gr AS ga, b.gr AS gb
+        |  FROM g a JOIN g b
+        |    ON a.blk = b.blk AND b.rn - a.rn BETWEEN 1 AND 3),
+        |j AS (
+        |  SELECT least(ia, ib) AS id_a, greatest(ia, ib) AS id_b,
+        |    round(CAST(len(list_intersect(ga, gb)) AS DOUBLE) /
+        |      (len(ga) + len(gb) - len(list_intersect(ga, gb))), 4) AS jaccard
+        |  FROM cand)
+        |SELECT id_a, id_b, jaccard FROM j
+        |WHERE jaccard >= 0.65 ORDER BY id_a, id_b""".stripMargin,
+    "d_snapshot_diff" ->
+      """WITH old AS (
+        |  SELECT doc_id,
+        |    md5(lower(trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')))) AS fp_old
+        |  FROM documents WHERE doc_id % 7 <> 1),
+        |nw AS (
+        |  SELECT doc_id,
+        |    md5(lower(trim(regexp_replace(
+        |      CASE WHEN doc_id % 7 = 3 THEN text || ' rev2' ELSE text END,
+        |      '[ \t\n\x0B\f\r]+', ' ', 'g')))) AS fp_new
+        |  FROM documents WHERE doc_id % 7 <> 2),
+        |j AS (
+        |  SELECT coalesce(old.doc_id, nw.doc_id) AS doc_id,
+        |    CASE WHEN fp_old IS NULL THEN 'added'
+        |         WHEN fp_new IS NULL THEN 'removed'
+        |         WHEN fp_old <> fp_new THEN 'changed'
+        |         ELSE 'unchanged' END AS status
+        |  FROM old FULL OUTER JOIN nw ON old.doc_id = nw.doc_id)
+        |SELECT status, count(*) AS n_docs,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM j GROUP BY status ORDER BY status""".stripMargin
   )
 }

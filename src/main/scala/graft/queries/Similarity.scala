@@ -396,6 +396,47 @@ object Similarity {
         .orderBy("cl")
     }),
 
+    // Density-BALANCED sampling over the embedding space — the curation
+    // step between SemDeDup and plain random sampling: dense clusters
+    // (redundant regions) are downsampled to a per-cluster token budget
+    // while sparse clusters keep everything, preserving coverage of the
+    // embedding space instead of its density (the "cluster-balanced
+    // sampling" of DoReMi/SSL-curation pipelines). Assignment is the
+    // s_kmeans seed discipline (first-k seed centroids, 9-dp cosine argmax,
+    // max-of-struct tie break); the keep decision is the repo-standard
+    // exact 2^48 md5 draw against rate = min(1, CAP / cell size), so both
+    // engines pick the identical survivors.
+    //
+    // Scale shape: one O(N·k) broadcast-k assignment pass (k is the fixed
+    // POLICY resolution, unlike SemDeDup's grow-k), one partial-agg'd size
+    // aggregate (k rows), one narrow keep pass against the k-row broadcast
+    // rate table. No window, no join wider than k rows.
+    "s_cluster_balance_sample" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val k = 8
+      val emb = t(s, d, "embeddings")
+      val seeds = emb.filter(col("vec_id") < k)
+        .select(col("vec_id").as("cl"), col("embedding").as("cent"))
+      val assigned = emb.crossJoin(broadcast(seeds))
+        .select(col("vec_id"), col("cl"),
+          round(graft.functions.GraftFunctions.cosineSim(
+            col("embedding"), col("cent")), 9).as("c"))
+        .groupBy("vec_id")
+        .agg(max(struct(col("c"), col("cl"))).getField("cl").as("cl"))
+      val rates = assigned.groupBy("cl").agg(count(lit(1)).as("n_members"))
+        .select(col("cl"), col("n_members"),
+          least(lit(1.0), lit(40.0) / col("n_members")).as("rate"))
+      val u = (conv(substring(md5(col("vec_id").cast("string")), 1, 12),
+        16, 10).cast("double") + 1.0) / 281474976710656.0
+      assigned.join(broadcast(rates), "cl")
+        .select(col("cl"), col("n_members"), col("rate"),
+          (u < col("rate")).as("keep"))
+        .groupBy("cl", "n_members")
+        .agg(round(max("rate"), 6).as("rate6"),
+          sum(when(col("keep"), 1L).otherwise(0L)).cast("bigint").as("n_kept"))
+        .orderBy("cl")
+    }),
+
     // SELF-VERIFYING ANN: multi-table hyperplane LSH (16 tables × 4 planes,
     // OR-amplified) → same-bucket candidates for query vec 0 → recall@10
     // against the brute-force cosine top-k (the oracle-matched ground truth
@@ -1281,6 +1322,30 @@ object Similarity {
         |n AS (SELECT cl, count(*) AS n_members FROM a2 GROUP BY cl)
         |SELECT CAST(n.cl AS BIGINT) AS cl, n.n_members, nrm.centroid_norm
         |FROM n JOIN nrm USING (cl) ORDER BY cl""".stripMargin,
+    // seed-centroid assignment replay (the s_kmeans a1 CTE) + the exact
+    // 2^48 md5(vec_id) keep draw against rate = min(1, 40/cell size)
+    "s_cluster_balance_sample" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |seeds AS (SELECT vec_id AS cl, v AS cent FROM e WHERE vec_id < 8),
+        |a AS (
+        |  SELECT vec_id, (max({'c': c, 'cl': cl})).cl AS cl FROM
+        |    (SELECT e.vec_id, s.cl,
+        |       round(list_dot_product(e.v, s.cent) /
+        |         (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(s.cent, s.cent))), 9) AS c
+        |     FROM e, seeds s)
+        |  GROUP BY vec_id),
+        |r AS (
+        |  SELECT cl, count(*) AS n_members,
+        |    least(CAST(1.0 AS DOUBLE), 40.0 / count(*)) AS rate
+        |  FROM a GROUP BY cl),
+        |k AS (
+        |  SELECT a.cl, n_members, rate,
+        |    ((CAST('0x' || substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 12) AS BIGINT) + 1.0)
+        |     / 281474976710656.0) < rate AS keep
+        |  FROM a JOIN r USING (cl))
+        |SELECT CAST(cl AS BIGINT) AS cl, n_members, round(max(rate), 6) AS rate6,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM k GROUP BY cl, n_members ORDER BY cl""".stripMargin,
     "s_cosine_topk" ->
       """WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
         |SELECT vec_id,

@@ -101,6 +101,28 @@ class ClusteringSpec extends SparkSpec {
     assert(sd.map(_.getAs[Long]("n_kept")).sum > 0)
   }
 
+  test("s_cluster_balance_sample: census closes, sparse cells keep all, dense cells hit the cap") {
+    val r = Similarity.queries("s_cluster_balance_sample")(spark, sf).collect()
+    val emb = Tables.t(spark, sf, "embeddings").count()
+    assert(r.map(_.getAs[Long]("n_members")).sum == emb,
+      "every vector must be assigned to exactly one cell")
+    r.foreach { row =>
+      val n = row.getAs[Long]("n_members")
+      val kept = row.getAs[Long]("n_kept")
+      assert(kept <= n)
+      if (n <= 40) {
+        // rate = 1.0: the exact 2^48 draw keeps everything
+        assert(kept == n, s"uncapped cell dropped rows: $kept of $n")
+        assert(row.getAs[Double]("rate6") == 1.0)
+      } else {
+        // capped cell: kept ~ Binomial(n, 40/n), E = 40 — allow 3 sigma
+        val sigma = math.sqrt(40.0 * (1.0 - 40.0 / n))
+        assert(math.abs(kept - 40.0) <= 3 * sigma + 1,
+          s"capped cell of $n kept $kept, expected ~40")
+      }
+    }
+  }
+
   test("e_cuped: variants census users, adjustment preserves the global mean") {
     val r = Events.queries("e_cuped")(spark, sf).collect()
     assert(r.length == 2)

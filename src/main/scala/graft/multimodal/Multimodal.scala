@@ -434,6 +434,114 @@ object Multimodal {
     out
   }
 
+  /** The same PCM payload re-containered: a JUNK filler chunk (the standard
+    * RIFF padding chunk) spliced between `fmt ` and `data`, with the RIFF
+    * size fixed up. Byte-level hashing can never match this to its
+    * original; a correct chunk walker decodes identical samples from both.
+    */
+  private[multimodal] def syntheticWavJunk(
+      seed: Long, sampleRate: Int, nSamples: Int): Array[Byte] = {
+    val base = syntheticWav(seed, sampleRate, nSamples)
+    val junkLen = 20
+    val out = new Array[Byte](base.length + 8 + junkLen)
+    System.arraycopy(base, 0, out, 0, 36) // RIFF header + fmt chunk
+    out(36) = 'J'; out(37) = 'U'; out(38) = 'N'; out(39) = 'K'
+    out(40) = (junkLen & 0xFF).toByte; out(41) = 0; out(42) = 0; out(43) = 0
+    // junk body stays zeroed; data chunk follows, word alignment unchanged
+    System.arraycopy(base, 36, out, 36 + 8 + junkLen, base.length - 36)
+    val riffSize = le32(base, 4) + 8 + junkLen
+    out(4) = (riffSize & 0xFF).toByte; out(5) = ((riffSize >> 8) & 0xFF).toByte
+    out(6) = ((riffSize >> 16) & 0xFF).toByte
+    out(7) = ((riffSize >> 24) & 0xFF).toByte
+    out
+  }
+
+  /** 64-bit acoustic fingerprint over the DECODED samples (container-
+    * independent, the audio analogue of aHash64): frame the 16-bit mono
+    * PCM into 32-sample frames, take each frame's energy (exact Long sum
+    * of squares — no float drift), and set bit k iff energy rises from
+    * frame k to k+1 (the sign-of-energy-delta scheme of Haitsma–Kalker
+    * audio hashing, minus the spectral transform the JDK doesn't ship).
+    * Identical samples → identical fingerprint regardless of chunk layout.
+    */
+  private[multimodal] def audioFingerprint64(bytes: Array[Byte]): Long = {
+    require(fourCC(bytes, 0) == "RIFF" && fourCC(bytes, 8) == "WAVE",
+      "not a RIFF/WAVE container")
+    var off = 12
+    var dataOff = -1
+    var dataLen = -1
+    var channels = -1
+    var bits = -1
+    while (off + 8 <= bytes.length && (dataOff < 0 || channels < 0)) {
+      val id = fourCC(bytes, off)
+      val size = le32(bytes, off + 4)
+      require(size >= 0 && off + 8 + size <= bytes.length,
+        s"truncated chunk '$id' at offset $off")
+      if (id == "fmt ") {
+        channels = le16(bytes, off + 10)
+        bits = le16(bytes, off + 22)
+      } else if (id == "data") { dataOff = off + 8; dataLen = size }
+      off += 8 + size + (size & 1)
+    }
+    require(dataOff >= 0 && channels == 1 && bits == 16,
+      "fingerprint expects 16-bit mono PCM")
+    val nSamples = dataLen / 2
+    val frame = 32
+    val nFrames = nSamples / frame
+    val energies = new Array[Long](nFrames)
+    var f = 0
+    while (f < nFrames) {
+      var e = 0L
+      var i = 0
+      while (i < frame) {
+        val s = le16(bytes, dataOff + (f * frame + i) * 2).toShort.toLong
+        e += s * s
+        i += 1
+      }
+      energies(f) = e
+      f += 1
+    }
+    var fp = 0L
+    var k = 0
+    while (k < math.min(63, nFrames - 1)) {
+      if (energies(k + 1) > energies(k)) fp |= (1L << k)
+      k += 1
+    }
+    // fold the frame count in (splitmix odd constant): envelope deltas of
+    // constant-amplitude signals carry little information, so exact LENGTH
+    // is the other half of the identity — still a pure function of the
+    // decoded samples, so container twins keep colliding
+    fp ^ (nFrames.toLong * 0x9E3779B97F4A7C15L)
+  }
+
+  /** Planted-duplicate audio corpus — imagesWithDups lifted to WAV: every
+    * audio id (doc_id % 3 == 1) as real PCM; every 5th audio id
+    * (doc_id % 15 == 4) ALSO as a JUNK-padded container twin with the
+    * identical samples under id + twinBase. Bytes differ, samples don't,
+    * so only decoded-sample fingerprinting can recover the pair.
+    */
+  private[multimodal] def audiosWithDups(
+      spark: SparkSession, dir: String): (Dataset[Media], Long) = {
+    import spark.implicits._
+    val ids = graft.queries.Tables.t(spark, dir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"))
+      .filter(col("doc_id") % 3 === 1)
+    val maxRow = ids.agg(max("doc_id")).head
+    val twinBase = (if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)) + 1L
+    val media = ids.as[Long]
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          val sr = 8000
+          val n = 400 + (id % 800).toInt
+          val orig = Media(id, "audio", syntheticWav(id, sr, n))
+          if (id % 15 == 4)
+            Iterator(orig, Media(id + twinBase, "audio", syntheticWavJunk(id, sr, n)))
+          else Iterator(orig)
+        }
+      }
+    (media, twinBase)
+  }
+
   /** Media table derived from `documents`: REAL encoded PNG/WAV content per
     * row (pixels/samples a deterministic function of doc_id), plus fake
     * container bytes for the video kind. Generation is a narrow map; at
@@ -526,6 +634,33 @@ object Multimodal {
           round(col("n_recovered") / col("n_planted_pairs"), 4).as("recall"))
     }),
 
+    // Acoustic-fingerprint dedup over REAL decoded PCM — the audio
+    // analogue of m_phash_dedup: 64-bit sign-of-energy-delta fingerprints
+    // (exact Long frame energies, no float drift) computed in a narrow
+    // mapPartitions decode, planted cross-CONTAINER twins (same samples,
+    // JUNK-padded chunk layout, different bytes) recovered by fingerprint
+    // equality. Recall is 1.0 by construction iff the chunk walker +
+    // sample framing is container-invariant — exactly what the census
+    // oracle pins. At production scale the fingerprint column feeds the
+    // d_exact_dedup groupBy; the decode stage shuffles nothing.
+    "m_audio_fprint_dedup" -> ((s, d) => {
+      import s.implicits._
+      val (media, twinBase) = audiosWithDups(s, d)
+      val fps = media.mapPartitions { it =>
+        it.map(m => (m.media_id, audioFingerprint64(m.content)))
+      }.toDF("media_id", "fp")
+      val twins = fps.filter(col("media_id") >= twinBase)
+        .select((col("media_id") - twinBase).as("media_id"),
+          col("fp").as("twin_fp"))
+      val joined = fps.join(twins, "media_id")
+        .agg(count(lit(1)).as("n_planted_pairs"),
+          sum(when(col("fp") === col("twin_fp"), 1L).otherwise(0L))
+            .cast("bigint").as("n_recovered"))
+      fps.agg(count(lit(1)).as("n_audios")).crossJoin(joined)
+        .select(col("n_audios"), col("n_planted_pairs"), col("n_recovered"),
+          round(col("n_recovered") / col("n_planted_pairs"), 4).as("recall"))
+    }),
+
     // Per-kind stats over REAL decoded metadata. Every reported column is
     // pinned by the planted census (the m_phash_dedup oracle pattern): the
     // generator derives each medium's true width/height/rate/duration from
@@ -590,6 +725,14 @@ object Multimodal {
         |  CAST(max(sr) AS BIGINT) AS max_sample_rate,
         |  round(max(dur), 3) AS max_duration_ms
         |FROM m GROUP BY kind ORDER BY kind""".stripMargin,
+    "m_audio_fprint_dedup" ->
+      """WITH au AS (SELECT count(*) AS na FROM documents WHERE doc_id % 3 = 1),
+        |pl AS (SELECT count(*) AS np FROM documents WHERE doc_id % 15 = 4)
+        |SELECT CAST(na + np AS BIGINT) AS n_audios,
+        |  CAST(np AS BIGINT) AS n_planted_pairs,
+        |  CAST(np AS BIGINT) AS n_recovered,
+        |  round(CAST(np AS DOUBLE) / np, 4) AS recall
+        |FROM au, pl""".stripMargin,
     "m_phash_dedup" ->
       """WITH img AS (SELECT count(*) AS ni FROM documents WHERE doc_id % 3 = 0),
         |pl AS (SELECT count(*) AS np FROM documents WHERE doc_id % 15 = 0)

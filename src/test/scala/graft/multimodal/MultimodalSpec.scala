@@ -151,4 +151,44 @@ class MultimodalSpec extends SparkSpec {
     assert(row.getAs[Double]("recall") == 1.0)
     assert(row.getAs[Long]("n_images") > row.getAs[Long]("n_planted_pairs"))
   }
+
+  test("audioFingerprint64: container-invariant, discriminative, JUNK walker correct") {
+    // the JUNK-padded twin has different BYTES but identical samples
+    val a = Multimodal.syntheticWav(7L, 8000, 640)
+    val b = Multimodal.syntheticWavJunk(7L, 8000, 640)
+    assert(!java.util.Arrays.equals(a, b))
+    assert(b.length == a.length + 28)
+    assert(Multimodal.audioFingerprint64(a) == Multimodal.audioFingerprint64(b))
+    // decodeWav also parses the padded container to the same header values
+    val info = Multimodal.decodeWav(b)
+    assert(info.sampleRate == 8000 && info.nSamples == 640)
+    // adversarial case — EQUAL-length pure tones differ only in frequency,
+    // and an energy-envelope hash (no spectral transform) separates those
+    // imperfectly; require it still splits most of them
+    val tones = (1L to 20L).map(s =>
+      Multimodal.audioFingerprint64(Multimodal.syntheticWav(s, 8000, 640)))
+    assert(tones.distinct.size >= 12,
+      s"fingerprint degenerate on tones: ${tones.distinct.size} distinct of 20")
+    // corpus case — lengths vary per id (400 + id % 800 samples), which the
+    // delta-bit count encodes; these must (near-always) fingerprint apart
+    val varied = (1L to 20L).map(s =>
+      Multimodal.audioFingerprint64(
+        Multimodal.syntheticWav(s, 8000, 400 + ((s * 40) % 800).toInt)))
+    assert(varied.distinct.size >= 19,
+      s"fingerprint degenerate: ${varied.distinct.size} distinct of 20")
+    // non-mono / non-16-bit input is rejected, not silently misread
+    intercept[IllegalArgumentException](
+      Multimodal.audioFingerprint64("RIFFxxxxNOPE".getBytes))
+  }
+
+  test("m_audio_fprint_dedup corpus query: planted container twins fully recovered") {
+    val r = Multimodal.queries("m_audio_fprint_dedup")(spark, TestSpark.sf0001)
+      .collect()
+    assert(r.length == 1)
+    val row = r(0)
+    assert(row.getAs[Long]("n_planted_pairs") > 0)
+    assert(row.getAs[Long]("n_recovered") == row.getAs[Long]("n_planted_pairs"))
+    assert(row.getAs[Double]("recall") == 1.0)
+    assert(row.getAs[Long]("n_audios") > row.getAs[Long]("n_planted_pairs"))
+  }
 }

@@ -608,6 +608,69 @@ object Events {
         .orderBy("day")
     }),
 
+    // Rolling 7-day distinct users by MERGEABLE SKETCH — the production
+    // answer to e_rolling_wau's exact contribution-explode once per-day
+    // uniques outgrow it: each day builds a bottom-k KMV sketch of its
+    // user-hash set (k smallest md5-48 draws), and any trailing window is
+    // answered by MERGING the ≤ 7 day sketches (theta-sketch union:
+    // theta = min of day thetas, estimate = |merged hashes < theta| ·
+    // 2⁴⁸ / theta — exact automatically whenever no sketch was full).
+    // This is the Druid/ClickHouse rolling-uniques shape: day sketches are
+    // tiny, reusable for ANY window length, and the merge never touches
+    // the raw stream again. Both engines replay the identical integer
+    // draw, so estimate AND referee are hash-oracled.
+    //
+    // Scale shape: the per-day bottom-k runs behind the q_quantile_sketch
+    // integer theta PRE-filter (expected 4k survivors/day, so the rank
+    // window input is O(k) — WindowBoundSpec-guarded — never the day's
+    // distinct-user volume); the merge window is a calendar-bounded global
+    // range frame over ≤ #days sketch rows. The exact referee is the
+    // e_rolling_wau contribution explode, joined for the tolerance column.
+    "e_kmv_rolling_du" -> ((s, d) => {
+      val P = 281474976710656L // 2^48, the md5-48 draw space
+      // k = 64 so the estimator path (full sketches, theta < 2^48) engages
+      // already at the correctness-gate SFs; rsd ~ 1/sqrt(k-2) ~ 12.7%
+      val k = 64
+      val e = Tables.events(s, d)
+      val dh = e.select(to_date(col("ts")).as("day"),
+          conv(substring(md5(col("user_id").cast("string")), 1, 12), 16, 10)
+            .cast("bigint").as("h")).distinct()
+      val dayN = dh.groupBy("day").agg(count(lit(1)).as("n_day"))
+        .select(col("day"),
+          least(lit(P), expr(s"(${4L * k}L * ${P}L) div n_day")).as("pre"))
+      val wd = Window.partitionBy("day").orderBy("h")
+      val daySk = dh.join(broadcast(dayN), "day")
+        .filter(col("h") < col("pre"))
+        .withColumn("rn", row_number().over(wd)).filter(col("rn") <= k)
+        .groupBy("day")
+        .agg(sort_array(collect_list("h")).as("hs"),
+          count(lit(1)).as("cnt"), max("pre").as("pre"))
+        .select(col("day"), col("hs"),
+          when(col("cnt") === k, element_at(col("hs"), k))
+            .otherwise(col("pre")).as("theta_d"))
+      // trailing 7 CALENDAR days: integer-day range frame, ≤ #days rows
+      val wm = Window.orderBy(expr("datediff(day, DATE '1970-01-01')"))
+        .rangeBetween(-6, 0)
+      val est = daySk
+        .withColumn("mh", flatten(collect_list("hs").over(wm)))
+        .withColumn("theta", min("theta_d").over(wm))
+        .select(col("day"),
+          expr(s"(size(filter(array_distinct(mh), x -> x < theta)) * ${P}L) div theta")
+            .as("est_du"))
+      val exact = e.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        .select(col("user_id"),
+          explode(expr("sequence(day, date_add(day, 6), interval 1 day)")).as("wday"))
+        .distinct()
+        .join(daySk.select(col("day").as("wday")), "wday")
+        .groupBy(col("wday").as("day")).agg(count(lit(1)).as("exact_du"))
+      est.join(exact, "day")
+        .select(col("day"), col("est_du"), col("exact_du"),
+          (abs(col("est_du") - col("exact_du")) <=
+            ceil(lit(3.0) * col("exact_du") / math.sqrt(k - 2.0)))
+            .as("within_tol"))
+        .orderBy("day")
+    }),
+
     // Seasonal-naive forecast evaluation — predict each hour's per-type
     // count by the count 24 h earlier, score with MAPE and mean bias: the
     // baseline every real forecaster must beat, and the cheapest anomaly
@@ -1551,6 +1614,40 @@ object Events {
         |wau AS (SELECT wday AS day, count(*) AS wau_7d
         |        FROM w, b WHERE wday <= d1 GROUP BY 1)
         |SELECT day, dau, wau_7d FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin,
+    // identical md5-48 draw, theta pre-filter, bottom-k per day, and the
+    // theta-sketch union algebra; exact referee = the e_rolling_wau explode
+    "e_kmv_rolling_du" ->
+      """WITH dh AS (SELECT DISTINCT CAST(ts AS DATE) AS day,
+        |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12) AS BIGINT) AS h
+        |  FROM events),
+        |dn AS (SELECT day,
+        |    least(281474976710656, (256 * 281474976710656) // count(*)) AS pre
+        |  FROM dh GROUP BY day),
+        |fs AS (SELECT dh.day, h, pre,
+        |    row_number() OVER (PARTITION BY dh.day ORDER BY h) AS rn
+        |  FROM dh JOIN dn USING (day) WHERE h < pre),
+        |sk AS (SELECT day, list_sort(list(h)) AS hs, count(*) AS cnt, max(pre) AS pre
+        |  FROM fs WHERE rn <= 64 GROUP BY day),
+        |sk2 AS (SELECT day, hs,
+        |    CASE WHEN cnt = 64 THEN hs[64] ELSE pre END AS theta_d FROM sk),
+        |m AS (SELECT day,
+        |    flatten(list(hs) OVER w) AS mh,
+        |    min(theta_d) OVER w AS theta
+        |  FROM sk2 WINDOW w AS (ORDER BY day - DATE '1970-01-01'
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)),
+        |est AS (SELECT day,
+        |    (len(list_filter(list_distinct(mh), x -> x < theta))
+        |     * 281474976710656) // theta AS est_du FROM m),
+        |ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |w2 AS (SELECT DISTINCT user_id,
+        |    CAST(unnest(generate_series(CAST(day AS TIMESTAMP),
+        |      CAST(day AS TIMESTAMP) + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS DATE) AS wday
+        |  FROM ud),
+        |ex AS (SELECT wday AS day, count(*) AS exact_du FROM w2
+        |  WHERE wday IN (SELECT day FROM sk) GROUP BY 1)
+        |SELECT est.day, est_du, CAST(exact_du AS BIGINT) AS exact_du,
+        |  abs(est_du - exact_du) <= ceil(3.0 * exact_du / sqrt(62.0)) AS within_tol
+        |FROM est JOIN ex USING (day) ORDER BY day""".stripMargin,
     "e_forecast_baseline" ->
       """WITH b AS (
         |  SELECT CAST(date_trunc('hour', min(ts)) AS TIMESTAMP) AS h0,

@@ -165,6 +165,40 @@ class WindowBoundSpec extends SparkSpec {
     }
   }
 
+  test("e_kmv_rolling_du: per-day sketch window input is O(k); estimator engaged and in tolerance") {
+    // same theta pre-filter device as q_quantile_sketch, keyed by day
+    // (k=64): survivor panel must hold [k, 16k] per day at both SFs
+    val P = 281474976710656L
+    val k = 64L
+    for (d <- Seq(sfSmall, sfBig)) {
+      val dh = Tables.events(spark, d)
+        .select(to_date(col("ts")).as("day"),
+          expr("cast(conv(substring(md5(cast(user_id as string)), 1, 12), 16, 10) as bigint)")
+            .as("h")).distinct()
+      val dayN = dh.groupBy("day").agg(count(lit(1)).as("n_day"))
+        .select(col("day"), col("n_day"),
+          least(lit(P), expr(s"(${4L * k}L * ${P}L) div n_day")).as("theta"))
+      val surv = dh.join(dayN, "day").filter(col("h") < col("theta"))
+        .groupBy("day").agg(count(lit(1)).as("survivors"), max("n_day").as("n_day"))
+        .collect()
+      assert(surv.nonEmpty)
+      surv.foreach { r =>
+        val n = r.getAs[Long]("survivors")
+        // a day with fewer distinct users than k legitimately yields < k
+        val floor = math.min(k, r.getAs[Long]("n_day"))
+        assert(n >= floor, s"$d/${r.get(0)}: theta starved the sketch ($n < $floor)")
+        assert(n <= 16 * k, s"$d/${r.get(0)}: window input grew past ${16 * k} ($n)")
+      }
+    }
+    // the corpus entry itself: every day within the 3-sigma band, and the
+    // estimator path actually exercised (some day's estimate != exact)
+    val rows = Events.queries("e_kmv_rolling_du")(spark, sfBig).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Boolean]("within_tol")))
+    assert(rows.exists(r => r.getAs[Long]("est_du") != r.getAs[Long]("exact_du")),
+      "sketches never filled: the estimator path is untested at this SF")
+  }
+
   test("s_hybrid_rrf rank panels: both tower windows sit above literal limit(50) cuts") {
     // t_zipf_slope's class: a literal limit precedes each row_number
     // window, so the single partition holds <= 50 rows by construction;

@@ -1008,6 +1008,43 @@ object Relational {
     // segment has < k customers. The distinct per segment is the one
     // data-sized shuffle; each bottom-k is TakeOrderedAndProject (never
     // a global sort); everything downstream is ≤ 2k rows.
+    // Hierarchy resolution + rollup by POINTER DOUBLING — the BOM/category-
+    // tree/org-chart primitive: every node resolves its ROOT and DEPTH in
+    // O(log depth) self-joins (never a per-level loop), then the rollup is
+    // one aggregate over the resolved table. The synthetic forest is the
+    // decimal-prefix tree over customer keys (parent = node div 10, closed
+    // under the generated prefix-ancestor node set), whose chains replay as
+    // a recursive CTE in DuckDB. Each doubling round starts from a
+    // localCheckpoint (the connectedComponents discipline — otherwise the
+    // plan re-reads the scan 2^rounds times); 5 rounds cover 2^5 = 32 hops,
+    // past the 18-step maximum any 64-bit key can have. An unconverged run
+    // cannot pass silently: anc would sit above 9 and every root row would
+    // differ from the oracle's.
+    "q_hierarchy_rollup" -> ((s, d) => {
+      val keys = t(s, d, "customer").select(col("c_custkey").as("node"))
+      val nodes = keys.select(explode(expr(
+          "transform(sequence(1, length(cast(node as string))), " +
+            "i -> cast(substring(cast(node as string), 1, i) as bigint))"))
+          .as("node"))
+        .distinct()
+      val p0 = nodes.select(col("node"),
+          when(col("node") < 10, col("node"))
+            .otherwise(expr("node div 10")).as("anc"),
+          when(col("node") < 10, 0L).otherwise(1L).as("dist"))
+        .localCheckpoint()
+      val fin = (1 to 5).foldLeft(p0) { (tb, _) =>
+        val a = tb.as("a")
+        val b = tb.as("b")
+        a.join(b, col("a.anc") === col("b.node"))
+          .select(col("a.node").as("node"), col("b.anc").as("anc"),
+            (col("a.dist") + col("b.dist")).as("dist"))
+          .localCheckpoint()
+      }
+      fin.groupBy(col("anc").as("root"))
+        .agg(count(lit(1)).as("n_nodes"), max("dist").as("max_depth"))
+        .orderBy("root")
+    }),
+
     "q_kmv_setops" -> ((s, d) => {
       val P = 281474976710656L // 2^48, the md5-48 draw space
       val k = 256
@@ -1644,6 +1681,21 @@ object Relational {
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     // the identical md5-48 bottom-k sketch and integer theta algebra; a
     // non-full sketch (n < k) is its key set, theta = 2^48
+    // same prefix-ancestor closure; the chain walk is a recursive CTE
+    // (bounded at 19 steps by 64-bit decimal length) instead of doubling
+    "q_hierarchy_rollup" ->
+      """WITH RECURSIVE keys AS (SELECT c_custkey AS node FROM customer),
+        |nodes AS (
+        |  SELECT DISTINCT CAST(substring(CAST(node AS VARCHAR), 1, CAST(i AS INT)) AS BIGINT) AS node
+        |  FROM keys, range(1, 20) r(i)
+        |  WHERE i <= length(CAST(node AS VARCHAR))),
+        |w(node, cur, dist) AS (
+        |  SELECT node, node, 0 FROM nodes
+        |  UNION ALL
+        |  SELECT node, cur // 10, dist + 1 FROM w WHERE cur >= 10)
+        |SELECT cur AS root, count(*) AS n_nodes,
+        |  CAST(max(dist) AS BIGINT) AS max_depth
+        |FROM w WHERE cur < 10 GROUP BY cur ORDER BY root""".stripMargin,
     "q_kmv_setops" ->
       """WITH ha AS (SELECT DISTINCT CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 12)
         |    AS BIGINT) AS h FROM orders WHERE o_orderpriority = '1-URGENT'),

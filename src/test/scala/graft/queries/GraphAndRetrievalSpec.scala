@@ -10,6 +10,26 @@ class GraphAndRetrievalSpec extends SparkSpec {
 
   private val sf = TestSpark.sf0001
 
+  test("q_hierarchy_rollup: doubling resolves first-digit roots and digit-count depths") {
+    val rows = Relational.queries("q_hierarchy_rollup")(spark, sf).collect()
+    // plain-Scala referee: the prefix closure and its root/depth facts
+    val keys = Tables.t(spark, sf, "customer")
+      .select("c_custkey").collect().map(_.getLong(0))
+    val nodes = keys.flatMap { k =>
+      val str = k.toString
+      (1 to str.length).map(i => str.substring(0, i).toLong)
+    }.distinct
+    val byRoot = nodes.groupBy(_.toString.head)
+    assert(rows.length == byRoot.size)
+    rows.foreach { r =>
+      val root = r.getAs[Long]("root")
+      assert(root < 10, s"unconverged ancestor pointer: $root")
+      val grp = byRoot(root.toString.head)
+      assert(r.getAs[Long]("n_nodes") == grp.length)
+      assert(r.getAs[Long]("max_depth") == grp.map(_.toString.length - 1).max)
+    }
+  }
+
   test("e_pagerank: one rank per event type, all positive, mass ~1 (minus dangling leak)") {
     val r = Events.queries("e_pagerank")(spark, sf).collect()
     val nTypes = Tables.events(spark, sf).select("event_type").distinct().count()

@@ -1175,12 +1175,14 @@ object Relational {
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("q",
             org.apache.spark.sql.types.DoubleType, nullable = false))))
+      // ONE percentile aggregate with an array of percentages: four scalar
+      // percentile() calls each build their OWN per-partition counts map
+      // over the full cents stream (measured 9.0 s vs 2.3 s at sf0.1 —
+      // the whole query's dominant cost); the array form shares a single
+      // buffer and emits all four order statistics from one merge.
       val exact = t(s, d, "lineitem")
         .select(expr("cast(round(l_extendedprice * 100) as bigint)").as("cents"))
-        .agg(expr("percentile(cents, 0.25)").as("x25"),
-          expr("percentile(cents, 0.5)").as("x50"),
-          expr("percentile(cents, 0.9)").as("x90"),
-          expr("percentile(cents, 0.99)").as("x99"))
+        .agg(expr("percentile(cents, array(0.25D, 0.5D, 0.9D, 0.99D))").as("px"))
       qs.crossJoin(broadcast(ns))
         .withColumn("pos",
           greatest(lit(1L), ceil(col("q") * col("n_s")).cast("bigint")))
@@ -1188,10 +1190,10 @@ object Relational {
         .crossJoin(broadcast(exact))
         .select(col("q"), col("n_s").as("n_sample"),
           col("cents").as("est_cents"),
-          round(when(col("q") === 0.25, col("x25"))
-            .when(col("q") === 0.5, col("x50"))
-            .when(col("q") === 0.9, col("x90"))
-            .otherwise(col("x99")), 4).as("exact_cents"))
+          round(when(col("q") === 0.25, element_at(col("px"), 1))
+            .when(col("q") === 0.5, element_at(col("px"), 2))
+            .when(col("q") === 0.9, element_at(col("px"), 3))
+            .otherwise(element_at(col("px"), 4)), 4).as("exact_cents"))
         .orderBy("q")
     }),
 

@@ -368,11 +368,85 @@ object Multimodal {
         }
         y += 1
       }
-      val baos = new ByteArrayOutputStream()
-      ImageIO.setUseCache(false)
-      require(ImageIO.write(img, "jpg", baos), "JPEG writer unavailable")
-      baos.toByteArray
+      encodeJpeg(img)
     }
+    aviFromJpegs(jpegs, w, h, nFrames, fps)
+  }
+
+  private def encodeJpeg(img: BufferedImage): Array[Byte] = {
+    val baos = new ByteArrayOutputStream()
+    ImageIO.setUseCache(false)
+    require(ImageIO.write(img, "jpg", baos), "JPEG writer unavailable")
+    baos.toByteArray
+  }
+
+  /** Flicker variant for temporal segmentation: every frame is a SOLID
+    * gray whose level follows bit f of `seed` (200 if set, 40 if clear) —
+    * so a scene CUT exists between frames f and f+1 exactly where the
+    * seed's adjacent bits differ, and the true cut count is pure bit
+    * arithmetic any SQL engine can recompute. JPEG round-trips a solid
+    * color within ±2 levels, far inside the 80-level cut threshold.
+    */
+  private[multimodal] def syntheticAviFlicker(
+      seed: Long, w: Int, h: Int, nFrames: Int, fps: Int = 10): Array[Byte] = {
+    val jpegs = (0 until nFrames).map { i =>
+      val level = if (((seed >> i) & 1L) == 1L) 200 else 40
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val rgb = (level << 16) | (level << 8) | level
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+        y += 1
+      }
+      encodeJpeg(img)
+    }
+    aviFromJpegs(jpegs, w, h, nFrames, fps)
+  }
+
+  /** Per-frame mean luminance through the REAL demux + JPEG decode — the
+    * per-frame view decodeAvi's averaged features cannot give: walks the
+    * RIFF `movi` list, ImageIO-decodes every `00dc`/`00db` chunk, and
+    * returns each frame's mean (r+g+b)/3.
+    */
+  private[multimodal] def aviFrameLumas(bytes: Array[Byte]): Array[Double] = {
+    require(bytes.length >= 12, "AVI too short")
+    require(fourCC(bytes, 0) == "RIFF" && fourCC(bytes, 8) == "AVI ",
+      "not a RIFF/AVI container")
+    val out = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def walk(start: Int, end: Int): Unit = {
+      var off = start
+      while (off + 8 <= end) {
+        val id = fourCC(bytes, off)
+        val size = le32(bytes, off + 4)
+        require(size >= 0 && off + 8 + size <= end, s"truncated chunk '$id'")
+        if (id == "LIST") walk(off + 12, off + 8 + size)
+        else if (id == "00dc" || id == "00db") {
+          val img = ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes, off + 8, size))
+          require(img != null, "frame is not a decodable image")
+          var sum = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val p = img.getRGB(x, y)
+              sum += ((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)
+              x += 1
+            }
+            y += 1
+          }
+          out += sum.toDouble / (3.0 * img.getWidth * img.getHeight)
+        }
+        off += 8 + size + (size & 1)
+      }
+    }
+    walk(12, bytes.length)
+    out.toArray
+  }
+
+  private def aviFromJpegs(jpegs: Seq[Array[Byte]], w: Int, h: Int,
+      nFrames: Int, fps: Int): Array[Byte] = {
     def chunk(id: String, body: Array[Byte]): Array[Byte] = {
       val header = new Array[Byte](8)
       System.arraycopy(id.getBytes(java.nio.charset.StandardCharsets.US_ASCII),
@@ -661,6 +735,41 @@ object Multimodal {
           round(col("n_recovered") / col("n_planted_pairs"), 4).as("recall"))
     }),
 
+    // Temporal video segmentation (scene-cut detection) over REAL decoded
+    // frames — the clip-boundary primitive a multimodal training pipeline
+    // runs before sampling clips: per video, demux + JPEG-decode every
+    // frame (narrow mapPartitions, no shuffle), take per-frame mean
+    // luminance, and count cuts where adjacent frames jump > 80 levels.
+    // The planted corpus makes the TRUE cut count pure doc_id bit
+    // arithmetic (frame f's brightness follows bit f of doc_id; a cut is
+    // an adjacent-bit flip), so the census oracle pins the whole
+    // demux→decode→delta→threshold chain exactly — the m_phash_dedup
+    // discipline pointed at the time axis.
+    "m_scene_cuts" -> ((s, d) => {
+      import s.implicits._
+      val vids = graft.queries.Tables.t(s, d, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"))
+        .filter(col("doc_id") % 3 === 2)
+        .as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val nf = 1 + (id % 5).toInt
+            val bytes = syntheticAviFlicker(
+              id, 8 + (id % 9).toInt, 8 + (id % 7).toInt, nf)
+            val lum = aviFrameLumas(bytes)
+            require(lum.length == nf, s"demux lost frames: ${lum.length} != $nf")
+            val cuts = (1 until lum.length)
+              .count(i => math.abs(lum(i) - lum(i - 1)) > 80.0)
+            (id, nf.toLong, cuts.toLong)
+          }
+        }.toDF("doc_id", "n_frames", "n_cuts")
+      vids.groupBy("n_frames")
+        .agg(count(lit(1)).as("n_videos"),
+          sum("n_cuts").cast("bigint").as("total_cuts"),
+          max("n_cuts").as("max_cuts"))
+        .orderBy("n_frames")
+    }),
+
     // Per-kind stats over REAL decoded metadata. Every reported column is
     // pinned by the planted census (the m_phash_dedup oracle pattern): the
     // generator derives each medium's true width/height/rate/duration from
@@ -725,6 +834,24 @@ object Multimodal {
         |  CAST(max(sr) AS BIGINT) AS max_sample_rate,
         |  round(max(dur), 3) AS max_duration_ms
         |FROM m GROUP BY kind ORDER BY kind""".stripMargin,
+    // the planted truth: frame f bright iff bit f of doc_id, a cut iff
+    // adjacent bits differ, nf = 1 + doc_id % 5 (so only bits 0..3 matter)
+    "m_scene_cuts" ->
+      """WITH v AS (
+        |  SELECT doc_id, 1 + doc_id % 5 AS nf,
+        |    (CASE WHEN 1 + doc_id % 5 >= 2
+        |          AND ((doc_id >> 0) & 1) <> ((doc_id >> 1) & 1) THEN 1 ELSE 0 END
+        |   + CASE WHEN 1 + doc_id % 5 >= 3
+        |          AND ((doc_id >> 1) & 1) <> ((doc_id >> 2) & 1) THEN 1 ELSE 0 END
+        |   + CASE WHEN 1 + doc_id % 5 >= 4
+        |          AND ((doc_id >> 2) & 1) <> ((doc_id >> 3) & 1) THEN 1 ELSE 0 END
+        |   + CASE WHEN 1 + doc_id % 5 >= 5
+        |          AND ((doc_id >> 3) & 1) <> ((doc_id >> 4) & 1) THEN 1 ELSE 0 END) AS cuts
+        |  FROM documents WHERE doc_id % 3 = 2)
+        |SELECT CAST(nf AS BIGINT) AS n_frames, count(*) AS n_videos,
+        |  CAST(sum(cuts) AS BIGINT) AS total_cuts,
+        |  CAST(max(cuts) AS BIGINT) AS max_cuts
+        |FROM v GROUP BY nf ORDER BY n_frames""".stripMargin,
     "m_audio_fprint_dedup" ->
       """WITH au AS (SELECT count(*) AS na FROM documents WHERE doc_id % 3 = 1),
         |pl AS (SELECT count(*) AS np FROM documents WHERE doc_id % 15 = 4)

@@ -181,6 +181,39 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.audioFingerprint64("RIFFxxxxNOPE".getBytes))
   }
 
+  test("aviFrameLumas + flicker synth: per-frame decode recovers the planted bit pattern") {
+    for (seed <- Seq(0L, 1L, 10L, 21L, 30L)) { // bit patterns 0,1,1010,10101,11110
+      val nf = 5
+      val bytes = Multimodal.syntheticAviFlicker(seed, 12, 9, nf)
+      val lum = Multimodal.aviFrameLumas(bytes)
+      assert(lum.length == nf)
+      lum.zipWithIndex.foreach { case (l, f) =>
+        val expected = if (((seed >> f) & 1L) == 1L) 200.0 else 40.0
+        assert(math.abs(l - expected) < 10,
+          s"seed $seed frame $f decoded $l, planted $expected")
+      }
+      val cuts = (1 until nf).count(f => math.abs(lum(f) - lum(f - 1)) > 80.0)
+      val truth = (0 until nf - 1).count(f =>
+        ((seed >> f) & 1L) != ((seed >> (f + 1)) & 1L))
+      assert(cuts == truth, s"seed $seed: measured $cuts cuts, planted $truth")
+    }
+    // the generic synth (varying pixels) also demuxes frame-per-frame
+    assert(Multimodal.aviFrameLumas(
+      Multimodal.syntheticAvi(3L, 10, 8, 4)).length == 4)
+  }
+
+  test("m_scene_cuts corpus query: census matches bit arithmetic per frame count") {
+    val r = Multimodal.queries("m_scene_cuts")(spark, TestSpark.sf0001).collect()
+    assert(r.map(_.getAs[Long]("n_frames")).toSet == Set(1L, 2L, 3L, 4L, 5L))
+    r.foreach { row =>
+      val nf = row.getAs[Long]("n_frames")
+      if (nf == 1) assert(row.getAs[Long]("total_cuts") == 0)
+      else assert(row.getAs[Long]("max_cuts") <= nf - 1)
+    }
+    assert(r.map(_.getAs[Long]("total_cuts")).sum > 0,
+      "no cuts detected anywhere: the threshold or decode path is broken")
+  }
+
   test("m_audio_fprint_dedup corpus query: planted container twins fully recovered") {
     val r = Multimodal.queries("m_audio_fprint_dedup")(spark, TestSpark.sf0001)
       .collect()

@@ -627,4 +627,26 @@ class PlanSpec extends SparkSpec {
     assert(windows.exists(!_.toString.contains("SinglePartition")),
       "the in-bucket sweep window must be key-partitioned")
   }
+
+  test("final-wave scans pruned; balance-sample joins broadcast; snapshot diff is an equi-join") {
+    // d_sorted_neighborhood: only (doc_id, text) leave the parquet scan
+    assert(scanOf("d_sorted_neighborhood", "documents")
+      .requiredSchema.fieldNames.toSet == Set("doc_id", "text"))
+    // d_snapshot_diff: pruned scans, full-outer HASH equi-join on the crawl
+    // key — never a cartesian
+    assert(scanOf("d_snapshot_diff", "documents")
+      .requiredSchema.fieldNames.toSet == Set("doc_id", "text"))
+    val sd = plan("d_snapshot_diff").toString
+    assert(sd.contains("FullOuter"), "diff must be a full-outer join")
+    assert(!sd.contains("Cartesian"))
+    // s_cluster_balance_sample: the k-row rate table joins back broadcast,
+    // and only (vec_id, embedding) leave the embeddings scan
+    assert(scanOf("s_cluster_balance_sample", "embeddings")
+      .requiredSchema.fieldNames.toSet == Set("vec_id", "embedding"))
+    val cb = plan("s_cluster_balance_sample").toString
+    assert(cb.contains("BroadcastHashJoin"),
+      "the per-cell rate join must broadcast the k-row side")
+    assert(!cb.contains("SortMergeJoin"),
+      "no data-sized sort-merge join belongs in the balance-sample plan")
+  }
 }

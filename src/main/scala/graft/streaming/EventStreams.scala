@@ -653,8 +653,104 @@ object EventStreams {
     }
   }
 
+  /** `st_sessionize`: the stateful event-time sessionizer as an ORACLED
+    * corpus entry — the third live checkpointed pipeline, covering the
+    * flatMapGroupsWithState/timeout surface the ingest (content dedup)
+    * and near-dup (band-bucket vote) entries don't. What makes a
+    * nondeterministic-arrival stream exactly SQL-replayable here:
+    * (1) CHRONOLOGICAL staging — the corpus is cut into 4 contiguous
+    * event-time slices, one file each, mtime-ordered so AvailableNow's
+    * maxFilesPerTrigger=1 replays them as 4 chronological micro-batches
+    * (in-file disorder is the in-batch sort's job; cross-batch session
+    * state is genuinely carried over every slice boundary); (2) two LATE
+    * sentinels (negative user ids, staged last) push the watermark past
+    * t1 + gap so every open session times out and flushes before the
+    * stream drains; (3) the ledger is in MILLISECONDS — the stateful
+    * path compares `Timestamp.getTime` (ms), so the oracle sessionizes
+    * over `epoch_us(ts) // 1000` with the identical > gap rule, and
+    * durations stay exact integers at any volume. Gap = 12 h (the corpus
+    * event density makes 30-min sessions all singletons). Work dirs are
+    * nonce-keyed and removed after the bounded extract.
+    */
+  private def sessionLedger(
+      s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val gapMs = 12L * 3600 * 1000
+    graft.util.Dirs.withNonceDir("graft_sess_") { root =>
+      val srcDir = new java.io.File(root, "in")
+      srcDir.mkdirs()
+      val outDir = s"${root.getAbsolutePath}/out"
+      val ckDir = s"${root.getAbsolutePath}/ck"
+      import s.implicits._
+      val ev = graft.queries.Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      val b = ev.agg(min(unix_micros(col("ts"))).as("t0"),
+        max(unix_micros(col("ts"))).as("t1")).head
+      require(!b.isNullAt(0), "empty events table")
+      val (t0us, t1us) = (b.getLong(0), b.getLong(1))
+      val slices = 4
+      val width = (t1us - t0us) / slices + 1
+      def moveIn(stage: java.io.File, name: String, mtime: Long): Unit = {
+        val part = Option(stage.listFiles()).getOrElse(Array.empty[java.io.File])
+          .find(_.getName.startsWith("part-"))
+          .getOrElse(throw new IllegalStateException("no staged part file"))
+        val dst = new java.io.File(srcDir, name)
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(mtime)
+        graft.util.Dirs.deleteRecursively(stage)
+      }
+      val now = System.currentTimeMillis()
+      for (i <- 0 until slices) {
+        val stage = new java.io.File(root, s"stage_$i")
+        ev.filter(unix_micros(col("ts")) >= t0us + i * width &&
+            unix_micros(col("ts")) < t0us + (i + 1) * width)
+          .coalesce(1).write.mode("overwrite").parquet(stage.getAbsolutePath)
+        moveIn(stage, f"slice_$i%02d.parquet", now + (i + 1) * 1000L)
+      }
+      for (i <- 0 until 2) {
+        val stage = new java.io.File(root, s"sent_$i")
+        val sentUs = t1us + gapMs * 1000L + (3 + i) * 3600L * 1000000L
+        Seq((-1L - i, new Timestamp(sentUs / 1000L), -1L - i, "", 0.0))
+          .toDF("event_id", "ts", "user_id", "event_type", "value")
+          .coalesce(1).write.mode("overwrite").parquet(stage.getAbsolutePath)
+        moveIn(stage, s"zz_sentinel_$i.parquet", now + 100000L + i * 60000L)
+      }
+      val schema = s.read.parquet(srcDir.getAbsolutePath).schema
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val src = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(srcDir.getAbsolutePath)
+        val q = sessionizeStateful(src.as[Event], gapMs)
+          .writeStream.format("parquet")
+          .option("path", outDir)
+          .option("checkpointLocation", ckDir)
+          .outputMode(OutputMode.Append)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      val hist = s.read.parquet(outDir)
+        .filter(col("user_id") >= 0)
+        .select(col("user_id"), col("n_events"),
+          expr("(unix_micros(session_end) - unix_micros(session_start)) div 1000")
+            .as("dur_ms"))
+        .groupBy(least(col("n_events"), lit(50)).cast("bigint").as("len_bucket"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum("dur_ms").cast("bigint").as("total_dur_ms"),
+          min("user_id").as("min_user"))
+        .orderBy("len_bucket")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toIndexedSeq
+      hist.toDF("len_bucket", "n_sessions", "total_dur_ms", "min_user")
+    }
+  }
+
   val queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] =
     Map("st_ingest_shards" -> ((s, d) => ingestShardsHistogram(s, d)),
+      "st_sessionize" -> ((s, d) => sessionLedger(s, d)),
       "st_neardup_ingest" -> ((s, d) => nearDupLedger(s, d)),
       // stratum twin (the *_s41 device, near-trivial at base SF): the
       // identical checkpointed stream over the 1-in-41 md5 sub-corpus,
@@ -667,6 +763,30 @@ object EventStreams {
     * keep-choice-invariant, min(fp) pins the content assignment itself.
     */
   val oracles: Map[String, String] = Map(
+    // millisecond sessionization (Timestamp.getTime semantics): the lag/
+    // cumsum gap rewrite over epoch_us // 1000, same > 12h rule, same
+    // (ms, event_id) ordering; durations are exact integer ms
+    "st_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) // 1000 AS ms FROM events),
+        |l AS (
+        |  SELECT user_id, event_id, ms,
+        |    lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev
+        |  FROM e),
+        |sid AS (
+        |  SELECT user_id, ms,
+        |    sum(CASE WHEN prev IS NULL OR ms - prev > 43200000 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM l),
+        |sess AS (
+        |  SELECT user_id, sess, count(*) AS n_events,
+        |    max(ms) - min(ms) AS dur_ms
+        |  FROM sid GROUP BY user_id, sess)
+        |SELECT least(n_events, 50) AS len_bucket, count(*) AS n_sessions,
+        |  CAST(sum(dur_ms) AS BIGINT) AS total_dur_ms,
+        |  min(user_id) AS min_user
+        |FROM sess GROUP BY 1 ORDER BY len_bucket""".stripMargin,
     "st_ingest_shards" ->
       """WITH dups AS (
         |  SELECT doc_id * 2 AS doc_id, text FROM documents

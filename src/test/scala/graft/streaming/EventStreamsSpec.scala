@@ -384,4 +384,38 @@ class EventStreamsSpec extends SparkSpec {
     assert(snap == Set(CdcChange(1, 5, "U", 12.0, "O"),
       CdcChange(2, 7, "D", 99.0, "F")))
   }
+
+  test("st_sessionize corpus entry: live checkpointed ledger equals the batch gap rewrite") {
+    import org.apache.spark.sql.functions._
+    val stream = EventStreams.queries("st_sessionize")(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    // batch mirror in milliseconds (Timestamp.getTime semantics), the
+    // same lag/cumsum rewrite the DuckDB oracle runs
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ms", "event_id")
+    val sess = Tables.events(spark, TestSpark.sf0001)
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts) div 1000").as("ms"))
+      .withColumn("prev", lag("ms", 1).over(w))
+      .withColumn("new_s",
+        when(col("prev").isNull || col("ms") - col("prev") > 12L * 3600 * 1000, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum("new_s").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "sid")
+      .agg(count(lit(1)).as("n_events"), (max("ms") - min("ms")).as("dur_ms"))
+    val batch = sess
+      .groupBy(least(col("n_events"), lit(50)).cast("bigint").as("len_bucket"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum("dur_ms").cast("bigint").as("total_dur_ms"),
+        min("user_id").as("min_user"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(stream.nonEmpty)
+    assert(stream.toSeq == batch.toSeq,
+      "stateful stream diverged from the batch sessionization")
+    // multi-event sessions exist, i.e. cross-batch state actually carried
+    assert(stream.exists(_._1 > 1))
+  }
 }

@@ -702,6 +702,17 @@ object Dedup {
     // second independent key) composes by unioning a second pass's pairs.
     // Planted exact dups share the whole normalized text → same block,
     // adjacent in sort order → guaranteed candidates at Jaccard 1.0.
+    //
+    // Key-design note for a real crawl: a text prefix is only a good SNM
+    // key when prefixes are discriminative. A corpus where 30% of pages
+    // open with the same boilerplate ("<!doctype html…") would put 30% of
+    // rows in ONE window partition — the classic SNM key-skew failure,
+    // cured by key choice (e.g. the doc's rarest-token fingerprint as
+    // prefix), not by the operator: the window stays key-partitioned and
+    // the N·w candidate bound holds under ANY key. The synthetic corpus's
+    // prefixes are word-random, so blocks stay small here (and the sf30
+    // perturbed corpus splices a hex code into position 8, exercising a
+    // different block distribution with the same plan).
     "d_sorted_neighborhood" -> ((s, d) => {
       graft.functions.GraftFunctions.ensureRegistered(s)
       val w = 3

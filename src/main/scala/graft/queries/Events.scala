@@ -671,6 +671,42 @@ object Events {
         .orderBy("day")
     }),
 
+    // Rolling EXACT percentiles (p50/p95 of hourly event counts over the
+    // trailing 24 h, per type) — the rolling-latency-percentile shape every
+    // ops dashboard runs. Spark has no percentile window function; the
+    // exact rewrite for a FIXED-width window is collect_list over the
+    // 24-row frame + array_sort + positional pick — per-row state is
+    // bounded by the window width (24 longs), NOT the stream, so the
+    // rewrite scales with the panel (types × calendar hours), never the
+    // event volume. Windows partition by type over the gap-filled panel
+    // (the e_forecast_baseline spine discipline: missing hours count 0 and
+    // the frame is always 24 REAL hours); only full windows are reported.
+    // Integer counts → positional picks are exact on both engines.
+    "e_moving_percentile" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val hourly = e
+        .groupBy(date_trunc("HOUR", col("ts")).as("hour_ts"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      val spine = e.agg(
+          date_trunc("HOUR", min(col("ts"))).as("h0"),
+          date_trunc("HOUR", max(col("ts"))).as("h1"))
+        .select(explode(expr("sequence(h0, h1, interval 1 hour)")).as("hour_ts"))
+      val panel = spine
+        .crossJoin(e.select("event_type").distinct())
+        .join(hourly, Seq("hour_ts", "event_type"), "left")
+        .select(col("hour_ts"), col("event_type"),
+          coalesce(col("c"), lit(0L)).as("c"))
+      val w = Window.partitionBy("event_type").orderBy("hour_ts")
+        .rowsBetween(-23, 0)
+      panel.withColumn("win", array_sort(collect_list("c").over(w)))
+        .filter(size(col("win")) === 24)
+        // ceil(0.5·24) = 12, ceil(0.95·24) = 23 — fixed 1-based positions
+        .select(col("hour_ts"), col("event_type"),
+          element_at(col("win"), 12).as("p50"),
+          element_at(col("win"), 23).as("p95"))
+        .orderBy("hour_ts", "event_type")
+    }),
+
     // Seasonal-naive forecast evaluation — predict each hour's per-type
     // count by the count 24 h earlier, score with MAPE and mean bias: the
     // baseline every real forecaster must beat, and the cheapest anomaly
@@ -1648,6 +1684,32 @@ object Events {
         |SELECT est.day, est_du, CAST(exact_du AS BIGINT) AS exact_du,
         |  abs(est_du - exact_du) <= ceil(3.0 * exact_du / sqrt(62.0)) AS within_tol
         |FROM est JOIN ex USING (day) ORDER BY day""".stripMargin,
+    // the identical panel + 24-row sorted-list window, same 1-based picks
+    "e_moving_percentile" ->
+      """WITH b AS (
+        |  SELECT CAST(date_trunc('hour', min(ts)) AS TIMESTAMP) AS h0,
+        |         CAST(date_trunc('hour', max(ts)) AS TIMESTAMP) AS h1
+        |  FROM events),
+        |spine AS (
+        |  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour_ts FROM b),
+        |types AS (SELECT DISTINCT event_type FROM events),
+        |hourly AS (
+        |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts, event_type,
+        |         count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |panel AS (
+        |  SELECT spine.hour_ts, types.event_type,
+        |         CAST(coalesce(c, 0) AS BIGINT) AS c
+        |  FROM spine CROSS JOIN types
+        |  LEFT JOIN hourly USING (hour_ts, event_type)),
+        |wl AS (
+        |  SELECT hour_ts, event_type,
+        |    list_sort(list(c) OVER (PARTITION BY event_type ORDER BY hour_ts
+        |      ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)) AS win
+        |  FROM panel)
+        |SELECT hour_ts, event_type, win[12] AS p50, win[23] AS p95
+        |FROM wl WHERE len(win) = 24
+        |ORDER BY hour_ts, event_type""".stripMargin,
     "e_forecast_baseline" ->
       """WITH b AS (
         |  SELECT CAST(date_trunc('hour', min(ts)) AS TIMESTAMP) AS h0,

@@ -396,6 +396,32 @@ object Similarity {
         .orderBy("cl")
     }),
 
+    // Embedding-distribution DRIFT monitor — the check a production
+    // retrieval/curation stack runs when the embedding model or corpus
+    // shifts: split the collection into two snapshots (vec_id parity
+    // stands in for old/new), compare per-label centroids across them
+    // (cosine ≈ 1 and norm delta ≈ 0 mean the space is stable; a drifted
+    // label is where re-indexing starts). Two partial-agg'd VectorMean
+    // passes + a 10-row join — one scan each, no pairwise anything. The
+    // 9-dp centroid rounding is the s_kmeans cross-engine discipline.
+    "s_centroid_drift" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val emb = t(s, d, "embeddings")
+      val vecMean = graft.functions.VectorMean(64)
+      def half(m: Int): DataFrame =
+        emb.filter(col("vec_id") % 2 === m)
+          .groupBy("label")
+          .agg(vecMean(col("embedding")).as("c"), count(lit(1)).as(s"n$m"))
+          .select(col("label"),
+            transform(col("c"), x => round(x, 9)).as(s"c$m"), col(s"n$m"))
+      half(0).join(half(1), "label")
+        .select(col("label").cast("bigint").as("label"), col("n0"), col("n1"),
+          round(graft.functions.GraftFunctions.cosineSim(col("c0"), col("c1")), 6)
+            .as("centroid_cos"),
+          round(norm(col("c1")) - norm(col("c0")), 6).as("norm_delta"))
+        .orderBy("label")
+    }),
+
     // Density-BALANCED sampling over the embedding space — the curation
     // step between SemDeDup and plain random sampling: dense clusters
     // (redundant regions) are downsampled to a per-cluster token budget
@@ -1322,6 +1348,28 @@ object Similarity {
         |n AS (SELECT cl, count(*) AS n_members FROM a2 GROUP BY cl)
         |SELECT CAST(n.cl AS BIGINT) AS cl, n.n_members, nrm.centroid_norm
         |FROM n JOIN nrm USING (cl) ORDER BY cl""".stripMargin,
+    // per-(label, parity) component means rounded to 9 dp (the s_kmeans m1
+    // CTE), then cosine + norm delta over the identical rounded arrays
+    "s_centroid_drift" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |m AS (
+        |  SELECT label, vec_id % 2 AS half, CAST(r.i AS INT) AS pos,
+        |         avg(v[CAST(r.i AS INT) + 1]) AS mv, count(DISTINCT vec_id) AS n
+        |  FROM e, range(64) r(i) GROUP BY 1, 2, 3),
+        |c AS (SELECT label, half, list(round(mv, 9) ORDER BY pos) AS cent,
+        |             CAST(max(n) AS BIGINT) AS n
+        |      FROM m GROUP BY label, half),
+        |j AS (
+        |  SELECT a.label, a.n AS n0, b.n AS n1, a.cent AS c0, b.cent AS c1
+        |  FROM c a JOIN c b ON a.label = b.label AND a.half = 0 AND b.half = 1)
+        |SELECT CAST(label AS BIGINT) AS label, n0, n1,
+        |  round(list_dot_product(c0, c1) /
+        |    (sqrt(list_dot_product(c0, c0)) * sqrt(list_dot_product(c1, c1))), 6)
+        |    AS centroid_cos,
+        |  round(sqrt(list_dot_product(c1, c1)) - sqrt(list_dot_product(c0, c0)), 6)
+        |    AS norm_delta
+        |FROM j ORDER BY label""".stripMargin,
     // seed-centroid assignment replay (the s_kmeans a1 CTE) + the exact
     // 2^48 md5(vec_id) keep draw against rate = min(1, 40/cell size)
     "s_cluster_balance_sample" ->

@@ -123,6 +123,28 @@ class ClusteringSpec extends SparkSpec {
     }
   }
 
+  test("s_centroid_drift: parity halves census every vector, cosines bounded, near-stable space") {
+    val r = Similarity.queries("s_centroid_drift")(spark, sf).collect()
+    val emb = Tables.t(spark, sf, "embeddings")
+    assert(r.length == emb.select("label").distinct().count())
+    assert(r.map(x => x.getAs[Long]("n0") + x.getAs[Long]("n1")).sum == emb.count())
+    r.foreach { row =>
+      val cos = row.getAs[Double]("centroid_cos")
+      assert(cos >= -1.0 && cos <= 1.0)
+      // the testdata embeddings are near-uniform noise, so each label's
+      // centroid is a small-norm mean and the parity halves are nearly
+      // independent draws — LOW alignment is the correct reading here
+      // (on clustered data the same monitor reads ~1); assert only the
+      // bound and that the norm comparison stays in the unit ballpark
+      assert(math.abs(row.getAs[Double]("norm_delta")) < 1.0)
+      assert(row.getAs[Long]("n0") > 0 && row.getAs[Long]("n1") > 0,
+        "a parity half lost a label entirely — the join would silently drop it")
+    }
+    // deterministic: the monitor must re-read identically
+    val r2 = Similarity.queries("s_centroid_drift")(spark, sf).collect()
+    assert(r.map(_.toString).toSeq == r2.map(_.toString).toSeq)
+  }
+
   test("e_cuped: variants census users, adjustment preserves the global mean") {
     val r = Events.queries("e_cuped")(spark, sf).collect()
     assert(r.length == 2)

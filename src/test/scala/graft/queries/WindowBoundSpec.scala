@@ -199,6 +199,22 @@ class WindowBoundSpec extends SparkSpec {
       "sketches never filled: the estimator path is untested at this SF")
   }
 
+  test("e_moving_percentile: panel calendar-bounded, full windows only, p50 <= p95") {
+    def run(d: String) = Events.queries("e_moving_percentile")(spark, d).collect()
+    val rows = run(sfSmall)
+    val types = Tables.events(spark, sfSmall).select("event_type").distinct().count()
+    val hours = hourSpan(sfSmall)
+    // one row per (type, hour) with a complete 24-row trailing frame
+    assert(rows.length == types * (hours - 23))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("p50") <= r.getAs[Long]("p95"))
+      assert(r.getAs[Long]("p50") >= 0)
+    }
+    // volume-invariance: 10x the events, same calendar → same row count
+    assert(run(sfBig).length == rows.length,
+      "panel size must follow the calendar, not the event volume")
+  }
+
   test("s_hybrid_rrf rank panels: both tower windows sit above literal limit(50) cuts") {
     // t_zipf_slope's class: a literal limit precedes each row_number
     // window, so the single partition holds <= 50 rows by construction;

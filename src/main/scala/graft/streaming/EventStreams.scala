@@ -672,6 +672,55 @@ object EventStreams {
     * event density makes 30-min sessions all singletons). Work dirs are
     * nonce-keyed and removed after the bounded extract.
     */
+  /** Chronological slice staging for the session stream: the corpus cut
+    * into 4 contiguous event-time slices (one mtime-ordered file each —
+    * with maxFilesPerTrigger=1 the file source replays them as 4
+    * chronological micro-batches) plus two LATE sentinel events (negative
+    * user ids) whose event times push the watermark past t1 + gap so
+    * every open session times out before AvailableNow drains. ONE body
+    * for the corpus entry and the kill/restart spec — the staging scheme
+    * must never drift between them.
+    */
+  private[streaming] def stageEventSlices(
+      s: org.apache.spark.sql.SparkSession, root: java.io.File,
+      srcDir: java.io.File, d: String, gapMs: Long): Unit = {
+    import s.implicits._
+    val ev = graft.queries.Tables.events(s, d)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    val b = ev.agg(min(unix_micros(col("ts"))).as("t0"),
+      max(unix_micros(col("ts"))).as("t1")).head
+    require(!b.isNullAt(0), "empty events table")
+    val (t0us, t1us) = (b.getLong(0), b.getLong(1))
+    val slices = 4
+    val width = (t1us - t0us) / slices + 1
+    def moveIn(stage: java.io.File, name: String, mtime: Long): Unit = {
+      val part = Option(stage.listFiles()).getOrElse(Array.empty[java.io.File])
+        .find(_.getName.startsWith("part-"))
+        .getOrElse(throw new IllegalStateException("no staged part file"))
+      val dst = new java.io.File(srcDir, name)
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(mtime)
+      graft.util.Dirs.deleteRecursively(stage)
+    }
+    val now = System.currentTimeMillis()
+    for (i <- 0 until slices) {
+      val stage = new java.io.File(root, s"stage_$i")
+      ev.filter(unix_micros(col("ts")) >= t0us + i * width &&
+          unix_micros(col("ts")) < t0us + (i + 1) * width)
+        .coalesce(1).write.mode("overwrite").parquet(stage.getAbsolutePath)
+      moveIn(stage, f"slice_$i%02d.parquet", now + (i + 1) * 1000L)
+    }
+    for (i <- 0 until 2) {
+      val stage = new java.io.File(root, s"sent_$i")
+      val sentUs = t1us + gapMs * 1000L + (3 + i) * 3600L * 1000000L
+      Seq((-1L - i, new Timestamp(sentUs / 1000L), -1L - i, "", 0.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("overwrite").parquet(stage.getAbsolutePath)
+      moveIn(stage, s"zz_sentinel_$i.parquet", now + 100000L + i * 60000L)
+    }
+  }
+
   private def sessionLedger(
       s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
     val gapMs = 12L * 3600 * 1000
@@ -681,40 +730,7 @@ object EventStreams {
       val outDir = s"${root.getAbsolutePath}/out"
       val ckDir = s"${root.getAbsolutePath}/ck"
       import s.implicits._
-      val ev = graft.queries.Tables.events(s, d)
-        .select(col("event_id"), col("ts"), col("user_id"),
-          col("event_type"), col("value"))
-      val b = ev.agg(min(unix_micros(col("ts"))).as("t0"),
-        max(unix_micros(col("ts"))).as("t1")).head
-      require(!b.isNullAt(0), "empty events table")
-      val (t0us, t1us) = (b.getLong(0), b.getLong(1))
-      val slices = 4
-      val width = (t1us - t0us) / slices + 1
-      def moveIn(stage: java.io.File, name: String, mtime: Long): Unit = {
-        val part = Option(stage.listFiles()).getOrElse(Array.empty[java.io.File])
-          .find(_.getName.startsWith("part-"))
-          .getOrElse(throw new IllegalStateException("no staged part file"))
-        val dst = new java.io.File(srcDir, name)
-        java.nio.file.Files.move(part.toPath, dst.toPath)
-        dst.setLastModified(mtime)
-        graft.util.Dirs.deleteRecursively(stage)
-      }
-      val now = System.currentTimeMillis()
-      for (i <- 0 until slices) {
-        val stage = new java.io.File(root, s"stage_$i")
-        ev.filter(unix_micros(col("ts")) >= t0us + i * width &&
-            unix_micros(col("ts")) < t0us + (i + 1) * width)
-          .coalesce(1).write.mode("overwrite").parquet(stage.getAbsolutePath)
-        moveIn(stage, f"slice_$i%02d.parquet", now + (i + 1) * 1000L)
-      }
-      for (i <- 0 until 2) {
-        val stage = new java.io.File(root, s"sent_$i")
-        val sentUs = t1us + gapMs * 1000L + (3 + i) * 3600L * 1000000L
-        Seq((-1L - i, new Timestamp(sentUs / 1000L), -1L - i, "", 0.0))
-          .toDF("event_id", "ts", "user_id", "event_type", "value")
-          .coalesce(1).write.mode("overwrite").parquet(stage.getAbsolutePath)
-        moveIn(stage, s"zz_sentinel_$i.parquet", now + 100000L + i * 60000L)
-      }
+      stageEventSlices(s, root, srcDir, d, gapMs)
       val schema = s.read.parquet(srcDir.getAbsolutePath).schema
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")

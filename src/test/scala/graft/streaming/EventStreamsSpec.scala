@@ -418,4 +418,78 @@ class EventStreamsSpec extends SparkSpec {
     // multi-event sessions exist, i.e. cross-batch state actually carried
     assert(stream.exists(_._1 > 1))
   }
+
+  test("sessionize stream: stop mid-stream, resume from checkpoint — same sessions") {
+    // The NearDupStreamSpec kill/restart discipline on the SESSIONIZER:
+    // recovery must restore per-user open-session state (start, last, n)
+    // and the registered event-time timeouts, so sessions straddling the
+    // kill boundary still merge and flush correctly after the restart.
+    // Staging is the SAME stageEventSlices body the corpus entry uses.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val gapMs = 12L * 3600 * 1000
+    val root = java.nio.file.Files.createTempDirectory("sess-e2e").toFile
+    val srcDir = new java.io.File(root, "in"); srcDir.mkdirs()
+    val outDir = s"${root.getAbsolutePath}/out"
+    val ckDir = s"${root.getAbsolutePath}/ck"
+    EventStreams.stageEventSlices(spark, root, srcDir, TestSpark.sf0001, gapMs)
+    val schema = spark.read.parquet(srcDir.getAbsolutePath).schema
+    import spark.implicits._
+    def start(availableNow: Boolean) = {
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir.getAbsolutePath)
+      val w = EventStreams.sessionizeStateful(src.as[EventStreams.Event], gapMs)
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckDir)
+        .outputMode(OutputMode.Append)
+      (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
+    }
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      // phase 1: kill at the first committed micro-batch — most slices
+      // unread, every open session pending in the state store
+      val q1 = start(availableNow = false)
+      try {
+        val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+        while (!q1.recentProgress.exists(_.numInputRows > 0) &&
+            System.nanoTime() < deadline) Thread.sleep(50)
+        assert(q1.recentProgress.exists(_.numInputRows > 0),
+          "stream made no progress within the deadline")
+      } finally q1.stop()
+      q1.awaitTermination()
+      // phase 2: restart from the SAME checkpoint, drain everything
+      val q2 = start(availableNow = true)
+      q2.awaitTermination()
+      assert(q2.recentProgress.exists(_.numInputRows > 0),
+        "the restart must process the slices the kill left unread")
+      // post-restart sessions == the batch gap rewrite, exactly
+      val stream = spark.read.parquet(outDir)
+        .filter(col("user_id") >= 0)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("n_events").cast("long")).as("n_events"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1)
+      val w2 = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ms", "event_id")
+      val batch = Tables.events(spark, TestSpark.sf0001)
+        .select(col("user_id"), col("event_id"),
+          expr("unix_micros(ts) div 1000").as("ms"))
+        .withColumn("prev", lag("ms", 1).over(w2))
+        .withColumn("new_s",
+          when(col("prev").isNull || col("ms") - col("prev") > gapMs, 1L)
+            .otherwise(0L))
+        .groupBy("user_id")
+        .agg(sum("new_s").as("n_sessions"), count(lit(1)).as("n_events"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1)
+      assert(stream.toSeq == batch.toSeq,
+        "post-restart sessions must equal the batch gap rule")
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      graft.util.Dirs.deleteRecursively(root)
+    }
+  }
 }

@@ -307,6 +307,48 @@ object Dedup {
     t(s, d, "documents").filter(col("doc_id") % 5 === 0)
       .select((col("doc_id") * 2).as("id_a"), (col("doc_id") * 2 + 1).as("id_b"))
 
+  /** The blocked sorted-neighborhood candidate+verify stage — ONE body for
+    * d_sorted_neighborhood (the listing) and d_mutual_best_match (the
+    * reciprocal-best filter composed on top). Unordered output
+    * (id_a < id_b, jaccard); see the d_sorted_neighborhood query comment
+    * for the scale/key-design discussion.
+    */
+  private def snmPairs(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val w = 3
+    val docs = corpusWithDups(s, d)
+      .select(col("doc_id"), Text.normText(col("text")).as("nt"))
+      .filter(length(col("nt")) >= 3)
+    // gram sets are the native single-pass md5-48 `gram_fps` longs, not
+    // string shingles: one codegen'd loop per doc (no interpreted
+    // transform lambda), and the window then buffers 8-byte longs
+    // instead of 5-char strings through its 3 lead columns — measured
+    // 4.7 s → 2.0 s at sf0.1. Set semantics are unchanged (both engines
+    // replay the identical draw; Jaccard compares only set sizes).
+    val g = docs.select(col("doc_id"),
+      substring(col("nt"), 1, 8).as("blk"), col("nt"),
+      array_distinct(
+        graft.functions.GraftFunctions.gramFps(col("nt"), 3)).as("gr"))
+    val win = Window.partitionBy("blk").orderBy(col("nt"), col("doc_id"))
+    val withLeads = g.select(col("doc_id"), col("gr"),
+      array((1 to w).map(i =>
+        struct(lead(col("doc_id"), i).over(win).as("id_b"),
+          lead(col("gr"), i).over(win).as("gb"))): _*).as("nbrs"))
+    val cand = withLeads
+      .select(col("doc_id").as("ia"), col("gr").as("ga"),
+        explode(col("nbrs")).as("nb"))
+      .filter(col("nb.id_b").isNotNull)
+      .select(col("ia"), col("ga"),
+        col("nb.id_b").as("ib"), col("nb.gb").as("gb"))
+    val inter = size(array_intersect(col("ga"), col("gb"))).cast("double")
+    cand
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"),
+        round(inter / (size(col("ga")) + size(col("gb")) - inter), 4)
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.65)
+  }
+
   val queries: Map[String, Q] = Map(
     // Exact dedup: first-per-fingerprint via min(doc_id) groupBy (scales as
     // a single hash aggregation; no window needed).
@@ -713,40 +755,34 @@ object Dedup {
     // prefixes are word-random, so blocks stay small here (and the sf30
     // perturbed corpus splices a hex code into position 8, exercising a
     // different block distribution with the same plan).
-    "d_sorted_neighborhood" -> ((s, d) => {
-      graft.functions.GraftFunctions.ensureRegistered(s)
-      val w = 3
-      val docs = corpusWithDups(s, d)
-        .select(col("doc_id"), Text.normText(col("text")).as("nt"))
-        .filter(length(col("nt")) >= 3)
-      // gram sets are the native single-pass md5-48 `gram_fps` longs, not
-      // string shingles: one codegen'd loop per doc (no interpreted
-      // transform lambda), and the window then buffers 8-byte longs
-      // instead of 5-char strings through its 3 lead columns — measured
-      // 4.7 s → 2.0 s at sf0.1. Set semantics are unchanged (both engines
-      // replay the identical draw; Jaccard compares only set sizes).
-      val g = docs.select(col("doc_id"),
-        substring(col("nt"), 1, 8).as("blk"), col("nt"),
-        array_distinct(
-          graft.functions.GraftFunctions.gramFps(col("nt"), 3)).as("gr"))
-      val win = Window.partitionBy("blk").orderBy(col("nt"), col("doc_id"))
-      val withLeads = g.select(col("doc_id"), col("gr"),
-        array((1 to w).map(i =>
-          struct(lead(col("doc_id"), i).over(win).as("id_b"),
-            lead(col("gr"), i).over(win).as("gb"))): _*).as("nbrs"))
-      val cand = withLeads
-        .select(col("doc_id").as("ia"), col("gr").as("ga"),
-          explode(col("nbrs")).as("nb"))
-        .filter(col("nb.id_b").isNotNull)
-        .select(col("ia"), col("ga"),
-          col("nb.id_b").as("ib"), col("nb.gb").as("gb"))
-      val inter = size(array_intersect(col("ga"), col("gb"))).cast("double")
-      cand
-        .select(least(col("ia"), col("ib")).as("id_a"),
-          greatest(col("ia"), col("ib")).as("id_b"),
-          round(inter / (size(col("ga")) + size(col("gb")) - inter), 4)
-            .as("jaccard"))
-        .filter(col("jaccard") >= 0.65)
+    "d_sorted_neighborhood" -> ((s, d) =>
+      snmPairs(s, d).orderBy("id_a", "id_b")),
+
+    // RECIPROCAL best match — the entity-resolution disambiguation step
+    // after any candidate generator: each record's best-scoring partner is
+    // a per-key argmax, and a pair survives only if the choice is MUTUAL
+    // (best(a) = b AND best(b) = a) — the standard guard against one hub
+    // record absorbing a whole block. Composed over the SNM candidate
+    // stage (one body, snmPairs): two partial-agg'd argmax passes over the
+    // symmetrized pair stream + one self-join on the ≤|V|-row best table —
+    // never touches the pair space twice. Argmax tie-break is
+    // (jaccard DESC, partner id ASC) via the max-of-struct device with a
+    // negated partner, identical in the DuckDB replay.
+    "d_mutual_best_match" -> ((s, d) => {
+      val p = snmPairs(s, d)
+      val sym = p.select(col("id_a").as("src"), col("id_b").as("dst"), col("jaccard"))
+        .unionByName(
+          p.select(col("id_b").as("src"), col("id_a").as("dst"), col("jaccard")))
+      val best = sym.groupBy("src")
+        .agg(max(struct(col("jaccard"), (-col("dst")).as("nd"))).as("b"))
+        .select(col("src"), (-col("b.nd")).as("bd"),
+          col("b.jaccard").as("bj"))
+      val x = best.as("x")
+      val y = best.select(col("src").as("ys"), col("bd").as("ybd"))
+      x.join(y, col("x.src") === col("ybd") && col("x.bd") === col("ys"))
+        .filter(col("x.src") < col("x.bd"))
+        .select(col("x.src").as("id_a"), col("x.bd").as("id_b"),
+          col("x.bj").as("jaccard"))
         .orderBy("id_a", "id_b")
     }),
 
@@ -1232,6 +1268,47 @@ object Dedup {
         |  FROM cand)
         |SELECT id_a, id_b, jaccard FROM j
         |WHERE jaccard >= 0.65 ORDER BY id_a, id_b""".stripMargin,
+    // the SNM pair CTEs + the reciprocal filter: per-src argmax by
+    // (jaccard DESC, partner ASC) via the same max-of-struct device
+    "d_mutual_best_match" ->
+      """WITH dups AS (
+        |  SELECT doc_id * 2 AS doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id * 2 + 1 AS doc_id, text
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |n AS (
+        |  SELECT doc_id,
+        |    lower(trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS nt
+        |  FROM dups),
+        |g AS (
+        |  SELECT doc_id, substr(nt, 1, 8) AS blk, nt,
+        |    list_distinct(list_transform(range(0, greatest(length(nt) - 2, 0)),
+        |      i -> CAST('0x' || substr(md5(substr(nt, CAST(i AS INT) + 1, 3)),
+        |        1, 12) AS BIGINT))) AS gr,
+        |    row_number() OVER (PARTITION BY substr(nt, 1, 8)
+        |                       ORDER BY nt, doc_id) AS rn
+        |  FROM n WHERE length(nt) >= 3),
+        |cand AS (
+        |  SELECT a.doc_id AS ia, b.doc_id AS ib, a.gr AS ga, b.gr AS gb
+        |  FROM g a JOIN g b
+        |    ON a.blk = b.blk AND b.rn - a.rn BETWEEN 1 AND 3),
+        |j AS (
+        |  SELECT least(ia, ib) AS id_a, greatest(ia, ib) AS id_b,
+        |    round(CAST(len(list_intersect(ga, gb)) AS DOUBLE) /
+        |      (len(ga) + len(gb) - len(list_intersect(ga, gb))), 4) AS jaccard
+        |  FROM cand),
+        |pr AS (SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.65),
+        |sym AS (
+        |  SELECT id_a AS src, id_b AS dst, jaccard FROM pr
+        |  UNION ALL
+        |  SELECT id_b AS src, id_a AS dst, jaccard FROM pr),
+        |best AS (
+        |  SELECT src, -(max({'j': jaccard, 'nd': -dst})).nd AS bd,
+        |         (max({'j': jaccard, 'nd': -dst})).j AS bj
+        |  FROM sym GROUP BY src)
+        |SELECT x.src AS id_a, x.bd AS id_b, x.bj AS jaccard
+        |FROM best x JOIN best y ON x.src = y.bd AND x.bd = y.src
+        |WHERE x.src < x.bd ORDER BY id_a, id_b""".stripMargin,
     "d_snapshot_diff" ->
       """WITH old AS (
         |  SELECT doc_id,

@@ -43,6 +43,30 @@ class SnmDiffSpec extends SparkSpec {
     assert(df.count() <= 3 * n)
   }
 
+  test("d_mutual_best_match: a matching (each id at most once), reciprocal by construction") {
+    val pairs = Dedup.queries("d_sorted_neighborhood")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Double]("jaccard")))
+    val mutual = Dedup.queries("d_mutual_best_match")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Double]("jaccard")))
+    assert(mutual.nonEmpty)
+    // subset of the candidate listing
+    val pairSet = pairs.map(p => (p._1, p._2)).toSet
+    mutual.foreach(m => assert(pairSet.contains((m._1, m._2))))
+    // MATCHING property — the whole point vs a plain argmax: no id is in
+    // two surviving pairs (a hub cannot absorb a block)
+    val ids = mutual.flatMap(m => Seq(m._1, m._2))
+    assert(ids.length == ids.distinct.length, "an id appears in two mutual pairs")
+    // reciprocity recomputed locally from the full listing
+    val best = pairs.flatMap(p => Seq((p._1, (p._3, p._2)), (p._2, (p._3, p._1))))
+      .groupBy(_._1)
+      .map { case (src, xs) =>
+        src -> xs.map(_._2).maxBy { case (j, dst) => (j, -dst) } }
+    mutual.foreach { case (a, b, j) =>
+      assert(best(a)._2 == b && best(b)._2 == a, s"pair ($a,$b) is not reciprocal")
+      assert(best(a)._1 == j)
+    }
+  }
+
   test("d_snapshot_diff: class census matches the planted %7 strata exactly") {
     val byStatus = Dedup.queries("d_snapshot_diff")(spark, sf)
       .collect().map(r => r.getAs[String]("status") -> r.getAs[Long]("n_docs"))

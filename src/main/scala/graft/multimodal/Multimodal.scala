@@ -731,8 +731,16 @@ object Multimodal {
           sum(when(col("fp") === col("twin_fp"), 1L).otherwise(0L))
             .cast("bigint").as("n_recovered"))
       fps.agg(count(lit(1)).as("n_audios")).crossJoin(joined)
-        .select(col("n_audios"), col("n_planted_pairs"), col("n_recovered"),
-          round(col("n_recovered") / col("n_planted_pairs"), 4).as("recall"))
+        .select(col("n_audios"), col("n_planted_pairs"),
+          // zero-planted guard (ADVICE r13): a tiny SF with no
+          // doc_id % 15 == 4 row would yield NULL n_recovered/recall here
+          // while the census oracle computes 0/0 — pin BOTH engines to an
+          // explicit 0 recovered + vacuous recall 1.0, so the pair-count
+          // column, not a hash mismatch, is what reports the case
+          coalesce(col("n_recovered"), lit(0L)).as("n_recovered"),
+          when(col("n_planted_pairs") === 0, lit(1.0))
+            .otherwise(round(col("n_recovered") / col("n_planted_pairs"), 4))
+            .as("recall"))
     }),
 
     // Temporal video segmentation (scene-cut detection) over REAL decoded
@@ -852,13 +860,16 @@ object Multimodal {
         |  CAST(sum(cuts) AS BIGINT) AS total_cuts,
         |  CAST(max(cuts) AS BIGINT) AS max_cuts
         |FROM v GROUP BY nf ORDER BY n_frames""".stripMargin,
+    // np = 0 (a tiny SF with no doc_id % 15 = 4 row) pins recall to the
+    // same explicit vacuous 1.0 the Spark side emits, not 0/0 → NULL
     "m_audio_fprint_dedup" ->
       """WITH au AS (SELECT count(*) AS na FROM documents WHERE doc_id % 3 = 1),
         |pl AS (SELECT count(*) AS np FROM documents WHERE doc_id % 15 = 4)
         |SELECT CAST(na + np AS BIGINT) AS n_audios,
         |  CAST(np AS BIGINT) AS n_planted_pairs,
         |  CAST(np AS BIGINT) AS n_recovered,
-        |  round(CAST(np AS DOUBLE) / np, 4) AS recall
+        |  CASE WHEN np = 0 THEN CAST(1.0 AS DOUBLE)
+        |       ELSE round(CAST(np AS DOUBLE) / np, 4) END AS recall
         |FROM au, pl""".stripMargin,
     "m_phash_dedup" ->
       """WITH img AS (SELECT count(*) AS ni FROM documents WHERE doc_id % 3 = 0),

@@ -624,8 +624,10 @@ object Events {
     // integer theta PRE-filter (expected 4k survivors/day, so the rank
     // window input is O(k) — WindowBoundSpec-guarded — never the day's
     // distinct-user volume); the merge window is a calendar-bounded global
-    // range frame over ≤ #days sketch rows. The exact referee is the
-    // e_rolling_wau contribution explode, joined for the tolerance column.
+    // range frame over ≤ #days sketch rows. Estimator ACCURACY vs the
+    // exact e_rolling_wau contribution-explode referee (with the 3σ
+    // tolerance column) is SketchRefereeSpec's assert — in-span through
+    // round 13; the entry now measures the production sketch path alone.
     "e_kmv_rolling_du" -> ((s, d) => {
       val P = 281474976710656L // 2^48, the md5-48 draw space
       // k = 64 so the estimator path (full sketches, theta < 2^48) engages
@@ -651,23 +653,12 @@ object Events {
       // trailing 7 CALENDAR days: integer-day range frame, ≤ #days rows
       val wm = Window.orderBy(expr("datediff(day, DATE '1970-01-01')"))
         .rangeBetween(-6, 0)
-      val est = daySk
+      daySk
         .withColumn("mh", flatten(collect_list("hs").over(wm)))
         .withColumn("theta", min("theta_d").over(wm))
         .select(col("day"),
           expr(s"(size(filter(array_distinct(mh), x -> x < theta)) * ${P}L) div theta")
             .as("est_du"))
-      val exact = e.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
-        .select(col("user_id"),
-          explode(expr("sequence(day, date_add(day, 6), interval 1 day)")).as("wday"))
-        .distinct()
-        .join(daySk.select(col("day").as("wday")), "wday")
-        .groupBy(col("wday").as("day")).agg(count(lit(1)).as("exact_du"))
-      est.join(exact, "day")
-        .select(col("day"), col("est_du"), col("exact_du"),
-          (abs(col("est_du") - col("exact_du")) <=
-            ceil(lit(3.0) * col("exact_du") / math.sqrt(k - 2.0)))
-            .as("within_tol"))
         .orderBy("day")
     }),
 
@@ -1651,7 +1642,8 @@ object Events {
         |        FROM w, b WHERE wday <= d1 GROUP BY 1)
         |SELECT day, dau, wau_7d FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin,
     // identical md5-48 draw, theta pre-filter, bottom-k per day, and the
-    // theta-sketch union algebra; exact referee = the e_rolling_wau explode
+    // theta-sketch union algebra (the exact e_rolling_wau referee is
+    // SketchRefereeSpec's assert, not part of the entry)
     "e_kmv_rolling_du" ->
       """WITH dh AS (SELECT DISTINCT CAST(ts AS DATE) AS day,
         |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12) AS BIGINT) AS h
@@ -1670,20 +1662,10 @@ object Events {
         |    flatten(list(hs) OVER w) AS mh,
         |    min(theta_d) OVER w AS theta
         |  FROM sk2 WINDOW w AS (ORDER BY day - DATE '1970-01-01'
-        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)),
-        |est AS (SELECT day,
-        |    (len(list_filter(list_distinct(mh), x -> x < theta))
-        |     * 281474976710656) // theta AS est_du FROM m),
-        |ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
-        |w2 AS (SELECT DISTINCT user_id,
-        |    CAST(unnest(generate_series(CAST(day AS TIMESTAMP),
-        |      CAST(day AS TIMESTAMP) + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS DATE) AS wday
-        |  FROM ud),
-        |ex AS (SELECT wday AS day, count(*) AS exact_du FROM w2
-        |  WHERE wday IN (SELECT day FROM sk) GROUP BY 1)
-        |SELECT est.day, est_du, CAST(exact_du AS BIGINT) AS exact_du,
-        |  abs(est_du - exact_du) <= ceil(3.0 * exact_du / sqrt(62.0)) AS within_tol
-        |FROM est JOIN ex USING (day) ORDER BY day""".stripMargin,
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT day,
+        |  (len(list_filter(list_distinct(mh), x -> x < theta))
+        |   * 281474976710656) // theta AS est_du FROM m ORDER BY day""".stripMargin,
     // the identical panel + 24-row sorted-list window, same 1-based picks
     "e_moving_percentile" ->
       """WITH b AS (

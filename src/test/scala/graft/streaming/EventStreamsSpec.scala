@@ -459,11 +459,19 @@ class EventStreamsSpec extends SparkSpec {
           "stream made no progress within the deadline")
       } finally q1.stop()
       q1.awaitTermination()
+      // the un-throttled default trigger can drain all six staged files
+      // before stop() lands (ADVICE r13): record how much phase 1
+      // actually read, and only require phase-2 progress when rows
+      // genuinely remained — the end-state equality below is the real
+      // assertion either way
+      val stagedTotal = spark.read.parquet(srcDir.getAbsolutePath).count()
+      val q1Rows = q1.recentProgress.map(_.numInputRows).sum
       // phase 2: restart from the SAME checkpoint, drain everything
       val q2 = start(availableNow = true)
       q2.awaitTermination()
-      assert(q2.recentProgress.exists(_.numInputRows > 0),
-        "the restart must process the slices the kill left unread")
+      if (q1Rows < stagedTotal)
+        assert(q2.recentProgress.exists(_.numInputRows > 0),
+          "the restart must process the slices the kill left unread")
       // post-restart sessions == the batch gap rewrite, exactly
       val stream = spark.read.parquet(outDir)
         .filter(col("user_id") >= 0)

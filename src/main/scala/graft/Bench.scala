@@ -193,9 +193,12 @@ object Bench {
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir","qv":$qv,"qv_order":"sorted_query_names","full":"BENCH_FULL.json","load1":$load1%.2f,"free_gb":$freeGb,"canaries":$canaryJson,"canary_fmt":"[sec,ratio_vs_median_last3_of_BENCH_CANARIES.json]","host_drift":$hostDrift}"""
     println(compact)
     // the layout queries write catalog tables + tmpdir parquet per data
-    // dir (warm pass used sf0.001); drop both sets before exit
+    // dir (warm pass used sf0.001); drop both sets before exit — same
+    // for the persisted ANN index (s_index_build / s_index_query)
     graft.queries.Relational.layoutCleanup(spark, sfDir)
     graft.queries.Relational.layoutCleanup(spark, "/root/testdata/sf0.001")
+    graft.io.AnnIndex.cleanup(sfDir)
+    graft.io.AnnIndex.cleanup("/root/testdata/sf0.001")
     spark.stop()
   }
 }

@@ -682,6 +682,101 @@ object Similarity {
         .limit(10)
     }),
 
+    // PERSISTED IVF-PQ index, build side (graft.io.AnnIndex): the
+    // write-once operational split of s_ivfpq_topk — coarse-assign and
+    // PQ-code EVERY vector once, persist (centroids, codebook,
+    // cell-PARTITIONED coded vectors), so queries amortize the train
+    // work to zero. The corpus entry is the per-cell census read back
+    // FROM THE WRITTEN ARTIFACTS (the q_partition_prune device: the
+    // result reads through the layout it proves), with a base-8
+    // code checksum pinning every vector's four PQ codes; DuckDB
+    // replays assignment + coding from the base table
+    // (annIndexCtesSql). Build cost IS the measured span — that is the
+    // number a 100 TB ingest budget needs.
+    "s_index_build" -> ((s, d) => {
+      val root = graft.io.AnnIndex.build(s, d)
+      s.read.parquet(s"$root/vectors")
+        .groupBy(col("cell").cast("bigint").as("cell"))
+        .agg(count(lit(1)).as("n_vecs"),
+          min("vec_id").as("min_vec"), max("vec_id").as("max_vec"),
+          sum(col("c0") + col("c1") * 8 + col("c2") * 64 + col("c3") * 512)
+            .cast("bigint").as("code_sum"))
+        .orderBy("cell")
+    }),
+
+    // PERSISTED IVF-PQ index, query side: a 4-query batch answered with
+    // ZERO train work in-span — centroids/codebook/coded vectors all
+    // LOAD from the persisted index (AnnIndex.ensure reuses the build's
+    // artifacts; order-independent). Per query: probe nprobe=3 cells
+    // (rank window over the bounded cells×batch panel), COLLECT the
+    // probe list (≤ cells ints — bounded driver-side metadata, exactly
+    // what a real index query ships to the scan layer) and push it as a
+    // LITERAL partition filter, so the coded-vector scan reads ONLY the
+    // probed cell directories (static pruning, asserted from executed
+    // scan metrics in AnnIndexSpec); ADC via the ≤ batch·M·codes qlut
+    // broadcast; top-20 shortlist per query (qid-partitioned rank, the
+    // s_batch_topk discipline); exact refine from the index's stored
+    // embeddings to the final top-5. All rounding/tie-breaks are the
+    // s_ivfpq_topk contract, so DuckDB replays the identical hierarchy
+    // from the base table.
+    "s_index_query" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val cos = graft.functions.GraftFunctions.cosineSim _
+      val dotN = graft.functions.GraftFunctions.dotProduct _
+      val I = graft.io.AnnIndex
+      val root = I.ensure(s, d)
+      val cents = s.read.parquet(s"$root/centroids")
+      val cb = s.read.parquet(s"$root/codebook")
+      val qs = t(s, d, "embeddings").filter(col("vec_id") < I.batch)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val wp = Window.partitionBy("qid").orderBy(col("qc").desc, col("cell"))
+      val probed = cents.crossJoin(broadcast(qs))
+        .select(col("qid"), col("cell"),
+          round(cos(col("centroid"), col("qv")), 9).as("qc"))
+        .withColumn("rn", row_number().over(wp)).filter(col("rn") <= I.nProbe)
+        .select("qid", "cell")
+      // bounded metadata extract (≤ cells ints): the probe list becomes
+      // a LITERAL predicate so partition pruning is static at the scan
+      val cellList = probed.select("cell").distinct().collect()
+        .map(_.getInt(0)).sorted
+      val cand = s.read.parquet(s"$root/vectors")
+        .filter(col("cell").isin(cellList.map(Int.box): _*))
+        .join(broadcast(probed), "cell")
+        .filter(col("vec_id") =!= col("qid"))
+      val qlut = cb.crossJoin(broadcast(qs))
+        .select(col("qid"), col("m"), col("code"),
+          round(dotN(slice(col("qv"), col("m") * I.sub + 1, lit(I.sub)),
+            col("cw")), 9).as("qd"))
+      val short = cand
+        .select(col("qid"), col("vec_id"),
+          posexplode(array(col("c0"), col("c1"), col("c2"), col("c3")))
+            .as(Seq("m", "code")))
+        .join(broadcast(qlut), Seq("qid", "m", "code"))
+        .groupBy("qid", "vec_id")
+        .agg(max(when(col("m") === 0, col("qd"))).as("d0"),
+          max(when(col("m") === 1, col("qd"))).as("d1"),
+          max(when(col("m") === 2, col("qd"))).as("d2"),
+          max(when(col("m") === 3, col("qd"))).as("d3"))
+        .select(col("qid"), col("vec_id"),
+          round(col("d0") + col("d1") + col("d2") + col("d3"), 4).as("adc"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("qid").orderBy(col("adc").desc, col("vec_id"))))
+        .filter(col("rn") <= I.shortlist)
+        .select("qid", "vec_id")
+      short
+        .join(cand.select(col("qid"), col("vec_id"), col("embedding")),
+          Seq("qid", "vec_id"))
+        .join(broadcast(qs), "qid")
+        .select(col("qid"), col("vec_id"),
+          round(cos(col("embedding"), col("qv")), 4).as("cos"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))))
+        .filter(col("rnk") <= I.topK)
+        .select(col("qid"), col("rnk").cast("bigint").as("rnk"),
+          col("vec_id"), col("cos"))
+        .orderBy("qid", "rnk")
+    }),
+
     // Maximum-inner-product search via the norm-augmentation reduction
     // (Bachrach et al.: append sqrt(M² − ‖x‖²) to every vector, 0 to the
     // query; COSINE order on the augmented space == inner-product order
@@ -1220,6 +1315,39 @@ object Similarity {
         |SELECT vec_id, round(d0 + d1 + d2 + d3, 4) AS approx_dot
         |FROM adc ORDER BY approx_dot DESC, vec_id LIMIT 10""".stripMargin
 
+  /** Shared replay of the persisted IVF-PQ index's TRAIN math
+    * (graft.io.AnnIndex.build) from the base embeddings table: label
+    * centroids (9-dp per-position means), every vector's coarse-cell
+    * argmax, the 8-code×4-subspace codebook, and every vector's
+    * per-subspace code argmax — the artifacts s_index_build persists and
+    * s_index_query loads. Ends without a trailing comma so callers
+    * append their own CTEs.
+    */
+  private def annIndexCtesSql: String =
+    """m0 AS (
+      |  SELECT label AS cell, CAST(r.i AS INT) AS pos,
+      |         avg(CAST(embedding[CAST(r.i AS INT) + 1] AS DOUBLE)) AS v
+      |  FROM embeddings, range(64) r(i) GROUP BY label, pos),
+      |c AS MATERIALIZED (SELECT cell, list(round(v, 9) ORDER BY pos) AS centroid
+      |     FROM m0 GROUP BY cell),
+      |e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |assign AS MATERIALIZED (
+      |  SELECT vec_id, any_value(v) AS v,
+      |         (max({'c': c2c, 'cell': cell})).cell AS cell
+      |  FROM (SELECT e.vec_id, e.v, c.cell,
+      |          round(list_dot_product(e.v, c.centroid) /
+      |            (sqrt(list_dot_product(e.v, e.v)) *
+      |             sqrt(list_dot_product(c.centroid, c.centroid))), 9) AS c2c
+      |        FROM e, c) GROUP BY vec_id),
+      |ms AS (SELECT CAST(r.i AS INT) AS m FROM range(4) r(i)),
+      |cb AS (SELECT m, CAST(vec_id AS INT) AS code, v[m*16+1 : m*16+16] AS cw
+      |       FROM e, ms WHERE vec_id < 8),
+      |subv AS (SELECT vec_id, m, v[m*16+1 : m*16+16] AS sv FROM e, ms),
+      |codes AS MATERIALIZED (
+      |  SELECT vec_id, subv.m,
+      |    (max({'d': round(list_dot_product(sv, cw), 9), 'code': code})).code AS code
+      |  FROM subv JOIN cb ON subv.m = cb.m GROUP BY vec_id, subv.m)""".stripMargin
+
   /** s_semdedup replay with the DATA-DERIVED k and the ADAPTIVE
     * assignment (see semDedup): k = greatest(8, (N+249) // 250) and
     * k2 = CASE WHEN k <= 256 THEN 1 ELSE ceil(sqrt(k)) END computed from
@@ -1592,6 +1720,68 @@ object Similarity {
         |    (sqrt(list_dot_product(cand.v, cand.v)) * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos
         |FROM short s JOIN cand USING (vec_id), q
         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+    // the per-cell census of the persisted index: assignment + PQ codes
+    // recomputed from the base table, base-8 code checksum per vector
+    "s_index_build" ->
+      s"""WITH $annIndexCtesSql,
+        |wide AS (
+        |  SELECT vec_id,
+        |    max(CASE WHEN m = 0 THEN code END) AS c0,
+        |    max(CASE WHEN m = 1 THEN code END) AS c1,
+        |    max(CASE WHEN m = 2 THEN code END) AS c2,
+        |    max(CASE WHEN m = 3 THEN code END) AS c3
+        |  FROM codes GROUP BY vec_id)
+        |SELECT CAST(a.cell AS BIGINT) AS cell, count(*) AS n_vecs,
+        |  min(a.vec_id) AS min_vec, max(a.vec_id) AS max_vec,
+        |  CAST(sum(c0 + c1 * 8 + c2 * 64 + c3 * 512) AS BIGINT) AS code_sum
+        |FROM assign a JOIN wide USING (vec_id)
+        |GROUP BY a.cell ORDER BY cell""".stripMargin,
+    // the batched index probe: per-qid nprobe ranking, candidate set =
+    // probed-cell members (self excluded), ADC from the pre-computed
+    // codes, top-20 shortlist, exact refine to top-5 — the identical
+    // hierarchy the Spark query runs over the loaded artifacts
+    "s_index_query" ->
+      s"""WITH $annIndexCtesSql,
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 4),
+        |probe AS (
+        |  SELECT qid, cell FROM (
+        |    SELECT q.qid, c.cell,
+        |      row_number() OVER (PARTITION BY q.qid ORDER BY
+        |        round(list_dot_product(c.centroid, q.qv) /
+        |          (sqrt(list_dot_product(c.centroid, c.centroid)) *
+        |           sqrt(list_dot_product(q.qv, q.qv))), 9) DESC, c.cell) AS rn
+        |    FROM c, q) WHERE rn <= 3),
+        |cand AS MATERIALIZED (
+        |  SELECT p.qid, a.vec_id, a.v FROM assign a JOIN probe p USING (cell)
+        |  WHERE a.vec_id <> p.qid),
+        |qlut AS (SELECT qid, m, code,
+        |         round(list_dot_product(qv[m*16+1 : m*16+16], cw), 9) AS qd
+        |         FROM cb, q),
+        |adc0 AS (
+        |  SELECT cand.qid, cand.vec_id,
+        |    max(CASE WHEN codes.m = 0 THEN qd END) AS d0,
+        |    max(CASE WHEN codes.m = 1 THEN qd END) AS d1,
+        |    max(CASE WHEN codes.m = 2 THEN qd END) AS d2,
+        |    max(CASE WHEN codes.m = 3 THEN qd END) AS d3
+        |  FROM cand JOIN codes USING (vec_id)
+        |  JOIN qlut ON qlut.qid = cand.qid AND qlut.m = codes.m
+        |    AND qlut.code = codes.code
+        |  GROUP BY cand.qid, cand.vec_id),
+        |short AS (
+        |  SELECT qid, vec_id, round(d0 + d1 + d2 + d3, 4) AS adc FROM adc0
+        |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY adc DESC, vec_id) <= 20),
+        |ref AS (
+        |  SELECT s.qid, s.vec_id,
+        |    round(list_dot_product(cand.v, q.qv) /
+        |      (sqrt(list_dot_product(cand.v, cand.v)) *
+        |       sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos
+        |  FROM short s JOIN cand ON cand.qid = s.qid AND cand.vec_id = s.vec_id
+        |  JOIN q ON q.qid = s.qid)
+        |SELECT qid, CAST(row_number() OVER (PARTITION BY qid
+        |    ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk, vec_id, cos
+        |FROM ref
+        |QUALIFY rnk <= 5
+        |ORDER BY qid, rnk""".stripMargin,
     // the same augmentation in SQL — bit-identical index-order arithmetic
     // (the equivalence to the PLAIN inner-product top-10 is asserted
     // separately in SelfCheckSpec; the oracle pins the construction)

@@ -1,0 +1,120 @@
+package graft.io
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+
+import graft.{SparkSpec, TestSpark}
+import graft.queries.{Similarity, Tables}
+
+/** The persisted IVF-PQ index's operational contract (VERDICT r13 ask #1):
+  * build-once artifacts on disk, a query side with ZERO train work that
+  * reads ONLY the probed cell partitions (static pruning proven from
+  * executed scan metrics — the LayoutSpec device), and a recall floor vs
+  * brute force. Value-level correctness of both entries is the DuckDB
+  * oracle's job; this spec pins the PLAN and the artifact lifecycle.
+  */
+class AnnIndexSpec extends SparkSpec with BeforeAndAfterAll {
+
+  private val sf = TestSpark.sf0001
+
+  override def afterAll(): Unit = AnnIndex.cleanup(sf)
+
+  private def scans(p: org.apache.spark.sql.execution.SparkPlan):
+      Seq[FileSourceScanExec] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      scans(a.executedPlan)
+    case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      scans(qs.plan)
+    case f: FileSourceScanExec => Seq(f)
+    case other => other.children.flatMap(scans)
+  }
+
+  test("build persists the artifacts; census covers every vector") {
+    val rows = Similarity.queries("s_index_build")(spark, sf).collect()
+    val root = AnnIndex.rootFor(sf)
+    for (a <- Seq("centroids", "codebook", "vectors"))
+      assert(new java.io.File(root, a).exists(), s"missing artifact $a")
+    val total = Tables.t(spark, sf, "embeddings").count()
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum == total,
+      "every vector must land in exactly one cell")
+    // one cell=N directory per census row — the layout the query prunes
+    val cellDirs = Option(new java.io.File(root, "vectors").listFiles())
+      .getOrElse(Array.empty)
+      .count(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cellDirs == rows.length)
+  }
+
+  test("query side: literal cell filter prunes partitions; zero train work in-span") {
+    AnnIndex.ensure(spark, sf)
+    val nCells = Option(new java.io.File(AnnIndex.rootFor(sf), "vectors")
+      .listFiles()).getOrElse(Array.empty)
+      .count(f => f.isDirectory && f.getName.startsWith("cell="))
+    val df = Similarity.queries("s_index_query")(spark, sf)
+    val out = df.collect()
+    assert(out.length == AnnIndex.batch * AnnIndex.topK)
+    val all = scans(df.queryExecution.executedPlan)
+    // the plan reads ONLY the index artifacts plus the 4-row query batch
+    // from the base table — no other input means no train work can hide
+    val locs = all.map(_.metadata("Location"))
+    assert(locs.forall(l => l.contains("graft_ivfidx") ||
+      l.contains("embeddings")), locs.mkString("; "))
+    val vecScans = all.filter(_.metadata("Location").contains("vectors"))
+    assert(vecScans.nonEmpty, "no scan over the persisted coded vectors")
+    vecScans.foreach { sc =>
+      // the probe list reached the scan as a LITERAL partition filter …
+      assert(sc.metadata("PartitionFilters").contains("cell"),
+        sc.metadata("PartitionFilters"))
+      // … and the EXECUTED metric shows partitions were actually skipped
+      // (probe unions cover 7 of 10 label cells at sf0.001 — measured,
+      // deterministic)
+      val read = sc.metrics("numPartitions").value
+      assert(read > 0 && read < nCells,
+        s"vectors scan read $read of $nCells partitions — no pruning")
+    }
+    // the base-table scan is the query batch only: vec_id < 4 is pushed
+    val embScans = all.filter(_.metadata("Location").contains("embeddings"))
+    assert(embScans.nonEmpty &&
+      embScans.forall(_.metadata("PushedFilters").contains("LessThan(vec_id,4)")),
+      embScans.map(_.metadata("PushedFilters")).mkString("; "))
+  }
+
+  test("build-once: a second query reuses the artifacts without rebuilding") {
+    AnnIndex.ensure(spark, sf)
+    val marker = new java.io.File(
+      new java.io.File(AnnIndex.rootFor(sf), "vectors"), "_SUCCESS")
+    val t0 = marker.lastModified()
+    Similarity.queries("s_index_query")(spark, sf).collect()
+    assert(marker.lastModified() == t0,
+      "query-many must not rewrite the index")
+  }
+
+  test("refine recall floor: each query's top-5 overlaps brute force") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val idx = Similarity.queries("s_index_query")(spark, sf).collect()
+      .groupBy(_.getAs[Long]("qid"))
+      .view.mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
+    val emb = Tables.t(spark, sf, "embeddings")
+    val qs = emb.filter(col("vec_id") < AnnIndex.batch)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    val bf = emb.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(graft.functions.GraftFunctions.cosineSim(
+          col("embedding"), col("qv")), 4).as("cos"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= AnnIndex.topK)
+      .collect().groupBy(_.getAs[Long]("qid"))
+      .view.mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
+    assert(idx.keySet == bf.keySet && idx.size == AnnIndex.batch)
+    idx.foreach { case (qid, ids) =>
+      assert(ids.size == AnnIndex.topK)
+      // crude 8-code sample codebook + nprobe 3/10 — the floor catches a
+      // broken probe/ADC/refine chain, not codebook quality (measured
+      // overlap 2-3 of 5 per query at sf0.001/sf0.01)
+      assert(ids.intersect(bf(qid)).size >= 1,
+        s"query $qid: index top-5 disjoint from brute force")
+    }
+  }
+}

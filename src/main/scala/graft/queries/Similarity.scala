@@ -1273,6 +1273,167 @@ object Similarity {
         .orderBy(col("rrf").desc, col("doc_id")).limit(10)
         .select(col("doc_id"), col("r_bm25"), col("r_cos"),
           round(col("rrf"), 6).as("rrf"))
+    }),
+
+    // END-TO-END RETRIEVAL (RAG) COMPOSITE (VERDICT r13 ask #2) — the
+    // production read path chained from stages the corpus already proves
+    // one-by-one: (1) CHUNK every document into W=200/S=150 char windows
+    // (the c_chunk_windows closed-form count — chunk text by substring,
+    // never a per-char stream); (2) LEXICAL tower: BM25 over the CHUNK
+    // corpus for the fixed 3-term query (t_bm25/s_hybrid_rrf constants),
+    // top-50 chunks; (3) DENSE tower THROUGH THE PERSISTED INDEX
+    // (AnnIndex.ensure — zero train work): probe nprobe cells for query
+    // vec 0, score only the probed cells' vectors (the collected probe
+    // list is a literal partition filter, so the scan prunes cell dirs),
+    // top-50 docs, each represented by its start-0 chunk; (4) FUSE by
+    // reciprocal-rank (s_hybrid_rrf: Σ 1/(60+rank) over the FULL OUTER
+    // union, ranks over literal-50 panels); (5) MMR-RERANK the fused
+    // top-20 lattice (s_mmr_rerank: one bounded collect, driver greedy,
+    // 0.7·rel − 0.3·max-sim, 4-dp rel/sim before the 6-dp greedy math) —
+    // the rerank stage requires vectors, so the lattice keeps only
+    // embeddable docs (at SFs where documents outnumber embeddings the
+    // un-embeddable tail drops at this boundary, as in production).
+    // Scale shape: chunking/BM25 are one explode + partial-agg'd
+    // groupBys over the chunk corpus; both towers end in TakeOrdered(50);
+    // fusion is a 50×50-bounded full outer join; everything after lives
+    // on the 20-row lattice. DuckDB replays the whole chain as one CTE
+    // stack (the c_pretrain_build device).
+    "s_rag_pipeline" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val cos = graft.functions.GraftFunctions.cosineSim _
+      val I = graft.io.AnnIndex
+      val root = I.ensure(s, d)
+      val w = 200L
+      val st = 150L
+      // stage 1: chunk windows (c_chunk_windows discipline)
+      val chunks = t(s, d, "documents").filter(col("doc_id") =!= 0)
+        .select(col("doc_id"), col("text"),
+          length(col("text")).cast("bigint").as("len"))
+        .withColumn("n_chunks",
+          when(col("len") <= w, lit(1L)).otherwise(
+            ceil((col("len") - w).cast("double") / st).cast("bigint") + lit(1L)))
+        .select(col("doc_id"), col("text"), col("len"),
+          explode(expr("sequence(0, n_chunks - 1)")).as("i"))
+        .select(col("doc_id"), (col("i") * st).as("start"),
+          expr(s"substring(text, cast(i * $st + 1 as int), " +
+            s"cast(least(${w}L, len - i * $st) as int))").as("ct"))
+      // stage 2: BM25 over chunks (the t_bm25_topk exact discipline)
+      val toks = chunks.select(col("doc_id"), col("start"),
+        Text.tokens(lower(col("ct"))).as("sp"))
+      val dl = toks.select(col("doc_id"), col("start"),
+        size(col("sp")).cast("double").as("dl"))
+      val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+        avg("dl").as("avgdl"))
+      val tf = toks.select(col("doc_id"), col("start"), explode(col("sp")).as("term"))
+        .filter(col("term").isin("hash", "join", "filter"))
+        .groupBy("doc_id", "start", "term")
+        .agg(count(lit(1)).cast("double").as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+      val idf = dfreq.crossJoin(broadcast(stats))
+        .select(col("term"),
+          expr("ln((n_docs - df + 0.5d) / (df + 0.5d) + 1.0d)").as("idf"))
+      val bm25 = tf.join(dl, Seq("doc_id", "start")).join(broadcast(idf), "term")
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"), col("start"), expr(
+          "idf * tf * 2.2d / (tf + 1.2d * (0.25d + 0.75d * dl / avgdl))")
+          .as("contrib"))
+        .groupBy("doc_id", "start").agg(round(sum("contrib"), 6).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id"), col("start")).limit(50)
+      val rb = bm25.withColumn("r_bm25", row_number().over(
+          Window.orderBy(col("bm25").desc, col("doc_id"), col("start"))))
+        .select("doc_id", "start", "r_bm25")
+      // stage 3: dense tower through the persisted index
+      val q = t(s, d, "embeddings").filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv"))
+      val probedCells = s.read.parquet(s"$root/centroids")
+        .crossJoin(broadcast(q))
+        .select(col("cell"), round(cos(col("centroid"), col("qv")), 9).as("qc"))
+        .orderBy(col("qc").desc, col("cell")).limit(I.nProbe)
+        .select("cell").collect().map(_.getInt(0)).sorted
+      val dense = s.read.parquet(s"$root/vectors")
+        .filter(col("cell").isin(probedCells.map(Int.box): _*))
+        .filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id").as("doc_id"),
+          round(cos(col("embedding"), col("qv")), 4).as("cosd"))
+        .orderBy(col("cosd").desc, col("doc_id")).limit(50)
+      val rc = dense.withColumn("r_cos", row_number().over(
+          Window.orderBy(col("cosd").desc, col("doc_id"))))
+        .select(col("doc_id"), lit(0L).as("start"), col("r_cos"))
+      // stage 4: RRF fuse on (doc_id, start); dense docs rep at start 0
+      val fused = rb.join(rc, Seq("doc_id", "start"), "full_outer")
+        .select(col("doc_id"), col("start"),
+          (coalesce(lit(1.0) / (lit(60.0) + col("r_bm25")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60.0) + col("r_cos")), lit(0.0))).as("rrf"))
+      // stage 5: MMR over the fused top-20 embeddable lattice (bounded
+      // collect + driver greedy — the s_mmr_rerank device; rel/sims are
+      // total on this lattice because membership requires an embedding)
+      val emb = t(s, d, "embeddings")
+      val lattice = fused
+        .join(emb.select(col("vec_id").as("doc_id"), col("embedding")), "doc_id")
+        .orderBy(col("rrf").desc, col("doc_id"), col("start")).limit(20)
+        .crossJoin(broadcast(q))
+        .select(col("doc_id"), col("start"), col("rrf"),
+          round(cos(col("embedding"), col("qv")), 4).as("rel"), col("embedding"))
+        .collect()
+        .filter(r0 => !r0.isNullAt(3))
+        .map(r0 => (r0.getLong(0), r0.getLong(1), r0.getDouble(2),
+          r0.getDouble(3), r0.getSeq[Float](4).toArray))
+      def cosF(a: Array[Float], b: Array[Float]): Option[Double] = {
+        var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+        while (i < a.length) {
+          val x = a(i).toDouble; val y = b(i).toDouble
+          dot += x * y; nx += x * x; ny += y * y; i += 1
+        }
+        val denom = math.sqrt(nx) * math.sqrt(ny)
+        if (denom == 0.0) None else Some(dot / denom)
+      }
+      def rnd(x: Double, dp: Int) =
+        BigDecimal(x).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val sim: Map[((Long, Long), (Long, Long)), Double] = (for {
+        (da, sa, _, _, ea) <- lattice; (db, sb, _, _, eb) <- lattice
+        if (da, sa) != (db, sb)
+        c <- cosF(ea, eb)
+      } yield ((da, sa), (db, sb)) -> rnd(c, 4)).toMap
+      // greedy: seed with the best-rel candidate (rel desc, doc, start),
+      // then argmax of 0.7·rel − 0.3·max-sim (mmr desc, doc, start)
+      val bySeed = lattice.sortBy(c => (-c._4, c._1, c._2))
+      var selected = Vector.empty[(Long, Long, Double, Double, Long, java.lang.Double)]
+      if (bySeed.nonEmpty) {
+        val f = bySeed.head
+        selected :+= ((f._1, f._2, f._3, f._4, 1L, Double.box(f._4): java.lang.Double))
+      }
+      for (i <- 2 to 5) {
+        val selKeys = selected.map(x => (x._1, x._2)).toSet
+        val remaining = bySeed.filter(c => !selKeys.contains((c._1, c._2)))
+        if (remaining.nonEmpty) {
+          val scored = remaining.map { case (dc, sc0, rrfv, rel, _) =>
+            val sims = selKeys.flatMap(k => sim.get(((dc, sc0), k)))
+            val mmr = if (sims.isEmpty) None
+                      else Some(rnd(0.7 * rel - 0.3 * sims.max, 6))
+            (dc, sc0, rrfv, rel, mmr)
+          }
+          val pick =
+            if (scored.exists(_._5.isDefined))
+              scored.filter(_._5.isDefined)
+                .minBy { case (dc, sc0, _, _, mmr) => (-mmr.get, dc, sc0) }
+            else scored.minBy(c => (c._1, c._2))
+          selected :+= ((pick._1, pick._2, pick._3, pick._4, i.toLong,
+            pick._5.map(Double.box).orNull: java.lang.Double))
+        }
+      }
+      val rows: java.util.List[org.apache.spark.sql.Row] = new java.util.ArrayList()
+      selected.foreach { case (dc, sc0, rrfv, rel, rank, mmr) =>
+        rows.add(org.apache.spark.sql.Row(rank, dc, sc0, rnd(rrfv, 6), rel, mmr))
+      }
+      import org.apache.spark.sql.types._
+      s.createDataFrame(rows, StructType(Seq(
+        StructField("rank", LongType, nullable = true),
+        StructField("doc_id", LongType, nullable = true),
+        StructField("start", LongType, nullable = true),
+        StructField("rrf", DoubleType, nullable = true),
+        StructField("rel", DoubleType, nullable = true),
+        StructField("mmr", DoubleType, nullable = true))))
     })
   )
 
@@ -2074,6 +2235,132 @@ object Similarity {
         |    COALESCE(1.0 / (60.0 + CAST(r_cos AS DOUBLE)), 0.0) AS rrf
         |  FROM rb FULL OUTER JOIN rc ON rb.doc_id = rc.doc_id)
         |SELECT doc_id, r_bm25, r_cos, round(rrf, 6) AS rrf
-        |FROM fused ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
+        |FROM fused ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
+
+    // the full retrieval chain as ONE CTE stack (the c_pretrain_build
+    // device): chunk windows → chunk BM25 → index-probed dense tower
+    // (the annIndexCtesSql assignment) → RRF full-outer fuse → the
+    // 20-row MMR lattice with the s_mmr_rerank unrolled greedy chain
+    "s_rag_pipeline" ->
+      ("WITH " + annIndexCtesSql + ",\n" +
+      """q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |probe AS (SELECT cell FROM c, q
+        |  ORDER BY round(list_dot_product(centroid, qv) /
+        |    (sqrt(list_dot_product(centroid, centroid)) *
+        |     sqrt(list_dot_product(qv, qv))), 9) DESC, cell LIMIT 3),
+        |dense AS MATERIALIZED (
+        |  SELECT a.vec_id AS doc_id,
+        |    round(list_dot_product(a.v, q.qv) /
+        |      (sqrt(list_dot_product(a.v, a.v)) *
+        |       sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosd
+        |  FROM assign a, q
+        |  WHERE a.vec_id <> 0 AND a.cell IN (SELECT cell FROM probe)
+        |  ORDER BY cosd DESC, doc_id LIMIT 50),
+        |rc AS (SELECT doc_id, CAST(0 AS BIGINT) AS start,
+        |  row_number() OVER (ORDER BY cosd DESC, doc_id) AS r_cos FROM dense),
+        |nch AS (SELECT doc_id, text, length(text) AS len,
+        |  CASE WHEN length(text) <= 200 THEN 1
+        |       ELSE CAST(ceil((length(text) - 200) / 150.0) AS BIGINT) + 1 END AS n_chunks
+        |  FROM documents WHERE doc_id <> 0),
+        |chunks AS MATERIALIZED (
+        |  SELECT doc_id, i * 150 AS start,
+        |    substring(text, i * 150 + 1, least(200, len - i * 150)) AS ct
+        |  FROM (SELECT doc_id, text, len,
+        |          CAST(unnest(generate_series(0, n_chunks - 1)) AS BIGINT) AS i
+        |        FROM nch)),
+        |toksc AS MATERIALIZED (SELECT doc_id, start,
+        |  string_split_regex(trim(lower(ct)), '[ \t\n\x0B\f\r]+') AS sp FROM chunks),
+        |dlc AS MATERIALIZED (SELECT doc_id, start, CAST(len(sp) AS DOUBLE) AS dl FROM toksc),
+        |statsc AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dlc),
+        |tfc AS MATERIALIZED (
+        |  SELECT doc_id, start, term, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM (SELECT doc_id, start, unnest(sp) AS term FROM toksc) u
+        |  WHERE term IN ('hash', 'join', 'filter') GROUP BY doc_id, start, term),
+        |dfc AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tfc GROUP BY term),
+        |idfc AS (SELECT term, ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) AS idf
+        |  FROM dfc CROSS JOIN statsc),
+        |scc AS (SELECT tfc.doc_id, tfc.start,
+        |  idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS contrib
+        |  FROM tfc JOIN dlc USING (doc_id, start) JOIN idfc USING (term)
+        |  CROSS JOIN statsc),
+        |bm AS MATERIALIZED (
+        |  SELECT doc_id, start, round(sum(contrib), 6) AS bm25 FROM scc
+        |  GROUP BY doc_id, start ORDER BY bm25 DESC, doc_id, start LIMIT 50),
+        |rbc AS (SELECT doc_id, start,
+        |  row_number() OVER (ORDER BY bm25 DESC, doc_id, start) AS r_bm25 FROM bm),
+        |fusedc AS (
+        |  SELECT COALESCE(rbc.doc_id, rc.doc_id) AS doc_id,
+        |    COALESCE(rbc.start, rc.start) AS start,
+        |    COALESCE(1.0 / (60.0 + CAST(r_bm25 AS DOUBLE)), 0.0) +
+        |    COALESCE(1.0 / (60.0 + CAST(r_cos AS DOUBLE)), 0.0) AS rrf
+        |  FROM rbc FULL OUTER JOIN rc
+        |    ON rbc.doc_id = rc.doc_id AND rbc.start = rc.start),
+        |lat AS MATERIALIZED (
+        |  SELECT f.doc_id, f.start, f.rrf, e.v,
+        |    round(list_dot_product(e.v, q.qv) /
+        |      (sqrt(list_dot_product(e.v, e.v)) *
+        |       sqrt(list_dot_product(q.qv, q.qv))), 4) AS rel
+        |  FROM fusedc f JOIN e ON e.vec_id = f.doc_id, q
+        |  ORDER BY f.rrf DESC, f.doc_id, f.start LIMIT 20),
+        |simsl AS MATERIALIZED (
+        |  SELECT a.doc_id AS da, a.start AS sa, a.rel AS rela, a.rrf AS rrfa,
+        |         b.doc_id AS db, b.start AS sb,
+        |    round(list_dot_product(a.v, b.v) /
+        |      (sqrt(list_dot_product(a.v, a.v)) *
+        |       sqrt(list_dot_product(b.v, b.v))), 4) AS sim
+        |  FROM lat a, lat b
+        |  WHERE NOT (a.doc_id = b.doc_id AND a.start = b.start)),
+        |s1 AS MATERIALIZED (SELECT doc_id, start, rrf, rel, 1 AS rank, rel AS mmr
+        |  FROM lat ORDER BY rel DESC, doc_id, start LIMIT 1),
+        |p2 AS (SELECT da, sa, rela, rrfa,
+        |    round(0.7 * rela - 0.3 * max(sim), 6) AS mmr
+        |  FROM simsl WHERE EXISTS (SELECT 1 FROM s1
+        |      WHERE s1.doc_id = db AND s1.start = sb)
+        |    AND NOT EXISTS (SELECT 1 FROM s1
+        |      WHERE s1.doc_id = da AND s1.start = sa)
+        |  GROUP BY da, sa, rela, rrfa),
+        |s2 AS MATERIALIZED (SELECT da AS doc_id, sa AS start, rrfa AS rrf,
+        |    rela AS rel, 2 AS rank, mmr FROM p2 ORDER BY mmr DESC, da, sa LIMIT 1),
+        |sel2 AS MATERIALIZED (SELECT doc_id, start FROM s1
+        |  UNION ALL SELECT doc_id, start FROM s2),
+        |p3 AS (SELECT da, sa, rela, rrfa,
+        |    round(0.7 * rela - 0.3 * max(sim), 6) AS mmr
+        |  FROM simsl WHERE EXISTS (SELECT 1 FROM sel2
+        |      WHERE sel2.doc_id = db AND sel2.start = sb)
+        |    AND NOT EXISTS (SELECT 1 FROM sel2
+        |      WHERE sel2.doc_id = da AND sel2.start = sa)
+        |  GROUP BY da, sa, rela, rrfa),
+        |s3 AS MATERIALIZED (SELECT da AS doc_id, sa AS start, rrfa AS rrf,
+        |    rela AS rel, 3 AS rank, mmr FROM p3 ORDER BY mmr DESC, da, sa LIMIT 1),
+        |sel3 AS MATERIALIZED (SELECT doc_id, start FROM sel2
+        |  UNION ALL SELECT doc_id, start FROM s3),
+        |p4 AS (SELECT da, sa, rela, rrfa,
+        |    round(0.7 * rela - 0.3 * max(sim), 6) AS mmr
+        |  FROM simsl WHERE EXISTS (SELECT 1 FROM sel3
+        |      WHERE sel3.doc_id = db AND sel3.start = sb)
+        |    AND NOT EXISTS (SELECT 1 FROM sel3
+        |      WHERE sel3.doc_id = da AND sel3.start = sa)
+        |  GROUP BY da, sa, rela, rrfa),
+        |s4 AS MATERIALIZED (SELECT da AS doc_id, sa AS start, rrfa AS rrf,
+        |    rela AS rel, 4 AS rank, mmr FROM p4 ORDER BY mmr DESC, da, sa LIMIT 1),
+        |sel4 AS MATERIALIZED (SELECT doc_id, start FROM sel3
+        |  UNION ALL SELECT doc_id, start FROM s4),
+        |p5 AS (SELECT da, sa, rela, rrfa,
+        |    round(0.7 * rela - 0.3 * max(sim), 6) AS mmr
+        |  FROM simsl WHERE EXISTS (SELECT 1 FROM sel4
+        |      WHERE sel4.doc_id = db AND sel4.start = sb)
+        |    AND NOT EXISTS (SELECT 1 FROM sel4
+        |      WHERE sel4.doc_id = da AND sel4.start = sa)
+        |  GROUP BY da, sa, rela, rrfa),
+        |s5 AS MATERIALIZED (SELECT da AS doc_id, sa AS start, rrfa AS rrf,
+        |    rela AS rel, 5 AS rank, mmr FROM p5 ORDER BY mmr DESC, da, sa LIMIT 1)
+        |SELECT CAST(rank AS BIGINT) AS rank, doc_id, start,
+        |  round(rrf, 6) AS rrf, rel, mmr FROM (
+        |  SELECT doc_id, start, rrf, rel, rank, mmr FROM s1
+        |  UNION ALL SELECT doc_id, start, rrf, rel, rank, mmr FROM s2
+        |  UNION ALL SELECT doc_id, start, rrf, rel, rank, mmr FROM s3
+        |  UNION ALL SELECT doc_id, start, rrf, rel, rank, mmr FROM s4
+        |  UNION ALL SELECT doc_id, start, rrf, rel, rank, mmr FROM s5)
+        |ORDER BY rank""".stripMargin)
   )
 }

@@ -1,0 +1,74 @@
+package graft.queries
+
+import graft.{SparkSpec, TestSpark}
+
+/** t_bpe_merges_deep — the deep (K = 120) driver-loop trainer's contract:
+  * (1) path equivalence: the bounded driver loop (trainMergesLocal) and
+  * the DISTRIBUTED per-round chain (bpeChainFrom) produce byte-identical
+  * merges over the same bigram unit table — the rule/argmax/tie-break are
+  * one algorithm in two execution shapes; (2) the full 120-round schedule
+  * is structurally sound (K rows, consecutive iterations, every
+  * new_symbol is its pair with the separator removed, weighted counts
+  * positive); (3) the vocabulary guard fails fast past the
+  * bounded-scalar-extract license instead of collecting an unbounded
+  * table. Value-level correctness of all 120 rounds is the DuckDB
+  * oracle's job (a generated 120-round CTE chain).
+  */
+class BpeDeepSpec extends SparkSpec {
+
+  private val sf = TestSpark.sf0001
+
+  test("driver loop == distributed chain on the same bigram units (first 5 rounds)") {
+    val units = Text.bigramUnits(spark, sf)
+    val local = Text.trainMergesLocal(
+      units.collect().map(r => (r.getString(0), r.getLong(1))).toSeq, 5)
+    val (distributed, _) = Text.bpeChainFrom(units, 5)
+    val dist = distributed.reduce(_.unionAll(_)).orderBy("it").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(local == dist,
+      "driver-loop merges diverged from the distributed per-round chain")
+  }
+
+  test("the 120-round schedule is structurally sound at both SFs") {
+    for (d <- Seq(sf, TestSpark.sf001)) {
+      val rows = Text.queries("t_bpe_merges_deep")(spark, d).collect()
+      assert(rows.length == 120, s"$d: expected 120 merges")
+      assert(rows.map(_.getInt(0)).toSeq == (1 to 120),
+        s"$d: iterations must be consecutive")
+      rows.foreach { r =>
+        assert(r.getString(2) == r.getString(1).replace(" ", ""))
+        assert(r.getLong(3) > 0L)
+      }
+      // deep rounds genuinely extend the vocabulary: 120 distinct symbols
+      assert(rows.map(_.getString(2)).distinct.length == 120)
+    }
+  }
+
+  test("saturation fails fast instead of silently truncating the merge table") {
+    // a unit with no adjacent symbol pairs leaves round 1 with an empty
+    // pair inventory — the loop must refuse, not emit < K rows
+    val e = intercept[IllegalArgumentException] {
+      Text.trainMergesLocal(Seq(("x", 1L)), 1)
+    }
+    assert(e.getMessage.contains("saturated"))
+  }
+
+  test("vocabulary guard fails fast past the bounded-scalar-extract license") {
+    // one synthetic document whose 220,001 distinct words make 220,000
+    // distinct bigram units — past the 200k license (the
+    // VocabularyGuardSpec device)
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bpe-guard").toString
+    try {
+      val text = (0 until 220001).map(i => f"w$i%06d").mkString(" ")
+      Seq((1L, text, "en", "web", text.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val e = intercept[IllegalArgumentException] {
+        Text.queries("t_bpe_merges_deep")(spark, dir).collect()
+      }
+      assert(e.getMessage.contains("bounded-scalar-extract"))
+      assert(e.getMessage.contains("t_bpe_merges"))
+    } finally graft.util.Dirs.deleteRecursively(new java.io.File(dir))
+  }
+}

@@ -102,7 +102,11 @@ object Bench {
         .asInstanceOf[com.sun.management.OperatingSystemMXBean]
         .getFreeMemorySize / (1L << 30)
       catch { case _: Throwable => -1L }
-    // Drift canaries: three queries untouched since round 6. If ALL THREE
+    // Drift canaries: five untouched queries spanning the cost tiers —
+    // three sub-0.25 s (q_topk/q_distinct/s_cosine_topk, stable since
+    // round 6) plus a mid-tier (d_minhash_lsh ~1 s) and a heavy one
+    // (d_span_clusters ~2-3 s), added in round 14 because drift bites
+    // hardest in the tiers the original trio never sampled. If ALL FIVE
     // move >20% the same round, the artifact itself says "host drift", so
     // a future reader never mistakes co-tenant load for a plan regression.
     // References come from the committed BENCH_CANARIES.json history (one
@@ -112,7 +116,9 @@ object Bench {
     // hardcoded r11 values before round 13 — correct until the first
     // hardware/JVM change, silently wrong after). If the file is missing
     // the canary block is omitted rather than computed against nothing.
-    val canaryNames = Seq("q_topk", "q_distinct", "s_cosine_topk")
+    val canaryNames =
+      Seq("q_topk", "q_distinct", "s_cosine_topk", "d_minhash_lsh",
+        "d_span_clusters")
     val canaryFile = java.nio.file.Paths.get("BENCH_CANARIES.json")
     def parseVal(line: String, key: String): Option[Double] =
       ("\"" + key + "\"\\s*:\\s*([0-9.eE+-]+)").r

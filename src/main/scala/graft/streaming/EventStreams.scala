@@ -22,6 +22,43 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStreams {
 
+  /** Process-level cache of STAGED INPUT trees for the `st_*` corpus
+    * entries (VERDICT r13 ask #7): the three ledgers re-staged their
+    * input corpora on every invocation, so a bench run (warm pass + 2
+    * reps) paid each corpus write three times. The staged tree is a pure
+    * function of (entry kind, corpus dir, stratification) over immutable
+    * testdata, so one tree per key per JVM serves every rep — only the
+    * checkpoint/output dirs stay nonce-fresh (each invocation still
+    * measures a FULL re-ingest of the stream, which is the declared
+    * semantics). Keys are pid-suffixed so two driver rounds benching the
+    * same corpus concurrently (separate JVMs) never share half-written
+    * trees; a JVM shutdown hook removes the cached dirs.
+    */
+  private object StagedInputs {
+    private val cache =
+      scala.collection.mutable.HashMap.empty[String, java.io.File]
+    private val pid = ProcessHandle.current().pid()
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      cache.synchronized {
+        cache.values.foreach(graft.util.Dirs.deleteRecursively)
+      }))
+    /** Staged dir for `key`; `stage` runs exactly once per key per JVM. */
+    def dirFor(key: String)(stage: java.io.File => Unit): java.io.File =
+      cache.synchronized {
+        cache.getOrElseUpdate(key, {
+          val dir = new java.io.File(sys.props("java.io.tmpdir"),
+            s"graft_stage_${key}_p$pid")
+          // a stale tree from a crashed previous staging attempt in THIS
+          // dir name can only come from this pid — wipe and re-stage
+          graft.util.Dirs.deleteRecursively(dir)
+          dir.mkdirs()
+          stage(dir)
+          dir
+        })
+      }
+    def keyTag(d: String): String = d.replaceAll("[^A-Za-z0-9]", "_")
+  }
+
   /** Event-time tumbling hourly counts; 2h watermark bounds state. */
   def hourlyCounts(events: DataFrame): DataFrame =
     events
@@ -497,9 +534,10 @@ object EventStreams {
     * (md5-48) so the oracle replays it; production placement stays
     * xxhash64. Ingest ts is a constant — every row inside one watermark
     * horizon, so no file-arrival order can make a row "late" and drop it
-    * (determinism across reruns). Work dirs are wiped per invocation: the
-    * query measures a FULL re-ingest, not checkpoint recovery (that path
-    * is IngestPipelineSpec's kill/restart proof).
+    * (determinism across reruns). The staged INPUT tree is cached per
+    * corpus per JVM (StagedInputs); checkpoint/output dirs are wiped per
+    * invocation, so the query measures a FULL re-ingest, not checkpoint
+    * recovery (that path is IngestPipelineSpec's kill/restart proof).
     */
   private def ingestShardsHistogram(
       s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
@@ -512,13 +550,17 @@ object EventStreams {
     // re-ingest
     // (checkpoint recovery is IngestPipelineSpec's kill/restart proof).
     graft.util.Dirs.withNonceDir("graft_ingest_") { root =>
-      val srcDir = s"${root.getAbsolutePath}/in"
+      // staged input reused across invocations (StagedInputs); out/ck
+      // stay nonce-fresh so every invocation measures a full re-ingest
+      val srcDir = StagedInputs.dirFor(
+          s"ingest_${StagedInputs.keyTag(d)}") { dir =>
+        graft.queries.Dedup.corpusWithDups(s, d)
+          .select(col("doc_id"),
+            timestamp_seconds(lit(1700000000L)).as("ts"), col("text"))
+          .repartition(4).write.mode("overwrite").parquet(dir.getAbsolutePath)
+      }.getAbsolutePath
       val outDir = s"${root.getAbsolutePath}/out"
       val ckDir = s"${root.getAbsolutePath}/ck"
-      val staged = graft.queries.Dedup.corpusWithDups(s, d)
-        .select(col("doc_id"),
-          timestamp_seconds(lit(1700000000L)).as("ts"), col("text"))
-      staged.repartition(4).write.mode("overwrite").parquet(srcDir)
       val schema = s.read.parquet(srcDir).schema
       // Scope the stream to 8 shuffle partitions: the state-partition
       // count is fixed at query start from this conf, and each micro-batch
@@ -595,27 +637,36 @@ object EventStreams {
     * order-independent bucket-close rule (see nearDupDropStream) is what
     * makes the output exactly DuckDB-replayable: dropped = the distinct
     * greater-side ids of the SAME pair listing `d_minhash_lsh`
-    * hash-oracles. Work dirs are nonce-keyed and removed after the
-    * bounded per-lang extract (the st_ingest_shards discipline).
+    * hash-oracles. The staged input tree is cached per (corpus, stratum)
+    * per JVM (StagedInputs); checkpoint/drop dirs are nonce-keyed and
+    * removed after the bounded per-lang extract (the st_ingest_shards
+    * discipline).
     */
   private def nearDupLedger(
       s: org.apache.spark.sql.SparkSession, d: String,
       stratified: Boolean = false): DataFrame = {
     graft.util.Dirs.withNonceDir("graft_neardup_") { root =>
-      val srcDir = s"${root.getAbsolutePath}/in"
       val dropDir = s"${root.getAbsolutePath}/drops"
       val ckDir = s"${root.getAbsolutePath}/ck"
       val t0 = 1700000000L
-      val staged = graft.queries.Dedup.corpusWithDups(s, d, stratified)
-        .select(col("doc_id"), timestamp_seconds(lit(t0)).as("ts"),
-          col("text"), col("lang"))
-      // batch count is the fixed-overhead knob (one state-store delta
+      // staged input (corpus + late sentinels) reused across invocations
+      // (StagedInputs — relative mtime order is what the file source
+      // sorts by, preserved in reuse); out/ck stay nonce-fresh.
+      // Batch count is the fixed-overhead knob (one state-store delta
       // commit per partition per micro-batch): 2 corpus files +
       // maxFilesPerTrigger=2 → one corpus batch + one sentinel batch,
       // ~2× cheaper than 1-file-per-trigger while still exercising
       // cross-batch state accumulation
-      staged.repartition(2).write.mode("overwrite").parquet(srcDir)
-      stageWatermarkSentinels(s, root, srcDir, t0)
+      val srcDir = StagedInputs.dirFor(
+          s"neardup_${StagedInputs.keyTag(d)}_$stratified") { dir =>
+        graft.queries.Dedup.corpusWithDups(s, d, stratified)
+          .select(col("doc_id"), timestamp_seconds(lit(t0)).as("ts"),
+            col("text"), col("lang"))
+          .repartition(2).write.mode("overwrite").parquet(dir.getAbsolutePath)
+        graft.util.Dirs.withNonceDir("graft_neardup_stage_") { scratch =>
+          stageWatermarkSentinels(s, scratch, dir.getAbsolutePath, t0)
+        }
+      }.getAbsolutePath
       val schema = s.read.parquet(srcDir).schema
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
@@ -636,7 +687,11 @@ object EventStreams {
       val drops = s.read.schema("doc_id BIGINT").parquet(dropDir)
         .select(col("doc_id")).distinct()
         .withColumn("dr", lit(1))
-      val hist = staged.select(col("doc_id"), col("lang"))
+      // the ledger is over what was STREAMED: read the staged tree back
+      // (sentinels carry negative ids and must not enter the census)
+      val hist = s.read.parquet(srcDir)
+        .filter(col("doc_id") >= 0)
+        .select(col("doc_id"), col("lang"))
         .join(drops, Seq("doc_id"), "left")
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
@@ -669,8 +724,9 @@ object EventStreams {
     * path compares `Timestamp.getTime` (ms), so the oracle sessionizes
     * over `epoch_us(ts) // 1000` with the identical > gap rule, and
     * durations stay exact integers at any volume. Gap = 12 h (the corpus
-    * event density makes 30-min sessions all singletons). Work dirs are
-    * nonce-keyed and removed after the bounded extract.
+    * event density makes 30-min sessions all singletons). The staged
+    * slice tree is cached per corpus per JVM (StagedInputs); checkpoint/
+    * output dirs are nonce-keyed and removed after the bounded extract.
     */
   /** Chronological slice staging for the session stream: the corpus cut
     * into 4 contiguous event-time slices (one mtime-ordered file each —
@@ -725,12 +781,18 @@ object EventStreams {
       s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
     val gapMs = 12L * 3600 * 1000
     graft.util.Dirs.withNonceDir("graft_sess_") { root =>
-      val srcDir = new java.io.File(root, "in")
-      srcDir.mkdirs()
+      import s.implicits._
+      // staged slice tree reused across invocations (StagedInputs — the
+      // chronological mtime order the slice replay depends on is
+      // relative, so reuse preserves it); out/ck stay nonce-fresh
+      val srcDir = StagedInputs.dirFor(
+          s"sess_${StagedInputs.keyTag(d)}") { dir =>
+        graft.util.Dirs.withNonceDir("graft_sess_stage_") { scratch =>
+          stageEventSlices(s, scratch, dir, d, gapMs)
+        }
+      }
       val outDir = s"${root.getAbsolutePath}/out"
       val ckDir = s"${root.getAbsolutePath}/ck"
-      import s.implicits._
-      stageEventSlices(s, root, srcDir, d, gapMs)
       val schema = s.read.parquet(srcDir.getAbsolutePath).schema
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")

@@ -704,6 +704,72 @@ object Similarity {
         .orderBy("cell")
     }),
 
+    // PERSISTED IVF-PQ index, DELTA INGEST (segment growth): a batch of
+    // NEW vectors is added to the index WITHOUT retraining — assigned
+    // and PQ-coded against the FROZEN persisted centroids/codebook, then
+    // written as a separate cell-partitioned segment next to the base
+    // (the FAISS-add / Lucene-segment discipline: the shared base tree
+    // is never mutated, so concurrent queries keep their snapshot and a
+    // compaction can fold segments later). The synthetic delta is
+    // deterministic on both engines: the vec_id % 7 == 3 subset,
+    // re-keyed +1,000,000, embeddings REVERSED (new content, not a
+    // copy). Output: the per-cell census of the MERGED index read back
+    // from BOTH segment trees — base/delta counts and the merged base-8
+    // code checksum — which pins the frozen-parameter assignment and
+    // coding of every delta vector. At 100 TB this is the daily ingest
+    // path: train cost is zero, the delta pass is one broadcast
+    // assignment + one broadcast coding over the new rows only.
+    "s_index_delta" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val cos = graft.functions.GraftFunctions.cosineSim _
+      val dotN = graft.functions.GraftFunctions.dotProduct _
+      val I = graft.io.AnnIndex
+      val root = I.ensure(s, d)
+      val cents = s.read.parquet(s"$root/centroids")
+      val cb = s.read.parquet(s"$root/codebook")
+      val delta = t(s, d, "embeddings")
+        .filter(col("vec_id") % 7 === 3)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          reverse(col("embedding")).as("embedding"))
+      val assigned = delta.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("embedding"), col("cell"),
+          round(cos(col("embedding"), col("centroid")), 9).as("c2c"))
+        .groupBy("vec_id")
+        .agg(first("embedding").as("embedding"),
+          max(struct(col("c2c"), col("cell"))).getField("cell").as("cell"))
+      val codes = delta
+        .select(col("vec_id"), graft.io.AnnIndex.subspaces(col("embedding"), "sv").as("x"))
+        .select(col("vec_id"), col("x.m").as("m"), col("x.sv").as("sv"))
+        .join(broadcast(cb), "m")
+        .select(col("vec_id"), col("m"), col("code"),
+          round(dotN(col("sv"), col("cw")), 9).as("dp"))
+        .groupBy("vec_id", "m")
+        .agg(max(struct(col("dp"), col("code"))).getField("code").as("code"))
+        .groupBy("vec_id")
+        .agg(max(when(col("m") === 0, col("code"))).as("c0"),
+          max(when(col("m") === 1, col("code"))).as("c1"),
+          max(when(col("m") === 2, col("code"))).as("c2"),
+          max(when(col("m") === 3, col("code"))).as("c3"))
+      assigned.join(codes, "vec_id")
+        .select(col("cell"), col("vec_id"), col("embedding"),
+          col("c0"), col("c1"), col("c2"), col("c3"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$root/vectors_delta")
+      val base = s.read.parquet(s"$root/vectors")
+        .select(col("cell"), col("vec_id"), col("c0"), col("c1"),
+          col("c2"), col("c3"), lit(0L).as("is_delta"))
+      val dseg = s.read.parquet(s"$root/vectors_delta")
+        .select(col("cell"), col("vec_id"), col("c0"), col("c1"),
+          col("c2"), col("c3"), lit(1L).as("is_delta"))
+      base.unionByName(dseg)
+        .groupBy(col("cell").cast("bigint").as("cell"))
+        .agg(sum(lit(1L) - col("is_delta")).cast("bigint").as("n_base"),
+          sum(col("is_delta")).cast("bigint").as("n_delta"),
+          sum(col("c0") + col("c1") * 8 + col("c2") * 64 + col("c3") * 512)
+            .cast("bigint").as("code_sum"))
+        .orderBy("cell")
+    }),
+
     // PERSISTED IVF-PQ index, query side: a 4-query batch answered with
     // ZERO train work in-span — centroids/codebook/coded vectors all
     // LOAD from the persisted index (AnnIndex.ensure reuses the build's
@@ -1897,6 +1963,50 @@ object Similarity {
         |  CAST(sum(c0 + c1 * 8 + c2 * 64 + c3 * 512) AS BIGINT) AS code_sum
         |FROM assign a JOIN wide USING (vec_id)
         |GROUP BY a.cell ORDER BY cell""".stripMargin,
+    // delta segment replay: the same frozen train math (cents/codebook
+    // from the BASE corpus), the deterministic re-keyed reversed delta,
+    // merged per-cell census
+    "s_index_delta" ->
+      s"""WITH $annIndexCtesSql,
+        |deltae AS (SELECT vec_id + 1000000 AS vec_id, list_reverse(v) AS v
+        |  FROM e WHERE vec_id % 7 = 3),
+        |dassign AS (
+        |  SELECT vec_id, (max({'c': c2c, 'cell': cell})).cell AS cell
+        |  FROM (SELECT de.vec_id, c.cell,
+        |          round(list_dot_product(de.v, c.centroid) /
+        |            (sqrt(list_dot_product(de.v, de.v)) *
+        |             sqrt(list_dot_product(c.centroid, c.centroid))), 9) AS c2c
+        |        FROM deltae de, c) GROUP BY vec_id),
+        |dsubv AS (SELECT vec_id, m, v[m*16+1 : m*16+16] AS sv FROM deltae, ms),
+        |dcodes AS (
+        |  SELECT vec_id, dsubv.m,
+        |    (max({'d': round(list_dot_product(sv, cw), 9), 'code': code})).code AS code
+        |  FROM dsubv JOIN cb ON dsubv.m = cb.m GROUP BY vec_id, dsubv.m),
+        |wide AS (
+        |  SELECT vec_id,
+        |    max(CASE WHEN m = 0 THEN code END) AS c0,
+        |    max(CASE WHEN m = 1 THEN code END) AS c1,
+        |    max(CASE WHEN m = 2 THEN code END) AS c2,
+        |    max(CASE WHEN m = 3 THEN code END) AS c3
+        |  FROM codes GROUP BY vec_id),
+        |dwide AS (
+        |  SELECT vec_id,
+        |    max(CASE WHEN m = 0 THEN code END) AS c0,
+        |    max(CASE WHEN m = 1 THEN code END) AS c1,
+        |    max(CASE WHEN m = 2 THEN code END) AS c2,
+        |    max(CASE WHEN m = 3 THEN code END) AS c3
+        |  FROM dcodes GROUP BY vec_id),
+        |merged AS (
+        |  SELECT a.cell, 0 AS is_delta, w.c0, w.c1, w.c2, w.c3
+        |  FROM assign a JOIN wide w USING (vec_id)
+        |  UNION ALL
+        |  SELECT da.cell, 1 AS is_delta, w.c0, w.c1, w.c2, w.c3
+        |  FROM dassign da JOIN dwide w USING (vec_id))
+        |SELECT CAST(cell AS BIGINT) AS cell,
+        |  CAST(sum(1 - is_delta) AS BIGINT) AS n_base,
+        |  CAST(sum(is_delta) AS BIGINT) AS n_delta,
+        |  CAST(sum(c0 + c1 * 8 + c2 * 64 + c3 * 512) AS BIGINT) AS code_sum
+        |FROM merged GROUP BY cell ORDER BY cell""".stripMargin,
     // the batched index probe: per-qid nprobe ranking, candidate set =
     // probed-cell members (self excluded), ADC from the pre-computed
     // codes, top-20 shortlist, exact refine to top-5 — the identical

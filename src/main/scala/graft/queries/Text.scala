@@ -124,13 +124,21 @@ object Text {
     * JVM UTF-16 order == DuckDB byte order.
     */
   private[queries] def trainMergesLocal(
-      unitCounts: Seq[(String, Long)], k: Int): Seq[(Int, String, String, Long)] = {
-    var syms: Seq[(String, Long)] = unitCounts.map { case (w, n) =>
-      (w.map(_.toString).mkString(" ", " ", " "), n)
+      unitCounts: Seq[(String, Long)], k: Int): Seq[(Int, String, String, Long)] =
+    trainLocal(unitCounts, k)._1
+
+  /** The full driver-side trainer: merge rows AND the final (unit →
+    * symbol-string) vocabulary — one loop, two consumers
+    * (t_bpe_merges_deep and t_bpe_encode_deep), the bpeChain shape.
+    */
+  private[queries] def trainLocal(unitCounts: Seq[(String, Long)], k: Int)
+      : (Seq[(Int, String, String, Long)], Seq[(String, String)]) = {
+    var syms: Seq[(String, String, Long)] = unitCounts.map { case (w, n) =>
+      (w, w.map(_.toString).mkString(" ", " ", " "), n)
     }
-    (1 to k).map { it =>
+    val merges = (1 to k).map { it =>
       val counts = scala.collection.mutable.HashMap.empty[String, Long]
-      for ((sym, n) <- syms) {
+      for ((_, sym, n) <- syms) {
         val toks = sym.trim.split(" ")
         var i = 0
         while (i < toks.length - 1) {
@@ -149,11 +157,30 @@ object Text {
       val merged = best.replace(" ", "")
       val from = " " + best + " "
       val to = " " + merged + " "
-      syms = syms.map { case (sym, n) =>
-        (sym.replace(from, to).replace(from, to), n)
+      syms = syms.map { case (w, sym, n) =>
+        (w, sym.replace(from, to).replace(from, to), n)
       }
       (it, best, merged, maxCnt)
     }
+    (merges, syms.map { case (w, sym, _) => (w, sym) })
+  }
+
+  /** Shared guard + collect for the deep-BPE entries: the bigram unit
+    * table under the bounded-scalar-extract license (the e_pagerank
+    * device — past the bound the entry fails fast and the distributed
+    * per-round chain is the correct tool).
+    */
+  private def collectBigramUnits(s: org.apache.spark.sql.SparkSession,
+      d: String, caller: String): Seq[(String, Long)] = {
+    val units = bigramUnits(s, d).persist()
+    try {
+      val nUnits = units.count()
+      require(nUnits <= 200000L,
+        s"$caller: $nUnits bigram units exceed the " +
+          "bounded-scalar-extract license (200000); a vocabulary this " +
+          "large needs the distributed per-round chain (t_bpe_merges)")
+      units.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    } finally units.unpersist()
   }
 
   val queries: Map[String, Q] = Map(
@@ -217,29 +244,54 @@ object Text {
     // milliseconds — iteration wall-time is vocab-bound, not
     // corpus-bound (SCALE_SF3.md round-14 note).
     "t_bpe_merges_deep" -> ((s, d) => {
-      val k = 120
-      val units = bigramUnits(s, d).persist()
-      try {
-        val nUnits = units.count()
-        require(nUnits <= 200000L,
-          s"t_bpe_merges_deep: $nUnits bigram units exceed the " +
-            "bounded-scalar-extract license (200000); a vocabulary this " +
-            "large needs the distributed per-round chain (t_bpe_merges)")
-        val collected = units.collect()
-          .map(r => (r.getString(0), r.getLong(1))).toSeq
-        val merges = trainMergesLocal(collected, k)
-        val rows: java.util.List[org.apache.spark.sql.Row] =
-          new java.util.ArrayList()
-        merges.foreach { case (it, pair, ns, cnt) =>
-          rows.add(org.apache.spark.sql.Row(it, pair, ns, cnt))
-        }
-        import org.apache.spark.sql.types._
-        s.createDataFrame(rows, StructType(Seq(
-          StructField("it", IntegerType, nullable = true),
-          StructField("pair", StringType, nullable = true),
-          StructField("new_symbol", StringType, nullable = true),
-          StructField("cnt", LongType, nullable = true))))
-      } finally units.unpersist()
+      val merges = trainMergesLocal(
+        collectBigramUnits(s, d, "t_bpe_merges_deep"), 120)
+      val rows: java.util.List[org.apache.spark.sql.Row] =
+        new java.util.ArrayList()
+      merges.foreach { case (it, pair, ns, cnt) =>
+        rows.add(org.apache.spark.sql.Row(it, pair, ns, cnt))
+      }
+      import org.apache.spark.sql.types._
+      s.createDataFrame(rows, StructType(Seq(
+        StructField("it", IntegerType, nullable = true),
+        StructField("pair", StringType, nullable = true),
+        StructField("new_symbol", StringType, nullable = true),
+        StructField("cnt", LongType, nullable = true))))
+    }),
+
+    // The DEEP vocabulary APPLIED (the t_bpe_encode shape at K = 120):
+    // segment every bigram unit with the 120 learned merges (the same
+    // driver loop returns the final symbol table — one train, two
+    // consumers), then ledger per language over the DISTRIBUTED bigram
+    // stream: unit count, BPE tokens, fertility. The vocabulary side is
+    // a bounded broadcastable table (the planner stays unhinted — the
+    // c_dsir_weights discipline); the corpus side is one explode + one
+    // partial-agg'd groupBy, so at 100 TB the cost is the corpus pass.
+    "t_bpe_encode_deep" -> ((s, d) => {
+      val (_, finalSyms) = trainLocal(
+        collectBigramUnits(s, d, "t_bpe_encode_deep"), 120)
+      val rows: java.util.List[org.apache.spark.sql.Row] =
+        new java.util.ArrayList()
+      finalSyms.foreach { case (w, sym) =>
+        rows.add(org.apache.spark.sql.Row(w,
+          sym.trim.split(" ").length.toLong))
+      }
+      import org.apache.spark.sql.types._
+      val sized = s.createDataFrame(rows, StructType(Seq(
+        StructField("w", StringType, nullable = true),
+        StructField("n_sym", LongType, nullable = true))))
+      t(s, d, "documents")
+        .select(col("lang"), tokens(col("text")).as("sp"))
+        .select(col("lang"), explode(expr(
+          "zip_with(slice(sp, 1, size(sp) - 1), slice(sp, 2, size(sp) - 1), " +
+            "(a, b) -> concat(a, '_', b))")).as("w"))
+        .filter(col("w") =!= "_")
+        .join(sized, "w")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_units"),
+          sum("n_sym").cast("bigint").as("n_bpe_tokens"),
+          round(sum("n_sym").cast("double") / count(lit(1)), 4).as("fertility"))
+        .orderBy("lang")
     }),
 
     // BPE ENCODING — the trained merges APPLIED: segment every corpus
@@ -964,6 +1016,22 @@ object Text {
     // all 120 rounds replayed as a generated CTE chain over the bigram
     // unit vocabulary — same rule, argmax and tie-break as the word form
     "t_bpe_merges_deep" -> bpeMergesSqlFrom(120, bpeCtesSqlFrom(120, bigramWordsCte)),
+    // the deep vocabulary applied: v120's symbol counts joined back onto
+    // the per-language bigram stream
+    "t_bpe_encode_deep" -> ("WITH " + bpeCtesSqlFrom(120, bigramWordsCte) + ",\n" +
+      """sized AS (SELECT w, CAST(len(string_split(trim(sym), ' ')) AS BIGINT) AS n_sym
+        |          FROM v120),
+        |bi AS (
+        |  SELECT lang, unnest(list_transform(range(1, len(sp)),
+        |    i -> sp[CAST(i AS INT)] || '_' || sp[CAST(i AS INT) + 1])) AS w
+        |  FROM (SELECT lang, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS sp
+        |        FROM documents))
+        |SELECT lang, count(*) AS n_units,
+        |  CAST(sum(n_sym) AS BIGINT) AS n_bpe_tokens,
+        |  round(CAST(sum(n_sym) AS DOUBLE) / count(*), 4) AS fertility
+        |FROM bi JOIN sized USING (w)
+        |WHERE w <> '_'
+        |GROUP BY lang ORDER BY lang""".stripMargin),
     "t_bpe_encode" -> bpeEncodeSql(5),
     "t_token_count" ->
       """SELECT doc_id,

@@ -89,6 +89,25 @@ class AnnIndexSpec extends SparkSpec with BeforeAndAfterAll {
       "query-many must not rewrite the index")
   }
 
+  test("delta ingest: frozen-parameter segment, base tree untouched") {
+    AnnIndex.ensure(spark, sf)
+    val baseMarker = new java.io.File(
+      new java.io.File(AnnIndex.rootFor(sf), "vectors"), "_SUCCESS")
+    val t0 = baseMarker.lastModified()
+    val rows = Similarity.queries("s_index_delta")(spark, sf).collect()
+    // the base segment is NEVER rewritten by a delta ingest (concurrent
+    // queries keep their snapshot — the segment-growth contract)
+    assert(baseMarker.lastModified() == t0)
+    assert(new java.io.File(AnnIndex.rootFor(sf), "vectors_delta").exists())
+    val emb = Tables.t(spark, sf, "embeddings")
+    assert(rows.map(_.getAs[Long]("n_base")).sum == emb.count())
+    assert(rows.map(_.getAs[Long]("n_delta")).sum ==
+      emb.filter(col("vec_id") % 7 === 3).count())
+    // every delta vector landed in an EXISTING cell (assignment is an
+    // argmax over the frozen centroids, so no new cells can appear)
+    assert(rows.forall(_.getAs[Long]("n_base") > 0))
+  }
+
   test("refine recall floor: each query's top-5 overlaps brute force") {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     val idx = Similarity.queries("s_index_query")(spark, sf).collect()

@@ -44,6 +44,23 @@ class BpeDeepSpec extends SparkSpec {
     }
   }
 
+  test("t_bpe_encode_deep: ledger closes over the corpus bigram stream; deep vocab compresses") {
+    import org.apache.spark.sql.functions._
+    val rows = Text.queries("t_bpe_encode_deep")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // the ledger covers exactly the corpus's bigram-unit occurrences
+    val total = Text.bigramUnits(spark, sf)
+      .agg(sum("n")).head.getLong(0)
+    assert(rows.map(_.getAs[Long]("n_units")).sum == total)
+    rows.foreach { r =>
+      val fert = r.getAs[Double]("fertility")
+      // 120 merges on a ~916-unit vocabulary must compress well below
+      // the raw char count (~12 chars/unit) but can't go under 1
+      assert(fert >= 1.0 && fert < 12.0, s"fertility $fert out of range")
+      assert(r.getAs[Long]("n_bpe_tokens") >= r.getAs[Long]("n_units"))
+    }
+  }
+
   test("saturation fails fast instead of silently truncating the merge table") {
     // a unit with no adjacent symbol pairs leaves round 1 with an empty
     // pair inventory — the loop must refuse, not emit < K rows

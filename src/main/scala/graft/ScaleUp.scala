@@ -138,7 +138,18 @@ object ScaleUp {
       val scaled =
         if (keys.isEmpty) raw
         else {
-          val keyed = raw
+          // spread the SOURCE rows across the session's cores BEFORE the
+          // copies-way explode: the driver testdata is one file per
+          // table, which the scan reads as 1-3 partitions, so at high
+          // copy counts (sf100 = 1000×) the whole fan-out ran as a
+          // couple of single-threaded tasks (measured: 35 min with no
+          // output at 1000×; 32-way pre-spread generates the same bytes
+          // in minutes). The pre-explode shuffle moves only the SOURCE
+          // rows — cheap — and every downstream layout mode re-shuffles
+          // anyway, so output content is unchanged.
+          val spread = raw.repartition(
+            raw.sparkSession.sparkContext.defaultParallelism)
+          val keyed = spread
             .withColumn("__k", explode(typedLit((0 until copies).map(_.toLong))))
             .select(raw.columns.toIndexedSeq.map { c =>
               if (keys.contains(c)) (col(c) + col("__k") * Base).as(c) else col(c)

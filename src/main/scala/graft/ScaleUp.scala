@@ -186,11 +186,15 @@ object ScaleUp {
           .parquet(s"$dst/$name.parquet")
         println(s"scaled $name -> $dst/$name.parquet/ (hive: $pcol, $files tasks)")
       } else if (files > 1) {
-        // multi-file layout: <name>.parquet is a directory of `files` part
-        // files — round-robin repartition spreads every copy evenly, so
-        // file-granular scan parallelism is real even without row-group
-        // splitting
-        scaled.repartition(files).write.mode("overwrite")
+        // multi-file layout: <name>.parquet is a directory of part files.
+        // The pre-explode spread (above) already distributes source rows
+        // evenly across partitions, so coalesce — a NARROW dependency —
+        // reaches the target file count with ZERO post-explode shuffle;
+        // the previous repartition(files) re-shuffled the full scaled
+        // dataset (at 1000× that shuffle alone exceeded the box's free
+        // disk). Each part file holds all copies of its source-row
+        // subset — even sizes, real file-granular scan parallelism.
+        scaled.coalesce(files).write.mode("overwrite")
           .option("parquet.block.size", (8 * 1024 * 1024).toString)
           .parquet(s"$dst/$name.parquet")
         println(s"scaled $name -> $dst/$name.parquet/ ($files files)")

@@ -611,7 +611,9 @@ object Similarity {
     // TakeOrdered(20), then an exact-cosine rerank of the 20-row
     // broadcast shortlist. No all-pairs, no unbounded shuffle; codes are
     // computed only for probed-cell members because this is a one-shot
-    // query — an index BUILD would code every vector once and amortize.
+    // query — the index BUILD that codes every vector once and amortizes
+    // is the persisted s_index_build / s_index_query / s_index_delta
+    // triple (graft.io.AnnIndex).
     // Every discrete decision (cell argmax, probe choice, code argmax,
     // shortlist cut) is a 9-dp-rounded max-of-struct, so the identical
     // hierarchy replays in DuckDB; ADC terms sum in fixed m-order and the

@@ -113,6 +113,50 @@ object AnnIndex {
     root.getAbsolutePath
   }
 
+  /** Write the DELTA segment for corpus `d` against the FROZEN persisted
+    * centroids/codebook at `root` (no retraining — the FAISS-add /
+    * Lucene-segment discipline; the base tree is never mutated). The
+    * synthetic delta is deterministic on both engines: the
+    * vec_id % 7 == 3 subset, re-keyed +1,000,000, embeddings REVERSED.
+    * Overwrites `vectors_delta/`; deterministic, so callers
+    * (s_index_delta, s_index_compact) are order-independent.
+    */
+  def writeDeltaSegment(s: SparkSession, d: String, root: String): Unit = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val cos = graft.functions.GraftFunctions.cosineSim _
+    val dotN = graft.functions.GraftFunctions.dotProduct _
+    val cents = s.read.parquet(s"$root/centroids")
+    val cb = s.read.parquet(s"$root/codebook")
+    val delta = graft.queries.Tables.t(s, d, "embeddings")
+      .filter(col("vec_id") % 7 === 3)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        reverse(col("embedding")).as("embedding"))
+    val assigned = delta.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("cell"),
+        round(cos(col("embedding"), col("centroid")), 9).as("c2c"))
+      .groupBy("vec_id")
+      .agg(first("embedding").as("embedding"),
+        max(struct(col("c2c"), col("cell"))).getField("cell").as("cell"))
+    val codes = delta
+      .select(col("vec_id"), subspaces(col("embedding"), "sv").as("x"))
+      .select(col("vec_id"), col("x.m").as("m"), col("x.sv").as("sv"))
+      .join(broadcast(cb), "m")
+      .select(col("vec_id"), col("m"), col("code"),
+        round(dotN(col("sv"), col("cw")), 9).as("dp"))
+      .groupBy("vec_id", "m")
+      .agg(max(struct(col("dp"), col("code"))).getField("code").as("code"))
+      .groupBy("vec_id")
+      .agg(max(when(col("m") === 0, col("code"))).as("c0"),
+        max(when(col("m") === 1, col("code"))).as("c1"),
+        max(when(col("m") === 2, col("code"))).as("c2"),
+        max(when(col("m") === 3, col("code"))).as("c3"))
+    assigned.join(codes, "vec_id")
+      .select(col("cell"), col("vec_id"), col("embedding"),
+        col("c0"), col("c1"), col("c2"), col("c3"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$root/vectors_delta")
+  }
+
   /** Build-once gate: reuse the persisted artifacts when present (the
     * query-many path), build otherwise — so build/query entries are
     * order-independent in Verify's map iteration.

@@ -722,41 +722,9 @@ object Similarity {
     // path: train cost is zero, the delta pass is one broadcast
     // assignment + one broadcast coding over the new rows only.
     "s_index_delta" -> ((s, d) => {
-      graft.functions.GraftFunctions.ensureRegistered(s)
-      val cos = graft.functions.GraftFunctions.cosineSim _
-      val dotN = graft.functions.GraftFunctions.dotProduct _
       val I = graft.io.AnnIndex
       val root = I.ensure(s, d)
-      val cents = s.read.parquet(s"$root/centroids")
-      val cb = s.read.parquet(s"$root/codebook")
-      val delta = t(s, d, "embeddings")
-        .filter(col("vec_id") % 7 === 3)
-        .select((col("vec_id") + 1000000L).as("vec_id"),
-          reverse(col("embedding")).as("embedding"))
-      val assigned = delta.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("embedding"), col("cell"),
-          round(cos(col("embedding"), col("centroid")), 9).as("c2c"))
-        .groupBy("vec_id")
-        .agg(first("embedding").as("embedding"),
-          max(struct(col("c2c"), col("cell"))).getField("cell").as("cell"))
-      val codes = delta
-        .select(col("vec_id"), graft.io.AnnIndex.subspaces(col("embedding"), "sv").as("x"))
-        .select(col("vec_id"), col("x.m").as("m"), col("x.sv").as("sv"))
-        .join(broadcast(cb), "m")
-        .select(col("vec_id"), col("m"), col("code"),
-          round(dotN(col("sv"), col("cw")), 9).as("dp"))
-        .groupBy("vec_id", "m")
-        .agg(max(struct(col("dp"), col("code"))).getField("code").as("code"))
-        .groupBy("vec_id")
-        .agg(max(when(col("m") === 0, col("code"))).as("c0"),
-          max(when(col("m") === 1, col("code"))).as("c1"),
-          max(when(col("m") === 2, col("code"))).as("c2"),
-          max(when(col("m") === 3, col("code"))).as("c3"))
-      assigned.join(codes, "vec_id")
-        .select(col("cell"), col("vec_id"), col("embedding"),
-          col("c0"), col("c1"), col("c2"), col("c3"))
-        .write.mode("overwrite").partitionBy("cell")
-        .parquet(s"$root/vectors_delta")
+      I.writeDeltaSegment(s, d, root)
       val base = s.read.parquet(s"$root/vectors")
         .select(col("cell"), col("vec_id"), col("c0"), col("c1"),
           col("c2"), col("c3"), lit(0L).as("is_delta"))
@@ -767,6 +735,41 @@ object Similarity {
         .groupBy(col("cell").cast("bigint").as("cell"))
         .agg(sum(lit(1L) - col("is_delta")).cast("bigint").as("n_base"),
           sum(col("is_delta")).cast("bigint").as("n_delta"),
+          sum(col("c0") + col("c1") * 8 + col("c2") * 64 + col("c3") * 512)
+            .cast("bigint").as("code_sum"))
+        .orderBy("cell")
+    }),
+
+    // PERSISTED IVF-PQ index, COMPACTION — the lifecycle's third step
+    // (build → delta segments → compact): fold the base and delta
+    // segments into ONE cell-partitioned tree with ONE file per cell —
+    // the whole point of compaction is undoing segment-count growth so
+    // the query side's per-probe cost returns to one file open per
+    // cell. The fold is a union of the two segment reads repartitioned
+    // BY CELL (the single shuffle a real compactor pays) + a
+    // partitioned write; no recomputation — codes and assignments are
+    // carried, never re-derived (frozen-parameter discipline). Output:
+    // the per-cell census read back FROM THE COMPACTED TREE — n_vecs
+    // spanning both segments, min/max vec_id (the max pins delta
+    // inclusion: re-keyed ids sit above 1,000,000), merged code
+    // checksum — which DuckDB replays from the base table with the same
+    // frozen train math. AnnIndexSpec asserts the one-file-per-cell
+    // physical contract.
+    "s_index_compact" -> ((s, d) => {
+      val I = graft.io.AnnIndex
+      val root = I.ensure(s, d)
+      I.writeDeltaSegment(s, d, root)
+      val cols = Seq("cell", "vec_id", "embedding", "c0", "c1", "c2", "c3")
+        .map(col)
+      s.read.parquet(s"$root/vectors").select(cols: _*)
+        .unionByName(s.read.parquet(s"$root/vectors_delta").select(cols: _*))
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$root/vectors_compact")
+      s.read.parquet(s"$root/vectors_compact")
+        .groupBy(col("cell").cast("bigint").as("cell"))
+        .agg(count(lit(1)).as("n_vecs"),
+          min("vec_id").as("min_vec"), max("vec_id").as("max_vec"),
           sum(col("c0") + col("c1") * 8 + col("c2") * 64 + col("c3") * 512)
             .cast("bigint").as("code_sum"))
         .orderBy("cell")
@@ -2007,6 +2010,48 @@ object Similarity {
         |SELECT CAST(cell AS BIGINT) AS cell,
         |  CAST(sum(1 - is_delta) AS BIGINT) AS n_base,
         |  CAST(sum(is_delta) AS BIGINT) AS n_delta,
+        |  CAST(sum(c0 + c1 * 8 + c2 * 64 + c3 * 512) AS BIGINT) AS code_sum
+        |FROM merged GROUP BY cell ORDER BY cell""".stripMargin,
+    // the compacted tree's census: the same frozen-parameter merged
+    // math, with min/max ids pinning that both segments were folded in
+    "s_index_compact" ->
+      s"""WITH $annIndexCtesSql,
+        |deltae AS (SELECT vec_id + 1000000 AS vec_id, list_reverse(v) AS v
+        |  FROM e WHERE vec_id % 7 = 3),
+        |dassign AS (
+        |  SELECT vec_id, (max({'c': c2c, 'cell': cell})).cell AS cell
+        |  FROM (SELECT de.vec_id, c.cell,
+        |          round(list_dot_product(de.v, c.centroid) /
+        |            (sqrt(list_dot_product(de.v, de.v)) *
+        |             sqrt(list_dot_product(c.centroid, c.centroid))), 9) AS c2c
+        |        FROM deltae de, c) GROUP BY vec_id),
+        |dsubv AS (SELECT vec_id, m, v[m*16+1 : m*16+16] AS sv FROM deltae, ms),
+        |dcodes AS (
+        |  SELECT vec_id, dsubv.m,
+        |    (max({'d': round(list_dot_product(sv, cw), 9), 'code': code})).code AS code
+        |  FROM dsubv JOIN cb ON dsubv.m = cb.m GROUP BY vec_id, dsubv.m),
+        |wide AS (
+        |  SELECT vec_id,
+        |    max(CASE WHEN m = 0 THEN code END) AS c0,
+        |    max(CASE WHEN m = 1 THEN code END) AS c1,
+        |    max(CASE WHEN m = 2 THEN code END) AS c2,
+        |    max(CASE WHEN m = 3 THEN code END) AS c3
+        |  FROM codes GROUP BY vec_id),
+        |dwide AS (
+        |  SELECT vec_id,
+        |    max(CASE WHEN m = 0 THEN code END) AS c0,
+        |    max(CASE WHEN m = 1 THEN code END) AS c1,
+        |    max(CASE WHEN m = 2 THEN code END) AS c2,
+        |    max(CASE WHEN m = 3 THEN code END) AS c3
+        |  FROM dcodes GROUP BY vec_id),
+        |merged AS (
+        |  SELECT a.cell, a.vec_id, w.c0, w.c1, w.c2, w.c3
+        |  FROM assign a JOIN wide w USING (vec_id)
+        |  UNION ALL
+        |  SELECT da.cell, da.vec_id, w.c0, w.c1, w.c2, w.c3
+        |  FROM dassign da JOIN dwide w USING (vec_id))
+        |SELECT CAST(cell AS BIGINT) AS cell, count(*) AS n_vecs,
+        |  min(vec_id) AS min_vec, max(vec_id) AS max_vec,
         |  CAST(sum(c0 + c1 * 8 + c2 * 64 + c3 * 512) AS BIGINT) AS code_sum
         |FROM merged GROUP BY cell ORDER BY cell""".stripMargin,
     // the batched index probe: per-qid nprobe ranking, candidate set =

@@ -108,6 +108,26 @@ class AnnIndexSpec extends SparkSpec with BeforeAndAfterAll {
     assert(rows.forall(_.getAs[Long]("n_base") > 0))
   }
 
+  test("compaction: one file per cell; census spans both segments") {
+    AnnIndex.ensure(spark, sf)
+    val rows = Similarity.queries("s_index_compact")(spark, sf).collect()
+    val emb = Tables.t(spark, sf, "embeddings")
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum ==
+      emb.count() + emb.filter(col("vec_id") % 7 === 3).count())
+    // the delta's re-keyed ids made it through the fold
+    assert(rows.map(_.getAs[Long]("max_vec")).max > 1000000L)
+    // the physical point of compaction: per-probe cost back to ONE file
+    // open per cell (the delta segment had added a second tree)
+    val compact = new java.io.File(AnnIndex.rootFor(sf), "vectors_compact")
+    val cellDirs = Option(compact.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty)
+    cellDirs.foreach { cd =>
+      val parts = cd.listFiles().count(_.getName.startsWith("part-"))
+      assert(parts == 1, s"${cd.getName}: $parts part files after compaction")
+    }
+  }
+
   test("refine recall floor: each query's top-5 overlaps brute force") {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     val idx = Similarity.queries("s_index_query")(spark, sf).collect()

@@ -194,7 +194,17 @@ object ScaleUp {
         // dataset (at 1000× that shuffle alone exceeded the box's free
         // disk). Each part file holds all copies of its source-row
         // subset — even sizes, real file-granular scan parallelism.
-        scaled.coalesce(files).write.mode("overwrite")
+        // coalesce being narrow also means the EXPLODE would run at only
+        // `files`-way parallelism when files < cores (collapsing the
+        // pre-spread); an eager localCheckpoint inserts the stage
+        // boundary in that case — the explode materializes at full
+        // parallelism, the coalesced write concatenates cached blocks.
+        // The 1000×-scale layouts use files >= cores and skip the copy.
+        val forWrite =
+          if (files < spark.sparkContext.defaultParallelism)
+            scaled.localCheckpoint()
+          else scaled
+        forWrite.coalesce(files).write.mode("overwrite")
           .option("parquet.block.size", (8 * 1024 * 1024).toString)
           .parquet(s"$dst/$name.parquet")
         println(s"scaled $name -> $dst/$name.parquet/ ($files files)")
@@ -203,8 +213,12 @@ object ScaleUp {
         // single FILE (the driver's layout) but many ROW GROUPS: an 8 MB block
         // size keeps the file splittable, so scan stages parallelize — a
         // one-row-group 77 MB lineitem file serializes every scan (measured
-        // 34× on q_distinct at 10× data before this)
-        scaled.coalesce(1).write.mode("overwrite")
+        // 34× on q_distinct at 10× data before this). Same coalesce-collapse
+        // guard as the multi-file branch: boundary before coalesce(1).
+        val forWrite1 =
+          if (spark.sparkContext.defaultParallelism > 1) scaled.localCheckpoint()
+          else scaled
+        forWrite1.coalesce(1).write.mode("overwrite")
           .option("parquet.block.size", (8 * 1024 * 1024).toString)
           .parquet(stage)
         val part = scala.util.Using.resource(Files.list(Paths.get(stage)))(

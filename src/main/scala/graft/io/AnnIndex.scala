@@ -1,6 +1,7 @@
 package graft.io
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Persisted build-once / query-many IVF-PQ index (VERDICT r13 ask #1) —
@@ -110,6 +111,9 @@ object AnnIndex {
         col("c0"), col("c1"), col("c2"), col("c3"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(new java.io.File(root, "vectors").getAbsolutePath)
+    // marker LAST: a crash mid-build leaves no marker, so ensure() rebuilds
+    java.nio.file.Files.write(markerFile(root).toPath,
+      fingerprint(d).getBytes(java.nio.charset.StandardCharsets.UTF_8))
     root.getAbsolutePath
   }
 
@@ -157,15 +161,147 @@ object AnnIndex {
       .parquet(s"$root/vectors_delta")
   }
 
-  /** Build-once gate: reuse the persisted artifacts when present (the
-    * query-many path), build otherwise — so build/query entries are
-    * order-independent in Verify's map iteration.
+  /** Answer the standard 4-query batch FROM the persisted index at
+    * `root`, reading the given `segments` (subdirectories of the root,
+    * each a cell-partitioned coded-vector tree). This is the ONE query
+    * plan for every lifecycle state a deployment serves: `Seq("vectors")`
+    * is the freshly-built index, `Seq("vectors", "vectors_delta")` the
+    * live pre-compaction state (base + delta segments), and
+    * `Seq("vectors_compact")` the folded tree — compaction invariance
+    * (merged == compacted, asserted in AnnIndexSpec) is exactly the
+    * property that makes the fold safe to run online.
+    *
+    * Zero train work in-span: centroids/codebook/coded vectors all LOAD.
+    * The per-query nprobe probe list is collected (≤ cells ints — bounded
+    * driver-side metadata) and pushed as a LITERAL partition filter on
+    * EVERY segment scan, so each tree reads only its probed cell
+    * directories (executed-metric-asserted in AnnIndexSpec). ADC via the
+    * broadcast ≤ batch·M·codes qlut; per-qid top-`shortlist` rank; exact
+    * refine from the segments' stored embeddings to the final top-`topK`.
+    * All rounding/tie-breaks are the s_ivfpq_topk contract, so DuckDB
+    * replays the identical hierarchy from the base table.
+    */
+  def querySegments(s: SparkSession, d: String, root: String,
+      segments: Seq[String]): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val cos = graft.functions.GraftFunctions.cosineSim _
+    val dotN = graft.functions.GraftFunctions.dotProduct _
+    val cents = s.read.parquet(s"$root/centroids")
+    val cb = s.read.parquet(s"$root/codebook")
+    val qs = graft.queries.Tables.t(s, d, "embeddings")
+      .filter(col("vec_id") < batch)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val wp = Window.partitionBy("qid").orderBy(col("qc").desc, col("cell"))
+    val probed = cents.crossJoin(broadcast(qs))
+      .select(col("qid"), col("cell"),
+        round(cos(col("centroid"), col("qv")), 9).as("qc"))
+      .withColumn("rn", row_number().over(wp)).filter(col("rn") <= nProbe)
+      .select("qid", "cell")
+    // bounded metadata extract (≤ cells ints): the probe list becomes a
+    // LITERAL predicate so partition pruning is static at every segment
+    // scan — a segment that holds no rows for a probed cell simply
+    // contributes no directories
+    val cellList = probed.select("cell").distinct().collect()
+      .map(_.getInt(0)).sorted
+    val segCols = Seq("cell", "vec_id", "embedding", "c0", "c1", "c2", "c3")
+    val cand = segments.map { seg =>
+        s.read.parquet(s"$root/$seg")
+          .filter(col("cell").isin(cellList.map(Int.box): _*))
+          .select(segCols.map(col): _*)
+      }.reduce(_ unionByName _)
+      .join(broadcast(probed), "cell")
+      .filter(col("vec_id") =!= col("qid"))
+    val qlut = cb.crossJoin(broadcast(qs))
+      .select(col("qid"), col("m"), col("code"),
+        round(dotN(slice(col("qv"), col("m") * sub + 1, lit(sub)),
+          col("cw")), 9).as("qd"))
+    val short = cand
+      .select(col("qid"), col("vec_id"),
+        posexplode(array(col("c0"), col("c1"), col("c2"), col("c3")))
+          .as(Seq("m", "code")))
+      .join(broadcast(qlut), Seq("qid", "m", "code"))
+      .groupBy("qid", "vec_id")
+      .agg(max(when(col("m") === 0, col("qd"))).as("d0"),
+        max(when(col("m") === 1, col("qd"))).as("d1"),
+        max(when(col("m") === 2, col("qd"))).as("d2"),
+        max(when(col("m") === 3, col("qd"))).as("d3"))
+      .select(col("qid"), col("vec_id"),
+        round(col("d0") + col("d1") + col("d2") + col("d3"), 4).as("adc"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("adc").desc, col("vec_id"))))
+      .filter(col("rn") <= shortlist)
+      .select("qid", "vec_id")
+    short
+      .join(cand.select(col("qid"), col("vec_id"), col("embedding")),
+        Seq("qid", "vec_id"))
+      .join(broadcast(qs), "qid")
+      .select(col("qid"), col("vec_id"),
+        round(cos(col("embedding"), col("qv")), 4).as("cos"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rnk") <= topK)
+      .select(col("qid"), col("rnk").cast("bigint").as("rnk"),
+        col("vec_id"), col("cos"))
+      .orderBy("qid", "rnk")
+  }
+
+  /** Cheap content fingerprint of the source embeddings table: sorted
+    * (name, length, mtime) of every file under `d`/embeddings.parquet,
+    * hashed. Validated against the `_fingerprint` marker in [[ensure]] so
+    * a corpus regenerated in-place within one JVM triggers a rebuild
+    * instead of serving a stale index (the marker also disambiguates two
+    * paths that sanitize to the same root tag).
+    */
+  private[graft] def fingerprint(d: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.sortBy(_.getName).flatMap(walk)
+      else Seq(f)
+    val src = new java.io.File(d, "embeddings.parquet")
+    val parts = walk(src).map(f =>
+      s"${f.getAbsolutePath}|${f.length()}|${f.lastModified()}")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(parts.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  private def markerFile(root: java.io.File) = new java.io.File(root, "_fingerprint")
+
+  /** One-shot JVM-startup sweep: delete `graft_ivfidx_*` tmpdir trees
+    * whose pid suffix no longer names a live process — crashed runs
+    * otherwise leak them forever (no later process shares the pid key).
+    */
+  private lazy val sweepStale: Unit = {
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    val mine = ProcessHandle.current().pid()
+    Option(tmp.listFiles()).getOrElse(Array.empty).foreach { f =>
+      if (f.getName.startsWith("graft_ivfidx_")) {
+        val pid = f.getName.reverse.takeWhile(_.isDigit).reverse
+        if (pid.nonEmpty && pid.length < 18 && pid.toLong != mine) {
+          val h = ProcessHandle.of(pid.toLong)
+          if (!h.isPresent || !h.get().isAlive)
+            graft.util.Dirs.deleteRecursively(f)
+        }
+      }
+    }
+  }
+
+  /** Build-once gate: reuse the persisted artifacts when present AND the
+    * `_fingerprint` marker still matches the source corpus (the
+    * query-many path), rebuild otherwise — so build/query entries are
+    * order-independent in Verify's map iteration and a corpus
+    * regenerated in-place never serves a stale index.
     */
   def ensure(s: SparkSession, d: String): String = synchronized {
+    sweepStale
     val root = rootFor(d)
-    if (new java.io.File(new java.io.File(root, "vectors"), "_SUCCESS").exists())
-      root.getAbsolutePath
-    else build(s, d)
+    val fp = fingerprint(d)
+    val fresh =
+      new java.io.File(new java.io.File(root, "vectors"), "_SUCCESS").exists() &&
+        markerFile(root).exists() && {
+          val bytes = java.nio.file.Files.readAllBytes(markerFile(root).toPath)
+          new String(bytes, java.nio.charset.StandardCharsets.UTF_8) == fp
+        }
+    if (fresh) root.getAbsolutePath else build(s, d)
   }
 
   /** Drop the persisted artifacts for `d` (Verify/Bench teardown, the

@@ -791,61 +791,29 @@ object Similarity {
     // s_ivfpq_topk contract, so DuckDB replays the identical hierarchy
     // from the base table.
     "s_index_query" -> ((s, d) => {
-      graft.functions.GraftFunctions.ensureRegistered(s)
-      val cos = graft.functions.GraftFunctions.cosineSim _
-      val dotN = graft.functions.GraftFunctions.dotProduct _
       val I = graft.io.AnnIndex
       val root = I.ensure(s, d)
-      val cents = s.read.parquet(s"$root/centroids")
-      val cb = s.read.parquet(s"$root/codebook")
-      val qs = t(s, d, "embeddings").filter(col("vec_id") < I.batch)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      val wp = Window.partitionBy("qid").orderBy(col("qc").desc, col("cell"))
-      val probed = cents.crossJoin(broadcast(qs))
-        .select(col("qid"), col("cell"),
-          round(cos(col("centroid"), col("qv")), 9).as("qc"))
-        .withColumn("rn", row_number().over(wp)).filter(col("rn") <= I.nProbe)
-        .select("qid", "cell")
-      // bounded metadata extract (≤ cells ints): the probe list becomes
-      // a LITERAL predicate so partition pruning is static at the scan
-      val cellList = probed.select("cell").distinct().collect()
-        .map(_.getInt(0)).sorted
-      val cand = s.read.parquet(s"$root/vectors")
-        .filter(col("cell").isin(cellList.map(Int.box): _*))
-        .join(broadcast(probed), "cell")
-        .filter(col("vec_id") =!= col("qid"))
-      val qlut = cb.crossJoin(broadcast(qs))
-        .select(col("qid"), col("m"), col("code"),
-          round(dotN(slice(col("qv"), col("m") * I.sub + 1, lit(I.sub)),
-            col("cw")), 9).as("qd"))
-      val short = cand
-        .select(col("qid"), col("vec_id"),
-          posexplode(array(col("c0"), col("c1"), col("c2"), col("c3")))
-            .as(Seq("m", "code")))
-        .join(broadcast(qlut), Seq("qid", "m", "code"))
-        .groupBy("qid", "vec_id")
-        .agg(max(when(col("m") === 0, col("qd"))).as("d0"),
-          max(when(col("m") === 1, col("qd"))).as("d1"),
-          max(when(col("m") === 2, col("qd"))).as("d2"),
-          max(when(col("m") === 3, col("qd"))).as("d3"))
-        .select(col("qid"), col("vec_id"),
-          round(col("d0") + col("d1") + col("d2") + col("d3"), 4).as("adc"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("qid").orderBy(col("adc").desc, col("vec_id"))))
-        .filter(col("rn") <= I.shortlist)
-        .select("qid", "vec_id")
-      short
-        .join(cand.select(col("qid"), col("vec_id"), col("embedding")),
-          Seq("qid", "vec_id"))
-        .join(broadcast(qs), "qid")
-        .select(col("qid"), col("vec_id"),
-          round(cos(col("embedding"), col("qv")), 4).as("cos"))
-        .withColumn("rnk", row_number().over(
-          Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))))
-        .filter(col("rnk") <= I.topK)
-        .select(col("qid"), col("rnk").cast("bigint").as("rnk"),
-          col("vec_id"), col("cos"))
-        .orderBy("qid", "rnk")
+      I.querySegments(s, d, root, Seq("vectors"))
+    }),
+
+    // PERSISTED IVF-PQ index, query over the SEGMENTED (base + delta)
+    // index — the live pre-compaction state a real deployment serves
+    // between a delta ingest and the next compaction. Same plan as
+    // s_index_query (AnnIndex.querySegments) with TWO probe-pruned
+    // segment scans unioned before the ADC: the probe list lands as the
+    // same literal partition filter on BOTH trees, so per-probe cost is
+    // one directory open per segment — exactly the segment-count tax
+    // compaction exists to undo, and AnnIndexSpec asserts COMPACTION
+    // INVARIANCE: this merged query equals the same query over the
+    // folded vectors_compact tree row-for-row. Delta vectors (re-keyed
+    // +1,000,000, reversed embeddings) compete in the same per-qid ADC
+    // shortlist and exact refine; the oracle replays the frozen-parameter
+    // train math for both segments from the base table.
+    "s_index_query_merged" -> ((s, d) => {
+      val I = graft.io.AnnIndex
+      val root = I.ensure(s, d)
+      I.writeDeltaSegment(s, d, root)
+      I.querySegments(s, d, root, Seq("vectors", "vectors_delta"))
     }),
 
     // Maximum-inner-product search via the norm-augmentation reduction
@@ -2084,6 +2052,74 @@ object Similarity {
         |  FROM cand JOIN codes USING (vec_id)
         |  JOIN qlut ON qlut.qid = cand.qid AND qlut.m = codes.m
         |    AND qlut.code = codes.code
+        |  GROUP BY cand.qid, cand.vec_id),
+        |short AS (
+        |  SELECT qid, vec_id, round(d0 + d1 + d2 + d3, 4) AS adc FROM adc0
+        |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY adc DESC, vec_id) <= 20),
+        |ref AS (
+        |  SELECT s.qid, s.vec_id,
+        |    round(list_dot_product(cand.v, q.qv) /
+        |      (sqrt(list_dot_product(cand.v, cand.v)) *
+        |       sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos
+        |  FROM short s JOIN cand ON cand.qid = s.qid AND cand.vec_id = s.vec_id
+        |  JOIN q ON q.qid = s.qid)
+        |SELECT qid, CAST(row_number() OVER (PARTITION BY qid
+        |    ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk, vec_id, cos
+        |FROM ref
+        |QUALIFY rnk <= 5
+        |ORDER BY qid, rnk""".stripMargin,
+    // the segmented-index probe: the s_index_query hierarchy over the
+    // UNION of base and delta candidates — delta rows re-derive the
+    // frozen-parameter assignment/coding (the s_index_delta CTEs), carry
+    // their REVERSED stored embeddings into the exact refine, and
+    // compete in the same per-qid shortlists
+    "s_index_query_merged" ->
+      s"""WITH $annIndexCtesSql,
+        |deltae AS (SELECT vec_id + 1000000 AS vec_id, list_reverse(v) AS v
+        |  FROM e WHERE vec_id % 7 = 3),
+        |dassign AS (
+        |  SELECT vec_id, any_value(v) AS v,
+        |         (max({'c': c2c, 'cell': cell})).cell AS cell
+        |  FROM (SELECT de.vec_id, de.v, c.cell,
+        |          round(list_dot_product(de.v, c.centroid) /
+        |            (sqrt(list_dot_product(de.v, de.v)) *
+        |             sqrt(list_dot_product(c.centroid, c.centroid))), 9) AS c2c
+        |        FROM deltae de, c) GROUP BY vec_id),
+        |dsubv AS (SELECT vec_id, m, v[m*16+1 : m*16+16] AS sv FROM deltae, ms),
+        |dcodes AS (
+        |  SELECT vec_id, dsubv.m,
+        |    (max({'d': round(list_dot_product(sv, cw), 9), 'code': code})).code AS code
+        |  FROM dsubv JOIN cb ON dsubv.m = cb.m GROUP BY vec_id, dsubv.m),
+        |mcodes AS MATERIALIZED (
+        |  SELECT vec_id, m, code FROM codes
+        |  UNION ALL SELECT vec_id, m, code FROM dcodes),
+        |massign AS MATERIALIZED (
+        |  SELECT vec_id, v, cell FROM assign
+        |  UNION ALL SELECT vec_id, v, cell FROM dassign),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 4),
+        |probe AS (
+        |  SELECT qid, cell FROM (
+        |    SELECT q.qid, c.cell,
+        |      row_number() OVER (PARTITION BY q.qid ORDER BY
+        |        round(list_dot_product(c.centroid, q.qv) /
+        |          (sqrt(list_dot_product(c.centroid, c.centroid)) *
+        |           sqrt(list_dot_product(q.qv, q.qv))), 9) DESC, c.cell) AS rn
+        |    FROM c, q) WHERE rn <= 3),
+        |cand AS MATERIALIZED (
+        |  SELECT p.qid, a.vec_id, a.v FROM massign a JOIN probe p USING (cell)
+        |  WHERE a.vec_id <> p.qid),
+        |qlut AS (SELECT qid, m, code,
+        |         round(list_dot_product(qv[m*16+1 : m*16+16], cw), 9) AS qd
+        |         FROM cb, q),
+        |adc0 AS (
+        |  SELECT cand.qid, cand.vec_id,
+        |    max(CASE WHEN mcodes.m = 0 THEN qd END) AS d0,
+        |    max(CASE WHEN mcodes.m = 1 THEN qd END) AS d1,
+        |    max(CASE WHEN mcodes.m = 2 THEN qd END) AS d2,
+        |    max(CASE WHEN mcodes.m = 3 THEN qd END) AS d3
+        |  FROM cand JOIN mcodes USING (vec_id)
+        |  JOIN qlut ON qlut.qid = cand.qid AND qlut.m = mcodes.m
+        |    AND qlut.code = mcodes.code
         |  GROUP BY cand.qid, cand.vec_id),
         |short AS (
         |  SELECT qid, vec_id, round(d0 + d1 + d2 + d3, 4) AS adc FROM adc0

@@ -2,17 +2,19 @@ package graft.queries
 
 import graft.{SparkSpec, TestSpark}
 
-/** t_bpe_merges_deep — the deep (K = 120) driver-loop trainer's contract:
-  * (1) path equivalence: the bounded driver loop (trainMergesLocal) and
-  * the DISTRIBUTED per-round chain (bpeChainFrom) produce byte-identical
-  * merges over the same bigram unit table — the rule/argmax/tie-break are
-  * one algorithm in two execution shapes; (2) the full 120-round schedule
-  * is structurally sound (K rows, consecutive iterations, every
-  * new_symbol is its pair with the separator removed, weighted counts
-  * positive); (3) the vocabulary guard fails fast past the
-  * bounded-scalar-extract license instead of collecting an unbounded
-  * table. Value-level correctness of all 120 rounds is the DuckDB
-  * oracle's job (a generated 120-round CTE chain).
+/** t_bpe_merges_deep — the deep (K = Text.deepK = 1000) INCREMENTAL
+  * driver-loop trainer's contract:
+  * (1) path equivalence: the bounded driver loop (trainMergesLocal, now
+  * delta-updating pair counts per merge) and the DISTRIBUTED per-round
+  * chain (bpeChainFrom) produce byte-identical merges over the same
+  * bigram unit table — the rule/argmax/tie-break are one algorithm in
+  * two execution shapes, and the incremental counts must stay EXACT at
+  * every round; (2) the full K-round schedule is structurally sound
+  * (K rows, consecutive iterations, every new_symbol is its pair with
+  * the separator removed, weighted counts positive); (3) the vocabulary
+  * guard fails fast past the bounded-scalar-extract license instead of
+  * collecting an unbounded table. Value-level correctness of all K
+  * rounds is the DuckDB oracle's job (one recursive CTE).
   */
 class BpeDeepSpec extends SparkSpec {
 
@@ -29,18 +31,47 @@ class BpeDeepSpec extends SparkSpec {
       "driver-loop merges diverged from the distributed per-round chain")
   }
 
-  test("the 120-round schedule is structurally sound at both SFs") {
+  test("incremental pair counts == full per-round recount, deep into the schedule") {
+    // the delta-update rule must reproduce the exact counts a full
+    // recount would see at EVERY round — checked by replaying the
+    // trainer's own merge table through a brute-force recount trainer
+    val units = Text.bigramUnits(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val k = 300
+    val fast = Text.trainMergesLocal(units, k)
+    var syms = units.map { case (w, n) => (w.map(_.toString).mkString(" ", " ", " "), n) }
+    val slow = (1 to k).map { it =>
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      for ((sym, n) <- syms) {
+        val toks = sym.trim.split(" ")
+        var i = 0
+        while (i < toks.length - 1) {
+          val pr = toks(i) + " " + toks(i + 1)
+          counts.update(pr, counts.getOrElse(pr, 0L) + n)
+          i += 1
+        }
+      }
+      val maxCnt = counts.values.max
+      val best = counts.collect { case (p, c) if c == maxCnt => p }.min
+      val from = " " + best + " "; val to = " " + best.replace(" ", "") + " "
+      syms = syms.map { case (sym, n) => (sym.replace(from, to).replace(from, to), n) }
+      (it, best, best.replace(" ", ""), maxCnt)
+    }
+    assert(fast == slow, "incremental trainer diverged from the full recount")
+  }
+
+  test("the deep schedule is structurally sound at both SFs") {
     for (d <- Seq(sf, TestSpark.sf001)) {
       val rows = Text.queries("t_bpe_merges_deep")(spark, d).collect()
-      assert(rows.length == 120, s"$d: expected 120 merges")
-      assert(rows.map(_.getInt(0)).toSeq == (1 to 120),
+      assert(rows.length == Text.deepK, s"$d: expected ${Text.deepK} merges")
+      assert(rows.map(_.getInt(0)).toSeq == (1 to Text.deepK),
         s"$d: iterations must be consecutive")
       rows.foreach { r =>
         assert(r.getString(2) == r.getString(1).replace(" ", ""))
         assert(r.getLong(3) > 0L)
       }
-      // deep rounds genuinely extend the vocabulary: 120 distinct symbols
-      assert(rows.map(_.getString(2)).distinct.length == 120)
+      // deep rounds genuinely extend the vocabulary: K distinct symbols
+      assert(rows.map(_.getString(2)).distinct.length == Text.deepK)
     }
   }
 
@@ -54,7 +85,7 @@ class BpeDeepSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_units")).sum == total)
     rows.foreach { r =>
       val fert = r.getAs[Double]("fertility")
-      // 120 merges on a ~916-unit vocabulary must compress well below
+      // deepK merges on a ~916-unit vocabulary must compress well below
       // the raw char count (~12 chars/unit) but can't go under 1
       assert(fert >= 1.0 && fert < 12.0, s"fertility $fert out of range")
       assert(r.getAs[Long]("n_bpe_tokens") >= r.getAs[Long]("n_units"))

@@ -128,6 +128,56 @@ class AnnIndexSpec extends SparkSpec with BeforeAndAfterAll {
     }
   }
 
+  test("merged query: BOTH segment trees probe-pruned; delta competes in the shortlist") {
+    AnnIndex.ensure(spark, sf)
+    val df = Similarity.queries("s_index_query_merged")(spark, sf)
+    val out = df.collect()
+    assert(out.length == AnnIndex.batch * AnnIndex.topK)
+    val all = scans(df.queryExecution.executedPlan)
+    val locs = all.map(_.metadata("Location"))
+    assert(locs.forall(l => l.contains("graft_ivfidx") ||
+      l.contains("embeddings")), locs.mkString("; "))
+    // the probe list lands as a literal partition filter on EVERY
+    // segment scan — base and delta alike (per-probe cost = one
+    // directory open per segment, the tax compaction undoes)
+    for (seg <- Seq("vectors/", "vectors_delta/")) {
+      val segScans = all.filter(_.metadata("Location").contains(
+        seg.stripSuffix("/")))
+      val mine = if (seg == "vectors/")
+        segScans.filterNot(_.metadata("Location").contains("vectors_delta"))
+      else segScans
+      assert(mine.nonEmpty, s"no scan over $seg")
+      val nCells = Option(new java.io.File(AnnIndex.rootFor(sf),
+        seg.stripSuffix("/")).listFiles()).getOrElse(Array.empty)
+        .count(f => f.isDirectory && f.getName.startsWith("cell="))
+      mine.foreach { sc =>
+        assert(sc.metadata("PartitionFilters").contains("cell"),
+          s"$seg: ${sc.metadata("PartitionFilters")}")
+        val read = sc.metrics("numPartitions").value
+        assert(read > 0 && read < nCells,
+          s"$seg scan read $read of $nCells partitions — no pruning")
+      }
+    }
+  }
+
+  test("compaction invariance: query(base+delta) == query(compacted) row-for-row") {
+    // the property a segment fold exists to guarantee: folding the
+    // segments must not change a single answer. s_index_compact
+    // materializes vectors_compact; the SAME querySegments plan then
+    // runs once over the two live segments and once over the folded
+    // tree.
+    val root = AnnIndex.ensure(spark, sf)
+    Similarity.queries("s_index_compact")(spark, sf).collect()
+    val merged = AnnIndex.querySegments(spark, sf, root,
+      Seq("vectors", "vectors_delta")).collect().toSeq
+    val compacted = AnnIndex.querySegments(spark, sf, root,
+      Seq("vectors_compact")).collect().toSeq
+    assert(merged == compacted,
+      s"fold changed answers:\nmerged   = $merged\ncompacted = $compacted")
+    // and the merged answer is not vacuous: the full panel is there
+    assert(merged.length == AnnIndex.batch * AnnIndex.topK)
+  }
+
   test("refine recall floor: each query's top-5 overlaps brute force") {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     val idx = Similarity.queries("s_index_query")(spark, sf).collect()

@@ -704,8 +704,15 @@ object Multimodal {
           sum(when(col("phash") === col("twin_hash"), 1L).otherwise(0L))
             .cast("bigint").as("n_recovered"))
       hashes.agg(count(lit(1)).as("n_images")).crossJoin(joined)
-        .select(col("n_images"), col("n_planted_pairs"), col("n_recovered"),
-          round(col("n_recovered") / col("n_planted_pairs"), 4).as("recall"))
+        .select(col("n_images"), col("n_planted_pairs"),
+          // same zero-planted guard as m_audio_fprint_dedup (VERDICT
+          // r14): a tiny SF with no doc_id % 15 == 0 row must pin both
+          // engines to an explicit 0 recovered + vacuous recall 1.0,
+          // not NULL-vs-0/0 divergence
+          coalesce(col("n_recovered"), lit(0L)).as("n_recovered"),
+          when(col("n_planted_pairs") === 0, lit(1.0))
+            .otherwise(round(col("n_recovered") / col("n_planted_pairs"), 4))
+            .as("recall"))
     }),
 
     // Acoustic-fingerprint dedup over REAL decoded PCM — the audio
@@ -871,13 +878,15 @@ object Multimodal {
         |  CASE WHEN np = 0 THEN CAST(1.0 AS DOUBLE)
         |       ELSE round(CAST(np AS DOUBLE) / np, 4) END AS recall
         |FROM au, pl""".stripMargin,
+    // np = 0 pins the same explicit vacuous recall 1.0 as the audio twin
     "m_phash_dedup" ->
       """WITH img AS (SELECT count(*) AS ni FROM documents WHERE doc_id % 3 = 0),
         |pl AS (SELECT count(*) AS np FROM documents WHERE doc_id % 15 = 0)
         |SELECT CAST(ni + np AS BIGINT) AS n_images,
         |  CAST(np AS BIGINT) AS n_planted_pairs,
         |  CAST(np AS BIGINT) AS n_recovered,
-        |  round(CAST(np AS DOUBLE) / np, 4) AS recall
+        |  CASE WHEN np = 0 THEN CAST(1.0 AS DOUBLE)
+        |       ELSE round(CAST(np AS DOUBLE) / np, 4) END AS recall
         |FROM img CROSS JOIN pl""".stripMargin
   )
 }

@@ -474,15 +474,17 @@ object Similarity {
           least(lit(1.0), lit(40.0) / col("n_members")).as("rate"))
       val u = (conv(substring(md5(col("vec_id").cast("string")), 1, 12),
         16, 10).cast("double") + 1.0) / 281474976710656.0
-      // uncapped cells (n_members <= CAP, rate = 1.0) keep EVERYTHING
-      // without a draw: u = (md5_48+1)/2^48 hits exactly 1.0 on the
-      // all-ones 48-bit draw, so `u < 1.0` alone would drop that row
-      // (P ~ 2^-48 per row) against the documented sparse-clusters-keep-
-      // everything invariant; the short-circuit makes the invariant
-      // structural in BOTH engines' replays (ADVICE r13)
+      // uncapped cells (rate = 1.0) keep EVERYTHING without a draw:
+      // u = (md5_48+1)/2^48 hits exactly 1.0 on the all-ones 48-bit
+      // draw, so `u < 1.0` alone would drop that row (P ~ 2^-48 per
+      // row) against the documented sparse-clusters-keep-everything
+      // invariant; the short-circuit states the invariant DIRECTLY on
+      // rate (rate ≥ 1 ⟺ n_members ≤ CAP under least(1, CAP/n), and
+      // stays correct if a future policy produces rate = 1.0 some other
+      // way) and is identical in BOTH engines' replays (ADVICE r13/r14)
       assigned.join(broadcast(rates), "cl")
         .select(col("cl"), col("n_members"), col("rate"),
-          (col("n_members") <= 40L || u < col("rate")).as("keep"))
+          (col("rate") >= 1.0 || u < col("rate")).as("keep"))
         .groupBy("cl", "n_members")
         .agg(round(max("rate"), 6).as("rate6"),
           sum(when(col("keep"), 1L).otherwise(0L)).cast("bigint").as("n_kept"))
@@ -1747,7 +1749,7 @@ object Similarity {
         |  FROM a GROUP BY cl),
         |k AS (
         |  SELECT a.cl, n_members, rate,
-        |    n_members <= 40 OR
+        |    rate >= 1.0 OR
         |    ((CAST('0x' || substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 12) AS BIGINT) + 1.0)
         |     / 281474976710656.0) < rate AS keep
         |  FROM a JOIN r USING (cl))
@@ -2488,19 +2490,20 @@ object Similarity {
         |    COALESCE(1.0 / (60.0 + CAST(r_cos AS DOUBLE)), 0.0) AS rrf
         |  FROM rbc FULL OUTER JOIN rc
         |    ON rbc.doc_id = rc.doc_id AND rbc.start = rc.start),
-        |lat AS MATERIALIZED (
+        |lat0 AS MATERIALIZED (
         |  SELECT f.doc_id, f.start, f.rrf, e.v,
         |    round(list_dot_product(e.v, q.qv) /
-        |      (sqrt(list_dot_product(e.v, e.v)) *
-        |       sqrt(list_dot_product(q.qv, q.qv))), 4) AS rel
+        |      NULLIF(sqrt(list_dot_product(e.v, e.v)) *
+        |             sqrt(list_dot_product(q.qv, q.qv)), 0), 4) AS rel
         |  FROM fusedc f JOIN e ON e.vec_id = f.doc_id, q
         |  ORDER BY f.rrf DESC, f.doc_id, f.start LIMIT 20),
+        |lat AS (SELECT * FROM lat0 WHERE rel IS NOT NULL),
         |simsl AS MATERIALIZED (
         |  SELECT a.doc_id AS da, a.start AS sa, a.rel AS rela, a.rrf AS rrfa,
         |         b.doc_id AS db, b.start AS sb,
         |    round(list_dot_product(a.v, b.v) /
-        |      (sqrt(list_dot_product(a.v, a.v)) *
-        |       sqrt(list_dot_product(b.v, b.v))), 4) AS sim
+        |      NULLIF(sqrt(list_dot_product(a.v, a.v)) *
+        |             sqrt(list_dot_product(b.v, b.v)), 0), 4) AS sim
         |  FROM lat a, lat b
         |  WHERE NOT (a.doc_id = b.doc_id AND a.start = b.start)),
         |s1 AS MATERIALIZED (SELECT doc_id, start, rrf, rel, 1 AS rank, rel AS mmr

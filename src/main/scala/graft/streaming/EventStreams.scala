@@ -35,17 +35,39 @@ object EventStreams {
     * trees; a JVM shutdown hook removes the cached dirs.
     */
   private object StagedInputs {
-    private val cache =
-      scala.collection.mutable.HashMap.empty[String, java.io.File]
+    // per-key LATCH map, not a coarse lock around the staging job: the
+    // Spark staging write runs OUTSIDE any monitor (holding a lock
+    // through a Spark action would serialize staging of UNRELATED keys
+    // and could deadlock if a stage callback re-entered dirFor), and
+    // the completed dir is published via the future. The brief
+    // synchronized sections only install/read the promise.
+    private val cache = scala.collection.mutable.HashMap
+      .empty[String, scala.concurrent.Promise[java.io.File]]
     private val pid = ProcessHandle.current().pid()
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      cache.synchronized {
-        cache.values.foreach(graft.util.Dirs.deleteRecursively)
-      }))
-    /** Staged dir for `key`; `stage` runs exactly once per key per JVM. */
-    def dirFor(key: String)(stage: java.io.File => Unit): java.io.File =
-      cache.synchronized {
-        cache.getOrElseUpdate(key, {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      val done = cache.synchronized {
+        cache.values.flatMap(_.future.value).collect {
+          case scala.util.Success(d) => d
+        }.toList
+      }
+      done.foreach(graft.util.Dirs.deleteRecursively)
+    }))
+    /** Staged dir for `key`; `stage` runs exactly once per key per JVM
+      * (concurrent callers of the same key block on the first caller's
+      * future; different keys stage in parallel).
+      */
+    def dirFor(key: String)(stage: java.io.File => Unit): java.io.File = {
+      val (p, mine) = cache.synchronized {
+        cache.get(key) match {
+          case Some(existing) => (existing, false)
+          case None =>
+            val fresh = scala.concurrent.Promise[java.io.File]()
+            cache.put(key, fresh)
+            (fresh, true)
+        }
+      }
+      if (mine) {
+        try {
           val dir = new java.io.File(sys.props("java.io.tmpdir"),
             s"graft_stage_${key}_p$pid")
           // a stale tree from a crashed previous staging attempt in THIS
@@ -53,9 +75,19 @@ object EventStreams {
           graft.util.Dirs.deleteRecursively(dir)
           dir.mkdirs()
           stage(dir)
-          dir
-        })
+          p.success(dir)
+        } catch {
+          case e: Throwable =>
+            // failed staging must not poison the key for the JVM's
+            // lifetime — drop the promise so a later caller retries
+            cache.synchronized { cache.remove(key) }
+            p.failure(e)
+            throw e
+        }
       }
+      scala.concurrent.Await.result(p.future,
+        scala.concurrent.duration.Duration(10, "min"))
+    }
     def keyTag(d: String): String = d.replaceAll("[^A-Za-z0-9]", "_")
   }
 

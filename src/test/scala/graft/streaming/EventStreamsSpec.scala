@@ -443,7 +443,11 @@ class EventStreamsSpec extends SparkSpec {
         .option("path", outDir)
         .option("checkpointLocation", ckDir)
         .outputMode(OutputMode.Append)
-      (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
+      // phase 1 throttles to one file per trigger AND a processing-time
+      // interval, so stop() lands after 1-2 committed batches — slices
+      // must genuinely remain for the restart to prove recovery on
+      (if (availableNow) w.trigger(Trigger.AvailableNow())
+       else w.trigger(Trigger.ProcessingTime("5 seconds"))).start()
     }
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
@@ -459,18 +463,25 @@ class EventStreamsSpec extends SparkSpec {
           "stream made no progress within the deadline")
       } finally q1.stop()
       q1.awaitTermination()
-      // the un-throttled default trigger can drain all six staged files
-      // before stop() lands (ADVICE r13): record how much phase 1
-      // actually read, and only require phase-2 progress when rows
-      // genuinely remained — the end-state equality below is the real
-      // assertion either way
-      val stagedTotal = spark.read.parquet(srcDir.getAbsolutePath).count()
-      val q1Rows = q1.recentProgress.map(_.numInputRows).sum
+      // GROUND-TRUTH kill accounting (ADVICE r14): recentProgress is
+      // posted async by the listener bus, so it can under-report what
+      // phase 1 committed — the old rows-based conditional could demand
+      // phase-2 progress when nothing was actually left, a flake. The
+      // checkpoint's commits log is the truth: one committed batch ==
+      // one staged file (maxFilesPerTrigger = 1).
+      val stagedFiles = Option(srcDir.listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .count(_.getName.endsWith(".parquet"))
+      def committedBatches() = Option(
+        new java.io.File(ckDir, "commits").listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .count(_.getName.forall(_.isDigit))
+      val committed1 = committedBatches()
       // phase 2: restart from the SAME checkpoint, drain everything
       val q2 = start(availableNow = true)
       q2.awaitTermination()
-      if (q1Rows < stagedTotal)
-        assert(q2.recentProgress.exists(_.numInputRows > 0),
+      if (committed1 < stagedFiles)
+        assert(committedBatches() > committed1,
           "the restart must process the slices the kill left unread")
       // post-restart sessions == the batch gap rewrite, exactly
       val stream = spark.read.parquet(outDir)

@@ -53,35 +53,71 @@ object AnnIndex {
     * build-once/query-many needs. A production deployment would use a
     * content-addressed lake path instead.
     */
-  def rootFor(d: String): java.io.File = {
-    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+  def rootFor(d: String, prime: Option[Int] = None): java.io.File = {
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_") +
+      prime.map(p => s"_s$p").getOrElse("")
     val pid = ProcessHandle.current().pid()
     new java.io.File(sys.props("java.io.tmpdir"), s"graft_ivfidx_${tag}_p$pid")
   }
+
+  /** The build corpus: the full embeddings table, or its 1-in-`prime`
+    * md5 stratum (the Tables.stratum twin device — both engines filter
+    * the base ids the same way, keeping the sf100 DuckDB replay at
+    * ~1/41 volume while the engine still runs the full plan shape).
+    */
+  private def embFor(s: SparkSession, d: String,
+      prime: Option[Int]): DataFrame = {
+    val emb = graft.queries.Tables.t(s, d, "embeddings")
+    prime.fold(emb)(p =>
+      emb.filter(graft.queries.Tables.stratum(col("vec_id"), p)))
+  }
+
+  /** PQ codebook source rows with their code labels. Unstratified: the
+    * first `nCodes` vec_ids, code = vec_id (dense by construction).
+    * Stratified: the `nCodes` SMALLEST stratum vec_ids (vec_id < 8
+    * would mostly miss the 1-in-41 draw), re-labeled densely 0..7 by a
+    * bounded ≤ nCodes-row rank so the code_sum base-8 checksum stays
+    * meaningful; the selection itself is TakeOrdered, never a
+    * data-sized window.
+    */
+  private def codebookRows(emb: DataFrame, prime: Option[Int]): DataFrame =
+    prime match {
+      case None =>
+        emb.filter(col("vec_id") < nCodes)
+          .select(col("vec_id").cast("int").as("code"), col("embedding"))
+      case Some(_) =>
+        emb.select(col("vec_id"), col("embedding"))
+          .orderBy("vec_id").limit(nCodes)
+          .select((row_number().over(
+              org.apache.spark.sql.expressions.Window.orderBy("vec_id")) - 1)
+              .cast("int").as("code"),
+            col("embedding"))
+    }
 
   private[graft] def subspaces(v: Column, out: String): Column =
     explode(array((0 until M).map(m =>
       struct(lit(m).as("m"), slice(v, m * sub + 1, sub).as(out))): _*))
 
-  /** Full (re)build of the index for corpus `d`; returns the root path.
-    * Deterministic: rebuilding over the same corpus writes byte-identical
-    * logical content, so build/query entries may run in any order.
+  /** Full (re)build of the index for corpus `d` (or its 1-in-`prime`
+    * stratum); returns the root path. Deterministic: rebuilding over the
+    * same corpus writes byte-identical logical content, so build/query
+    * entries may run in any order.
     */
-  def build(s: SparkSession, d: String): String = synchronized {
+  def build(s: SparkSession, d: String,
+      prime: Option[Int] = None): String = synchronized {
     graft.functions.GraftFunctions.ensureRegistered(s)
     val cos = graft.functions.GraftFunctions.cosineSim _
     val dotN = graft.functions.GraftFunctions.dotProduct _
-    val root = rootFor(d)
-    val emb = graft.queries.Tables.t(s, d, "embeddings")
+    val root = rootFor(d, prime)
+    val emb = embFor(s, d, prime)
     val vecMean = graft.functions.VectorMean(64)
     val cents = emb.groupBy(col("label").cast("int").as("cell"))
       .agg(vecMean(col("embedding")).as("c0"))
       .select(col("cell"), transform(col("c0"), x => round(x, 9)).as("centroid"))
     cents.coalesce(1).write.mode("overwrite")
       .parquet(new java.io.File(root, "centroids").getAbsolutePath)
-    val cb = emb.filter(col("vec_id") < nCodes)
-      .select(col("vec_id").cast("int").as("code"),
-        subspaces(col("embedding"), "cw").as("x"))
+    val cb = codebookRows(emb, prime)
+      .select(col("code"), subspaces(col("embedding"), "cw").as("x"))
       .select(col("x.m").as("m"), col("code"), col("x.cw").as("cw"))
     cb.coalesce(1).write.mode("overwrite")
       .parquet(new java.io.File(root, "codebook").getAbsolutePath)
@@ -182,14 +218,17 @@ object AnnIndex {
     * replays the identical hierarchy from the base table.
     */
   def querySegments(s: SparkSession, d: String, root: String,
-      segments: Seq[String]): DataFrame = {
+      segments: Seq[String], prime: Option[Int] = None): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(s)
     val cos = graft.functions.GraftFunctions.cosineSim _
     val dotN = graft.functions.GraftFunctions.dotProduct _
     val cents = s.read.parquet(s"$root/centroids")
     val cb = s.read.parquet(s"$root/codebook")
-    val qs = graft.queries.Tables.t(s, d, "embeddings")
-      .filter(col("vec_id") < batch)
+    // query batch: first `batch` vec_ids; for the stratum twin the
+    // `batch` SMALLEST stratum ids (TakeOrdered, never a global window)
+    val qs = prime.fold(
+        embFor(s, d, None).filter(col("vec_id") < batch))(_ =>
+        embFor(s, d, prime).orderBy("vec_id").limit(batch))
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     val wp = Window.partitionBy("qid").orderBy(col("qc").desc, col("cell"))
     val probed = cents.crossJoin(broadcast(qs))
@@ -291,9 +330,10 @@ object AnnIndex {
     * order-independent in Verify's map iteration and a corpus
     * regenerated in-place never serves a stale index.
     */
-  def ensure(s: SparkSession, d: String): String = synchronized {
+  def ensure(s: SparkSession, d: String,
+      prime: Option[Int] = None): String = synchronized {
     sweepStale
-    val root = rootFor(d)
+    val root = rootFor(d, prime)
     val fp = fingerprint(d)
     val fresh =
       new java.io.File(new java.io.File(root, "vectors"), "_SUCCESS").exists() &&
@@ -301,14 +341,14 @@ object AnnIndex {
           val bytes = java.nio.file.Files.readAllBytes(markerFile(root).toPath)
           new String(bytes, java.nio.charset.StandardCharsets.UTF_8) == fp
         }
-    if (fresh) root.getAbsolutePath else build(s, d)
+    if (fresh) root.getAbsolutePath else build(s, d, prime)
   }
 
-  /** Drop the persisted artifacts for `d` (Verify/Bench teardown, the
-    * layoutCleanup discipline). Idempotent.
+  /** Drop the persisted artifacts for `d` — full and stratum-twin roots
+    * (Verify/Bench teardown, the layoutCleanup discipline). Idempotent.
     */
   def cleanup(d: String): Unit = synchronized {
-    val root = rootFor(d)
-    if (root.exists()) graft.util.Dirs.deleteRecursively(root)
+    for (root <- Seq(rootFor(d), rootFor(d, Some(41))))
+      if (root.exists()) graft.util.Dirs.deleteRecursively(root)
   }
 }

@@ -818,6 +818,35 @@ object Similarity {
       I.querySegments(s, d, root, Seq("vectors", "vectors_delta"))
     }),
 
+    // STRATUM-ORACLED twins of the index lifecycle's two ends (the
+    // d_minhash_lsh_s41 device on the FLAGSHIP): the same build → census
+    // and load → probe-pruned query plans over the 1-in-41 md5 stratum
+    // of the embeddings, which keeps the sf100 DuckDB replay at ~1/41
+    // volume — the path that takes the persisted index to the 1000×
+    // gate the other heavy families clear (the full s_index_delta
+    // replay already needs ORACLE_THREADS=2 at sf10). Two twin-specific
+    // parameter choices, both TakeOrdered-shaped: the PQ codebook is
+    // the 8 SMALLEST stratum vec_ids re-labeled densely 0..7 (vec_id <
+    // 8 would mostly miss the draw), and the query batch is the 4
+    // smallest stratum ids. Base-SF rows pin the stratum PLUMBING; the
+    // twins become load-bearing on the scaled corpora.
+    "s_index_build_s41" -> ((s, d) => {
+      val root = graft.io.AnnIndex.build(s, d, Some(41))
+      s.read.parquet(s"$root/vectors")
+        .groupBy(col("cell").cast("bigint").as("cell"))
+        .agg(count(lit(1)).as("n_vecs"),
+          min("vec_id").as("min_vec"), max("vec_id").as("max_vec"),
+          sum(col("c0") + col("c1") * 8 + col("c2") * 64 + col("c3") * 512)
+            .cast("bigint").as("code_sum"))
+        .orderBy("cell")
+    }),
+
+    "s_index_query_s41" -> ((s, d) => {
+      val I = graft.io.AnnIndex
+      val root = I.ensure(s, d, Some(41))
+      I.querySegments(s, d, root, Seq("vectors"), Some(41))
+    }),
+
     // Maximum-inner-product search via the norm-augmentation reduction
     // (Bachrach et al.: append sqrt(M² − ‖x‖²) to every vector, 0 to the
     // query; COSINE order on the augmented space == inner-product order
@@ -1550,6 +1579,41 @@ object Similarity {
       |    (max({'d': round(list_dot_product(sv, cw), 9), 'code': code})).code AS code
       |  FROM subv JOIN cb ON subv.m = cb.m GROUP BY vec_id, subv.m)""".stripMargin
 
+  /** The STRATIFIED index-train replay (s_index_build_s41 /
+    * s_index_query_s41): the annIndexCtesSql math over the 1-in-`prime`
+    * md5 stratum, with the twin's parameter choices — codebook = the 8
+    * smallest stratum vec_ids re-labeled densely 0..7, and centroids/
+    * assignment over stratum rows only. CTE names match the
+    * unstratified block so the query tail is shape-identical.
+    */
+  private def annIndexStratCtesSql(pred: String): String =
+    s"""e AS MATERIALIZED (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      |     FROM embeddings WHERE $pred),
+      |m0 AS (
+      |  SELECT label AS cell, CAST(r.i AS INT) AS pos,
+      |         avg(v[CAST(r.i AS INT) + 1]) AS mv
+      |  FROM e, range(64) r(i) GROUP BY label, pos),
+      |c AS MATERIALIZED (SELECT cell, list(round(mv, 9) ORDER BY pos) AS centroid
+      |     FROM m0 GROUP BY cell),
+      |assign AS MATERIALIZED (
+      |  SELECT vec_id, any_value(v) AS v,
+      |         (max({'c': c2c, 'cell': cell})).cell AS cell
+      |  FROM (SELECT e.vec_id, e.v, c.cell,
+      |          round(list_dot_product(e.v, c.centroid) /
+      |            (sqrt(list_dot_product(e.v, e.v)) *
+      |             sqrt(list_dot_product(c.centroid, c.centroid))), 9) AS c2c
+      |        FROM e, c) GROUP BY vec_id),
+      |ms AS (SELECT CAST(r.i AS INT) AS m FROM range(4) r(i)),
+      |cbsel AS (SELECT vec_id, v, CAST(rn - 1 AS INT) AS code FROM (
+      |   SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rn FROM e)
+      |   WHERE rn <= 8),
+      |cb AS (SELECT m, code, v[m*16+1 : m*16+16] AS cw FROM cbsel, ms),
+      |subv AS (SELECT vec_id, m, v[m*16+1 : m*16+16] AS sv FROM e, ms),
+      |codes AS MATERIALIZED (
+      |  SELECT vec_id, subv.m,
+      |    (max({'d': round(list_dot_product(sv, cw), 9), 'code': code})).code AS code
+      |  FROM subv JOIN cb ON subv.m = cb.m GROUP BY vec_id, subv.m)""".stripMargin
+
   /** s_semdedup replay with the DATA-DERIVED k and the ADAPTIVE
     * assignment (see semDedup): k = greatest(8, (N+249) // 250) and
     * k2 = CASE WHEN k <= 256 THEN 1 ELSE ceil(sqrt(k)) END computed from
@@ -2122,6 +2186,67 @@ object Similarity {
         |  FROM cand JOIN mcodes USING (vec_id)
         |  JOIN qlut ON qlut.qid = cand.qid AND qlut.m = mcodes.m
         |    AND qlut.code = mcodes.code
+        |  GROUP BY cand.qid, cand.vec_id),
+        |short AS (
+        |  SELECT qid, vec_id, round(d0 + d1 + d2 + d3, 4) AS adc FROM adc0
+        |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY adc DESC, vec_id) <= 20),
+        |ref AS (
+        |  SELECT s.qid, s.vec_id,
+        |    round(list_dot_product(cand.v, q.qv) /
+        |      (sqrt(list_dot_product(cand.v, cand.v)) *
+        |       sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos
+        |  FROM short s JOIN cand ON cand.qid = s.qid AND cand.vec_id = s.vec_id
+        |  JOIN q ON q.qid = s.qid)
+        |SELECT qid, CAST(row_number() OVER (PARTITION BY qid
+        |    ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk, vec_id, cos
+        |FROM ref
+        |QUALIFY rnk <= 5
+        |ORDER BY qid, rnk""".stripMargin,
+    // the stratum twins: the identical census / probe hierarchy over the
+    // 1-in-41 draw (annIndexStratCtesSql), query batch = 4 smallest
+    // stratum ids
+    "s_index_build_s41" ->
+      s"""WITH ${annIndexStratCtesSql(stratum41Sql("vec_id"))},
+        |wide AS (
+        |  SELECT vec_id,
+        |    max(CASE WHEN m = 0 THEN code END) AS c0,
+        |    max(CASE WHEN m = 1 THEN code END) AS c1,
+        |    max(CASE WHEN m = 2 THEN code END) AS c2,
+        |    max(CASE WHEN m = 3 THEN code END) AS c3
+        |  FROM codes GROUP BY vec_id)
+        |SELECT CAST(a.cell AS BIGINT) AS cell, count(*) AS n_vecs,
+        |  min(a.vec_id) AS min_vec, max(a.vec_id) AS max_vec,
+        |  CAST(sum(c0 + c1 * 8 + c2 * 64 + c3 * 512) AS BIGINT) AS code_sum
+        |FROM assign a JOIN wide USING (vec_id)
+        |GROUP BY a.cell ORDER BY cell""".stripMargin,
+    "s_index_query_s41" ->
+      s"""WITH ${annIndexStratCtesSql(stratum41Sql("vec_id"))},
+        |q AS (SELECT vec_id AS qid, v AS qv FROM (
+        |   SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rn FROM e)
+        |   WHERE rn <= 4),
+        |probe AS (
+        |  SELECT qid, cell FROM (
+        |    SELECT q.qid, c.cell,
+        |      row_number() OVER (PARTITION BY q.qid ORDER BY
+        |        round(list_dot_product(c.centroid, q.qv) /
+        |          (sqrt(list_dot_product(c.centroid, c.centroid)) *
+        |           sqrt(list_dot_product(q.qv, q.qv))), 9) DESC, c.cell) AS rn
+        |    FROM c, q) WHERE rn <= 3),
+        |cand AS MATERIALIZED (
+        |  SELECT p.qid, a.vec_id, a.v FROM assign a JOIN probe p USING (cell)
+        |  WHERE a.vec_id <> p.qid),
+        |qlut AS (SELECT qid, m, code,
+        |         round(list_dot_product(qv[m*16+1 : m*16+16], cw), 9) AS qd
+        |         FROM cb, q),
+        |adc0 AS (
+        |  SELECT cand.qid, cand.vec_id,
+        |    max(CASE WHEN codes.m = 0 THEN qd END) AS d0,
+        |    max(CASE WHEN codes.m = 1 THEN qd END) AS d1,
+        |    max(CASE WHEN codes.m = 2 THEN qd END) AS d2,
+        |    max(CASE WHEN codes.m = 3 THEN qd END) AS d3
+        |  FROM cand JOIN codes USING (vec_id)
+        |  JOIN qlut ON qlut.qid = cand.qid AND qlut.m = codes.m
+        |    AND qlut.code = codes.code
         |  GROUP BY cand.qid, cand.vec_id),
         |short AS (
         |  SELECT qid, vec_id, round(d0 + d1 + d2 + d3, 4) AS adc FROM adc0

@@ -1351,13 +1351,16 @@ object Similarity {
     // (the c_chunk_windows closed-form count — chunk text by substring,
     // never a per-char stream); (2) LEXICAL tower: BM25 over the CHUNK
     // corpus for the fixed 3-term query (t_bm25/s_hybrid_rrf constants),
-    // top-50 chunks; (3) DENSE tower THROUGH THE PERSISTED INDEX
-    // (AnnIndex.ensure — zero train work): probe nprobe cells for query
-    // vec 0, score only the probed cells' vectors (the collected probe
-    // list is a literal partition filter, so the scan prunes cell dirs),
-    // top-50 docs, each represented by its start-0 chunk; (4) FUSE by
-    // reciprocal-rank (s_hybrid_rrf: Σ 1/(60+rank) over the FULL OUTER
-    // union, ranks over literal-50 panels); (5) MMR-RERANK the fused
+    // reduced MAX-OVER-CHUNKS to doc granularity (each doc scored by its
+    // best chunk, argmax start carried — production RAG fusion shape,
+    // VERDICT r14 ask #5) then top-50 docs; (3) DENSE tower THROUGH THE
+    // PERSISTED INDEX (AnnIndex.ensure — zero train work): probe nprobe
+    // cells for query vec 0, score only the probed cells' vectors (the
+    // collected probe list is a literal partition filter, so the scan
+    // prunes cell dirs), top-50 docs; (4) FUSE by reciprocal-rank at DOC
+    // granularity (s_hybrid_rrf: Σ 1/(60+rank) over the FULL OUTER
+    // union, ranks over literal-50 panels — both towers' evidence for
+    // the same doc always meets); (5) MMR-RERANK the fused
     // top-20 lattice (s_mmr_rerank: one bounded collect, driver greedy,
     // 0.7·rel − 0.3·max-sim, 4-dp rel/sim before the 6-dp greedy math) —
     // the rerank stage requires vectors, so the lattice keeps only
@@ -1402,15 +1405,26 @@ object Similarity {
       val idf = dfreq.crossJoin(broadcast(stats))
         .select(col("term"),
           expr("ln((n_docs - df + 0.5d) / (df + 0.5d) + 1.0d)").as("idf"))
-      val bm25 = tf.join(dl, Seq("doc_id", "start")).join(broadcast(idf), "term")
+      val bm25c = tf.join(dl, Seq("doc_id", "start")).join(broadcast(idf), "term")
         .crossJoin(broadcast(stats))
         .select(col("doc_id"), col("start"), expr(
           "idf * tf * 2.2d / (tf + 1.2d * (0.25d + 0.75d * dl / avgdl))")
           .as("contrib"))
         .groupBy("doc_id", "start").agg(round(sum("contrib"), 6).as("bm25"))
-        .orderBy(col("bm25").desc, col("doc_id"), col("start")).limit(50)
-      val rb = bm25.withColumn("r_bm25", row_number().over(
-          Window.orderBy(col("bm25").desc, col("doc_id"), col("start"))))
+      // DOC-granularity lexical tower (VERDICT r14 ask #5): reduce
+      // max-over-chunks FIRST — each doc is scored by its BEST chunk
+      // (ties break on the smallest start via the negated-start
+      // max-of-struct), THEN rank docs — so both towers' evidence for
+      // the same doc fuses regardless of where the best chunk starts.
+      // The reduction is a partial-agg'd groupBy; top-50 stays
+      // TakeOrdered.
+      val docBm = bm25c.groupBy("doc_id")
+        .agg(max(struct(col("bm25"), (-col("start")).as("ns"))).as("b"))
+        .select(col("doc_id"), col("b.bm25").as("bm25"),
+          (-col("b.ns")).as("start"))
+        .orderBy(col("bm25").desc, col("doc_id")).limit(50)
+      val rb = docBm.withColumn("r_bm25", row_number().over(
+          Window.orderBy(col("bm25").desc, col("doc_id"))))
         .select("doc_id", "start", "r_bm25")
       // stage 3: dense tower through the persisted index
       val q = t(s, d, "embeddings").filter(col("vec_id") === 0)
@@ -1429,10 +1443,11 @@ object Similarity {
         .orderBy(col("cosd").desc, col("doc_id")).limit(50)
       val rc = dense.withColumn("r_cos", row_number().over(
           Window.orderBy(col("cosd").desc, col("doc_id"))))
-        .select(col("doc_id"), lit(0L).as("start"), col("r_cos"))
-      // stage 4: RRF fuse on (doc_id, start); dense docs rep at start 0
-      val fused = rb.join(rc, Seq("doc_id", "start"), "full_outer")
-        .select(col("doc_id"), col("start"),
+        .select(col("doc_id"), col("r_cos"))
+      // stage 4: RRF fuse at DOC granularity; `start` reports the best
+      // lexical chunk (0 for dense-only docs)
+      val fused = rb.join(rc, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"), coalesce(col("start"), lit(0L)).as("start"),
           (coalesce(lit(1.0) / (lit(60.0) + col("r_bm25")), lit(0.0)) +
             coalesce(lit(1.0) / (lit(60.0) + col("r_cos")), lit(0.0))).as("rrf"))
       // stage 5: MMR over the fused top-20 embeddable lattice (bounded
@@ -2558,9 +2573,10 @@ object Similarity {
         |FROM fused ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
 
     // the full retrieval chain as ONE CTE stack (the c_pretrain_build
-    // device): chunk windows → chunk BM25 → index-probed dense tower
-    // (the annIndexCtesSql assignment) → RRF full-outer fuse → the
-    // 20-row MMR lattice with the s_mmr_rerank unrolled greedy chain
+    // device): chunk windows → chunk BM25 → max-over-chunks doc
+    // reduction → index-probed dense tower (the annIndexCtesSql
+    // assignment) → DOC-granularity RRF full-outer fuse → the 20-row
+    // MMR lattice with the s_mmr_rerank unrolled greedy chain
     "s_rag_pipeline" ->
       ("WITH " + annIndexCtesSql + ",\n" +
       """q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
@@ -2576,7 +2592,7 @@ object Similarity {
         |  FROM assign a, q
         |  WHERE a.vec_id <> 0 AND a.cell IN (SELECT cell FROM probe)
         |  ORDER BY cosd DESC, doc_id LIMIT 50),
-        |rc AS (SELECT doc_id, CAST(0 AS BIGINT) AS start,
+        |rc AS (SELECT doc_id,
         |  row_number() OVER (ORDER BY cosd DESC, doc_id) AS r_cos FROM dense),
         |nch AS (SELECT doc_id, text, length(text) AS len,
         |  CASE WHEN length(text) <= 200 THEN 1
@@ -2603,18 +2619,23 @@ object Similarity {
         |  idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS contrib
         |  FROM tfc JOIN dlc USING (doc_id, start) JOIN idfc USING (term)
         |  CROSS JOIN statsc),
-        |bm AS MATERIALIZED (
+        |bmc AS MATERIALIZED (
         |  SELECT doc_id, start, round(sum(contrib), 6) AS bm25 FROM scc
-        |  GROUP BY doc_id, start ORDER BY bm25 DESC, doc_id, start LIMIT 50),
+        |  GROUP BY doc_id, start),
+        |docbm AS MATERIALIZED (
+        |  SELECT doc_id, (max({'b': bm25, 'ns': -start})).b AS bm25,
+        |    -((max({'b': bm25, 'ns': -start})).ns) AS start
+        |  FROM bmc GROUP BY doc_id
+        |  ORDER BY bm25 DESC, doc_id LIMIT 50),
         |rbc AS (SELECT doc_id, start,
-        |  row_number() OVER (ORDER BY bm25 DESC, doc_id, start) AS r_bm25 FROM bm),
+        |  row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_bm25 FROM docbm),
         |fusedc AS (
         |  SELECT COALESCE(rbc.doc_id, rc.doc_id) AS doc_id,
-        |    COALESCE(rbc.start, rc.start) AS start,
+        |    COALESCE(rbc.start, 0) AS start,
         |    COALESCE(1.0 / (60.0 + CAST(r_bm25 AS DOUBLE)), 0.0) +
         |    COALESCE(1.0 / (60.0 + CAST(r_cos AS DOUBLE)), 0.0) AS rrf
         |  FROM rbc FULL OUTER JOIN rc
-        |    ON rbc.doc_id = rc.doc_id AND rbc.start = rc.start),
+        |    ON rbc.doc_id = rc.doc_id),
         |lat0 AS MATERIALIZED (
         |  SELECT f.doc_id, f.start, f.rrf, e.v,
         |    round(list_dot_product(e.v, q.qv) /

@@ -148,6 +148,27 @@ object Text {
     * in UTF-16 but their 4-byte UTF-8 sequences (0xF0…) sort ABOVE the
     * 3-byte ones (0xE…), so the driver loop must compare bytes.
     */
+  /** Code-point segmentation of a unit — the initial BPE symbol table.
+    * One token per Unicode CODE POINT, not per UTF-16 char: Spark's
+    * `substring`/`length` and DuckDB's `substr`/`length` both count code
+    * points, so `w.map(_.toString)` (which splits a supplementary-plane
+    * character into two lone-surrogate tokens) would diverge the driver
+    * loop's initial vocabulary from both engines' — and a lone surrogate
+    * has no UTF-8 encoding, which would also poison utf8Less (r15
+    * ADVICE). Iterating by code point keeps every token a well-formed
+    * UTF-8 sequence.
+    */
+  private[queries] def codePointTokens(w: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val n = Character.charCount(w.codePointAt(i))
+      out += w.substring(i, i + n)
+      i += n
+    }
+    out.result()
+  }
+
   private[queries] def utf8Less(a: String, b: String): Boolean = {
     val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -180,7 +201,7 @@ object Text {
     val words = unitCounts.map(_._1).toArray
     val ns = unitCounts.map(_._2).toArray
     val syms = unitCounts.map { case (w, _) =>
-      w.map(_.toString).mkString(" ", " ", " ")
+      codePointTokens(w).mkString(" ", " ", " ")
     }.toArray
     def pairsOf(sym: String): Array[String] = {
       val toks = sym.trim.split(" ")

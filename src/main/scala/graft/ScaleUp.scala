@@ -121,6 +121,41 @@ object ScaleUp {
   /** The replication+layout core, callable from tests with a shared
     * session (main wraps it in its own).
     */
+  /** Stage-boundary strategy before a parallelism-collapsing coalesce
+    * (r16 ADVICE on the old unconditional localCheckpoint): the scaled
+    * set must materialize ONCE at full parallelism, but HOW depends on
+    * its size. localCheckpoint stores deserialized blocks in executor
+    * memory (spilling under pressure) — right for test-SF sets, wrong
+    * when the scaled output is tens of GB; past the threshold a
+    * DISK_ONLY persist keeps the materialization serialized on disk and
+    * off the block-manager memory budget. Estimated from source parquet
+    * bytes × copies (compressed — the conservative side of the memory
+    * question). Pure decision logic, unit-tested in ScaleUpSpec.
+    */
+  private[graft] def boundaryMode(estBytes: Long, files: Int,
+      parallelism: Int): String =
+    if (files >= parallelism) "none" // coalesce target ≥ cores: no collapse
+    else if (estBytes <= (2L << 30)) "local"
+    else "disk"
+
+  private def withBoundary(df: org.apache.spark.sql.DataFrame,
+      mode: String): org.apache.spark.sql.DataFrame = mode match {
+    case "none" => df
+    case "local" => df.localCheckpoint()
+    case "disk" =>
+      val p = df.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      p.count() // materialize eagerly, like localCheckpoint
+      p
+  }
+
+  private def srcBytes(path: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).map(walk).sum
+      else f.length()
+    walk(new java.io.File(path))
+  }
+
   def scale(spark: SparkSession, src: String, dst: String,
       copies: Int, files: Int, hive: Boolean = false,
       perturb: Boolean = false): Unit = {
@@ -129,6 +164,7 @@ object ScaleUp {
     Files.createDirectories(Paths.get(dst))
     keyCols.foreach { case (name, keys) =>
       val raw0 = spark.read.parquet(s"$src/$name.parquet")
+      val estBytes = srcBytes(s"$src/$name.parquet") * copies
       val raw =
         if (name == "events" && raw0.schema("ts").dataType ==
             org.apache.spark.sql.types.LongType)
@@ -196,17 +232,20 @@ object ScaleUp {
         // subset — even sizes, real file-granular scan parallelism.
         // coalesce being narrow also means the EXPLODE would run at only
         // `files`-way parallelism when files < cores (collapsing the
-        // pre-spread); an eager localCheckpoint inserts the stage
-        // boundary in that case — the explode materializes at full
-        // parallelism, the coalesced write concatenates cached blocks.
-        // The 1000×-scale layouts use files >= cores and skip the copy.
-        val forWrite =
-          if (files < spark.sparkContext.defaultParallelism)
-            scaled.localCheckpoint()
-          else scaled
+        // pre-spread); a stage boundary fixes that — the explode
+        // materializes at full parallelism, the coalesced write reads
+        // the materialized blocks. boundaryMode picks HOW: in-memory
+        // localCheckpoint below the size threshold, DISK_ONLY persist
+        // above it (a multi-GB scaled set must not squat in block-
+        // manager memory). The 1000×-scale layouts use files >= cores
+        // and skip the copy entirely.
+        val mode = boundaryMode(estBytes, files,
+          spark.sparkContext.defaultParallelism)
+        val forWrite = withBoundary(scaled, mode)
         forWrite.coalesce(files).write.mode("overwrite")
           .option("parquet.block.size", (8 * 1024 * 1024).toString)
           .parquet(s"$dst/$name.parquet")
+        if (mode == "disk") forWrite.unpersist()
         println(s"scaled $name -> $dst/$name.parquet/ ($files files)")
       } else {
         val stage = s"$dst/.stage_$name"
@@ -215,12 +254,14 @@ object ScaleUp {
         // one-row-group 77 MB lineitem file serializes every scan (measured
         // 34× on q_distinct at 10× data before this). Same coalesce-collapse
         // guard as the multi-file branch: boundary before coalesce(1).
-        val forWrite1 =
-          if (spark.sparkContext.defaultParallelism > 1) scaled.localCheckpoint()
-          else scaled
+        val mode1 =
+          if (spark.sparkContext.defaultParallelism <= 1) "none"
+          else boundaryMode(estBytes, 1, spark.sparkContext.defaultParallelism)
+        val forWrite1 = withBoundary(scaled, mode1)
         forWrite1.coalesce(1).write.mode("overwrite")
           .option("parquet.block.size", (8 * 1024 * 1024).toString)
           .parquet(stage)
+        if (mode1 == "disk") forWrite1.unpersist()
         val part = scala.util.Using.resource(Files.list(Paths.get(stage)))(
           _.iterator().asScala.find(_.getFileName.toString.startsWith("part-")))
           .getOrElse(throw new IllegalStateException(s"no part file for $name"))

@@ -157,17 +157,19 @@ object AnnIndex {
     * centroids/codebook at `root` (no retraining — the FAISS-add /
     * Lucene-segment discipline; the base tree is never mutated). The
     * synthetic delta is deterministic on both engines: the
-    * vec_id % 7 == 3 subset, re-keyed +1,000,000, embeddings REVERSED.
+    * vec_id % 7 == 3 subset (of the 1-in-`prime` stratum when given —
+    * the stratum-twin device), re-keyed +1,000,000, embeddings REVERSED.
     * Overwrites `vectors_delta/`; deterministic, so callers
     * (s_index_delta, s_index_compact) are order-independent.
     */
-  def writeDeltaSegment(s: SparkSession, d: String, root: String): Unit = {
+  def writeDeltaSegment(s: SparkSession, d: String, root: String,
+      prime: Option[Int] = None): Unit = {
     graft.functions.GraftFunctions.ensureRegistered(s)
     val cos = graft.functions.GraftFunctions.cosineSim _
     val dotN = graft.functions.GraftFunctions.dotProduct _
     val cents = s.read.parquet(s"$root/centroids")
     val cb = s.read.parquet(s"$root/codebook")
-    val delta = graft.queries.Tables.t(s, d, "embeddings")
+    val delta = embFor(s, d, prime)
       .filter(col("vec_id") % 7 === 3)
       .select((col("vec_id") + 1000000L).as("vec_id"),
         reverse(col("embedding")).as("embedding"))
@@ -195,6 +197,87 @@ object AnnIndex {
         col("c0"), col("c1"), col("c2"), col("c3"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$root/vectors_delta")
+    java.nio.file.Files.write(deltaMarker(root).toPath,
+      fingerprint(d).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  private def deltaMarker(root: String) =
+    new java.io.File(root, "_fingerprint_delta")
+  private def tombMarker(root: String) =
+    new java.io.File(root, "_fingerprint_tombstones")
+
+  /** Build-once gate for the delta segment — the read-path counterpart of
+    * [[ensure]] (VERDICT r15/r16: a QUERY entry must not pay the segment
+    * WRITE inside its measured span every rep). The delta is a pure
+    * deterministic function of the corpus + the frozen artifacts, so the
+    * corpus fingerprint is the correct cache key: same corpus ⇒ same
+    * bytes ⇒ reuse; regenerated corpus ⇒ marker mismatch ⇒ rewrite.
+    * Ingest-cost entries (s_index_delta, s_index_compact) keep calling
+    * [[writeDeltaSegment]] directly — the write IS what they measure.
+    */
+  def ensureDelta(s: SparkSession, d: String, root: String,
+      prime: Option[Int] = None): Unit = synchronized {
+    val fresh =
+      new java.io.File(new java.io.File(root, "vectors_delta"), "_SUCCESS").exists() &&
+        deltaMarker(root).exists() &&
+        new String(java.nio.file.Files.readAllBytes(deltaMarker(root).toPath),
+          java.nio.charset.StandardCharsets.UTF_8) == fingerprint(d)
+    if (!fresh) writeDeltaSegment(s, d, root, prime)
+  }
+
+  /** Write the TOMBSTONE segment: delete-by-id, the one lifecycle verb
+    * left after build/delta/compact (the Lucene `.del` / delta-lake
+    * deletion-vector discipline) — deletes are a tiny id list written
+    * NEXT TO the immutable segments, masked at query time by an
+    * anti-join, and folded away by the next compaction. The synthetic
+    * delete set is deterministic on both engines: every segment id with
+    * vec_id % 11 == 5 (base AND delta — re-keyed delta ids included), so
+    * the DuckDB replay is a WHERE predicate.
+    */
+  def writeTombstones(s: SparkSession, d: String, root: String,
+      segments: Seq[String]): Unit = {
+    segments.map(seg => s.read.parquet(s"$root/$seg").select(col("vec_id")))
+      .reduce(_ unionByName _)
+      .filter(col("vec_id") % 11 === 5)
+      .distinct()
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/tombstones")
+    java.nio.file.Files.write(tombMarker(root).toPath,
+      fingerprint(d).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** [[ensureDelta]]'s counterpart for the tombstone segment. */
+  def ensureTombstones(s: SparkSession, d: String, root: String,
+      segments: Seq[String]): Unit = synchronized {
+    val fresh =
+      new java.io.File(new java.io.File(root, "tombstones"), "_SUCCESS").exists() &&
+        tombMarker(root).exists() &&
+        new String(java.nio.file.Files.readAllBytes(tombMarker(root).toPath),
+          java.nio.charset.StandardCharsets.UTF_8) == fingerprint(d)
+    if (!fresh) writeTombstones(s, d, root, segments)
+  }
+
+  /** Fold `segments` into ONE cell-partitioned tree at `root/out`,
+    * dropping tombstoned ids when a tombstone segment is given —
+    * compaction HONORS deletes (the fold is when the masked rows
+    * physically disappear; until then queries anti-join the id list).
+    * One repartition-by-cell shuffle + a partitioned write; codes and
+    * assignments are carried, never re-derived (frozen-parameter
+    * discipline). AnnIndexSpec asserts the invariance that makes the
+    * fold safe online: query(segments − tombstones) ==
+    * query(compacted).
+    */
+  def compact(s: SparkSession, root: String, segments: Seq[String],
+      out: String, tombstones: Option[String] = None): Unit = {
+    val cols = Seq("cell", "vec_id", "embedding", "c0", "c1", "c2", "c3").map(col)
+    val uni = segments.map(seg =>
+      s.read.parquet(s"$root/$seg").select(cols: _*)).reduce(_ unionByName _)
+    val live = tombstones.fold(uni)(tseg =>
+      uni.join(broadcast(s.read.parquet(s"$root/$tseg")), Seq("vec_id"),
+        "left_anti"))
+    live.repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$root/$out")
   }
 
   /** Answer the standard 4-query batch FROM the persisted index at
@@ -218,7 +301,8 @@ object AnnIndex {
     * replays the identical hierarchy from the base table.
     */
   def querySegments(s: SparkSession, d: String, root: String,
-      segments: Seq[String], prime: Option[Int] = None): DataFrame = {
+      segments: Seq[String], prime: Option[Int] = None,
+      tombstones: Option[String] = None): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(s)
     val cos = graft.functions.GraftFunctions.cosineSim _
     val dotN = graft.functions.GraftFunctions.dotProduct _
@@ -243,11 +327,35 @@ object AnnIndex {
     val cellList = probed.select("cell").distinct().collect()
       .map(_.getInt(0)).sorted
     val segCols = Seq("cell", "vec_id", "embedding", "c0", "c1", "c2", "c3")
-    val cand = segments.map { seg =>
+    val uni = segments.zipWithIndex.map { case (seg, i) =>
         s.read.parquet(s"$root/$seg")
           .filter(col("cell").isin(cellList.map(Int.box): _*))
-          .select(segCols.map(col): _*)
+          .select(segCols.map(col) :+ lit(i).as("__seg"): _*)
       }.reduce(_ unionByName _)
+    // latest-segment-wins per vec_id (r16 ADVICE: duplicate ids across
+    // segments — an UPDATE written as a later-segment re-add — must mask
+    // the older row, not double-count it in the ADC). A partial-agg'd
+    // max-of-struct keyed on the segment index, over the probe-PRUNED
+    // rows only; skipped for a single segment (nothing to mask). The
+    // current corpus segments are id-disjoint by construction (delta ids
+    // re-keyed +1,000,000), so this is a semantics guard, not a
+    // result change — AnnIndexSpec drives it with a genuinely
+    // overlapping segment list.
+    val dedup =
+      if (segments.lengthCompare(1) <= 0) uni.drop("__seg")
+      else uni.groupBy("vec_id")
+        .agg(max(struct(col("__seg"), col("cell"), col("embedding"),
+          col("c0"), col("c1"), col("c2"), col("c3"))).as("t"))
+        .select(col("vec_id"), col("t.cell").as("cell"),
+          col("t.embedding").as("embedding"), col("t.c0").as("c0"),
+          col("t.c1").as("c1"), col("t.c2").as("c2"), col("t.c3").as("c3"))
+    // tombstone mask: the id list is bounded (a delete batch), so the
+    // anti-join broadcasts — per-row cost is a hash probe, never a
+    // shuffle of the candidate set
+    val masked = tombstones.fold(dedup)(tseg =>
+      dedup.join(broadcast(s.read.parquet(s"$root/$tseg")), Seq("vec_id"),
+        "left_anti"))
+    val cand = masked
       .join(broadcast(probed), "cell")
       .filter(col("vec_id") =!= col("qid"))
     val qlut = cb.crossJoin(broadcast(qs))
@@ -286,20 +394,39 @@ object AnnIndex {
 
   /** Cheap content fingerprint of the source embeddings table: sorted
     * (name, length, mtime) of every file under `d`/embeddings.parquet,
-    * hashed. Validated against the `_fingerprint` marker in [[ensure]] so
-    * a corpus regenerated in-place within one JVM triggers a rebuild
-    * instead of serving a stale index (the marker also disambiguates two
-    * paths that sanitize to the same root tag).
+    * PLUS each file's first and last 4 KiB (r16 ADVICE: a corpus
+    * regenerated within the same mtime second with the same byte length
+    * must not serve a stale index — the parquet FOOTER sits in the tail
+    * sample and carries row-group statistics, so same-shape different
+    * content changes the digest). Bounded: ≤ 8 KiB read per part file,
+    * never a data scan. Validated against the `_fingerprint` marker in
+    * [[ensure]] (the marker also disambiguates two paths that sanitize
+    * to the same root tag).
     */
   private[graft] def fingerprint(d: String): String = {
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory) f.listFiles().toSeq.sortBy(_.getName).flatMap(walk)
       else Seq(f)
     val src = new java.io.File(d, "embeddings.parquet")
-    val parts = walk(src).map(f =>
-      s"${f.getAbsolutePath}|${f.length()}|${f.lastModified()}")
     val md = java.security.MessageDigest.getInstance("MD5")
-    md.update(parts.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val sample = 4096
+    walk(src).foreach { f =>
+      md.update(s"${f.getAbsolutePath}|${f.length()}|${f.lastModified()}\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      scala.util.Using.resource(
+          new java.io.RandomAccessFile(f, "r")) { raf =>
+        val head = new Array[Byte](math.min(sample.toLong, raf.length()).toInt)
+        raf.readFully(head)
+        md.update(head)
+        if (raf.length() > sample) {
+          val tail = new Array[Byte](
+            math.min(sample.toLong, raf.length() - sample).toInt)
+          raf.seek(raf.length() - tail.length)
+          raf.readFully(tail)
+          md.update(tail)
+        }
+      }
+    }
     md.digest().map("%02x".format(_)).mkString
   }
 
@@ -344,11 +471,24 @@ object AnnIndex {
     if (fresh) root.getAbsolutePath else build(s, d, prime)
   }
 
-  /** Drop the persisted artifacts for `d` — full and stratum-twin roots
-    * (Verify/Bench teardown, the layoutCleanup discipline). Idempotent.
+  /** Drop the persisted artifacts for `d` — the full root and EVERY
+    * stratum-twin root regardless of prime (r16 ADVICE: the old
+    * hardcoded Seq(None, Some(41)) silently leaked any other-prime
+    * index). Matches this process's roots only (`_p<pid>` suffix), with
+    * an exact-tag guard so a corpus whose sanitized tag is a PREFIX of
+    * another's (sf1 vs sf1h) never deletes its neighbor. Idempotent.
     */
   def cleanup(d: String): Unit = synchronized {
-    for (root <- Seq(rootFor(d), rootFor(d, Some(41))))
-      if (root.exists()) graft.util.Dirs.deleteRecursively(root)
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val pid = ProcessHandle.current().pid()
+    val plain = s"graft_ivfidx_${tag}_p$pid"
+    val strat = (java.util.regex.Pattern.quote(s"graft_ivfidx_${tag}_s") +
+      "\\d+_p" + pid).r
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    Option(tmp.listFiles()).getOrElse(Array.empty).foreach { f =>
+      val n = f.getName
+      if (n == plain || strat.matches(n))
+        graft.util.Dirs.deleteRecursively(f)
+    }
   }
 }

@@ -419,6 +419,71 @@ object Text {
         .orderBy("lang")
     }),
 
+    // BPE encoding with BYTE FALLBACK (VERDICT r16 ask #8) — the
+    // production tokenizer contract: the token vocabulary is the
+    // TRAINING alphabet (every single character seen by the trainer)
+    // plus the K merge-created symbols; encoding a NEW stream, any final
+    // symbol OUTSIDE that vocabulary cannot be emitted as one token and
+    // falls back to its UTF-8 BYTES (SentencePiece's byte_fallback /
+    // the GPT-2 byte-level floor) — cost = octet count, never an <unk>.
+    // OOV pressure is synthesized in-query (the c_unicode_norm
+    // discipline: both engines derive identical bytes): stream words
+    // whose length % 3 == 0 get a U+00E9 suffix the ASCII training
+    // corpus never saw, so its symbol misses the vocabulary and costs
+    // its 2 UTF-8 bytes. Plan shape at 100 TB: the trained merges are 5
+    // broadcast 1-row literals folded over the DISTINCT variant
+    // vocabulary (Heaps-bounded — replace-twice per merge in rank
+    // order, byte-identical to the trainer); the stream side is one
+    // explode + an unhinted vocab join + one partial-agg'd groupBy —
+    // the corpus pass dominates, exactly like t_bpe_encode.
+    "t_bpe_encode_bytes" -> ((s, d) => {
+      val (merges, _) = bpeChain(s, d)
+      // token vocabulary: training alphabet ∪ merge outputs
+      val alpha = wordUnits(s, d).select(explode(expr(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))")).as("sym"))
+      val known = alpha
+        .unionByName(merges.map(_.select(col("new_symbol").as("sym")))
+          .reduce(_ unionAll _))
+        .distinct()
+        .withColumn("known", lit(1L))
+      def variant(c: Column): Column =
+        when(pmod(length(c), lit(3)) === 0, concat(c, lit("\u00e9")))
+          .otherwise(c)
+      // distinct variant words, segmented by the learned merges in rank
+      // order — each merge a broadcast 1-row crossJoin, replace-twice
+      var seg = wordUnits(s, d).select(variant(col("w")).as("w")).distinct()
+        .select(col("w"), concat(lit(" "),
+          concat_ws(" ", expr(
+            "transform(sequence(1, length(w)), i -> substring(w, i, 1))")),
+          lit(" ")).as("sym"))
+      merges.foreach { m =>
+        seg = seg.crossJoin(broadcast(m.select(col("pair"))))
+          .select(col("w"), expr(
+            "replace(replace(sym, ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' '), " +
+              "' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' ')")
+            .as("sym"))
+      }
+      val costed = seg
+        .select(col("w"), explode(split(trim(col("sym")), " ")).as("sym"))
+        .join(known, Seq("sym"), "left")
+        .groupBy("w")
+        .agg(sum(when(col("known").isNotNull, lit(1L))
+            .otherwise(octet_length(col("sym")).cast("long"))).as("n_tok"),
+          sum(when(col("known").isNull, octet_length(col("sym")).cast("long"))
+            .otherwise(lit(0L))).as("n_fb"))
+      t(s, d, "documents")
+        .select(col("lang"), explode(tokens(col("text"))).as("w0"))
+        .filter(col("w0") =!= "")
+        .select(col("lang"), variant(col("w0")).as("w"))
+        .join(costed, "w")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_words"),
+          sum("n_tok").cast("bigint").as("n_tokens"),
+          sum("n_fb").cast("bigint").as("n_fallback_bytes"),
+          round(sum("n_tok").cast("double") / count(lit(1)), 4).as("fertility"))
+        .orderBy("lang")
+    }),
+
     // Whitespace + BPE-ish regex token counts per document.
     "t_token_count" -> ((s, d) =>
       t(s, d, "documents")
@@ -1155,8 +1220,58 @@ object Text {
        |WHERE w <> ''
        |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** t_bpe_encode_bytes replay: the bpeCtesSql train chain, the token
+    * vocabulary (training alphabet ∪ merge outputs), the é-variant
+    * stream segmented by the k merges in rank order (replace-twice,
+    * byte-identical to the trainer), and the byte-fallback cost — 1
+    * token for in-vocabulary symbols, strlen (UTF-8 octets) for OOV.
+    */
+  private def bpeEncodeBytesSql(k: Int): String = {
+    val applySeg = (1 to k).map { i =>
+      s"""seg$i AS (SELECT w, replace(replace(sym, ' ' || (SELECT pr FROM m$i) || ' ',
+         |    ' ' || replace((SELECT pr FROM m$i), ' ', '') || ' '),
+         |    ' ' || (SELECT pr FROM m$i) || ' ',
+         |    ' ' || replace((SELECT pr FROM m$i), ' ', '') || ' ') AS sym
+         |  FROM seg${i - 1})""".stripMargin
+    }.mkString(",\n")
+    val learned = (1 to k)
+      .map(i => s"SELECT replace(pr, ' ', '') AS sym FROM m$i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH ${bpeCtesSql(k)},
+       |alpha AS (SELECT DISTINCT sym FROM (
+       |  SELECT unnest(list_transform(range(1, length(w) + 1),
+       |    i -> substr(w, CAST(i AS INT), 1))) AS sym FROM words)),
+       |known AS (SELECT DISTINCT sym FROM (SELECT sym FROM alpha
+       |  UNION ALL $learned)),
+       |vw AS (SELECT DISTINCT CASE WHEN length(w) % 3 = 0
+       |         THEN w || chr(233) ELSE w END AS w FROM words),
+       |seg0 AS (SELECT w, ' ' || array_to_string(list_transform(range(1, length(w) + 1),
+       |    i -> substr(w, CAST(i AS INT), 1)), ' ') || ' ' AS sym FROM vw),
+       |$applySeg,
+       |costed AS (
+       |  SELECT w,
+       |    sum(CASE WHEN kn.sym IS NOT NULL THEN 1 ELSE strlen(u.sym) END) AS n_tok,
+       |    sum(CASE WHEN kn.sym IS NULL THEN strlen(u.sym) ELSE 0 END) AS n_fb
+       |  FROM (SELECT w, unnest(string_split(trim(sym), ' ')) AS sym FROM seg$k) u
+       |  LEFT JOIN known kn ON kn.sym = u.sym
+       |  GROUP BY w),
+       |toks AS (
+       |  SELECT lang, unnest(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS w0
+       |  FROM documents)
+       |SELECT lang, count(*) AS n_words,
+       |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       |  CAST(sum(n_fb) AS BIGINT) AS n_fallback_bytes,
+       |  round(CAST(sum(n_tok) AS DOUBLE) / count(*), 4) AS fertility
+       |FROM (SELECT lang, CASE WHEN length(w0) % 3 = 0
+       |        THEN w0 || chr(233) ELSE w0 END AS w
+       |      FROM toks WHERE w0 <> '') strm
+       |JOIN costed USING (w)
+       |GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "t_bpe_merges" -> bpeMergesSql(5),
+    "t_bpe_encode_bytes" -> bpeEncodeBytesSql(5),
     // all deepK rounds replayed as ONE recursive CTE over the bigram
     // unit vocabulary — same rule, argmax and tie-break as the word form
     "t_bpe_merges_deep" -> (s"WITH ${bpeDeepRecursiveCtes(deepK, bigramWordsCte)}\n" +

@@ -29,4 +29,18 @@ class LayoutInvarianceSpec extends SparkSpec {
       assert(a == b, s"$name differs between layouts")
     }
   }
+
+  test("coalesce stage-boundary mode is size-gated (r16 ADVICE: no unconditional localCheckpoint)") {
+    // files >= cores: coalesce collapses nothing — no materialized copy
+    assert(ScaleUp.boundaryMode(100L << 30, files = 32, parallelism = 32) == "none")
+    assert(ScaleUp.boundaryMode(1L << 20, files = 64, parallelism = 32) == "none")
+    // small scaled set, few files: in-memory localCheckpoint is right
+    assert(ScaleUp.boundaryMode(500L << 20, files = 4, parallelism = 32) == "local")
+    // the 2 GiB threshold is the edge: at it, still memory; past it, disk
+    assert(ScaleUp.boundaryMode(2L << 30, files = 4, parallelism = 32) == "local")
+    assert(ScaleUp.boundaryMode((2L << 30) + 1, files = 4, parallelism = 32) == "disk")
+    // the failure mode the advice named: a huge scaled set bound for few
+    // files must NOT be pinned into block-manager memory
+    assert(ScaleUp.boundaryMode(50L << 30, files = 8, parallelism = 32) == "disk")
+  }
 }

@@ -178,6 +178,75 @@ class AnnIndexSpec extends SparkSpec with BeforeAndAfterAll {
     assert(merged.length == AnnIndex.batch * AnnIndex.topK)
   }
 
+  test("delta segment is ensure-cached: the merged QUERY never re-pays the write") {
+    val root = AnnIndex.ensure(spark, sf)
+    AnnIndex.ensureDelta(spark, sf, root)
+    val marker = new java.io.File(
+      new java.io.File(root, "vectors_delta"), "_SUCCESS")
+    assert(marker.exists())
+    val t0 = marker.lastModified()
+    Similarity.queries("s_index_query_merged")(spark, sf).collect()
+    assert(marker.lastModified() == t0,
+      "read-path entry rewrote the delta segment (r15/r16 attribution ask)")
+  }
+
+  test("tombstones: masked query == query over delete-honoring compaction; deleted ids gone") {
+    val root = AnnIndex.ensure(spark, sf)
+    AnnIndex.ensureDelta(spark, sf, root)
+    AnnIndex.ensureTombstones(spark, sf, root, Seq("vectors", "vectors_delta"))
+    val masked = AnnIndex.querySegments(spark, sf, root,
+      Seq("vectors", "vectors_delta"), tombstones = Some("tombstones"))
+      .collect().toSeq
+    assert(masked.length == AnnIndex.batch * AnnIndex.topK)
+    // no deleted id survives the mask
+    assert(masked.forall(_.getAs[Long]("vec_id") % 11 != 5))
+    // and the mask is LIVE, not vacuous: the unmasked merged query
+    // answers differently (deleted ids held shortlist/refine slots)
+    val unmasked = AnnIndex.querySegments(spark, sf, root,
+      Seq("vectors", "vectors_delta")).collect().toSeq
+    assert(masked != unmasked, "tombstone batch removed nothing")
+    // compaction HONORS deletes: folding with the tombstone list gives
+    // a tree whose plain query equals the masked segmented query —
+    // the invariance that lets a deployment fold deletes away online
+    AnnIndex.compact(spark, root, Seq("vectors", "vectors_delta"),
+      "vectors_compact_live", Some("tombstones"))
+    val compacted = AnnIndex.querySegments(spark, sf, root,
+      Seq("vectors_compact_live")).collect().toSeq
+    assert(masked == compacted,
+      s"delete-fold changed answers:\nmasked    = $masked\ncompacted = $compacted")
+    // and the rows are PHYSICALLY gone from the folded tree
+    val live = spark.read.parquet(s"$root/vectors_compact_live")
+    assert(live.filter(col("vec_id") % 11 === 5).count() == 0)
+    assert(live.count() > 0)
+  }
+
+  test("duplicate ids across segments: latest segment wins, never double-counts") {
+    val root = AnnIndex.ensure(spark, sf)
+    // a synthetic v2 segment re-adds EVERY id with reversed embeddings
+    // (an update written as a later segment — the overlap class the r16
+    // advisory flagged: without masking, duplicate (qid, vec_id) refine
+    // rows take distinct ranks and corrupt the top-5)
+    val v2 = spark.read.parquet(s"$root/vectors")
+      .withColumn("embedding", reverse(col("embedding")))
+    v2.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$root/vectors_v2")
+    val only2 = AnnIndex.querySegments(spark, sf, root,
+      Seq("vectors_v2")).collect().toSeq
+    val both = AnnIndex.querySegments(spark, sf, root,
+      Seq("vectors", "vectors_v2")).collect().toSeq
+    assert(both == only2,
+      "latest-segment-wins violated: base rows leaked through the update")
+    // non-vacuous: the update genuinely changes answers
+    val base = AnnIndex.querySegments(spark, sf, root,
+      Seq("vectors")).collect().toSeq
+    assert(base != only2)
+    // order matters: reversed segment list masks the other way
+    val rev = AnnIndex.querySegments(spark, sf, root,
+      Seq("vectors_v2", "vectors")).collect().toSeq
+    assert(rev == base)
+    graft.util.Dirs.deleteRecursively(new java.io.File(root, "vectors_v2"))
+  }
+
   test("refine recall floor: each query's top-5 overlaps brute force") {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     val idx = Similarity.queries("s_index_query")(spark, sf).collect()

@@ -39,7 +39,14 @@ class BpeDeepSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1))).toSeq
     val k = 300
     val fast = Text.trainMergesLocal(units, k)
-    var syms = units.map { case (w, n) => (w.map(_.toString).mkString(" ", " ", " "), n) }
+    // referee segmentation + tie-break mirror the ENGINE contract, not
+    // Scala String conveniences: code-point symbols (Text.codePointTokens
+    // — the r16 fix this spec pins) and UTF-8 byte order on count ties
+    // (Text.utf8Less — String `.min` is UTF-16 order, which coincides on
+    // ASCII corpora and would mask a regression; r15 ADVICE)
+    var syms = units.map { case (w, n) =>
+      (Text.codePointTokens(w).mkString(" ", " ", " "), n)
+    }
     val slow = (1 to k).map { it =>
       val counts = scala.collection.mutable.HashMap.empty[String, Long]
       for ((sym, n) <- syms) {
@@ -52,7 +59,8 @@ class BpeDeepSpec extends SparkSpec {
         }
       }
       val maxCnt = counts.values.max
-      val best = counts.collect { case (p, c) if c == maxCnt => p }.min
+      val best = counts.collect { case (p, c) if c == maxCnt => p }
+        .reduceLeft((a, b) => if (Text.utf8Less(b, a)) b else a)
       val from = " " + best + " "; val to = " " + best.replace(" ", "") + " "
       syms = syms.map { case (sym, n) => (sym.replace(from, to).replace(from, to), n) }
       (it, best, best.replace(" ", ""), maxCnt)

@@ -42,8 +42,13 @@ class BpeSpec extends SparkSpec {
     out.result().mkString(" ", " ", " ")
   }
 
+  /** Initial symbols per Unicode CODE POINT — Text.codePointTokens, the
+    * same segmentation both engines' substring/substr compute (r16 fix;
+    * `w.map(_.toString)` would split a supplementary-plane character
+    * into two lone surrogates and diverge the referee).
+    */
   private def toSym(w: String): String =
-    w.map(_.toString).mkString(" ", " ", " ")
+    Text.codePointTokens(w).mkString(" ", " ", " ")
 
   /** The full training referee: word counts → shared-separator strings →
     * k (pair-count, argmax, replace-twice) rounds. Returns the merge
@@ -63,8 +68,13 @@ class BpeSpec extends SparkSpec {
         .foldLeft(Map.empty[String, Long]) { (m, kv) =>
           m.updated(kv._1, m.getOrElse(kv._1, 0L) + kv._2)
         }
-      // argmax: count desc, then lexicographically smallest "a b" string
-      val (pr, cnt) = pairCounts.toSeq.minBy { case (p, c) => (-c, p) }
+      // argmax: count desc, then smallest "a b" string in UTF-8 BYTE
+      // order (Text.utf8Less — what Spark's UTF8String comparator and
+      // DuckDB both use; Scala String order is UTF-16 code units, which
+      // inverts for supplementary-plane symbols)
+      val (pr, cnt) = pairCounts.toSeq.reduceLeft { (a, b) =>
+        if (b._2 > a._2 || (b._2 == a._2 && Text.utf8Less(b._1, a._1))) b else a
+      }
       vocab = vocab.map { case (w, sym) => w -> replTwice(sym, pr) }
       (it, pr, pr.replace(" ", ""), cnt)
     }
@@ -165,5 +175,60 @@ class BpeSpec extends SparkSpec {
         BigDecimal(expBpe.toDouble / expWords)
           .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
     }
+  }
+
+  test("codePointTokens: one token per code point, never a lone surrogate") {
+    // U+1D4B3 (\uD835\uDCB3) is supplementary-plane: two UTF-16 chars, ONE token
+    assert(Text.codePointTokens("a\uD835\uDCB3b").toSeq ==
+      Seq("a", "\uD835\uDCB3", "b"))
+    assert(Text.codePointTokens("").toSeq == Seq.empty)
+    assert(Text.codePointTokens("xyz").toSeq == Seq("x", "y", "z"))
+    // every token is a well-formed UTF-8 sequence (a lone surrogate
+    // would encode as the 3-byte replacement '?')
+    Text.codePointTokens("\uD835\uDD4F\uFFFDq").foreach { t =>
+      assert(new String(t.getBytes("UTF-8"), "UTF-8") == t,
+        s"token $t does not round-trip UTF-8")
+    }
+  }
+
+  test("utf8Less orders by UTF-8 bytes exactly where UTF-16 inverts") {
+    // U+FFFD (EF BF BD) < U+1D54F (F0 9D 95 8F) in UTF-8 bytes…
+    assert(Text.utf8Less("\uFFFD", "\uD835\uDD4F"))
+    assert(!Text.utf8Less("\uD835\uDD4F", "\uFFFD"))
+    // …but UTF-16 code-unit order says the OPPOSITE (surrogate 0xD835
+    // sorts below 0xFFFD) — the divergence the driver loop must avoid
+    assert("\uD835\uDD4F" < "\uFFFD")
+    // prefix rule
+    assert(Text.utf8Less("ab", "abc") && !Text.utf8Less("abc", "ab"))
+  }
+
+  test("supplementary-plane units: trainLocal == bpeChainFrom, tie broken by UTF-8 bytes") {
+    // Two units with EQUAL pair counts force round 1 through the
+    // tie-break: "\uFFFD z" vs "\uD835\uDD4F z" ("\uD835\uDD4F z"). UTF-8 byte
+    // order (both engines) picks \uFFFD first; UTF-16 order — the r15
+    // referee bug class — would pick \uD835\uDD4F first. And codePointTokens must
+    // keep \uD835\uDD4F ONE symbol: char-split units would instead learn
+    // surrogate-half pairs and diverge from Spark's code-point
+    // substring chain entirely. (The DuckDB leg of the same contract is
+    // oracle-gated: substr/length count code points and its pair argmax
+    // compares bytes, the identical hierarchy.)
+    val units = Seq(("\uFFFDz", 2L), ("\uD835\uDD4Fz", 2L))
+    val (localMerges, localVocab) = Text.trainLocal(units, 2)
+    assert(localMerges == Seq(
+      (1, "\uFFFD z", "\uFFFDz", 2L),
+      (2, "\uD835\uDD4F z", "\uD835\uDD4Fz", 2L)),
+      s"driver-loop merges wrong: $localMerges")
+    assert(localVocab.toMap == Map(
+      "\uFFFDz" -> " \uFFFDz ", "\uD835\uDD4Fz" -> " \uD835\uDD4Fz "))
+
+    import spark.implicits._
+    val unitsDf = units.toDF("w", "n")
+    val (distributed, distVocab) = Text.bpeChainFrom(unitsDf, 2)
+    val dist = distributed.reduce(_.unionAll(_)).orderBy("it").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(dist == localMerges,
+      s"distributed chain diverged on supplementary-plane units: $dist")
+    val dv = distVocab.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(dv == localVocab.toMap)
   }
 }

@@ -247,6 +247,17 @@ class AnnIndexSpec extends SparkSpec with BeforeAndAfterAll {
     graft.util.Dirs.deleteRecursively(new java.io.File(root, "vectors_v2"))
   }
 
+  test("recall census entry: one row per query, recall consistent with the floor") {
+    val rows = Similarity.queries("s_index_recall")(spark, sf).collect()
+    assert(rows.length == AnnIndex.batch)
+    rows.foreach { r =>
+      val nHit = r.getAs[Long]("n_hit")
+      // the same floor the brute-force test below asserts, as a value
+      assert(nHit >= 1L && nHit <= AnnIndex.topK)
+      assert(r.getAs[Double]("recall_at_5") == nHit / 5.0)
+    }
+  }
+
   test("refine recall floor: each query's top-5 overlaps brute force") {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     val idx = Similarity.queries("s_index_query")(spark, sf).collect()

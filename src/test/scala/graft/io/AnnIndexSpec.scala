@@ -247,6 +247,36 @@ class AnnIndexSpec extends SparkSpec with BeforeAndAfterAll {
     graft.util.Dirs.deleteRecursively(new java.io.File(root, "vectors_v2"))
   }
 
+  test("tombstone mask plan: broadcast LEFT-ANTI, never a shuffle of the candidates") {
+    val root = AnnIndex.ensure(spark, sf)
+    AnnIndex.ensureDelta(spark, sf, root)
+    AnnIndex.ensureTombstones(spark, sf, root, Seq("vectors", "vectors_delta"))
+    val df = AnnIndex.querySegments(spark, sf, root,
+      Seq("vectors", "vectors_delta"), tombstones = Some("tombstones"))
+    df.collect()
+    def antiJoins(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        antiJoins(a.executedPlan)
+      case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        antiJoins(qs.plan)
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+          if b.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti =>
+        Seq(b) ++ b.children.flatMap(antiJoins)
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti =>
+        fail("tombstone mask planned as a SHUFFLED anti-join — the id " +
+          "list is bounded and must broadcast")
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti =>
+        fail("tombstone mask planned as a SORT-MERGE anti-join — the id " +
+          "list is bounded and must broadcast")
+      case other => other.children.flatMap(antiJoins)
+    }
+    assert(antiJoins(df.queryExecution.executedPlan).nonEmpty,
+      "no broadcast anti-join in the tombstoned query plan")
+  }
+
   test("recall census entry: one row per query, recall consistent with the floor") {
     val rows = Similarity.queries("s_index_recall")(spark, sf).collect()
     assert(rows.length == AnnIndex.batch)

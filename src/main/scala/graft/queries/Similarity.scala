@@ -923,6 +923,38 @@ object Similarity {
         .orderBy("qid")
     }),
 
+    // The recall census's STRATUM twin — closes the quality loop at the
+    // sf100 gate: the stratum index's top-5 vs exact brute force over
+    // the SAME 1-in-41 stratum corpus (ground truth is defined w.r.t.
+    // the indexed corpus), 4-smallest-stratum-ids query batch. At the
+    // verbatim high-SF layouts the perturbed/verbatim copy structure is
+    // itself part of what the hash pins (see SCALE_SF100.md).
+    "s_index_recall_s41" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val I = graft.io.AnnIndex
+      val root = I.ensure(s, d, Some(41))
+      val idx = I.querySegments(s, d, root, Seq("vectors"), Some(41))
+        .select(col("qid"), col("vec_id"))
+      val cos = graft.functions.GraftFunctions.cosineSim _
+      val emb = t(s, d, "embeddings")
+        .filter(Tables.stratum(col("vec_id"), 41))
+      val qs = emb.orderBy("vec_id").limit(I.batch)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+      val exact = emb.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          round(cos(col("embedding"), col("qv")), 4).as("cos"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= I.topK)
+        .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
+      idx.join(exact, Seq("qid", "vec_id"), "left")
+        .groupBy("qid")
+        .agg(sum(coalesce(col("hit"), lit(0L))).cast("bigint").as("n_hit"))
+        .select(col("qid"), col("n_hit"),
+          round(col("n_hit") / lit(I.topK.toDouble), 4).as("recall_at_5"))
+        .orderBy("qid")
+    }),
+
     // STRATUM-ORACLED twins of the index lifecycle's two ends (the
     // d_minhash_lsh_s41 device on the FLAGSHIP): the same build → census
     // and load → probe-pruned query plans over the 1-in-41 md5 stratum
@@ -2508,6 +2540,61 @@ object Similarity {
     "s_index_recall" ->
       s"""WITH $annIndexCtesSql,
         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 4),
+        |probe AS (
+        |  SELECT qid, cell FROM (
+        |    SELECT q.qid, c.cell,
+        |      row_number() OVER (PARTITION BY q.qid ORDER BY
+        |        round(list_dot_product(c.centroid, q.qv) /
+        |          (sqrt(list_dot_product(c.centroid, c.centroid)) *
+        |           sqrt(list_dot_product(q.qv, q.qv))), 9) DESC, c.cell) AS rn
+        |    FROM c, q) WHERE rn <= 3),
+        |cand AS MATERIALIZED (
+        |  SELECT p.qid, a.vec_id, a.v FROM assign a JOIN probe p USING (cell)
+        |  WHERE a.vec_id <> p.qid),
+        |qlut AS (SELECT qid, m, code,
+        |         round(list_dot_product(qv[m*16+1 : m*16+16], cw), 9) AS qd
+        |         FROM cb, q),
+        |adc0 AS (
+        |  SELECT cand.qid, cand.vec_id,
+        |    max(CASE WHEN codes.m = 0 THEN qd END) AS d0,
+        |    max(CASE WHEN codes.m = 1 THEN qd END) AS d1,
+        |    max(CASE WHEN codes.m = 2 THEN qd END) AS d2,
+        |    max(CASE WHEN codes.m = 3 THEN qd END) AS d3
+        |  FROM cand JOIN codes USING (vec_id)
+        |  JOIN qlut ON qlut.qid = cand.qid AND qlut.m = codes.m
+        |    AND qlut.code = codes.code
+        |  GROUP BY cand.qid, cand.vec_id),
+        |short AS (
+        |  SELECT qid, vec_id, round(d0 + d1 + d2 + d3, 4) AS adc FROM adc0
+        |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY adc DESC, vec_id) <= 20),
+        |idx AS (
+        |  SELECT s.qid AS qid, s.vec_id AS vec_id,
+        |    round(list_dot_product(cand.v, q.qv) /
+        |      (sqrt(list_dot_product(cand.v, cand.v)) *
+        |       sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos
+        |  FROM short s JOIN cand ON cand.qid = s.qid AND cand.vec_id = s.vec_id
+        |  JOIN q ON q.qid = s.qid
+        |  QUALIFY row_number() OVER (PARTITION BY s.qid ORDER BY cos DESC, s.vec_id) <= 5),
+        |bf AS (
+        |  SELECT qid, vec_id FROM (
+        |    SELECT q.qid, e.vec_id,
+        |      round(list_dot_product(e.v, q.qv) /
+        |        (sqrt(list_dot_product(e.v, e.v)) *
+        |         sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos
+        |    FROM e, q WHERE e.vec_id <> q.qid)
+        |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) <= 5)
+        |SELECT i.qid AS qid,
+        |  CAST(sum(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+        |  round(sum(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END) / 5.0, 4) AS recall_at_5
+        |FROM idx i LEFT JOIN bf b ON b.qid = i.qid AND b.vec_id = i.vec_id
+        |GROUP BY i.qid ORDER BY i.qid""".stripMargin,
+    // the stratum recall twin: the stratified hierarchy's top-5 vs
+    // brute force over the same stratum, 4-smallest-ids batch
+    "s_index_recall_s41" ->
+      s"""WITH ${annIndexStratCtesSql(stratum41Sql("vec_id"))},
+        |q AS (SELECT vec_id AS qid, v AS qv FROM (
+        |   SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rn FROM e)
+        |   WHERE rn <= 4),
         |probe AS (
         |  SELECT qid, cell FROM (
         |    SELECT q.qid, c.cell,

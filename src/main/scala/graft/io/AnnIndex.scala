@@ -246,6 +246,66 @@ object AnnIndex {
       fingerprint(d).getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
+  /** Write the UPDATE segment: a batch of EXISTING ids re-added with new
+    * content — the third mutation verb (add = delta, delete = tombstone,
+    * update = later-segment re-add). Same ids, new embeddings, re-coded
+    * against the FROZEN artifacts; at query time the latest-segment-wins
+    * mask in [[querySegments]] makes these rows shadow the base rows —
+    * an upsert without ever rewriting the base tree. Deterministic on
+    * both engines: the vec_id % 13 == 2 subset, embeddings REVERSED.
+    */
+  def writeUpdateSegment(s: SparkSession, d: String, root: String): Unit = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val cos = graft.functions.GraftFunctions.cosineSim _
+    val dotN = graft.functions.GraftFunctions.dotProduct _
+    val cents = s.read.parquet(s"$root/centroids")
+    val cb = s.read.parquet(s"$root/codebook")
+    val upd = graft.queries.Tables.t(s, d, "embeddings")
+      .filter(col("vec_id") % 13 === 2)
+      .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
+    val assigned = upd.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("cell"),
+        round(cos(col("embedding"), col("centroid")), 9).as("c2c"))
+      .groupBy("vec_id")
+      .agg(first("embedding").as("embedding"),
+        max(struct(col("c2c"), col("cell"))).getField("cell").as("cell"))
+    val codes = upd
+      .select(col("vec_id"), subspaces(col("embedding"), "sv").as("x"))
+      .select(col("vec_id"), col("x.m").as("m"), col("x.sv").as("sv"))
+      .join(broadcast(cb), "m")
+      .select(col("vec_id"), col("m"), col("code"),
+        round(dotN(col("sv"), col("cw")), 9).as("dp"))
+      .groupBy("vec_id", "m")
+      .agg(max(struct(col("dp"), col("code"))).getField("code").as("code"))
+      .groupBy("vec_id")
+      .agg(max(when(col("m") === 0, col("code"))).as("c0"),
+        max(when(col("m") === 1, col("code"))).as("c1"),
+        max(when(col("m") === 2, col("code"))).as("c2"),
+        max(when(col("m") === 3, col("code"))).as("c3"))
+    assigned.join(codes, "vec_id")
+      .select(col("cell"), col("vec_id"), col("embedding"),
+        col("c0"), col("c1"), col("c2"), col("c3"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$root/vectors_updates")
+    java.nio.file.Files.write(updMarker(root).toPath,
+      fingerprint(d).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  private def updMarker(root: String) =
+    new java.io.File(root, "_fingerprint_updates")
+
+  /** [[ensureDelta]]'s counterpart for the update segment. */
+  def ensureUpdates(s: SparkSession, d: String, root: String): Unit =
+    synchronized {
+      val fresh =
+        new java.io.File(new java.io.File(root, "vectors_updates"),
+          "_SUCCESS").exists() &&
+          updMarker(root).exists() &&
+          new String(java.nio.file.Files.readAllBytes(updMarker(root).toPath),
+            java.nio.charset.StandardCharsets.UTF_8) == fingerprint(d)
+      if (!fresh) writeUpdateSegment(s, d, root)
+    }
+
   /** [[ensureDelta]]'s counterpart for the tombstone segment. */
   def ensureTombstones(s: SparkSession, d: String, root: String,
       segments: Seq[String]): Unit = synchronized {

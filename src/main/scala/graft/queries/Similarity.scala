@@ -885,6 +885,23 @@ object Similarity {
         tombstones = Some("tombstones"))
     }),
 
+    // UPSERT — the third mutation verb, oracled: a batch of EXISTING ids
+    // re-added as a LATER segment with new content (vec_id % 13 == 2,
+    // embeddings reversed, re-coded against the frozen artifacts — the
+    // writeUpdateSegment discipline). querySegments' latest-segment-wins
+    // mask makes the update rows SHADOW the base rows, so this entry
+    // oracle-pins the duplicate-id masking semantics on a REAL overlap
+    // (the r16 advisory class — previously only spec-pinned): the
+    // DuckDB replay substitutes the updated rows into the merged views
+    // by the same %13 rule, and any leak of a stale base row breaks the
+    // hash. All segment prep is ensure-cached; the span is query work.
+    "s_index_query_updated" -> ((s, d) => {
+      val I = graft.io.AnnIndex
+      val root = I.ensure(s, d)
+      I.ensureUpdates(s, d, root)
+      I.querySegments(s, d, root, Seq("vectors", "vectors_updates"))
+    }),
+
     // INDEX RECALL CENSUS — the quality measurement an ANN deployment
     // runs continuously: the persisted index's top-5 per query compared
     // against exact brute-force ground truth, as recall@5 per qid. The
@@ -2534,6 +2551,33 @@ object Similarity {
         |$annIndexDeltaMergedCtesSql,
         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 4),
         |${annIndexMergedTailSql(" AND a.vec_id % 11 <> 5")}""".stripMargin,
+    // the upsert replay: updated rows (%13==2, reversed, frozen-coded)
+    // SUBSTITUTED into the merged views — stale base rows excluded by
+    // the same rule the engine's latest-segment-wins mask enforces
+    "s_index_query_updated" ->
+      s"""WITH $annIndexCtesSql,
+        |upde AS (SELECT vec_id, list_reverse(v) AS v FROM e WHERE vec_id % 13 = 2),
+        |uassign AS (
+        |  SELECT vec_id, any_value(v) AS v,
+        |         (max({'c': c2c, 'cell': cell})).cell AS cell
+        |  FROM (SELECT ue.vec_id, ue.v, c.cell,
+        |          round(list_dot_product(ue.v, c.centroid) /
+        |            (sqrt(list_dot_product(ue.v, ue.v)) *
+        |             sqrt(list_dot_product(c.centroid, c.centroid))), 9) AS c2c
+        |        FROM upde ue, c) GROUP BY vec_id),
+        |usubv AS (SELECT vec_id, m, v[m*16+1 : m*16+16] AS sv FROM upde, ms),
+        |ucodes AS (
+        |  SELECT vec_id, usubv.m,
+        |    (max({'d': round(list_dot_product(sv, cw), 9), 'code': code})).code AS code
+        |  FROM usubv JOIN cb ON usubv.m = cb.m GROUP BY vec_id, usubv.m),
+        |mcodes AS MATERIALIZED (
+        |  SELECT vec_id, m, code FROM codes WHERE vec_id % 13 <> 2
+        |  UNION ALL SELECT vec_id, m, code FROM ucodes),
+        |massign AS MATERIALIZED (
+        |  SELECT vec_id, v, cell FROM assign WHERE vec_id % 13 <> 2
+        |  UNION ALL SELECT vec_id, v, cell FROM uassign),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 4),
+        |${annIndexMergedTailSql("")}""".stripMargin,
     // recall census replay: the s_index_query hierarchy's top-5 vs the
     // exact brute-force top-5, intersected per qid — both rankings are
     // 4-dp + vec_id deterministic, so recall is an exact integer ratio

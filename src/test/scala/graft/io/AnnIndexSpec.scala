@@ -277,6 +277,35 @@ class AnnIndexSpec extends SparkSpec with BeforeAndAfterAll {
       "no broadcast anti-join in the tombstoned query plan")
   }
 
+  test("upsert entry: the update segment shadows base rows and changes answers") {
+    val upd = Similarity.queries("s_index_query_updated")(spark, sf)
+      .collect().toSeq
+    assert(upd.length == AnnIndex.batch * AnnIndex.topK)
+    // non-vacuous: reversed re-adds of the %13 batch must move answers
+    val base = Similarity.queries("s_index_query")(spark, sf).collect().toSeq
+    assert(upd != base, "update batch changed no answer")
+    // and the shadow is exactly latest-segment-wins: the same query over
+    // a tree where the update rows REPLACE their base rows agrees
+    val root = AnnIndex.ensure(spark, sf)
+    val cols = Seq("cell", "vec_id", "embedding", "c0", "c1", "c2", "c3")
+      .map(col)
+    spark.read.parquet(s"$root/vectors").select(cols: _*)
+      .join(spark.read.parquet(s"$root/vectors_updates").select("vec_id"),
+        Seq("vec_id"), "left_anti")
+      .select(cols: _*)
+      .unionByName(spark.read.parquet(s"$root/vectors_updates")
+        .select(cols: _*))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$root/vectors_substituted")
+    val substituted = AnnIndex.querySegments(spark, sf, root,
+      Seq("vectors_substituted")).collect().toSeq
+    assert(upd == substituted,
+      s"latest-wins mask diverges from physical substitution:\n$upd\nvs\n$substituted")
+    graft.util.Dirs.deleteRecursively(
+      new java.io.File(root, "vectors_substituted"))
+  }
+
   test("recall census entry: one row per query, recall consistent with the floor") {
     val rows = Similarity.queries("s_index_recall")(spark, sf).collect()
     assert(rows.length == AnnIndex.batch)

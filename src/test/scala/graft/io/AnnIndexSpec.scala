@@ -150,12 +150,23 @@ class AnnIndexSpec extends SparkSpec with BeforeAndAfterAll {
       val nCells = Option(new java.io.File(AnnIndex.rootFor(sf),
         seg.stripSuffix("/")).listFiles()).getOrElse(Array.empty)
         .count(f => f.isDirectory && f.getName.startsWith("cell="))
-      mine.foreach { sc =>
-        assert(sc.metadata("PartitionFilters").contains("cell"),
-          s"$seg: ${sc.metadata("PartitionFilters")}")
+      val (pruned, unpruned) =
+        mine.partition(_.metadata("PartitionFilters").contains("cell"))
+      assert(pruned.nonEmpty, s"no pruned candidate scan over $seg")
+      pruned.foreach { sc =>
         val read = sc.metrics("numPartitions").value
         assert(read > 0 && read < nCells,
           s"$seg scan read $read of $nCells partitions — no pruning")
+      }
+      // the ONLY unpruned scan allowed is the shadow-id read feeding the
+      // latest-wins mask (r17 ADVICE: it must see ALL cells, else an
+      // update that moved its id out of the probe set can't shadow) —
+      // and it reads vec_id alone, never the embedding/code columns
+      unpruned.foreach { sc =>
+        val schema = sc.metadata("ReadSchema")
+        assert(schema.contains("vec_id") && !schema.contains("embedding") &&
+          !schema.contains("c0"),
+          s"$seg: unpruned scan reads more than the shadow id set: $schema")
       }
     }
   }
@@ -245,6 +256,86 @@ class AnnIndexSpec extends SparkSpec with BeforeAndAfterAll {
       Seq("vectors_v2", "vectors")).collect().toSeq
     assert(rev == base)
     graft.util.Dirs.deleteRecursively(new java.io.File(root, "vectors_v2"))
+  }
+
+  test("update moving ids to DIFFERENT cells still shadows the stale base rows") {
+    // the r17 ADVICE-high class: writeUpdateSegment re-assigns each
+    // re-added row to the cell nearest its NEW embedding, so the update
+    // row can land OUTSIDE the probe list while the stale base row sits
+    // inside it. A dedup computed after probe pruning never sees the
+    // update row and serves the stale one; latest-wins must therefore
+    // shadow against UNPRUNED later-segment ids. Deterministic driver:
+    // re-add EVERY id one cell over ((cell+1) mod nCells), so a fixed
+    // fraction of re-adds leaves any probe set.
+    val root = AnnIndex.ensure(spark, sf)
+    val base = spark.read.parquet(s"$root/vectors")
+    val nCells = base.select("cell").distinct().count().toInt
+    base.withColumn("embedding", reverse(col("embedding")))
+      .withColumn("cell", ((col("cell") + 1) % nCells).cast("int"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$root/vectors_v2m")
+    val both = AnnIndex.querySegments(spark, sf, root,
+      Seq("vectors", "vectors_v2m")).collect().toSeq
+    val only2 = AnnIndex.querySegments(spark, sf, root,
+      Seq("vectors_v2m")).collect().toSeq
+    assert(both == only2,
+      "stale base rows leaked: the shadow mask must use UNPRUNED " +
+        "later-segment id sets, not the probe-pruned rows")
+    graft.util.Dirs.deleteRecursively(new java.io.File(root, "vectors_v2m"))
+  }
+
+  test("compaction under upserts: latest-wins fold == masked segmented query") {
+    // the r17 VERDICT gap: compact() used to union segments verbatim, so
+    // folding an update segment materialized duplicate vec_ids that the
+    // single-segment query path then served unmasked — resurrecting the
+    // stale rows the query-time mask shadows
+    val root = AnnIndex.ensure(spark, sf)
+    AnnIndex.ensureUpdates(spark, sf, root)
+    AnnIndex.writeTombstones(spark, sf, root, Seq("vectors", "vectors_updates"))
+    val masked = AnnIndex.querySegments(spark, sf, root,
+      Seq("vectors", "vectors_updates"), tombstones = Some("tombstones"))
+      .collect().toSeq
+    assert(masked.length == AnnIndex.batch * AnnIndex.topK)
+    AnnIndex.compact(spark, root, Seq("vectors", "vectors_updates"),
+      "vectors_compact_upsert", Some("tombstones"))
+    val compacted = AnnIndex.querySegments(spark, sf, root,
+      Seq("vectors_compact_upsert")).collect().toSeq
+    assert(masked == compacted,
+      s"upsert-fold changed answers:\nmasked    = $masked\ncompacted = $compacted")
+    // the folded tree carries ONE row per id — the update won, the
+    // stale base twin is physically gone
+    val folded = spark.read.parquet(s"$root/vectors_compact_upsert")
+    assert(folded.groupBy("vec_id").count()
+      .filter(col("count") > 1).count() == 0,
+      "compaction materialized duplicate vec_ids")
+    assert(folded.count() > 0)
+    graft.util.Dirs.deleteRecursively(
+      new java.io.File(root, "vectors_compact_upsert"))
+  }
+
+  test("reinsert after delete: a tombstoned id re-added later STAYS masked") {
+    // pins the documented writeTombstones precondition: deletes are
+    // GLOBAL, not segment-scoped — re-adding a tombstoned id in a later
+    // segment does NOT resurrect it (Lucene would scope the delete to
+    // older segments; here the mask runs after the latest-wins union, so
+    // reinsert requires compacting the tombstones away first)
+    val root = AnnIndex.ensure(spark, sf)
+    AnnIndex.ensureDelta(spark, sf, root)
+    AnnIndex.ensureTombstones(spark, sf, root, Seq("vectors", "vectors_delta"))
+    val base = spark.read.parquet(s"$root/vectors")
+    base.withColumn("embedding", reverse(col("embedding")))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$root/vectors_v2r")
+    // the re-add segment genuinely contains tombstoned ids
+    assert(spark.read.parquet(s"$root/vectors_v2r")
+      .filter(col("vec_id") % 11 === 5).count() > 0)
+    val out = AnnIndex.querySegments(spark, sf, root,
+      Seq("vectors", "vectors_v2r"), tombstones = Some("tombstones"))
+      .collect().toSeq
+    assert(out.length == AnnIndex.batch * AnnIndex.topK)
+    assert(out.forall(_.getAs[Long]("vec_id") % 11 != 5),
+      "a re-added tombstoned id resurfaced — deletes must stay global")
+    graft.util.Dirs.deleteRecursively(new java.io.File(root, "vectors_v2r"))
   }
 
   test("tombstone mask plan: broadcast LEFT-ANTI, never a shuffle of the candidates") {

@@ -60,7 +60,13 @@ import org.apache.spark.sql.functions._
   *   generator artifact no real crawl exhibits (real dup-group sizes are
   *   power-law-bounded); perturbed replication bounds group sizes at the
   *   planted 2, making high-SF near-dup measurements reflect the PLAN,
-  *   not the generator. Generation-side only: the oracle replays from
+  *   not the generator. The same flag JITTERS replicated
+  *   `embeddings.embedding` (copy 0 verbatim; copy k > 0 sign-flips the
+  *   md5-48(k) % 64-th component): verbatim vector replication gave
+  *   every base vector `copies` byte-identical twins, which pinned the
+  *   high-SF recall census at a deterministic 1.0 — jittered copies are
+  *   near-but-distinct neighbors, so recall measures codebook quality.
+  *   Generation-side only: the oracle replays from
   *   the written parquet, so no SQL twin is needed.
   *
   * Usage: runMain graft.ScaleUp [srcDir dstDir copies [files] [hive] [perturb]]
@@ -132,10 +138,19 @@ object ScaleUp {
     * bytes × copies (compressed — the conservative side of the memory
     * question). Pure decision logic, unit-tested in ScaleUpSpec.
     */
+  /** localCheckpoint stores DESERIALIZED row blocks, typically 3-10× the
+    * compressed parquet bytes the estimate counts (r17 ADVICE low) — the
+    * memory budget is therefore compared against estBytes × a 4×
+    * deserialization fudge (the conservative end of the measured range;
+    * equivalently: the 'local' branch caps at 512 MiB of compressed
+    * source × copies ≈ ≤ 2 GiB of block-manager memory).
+    */
+  private[graft] val deserFactor = 4L
+
   private[graft] def boundaryMode(estBytes: Long, files: Int,
       parallelism: Int): String =
     if (files >= parallelism) "none" // coalesce target ≥ cores: no collapse
-    else if (estBytes <= (2L << 30)) "local"
+    else if (estBytes * deserFactor <= (2L << 30)) "local"
     else "disk"
 
   private def withBoundary(df: org.apache.spark.sql.DataFrame,
@@ -204,6 +219,23 @@ object ScaleUp {
                         substring(md5(col("__k").cast("string")), 1, 8))),
                     lit(" "),
                     substring(md5(col("__k").cast("string")), 1, 8))))
+            else if (perturb && name == "embeddings")
+              // embedding jitter per copy group (r17 VERDICT ask #3 —
+              // verbatim replication made the sf100 recall census a
+              // tautology: every top vector had `copies` byte-identical
+              // twins, pinning recall@5 = 1.0 deterministically): copy 0
+              // verbatim; copy k > 0 SIGN-FLIPS one component, index =
+              // md5-48(k) % 64 — near-but-not-identical neighbors, so
+              // high-SF recall measures codebook quality, not the
+              // generator. Deterministic (md5 of the copy index), same
+              // rerun-regenerates-identical contract as the text splice.
+              keyed.withColumn("embedding",
+                when(col("__k") === 0, col("embedding")).otherwise(
+                  transform(col("embedding"), (x, i) =>
+                    when(i === (conv(substring(
+                        md5(col("__k").cast("string")), 1, 12), 16, 10)
+                        .cast("bigint") % 64).cast("int"),
+                      -x).otherwise(x))))
             else keyed
           out.drop("__k")
         }

@@ -415,7 +415,9 @@ object AnnIndex {
     */
   def querySegments(s: SparkSession, d: String, root: String,
       segments: Seq[String], prime: Option[Int] = None,
-      tombstones: Option[String] = None): DataFrame = {
+      tombstones: Option[String] = None,
+      nprobe: Int = nProbe,
+      refineK: Int = shortlist): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(s)
     val cos = graft.functions.GraftFunctions.cosineSim _
     val dotN = graft.functions.GraftFunctions.dotProduct _
@@ -431,7 +433,7 @@ object AnnIndex {
     val probed = cents.crossJoin(broadcast(qs))
       .select(col("qid"), col("cell"),
         round(cos(col("centroid"), col("qv")), 9).as("qc"))
-      .withColumn("rn", row_number().over(wp)).filter(col("rn") <= nProbe)
+      .withColumn("rn", row_number().over(wp)).filter(col("rn") <= nprobe)
       .select("qid", "cell")
     // bounded metadata extract (≤ cells ints): the probe list becomes a
     // LITERAL predicate so partition pruning is static at every segment
@@ -483,7 +485,7 @@ object AnnIndex {
         round(col("d0") + col("d1") + col("d2") + col("d3"), 4).as("adc"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("qid").orderBy(col("adc").desc, col("vec_id"))))
-      .filter(col("rn") <= shortlist)
+      .filter(col("rn") <= refineK)
       .select("qid", "vec_id")
     short
       .join(cand.select(col("qid"), col("vec_id"), col("embedding")),

@@ -972,6 +972,50 @@ object Similarity {
         .orderBy("qid")
     }),
 
+    // RECALL-vs-NPROBE CURVE (VERDICT r17 ask #5) — the number an ANN
+    // deployment actually TUNES: sweeping the probe budget trades scan
+    // cost (nprobe/ncells of the corpus) against recall, and the curve
+    // is what picks the operating point. The refine depth SCALES with
+    // the probe budget (refineK = ⌈20·nprobe/3⌉ — constant shortlist
+    // pressure per probed cell; a FIXED shortlist makes the curve
+    // non-monotone at small corpora because extra probed candidates
+    // displace true neighbors from the 20 ADC slots — measured at
+    // sf0.001 before scaling: 0.45/0.50/0.35). One exact ground-truth
+    // pass (the census's sampled-panel O(batch·N) scan, computed ONCE
+    // and joined to every sweep point) against the index's top-5 at
+    // nprobe ∈ {3, 5, 10} — 10 = every cell at the testdata layouts,
+    // so the top row is the index's refine ceiling. All sweep points
+    // answer from the SAME ensure-cached artifacts — the span is 3
+    // probe-pruned query plans + one linear ground-truth pass.
+    "s_index_recall_curve" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val I = graft.io.AnnIndex
+      val root = I.ensure(s, d)
+      val cos = graft.functions.GraftFunctions.cosineSim _
+      val emb = t(s, d, "embeddings")
+      val qs = emb.filter(col("vec_id") < I.batch)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+      val exact = emb.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          round(cos(col("embedding"), col("qv")), 4).as("cos"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= I.topK)
+        .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
+      recallSweep.map { case (np, rk) =>
+          I.querySegments(s, d, root, Seq("vectors"), nprobe = np,
+              refineK = rk)
+            .select(lit(np.toLong).as("nprobe"), col("qid"), col("vec_id"))
+        }.reduce(_ unionByName _)
+        .join(exact, Seq("qid", "vec_id"), "left")
+        .groupBy("nprobe")
+        .agg(sum(coalesce(col("hit"), lit(0L))).cast("bigint").as("n_hit"))
+        .select(col("nprobe"), col("n_hit"),
+          round(col("n_hit") / lit((I.batch * I.topK).toDouble), 4)
+            .as("recall_at_5"))
+        .orderBy("nprobe")
+    }),
+
     // STRATUM-ORACLED twins of the index lifecycle's two ends (the
     // d_minhash_lsh_s41 device on the FLAGSHIP): the same build → census
     // and load → probe-pruned query plans over the 1-in-41 md5 stratum
@@ -1723,6 +1767,13 @@ object Similarity {
     * s_index_query loads. Ends without a trailing comma so callers
     * append their own CTEs.
     */
+  /** The recall-curve sweep points: (nprobe, refineK) with refineK =
+    * ⌈20·nprobe/3⌉ — ONE definition feeding both the engine entry and
+    * its DuckDB replay so the two can never drift.
+    */
+  private[queries] val recallSweep: Seq[(Int, Int)] =
+    Seq(3, 5, 10).map(np => (np, math.ceil(20.0 * np / 3).toInt))
+
   private def annIndexCtesSql: String =
     """m0 AS (
       |  SELECT label AS cell, CAST(r.i AS INT) AS pos,
@@ -2632,6 +2683,69 @@ object Similarity {
         |  round(sum(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END) / 5.0, 4) AS recall_at_5
         |FROM idx i LEFT JOIN bf b ON b.qid = i.qid AND b.vec_id = i.vec_id
         |GROUP BY i.qid ORDER BY i.qid""".stripMargin,
+    // recall-vs-nprobe curve replay: one shared train block + ground
+    // truth, the probe/ADC/shortlist/refine hierarchy instantiated per
+    // sweep point (CTE names suffixed by nprobe), aggregated to one row
+    // per nprobe
+    "s_index_recall_curve" -> {
+      def block(np: Int, rk: Int): String =
+        s"""probe$np AS (
+          |  SELECT qid, cell FROM (
+          |    SELECT q.qid, c.cell,
+          |      row_number() OVER (PARTITION BY q.qid ORDER BY
+          |        round(list_dot_product(c.centroid, q.qv) /
+          |          (sqrt(list_dot_product(c.centroid, c.centroid)) *
+          |           sqrt(list_dot_product(q.qv, q.qv))), 9) DESC, c.cell) AS rn
+          |    FROM c, q) WHERE rn <= $np),
+          |cand$np AS MATERIALIZED (
+          |  SELECT p.qid, a.vec_id, a.v FROM assign a JOIN probe$np p USING (cell)
+          |  WHERE a.vec_id <> p.qid),
+          |adc0$np AS (
+          |  SELECT c1.qid, c1.vec_id,
+          |    max(CASE WHEN codes.m = 0 THEN qd END) AS d0,
+          |    max(CASE WHEN codes.m = 1 THEN qd END) AS d1,
+          |    max(CASE WHEN codes.m = 2 THEN qd END) AS d2,
+          |    max(CASE WHEN codes.m = 3 THEN qd END) AS d3
+          |  FROM cand$np c1 JOIN codes USING (vec_id)
+          |  JOIN qlut ON qlut.qid = c1.qid AND qlut.m = codes.m
+          |    AND qlut.code = codes.code
+          |  GROUP BY c1.qid, c1.vec_id),
+          |short$np AS (
+          |  SELECT qid, vec_id, round(d0 + d1 + d2 + d3, 4) AS adc FROM adc0$np
+          |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY adc DESC, vec_id) <= $rk),
+          |idx$np AS (
+          |  SELECT s.qid AS qid, s.vec_id AS vec_id,
+          |    round(list_dot_product(c2.v, q.qv) /
+          |      (sqrt(list_dot_product(c2.v, c2.v)) *
+          |       sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos
+          |  FROM short$np s JOIN cand$np c2 ON c2.qid = s.qid AND c2.vec_id = s.vec_id
+          |  JOIN q ON q.qid = s.qid
+          |  QUALIFY row_number() OVER (PARTITION BY s.qid ORDER BY cos DESC, s.vec_id) <= 5)"""
+          .stripMargin
+      def agg(np: Int): String =
+        s"""SELECT CAST($np AS BIGINT) AS nprobe,
+          |  CAST(sum(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+          |  round(sum(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END) / 20.0, 4) AS recall_at_5
+          |FROM idx$np i LEFT JOIN bf b ON b.qid = i.qid AND b.vec_id = i.vec_id"""
+          .stripMargin
+      s"""WITH $annIndexCtesSql,
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 4),
+        |qlut AS (SELECT qid, m, code,
+        |         round(list_dot_product(qv[m*16+1 : m*16+16], cw), 9) AS qd
+        |         FROM cb, q),
+        |bf AS (
+        |  SELECT qid, vec_id FROM (
+        |    SELECT q.qid, e.vec_id,
+        |      round(list_dot_product(e.v, q.qv) /
+        |        (sqrt(list_dot_product(e.v, e.v)) *
+        |         sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos
+        |    FROM e, q WHERE e.vec_id <> q.qid)
+        |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) <= 5),
+        |${recallSweep.map { case (np, rk) => block(np, rk) }.mkString(",\n")}
+        |SELECT * FROM (
+        |${recallSweep.map { case (np, _) => agg(np) }.mkString("\nUNION ALL\n")})
+        |ORDER BY nprobe""".stripMargin
+    },
     // the stratum recall twin: the stratified hierarchy's top-5 vs
     // brute force over the same stratum, 4-smallest-ids batch
     "s_index_recall_s41" ->

@@ -123,6 +123,67 @@ object Text {
     (merges, v.select(col("w"), col("sym")))
   }
 
+  /** The byte-fallback encode pipeline over an arbitrary documents slice
+    * (full corpus for t_bpe_encode_bytes; the 1-in-41 md5 doc_id stratum
+    * for its _s41 twin — train corpus and encode stream are the SAME
+    * slice): K=5 merge chain over the slice's word units, token
+    * vocabulary = training alphabet ∪ merge outputs, the é-variant
+    * distinct vocabulary segmented by the learned merges in rank order
+    * (broadcast 1-row folds, replace-twice), stream cost = 1 token
+    * in-vocabulary / UTF-8 octets on fallback. Plan shape per the
+    * t_bpe_encode_bytes entry comment.
+    */
+  private def bpeEncodeBytesOver(docs: DataFrame): DataFrame = {
+    val units = docs.select(explode(tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("n"))
+    val (merges, _) = bpeChainFrom(units, 5)
+    // token vocabulary: training alphabet ∪ merge outputs
+    val alpha = units.select(explode(expr(
+      "transform(sequence(1, length(w)), i -> substring(w, i, 1))")).as("sym"))
+    val known = alpha
+      .unionByName(merges.map(_.select(col("new_symbol").as("sym")))
+        .reduce(_ unionAll _))
+      .distinct()
+      .withColumn("known", lit(1L))
+    def variant(c: Column): Column =
+      when(pmod(length(c), lit(3)) === 0, concat(c, lit("é")))
+        .otherwise(c)
+    // distinct variant words, segmented by the learned merges in rank
+    // order — each merge a broadcast 1-row crossJoin, replace-twice
+    var seg = units.select(variant(col("w")).as("w")).distinct()
+      .select(col("w"), concat(lit(" "),
+        concat_ws(" ", expr(
+          "transform(sequence(1, length(w)), i -> substring(w, i, 1))")),
+        lit(" ")).as("sym"))
+    merges.foreach { m =>
+      seg = seg.crossJoin(broadcast(m.select(col("pair"))))
+        .select(col("w"), expr(
+          "replace(replace(sym, ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' '), " +
+            "' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' ')")
+          .as("sym"))
+    }
+    val costed = seg
+      .select(col("w"), explode(split(trim(col("sym")), " ")).as("sym"))
+      .join(known, Seq("sym"), "left")
+      .groupBy("w")
+      .agg(sum(when(col("known").isNotNull, lit(1L))
+          .otherwise(octet_length(col("sym")).cast("long"))).as("n_tok"),
+        sum(when(col("known").isNull, octet_length(col("sym")).cast("long"))
+          .otherwise(lit(0L))).as("n_fb"))
+    docs
+      .select(col("lang"), explode(tokens(col("text"))).as("w0"))
+      .filter(col("w0") =!= "")
+      .select(col("lang"), variant(col("w0")).as("w"))
+      .join(costed, "w")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_words"),
+        sum("n_tok").cast("bigint").as("n_tokens"),
+        sum("n_fb").cast("bigint").as("n_fallback_bytes"),
+        round(sum("n_tok").cast("double") / count(lit(1)), 4).as("fertility"))
+      .orderBy("lang")
+  }
+
   /** Driver-side Sennrich merge loop over a BOUNDED unit vocabulary —
     * how production BPE trainers actually run deep schedules: the ONE
     * corpus-sized pass (the unit count) stays distributed; the K merge
@@ -436,53 +497,20 @@ object Text {
     // order, byte-identical to the trainer); the stream side is one
     // explode + an unhinted vocab join + one partial-agg'd groupBy —
     // the corpus pass dominates, exactly like t_bpe_encode.
-    "t_bpe_encode_bytes" -> ((s, d) => {
-      val (merges, _) = bpeChain(s, d)
-      // token vocabulary: training alphabet ∪ merge outputs
-      val alpha = wordUnits(s, d).select(explode(expr(
-        "transform(sequence(1, length(w)), i -> substring(w, i, 1))")).as("sym"))
-      val known = alpha
-        .unionByName(merges.map(_.select(col("new_symbol").as("sym")))
-          .reduce(_ unionAll _))
-        .distinct()
-        .withColumn("known", lit(1L))
-      def variant(c: Column): Column =
-        when(pmod(length(c), lit(3)) === 0, concat(c, lit("\u00e9")))
-          .otherwise(c)
-      // distinct variant words, segmented by the learned merges in rank
-      // order — each merge a broadcast 1-row crossJoin, replace-twice
-      var seg = wordUnits(s, d).select(variant(col("w")).as("w")).distinct()
-        .select(col("w"), concat(lit(" "),
-          concat_ws(" ", expr(
-            "transform(sequence(1, length(w)), i -> substring(w, i, 1))")),
-          lit(" ")).as("sym"))
-      merges.foreach { m =>
-        seg = seg.crossJoin(broadcast(m.select(col("pair"))))
-          .select(col("w"), expr(
-            "replace(replace(sym, ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' '), " +
-              "' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' ')")
-            .as("sym"))
-      }
-      val costed = seg
-        .select(col("w"), explode(split(trim(col("sym")), " ")).as("sym"))
-        .join(known, Seq("sym"), "left")
-        .groupBy("w")
-        .agg(sum(when(col("known").isNotNull, lit(1L))
-            .otherwise(octet_length(col("sym")).cast("long"))).as("n_tok"),
-          sum(when(col("known").isNull, octet_length(col("sym")).cast("long"))
-            .otherwise(lit(0L))).as("n_fb"))
-      t(s, d, "documents")
-        .select(col("lang"), explode(tokens(col("text"))).as("w0"))
-        .filter(col("w0") =!= "")
-        .select(col("lang"), variant(col("w0")).as("w"))
-        .join(costed, "w")
-        .groupBy("lang")
-        .agg(count(lit(1)).as("n_words"),
-          sum("n_tok").cast("bigint").as("n_tokens"),
-          sum("n_fb").cast("bigint").as("n_fallback_bytes"),
-          round(sum("n_tok").cast("double") / count(lit(1)), 4).as("fertility"))
-        .orderBy("lang")
-    }),
+    "t_bpe_encode_bytes" -> ((s, d) =>
+      bpeEncodeBytesOver(t(s, d, "documents"))),
+
+    // The byte-fallback encode's 1-in-41 STRATUM twin (the established
+    // high-SF device, VERDICT r17 ask #6): the identical train → vocab →
+    // variant-stream → fallback-cost pipeline over the md5 doc_id
+    // stratum, which keeps the sf100 DuckDB replay at ~1/41 volume while
+    // the engine runs the full plan shape — taking the tokenizer
+    // contract to the 1000× gate alongside the index twins. Training
+    // corpus and encode stream are BOTH the stratum (the tokenizer is
+    // trained on, and applied to, the same slice).
+    "t_bpe_encode_bytes_s41" -> ((s, d) =>
+      bpeEncodeBytesOver(
+        t(s, d, "documents").filter(stratum41(col("doc_id"))))),
 
     // Whitespace + BPE-ish regex token counts per document.
     "t_token_count" -> ((s, d) =>
@@ -1098,12 +1126,14 @@ object Text {
     * deterministic variant on same-symbol runs ≥ 5 (see the query
     * comment — BpeSpec holds the byte-exact referee).
     */
-  private def bpeCtesSql(k: Int): String = bpeCtesSqlFrom(k,
-    """words AS MATERIALIZED (
-       |  SELECT w, count(*) AS n FROM
-       |    (SELECT unnest(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS w
-       |     FROM documents)
-       |  WHERE w <> '' GROUP BY w)""".stripMargin)
+  private def bpeCtesSql(k: Int, pred: String = "TRUE"): String =
+    bpeCtesSqlFrom(k,
+      """words AS MATERIALIZED (
+        |  SELECT w, count(*) AS n FROM
+        |    (SELECT unnest(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS w
+        |     FROM documents WHERE __PRED__)
+        |  WHERE w <> '' GROUP BY w)""".stripMargin
+        .replace("__PRED__", pred))
 
   /** The k unrolled merge-round CTEs over an arbitrary `words` unit CTE
     * (word units for t_bpe_merges/t_bpe_encode, bigram units for
@@ -1226,7 +1256,7 @@ object Text {
     * byte-identical to the trainer), and the byte-fallback cost — 1
     * token for in-vocabulary symbols, strlen (UTF-8 octets) for OOV.
     */
-  private def bpeEncodeBytesSql(k: Int): String = {
+  private def bpeEncodeBytesSql(k: Int, pred: String = "TRUE"): String = {
     val applySeg = (1 to k).map { i =>
       s"""seg$i AS (SELECT w, replace(replace(sym, ' ' || (SELECT pr FROM m$i) || ' ',
          |    ' ' || replace((SELECT pr FROM m$i), ' ', '') || ' '),
@@ -1237,7 +1267,7 @@ object Text {
     val learned = (1 to k)
       .map(i => s"SELECT replace(pr, ' ', '') AS sym FROM m$i")
       .mkString("\n  UNION ALL ")
-    s"""WITH ${bpeCtesSql(k)},
+    s"""WITH ${bpeCtesSql(k, pred)},
        |alpha AS (SELECT DISTINCT sym FROM (
        |  SELECT unnest(list_transform(range(1, length(w) + 1),
        |    i -> substr(w, CAST(i AS INT), 1))) AS sym FROM words)),
@@ -1257,7 +1287,7 @@ object Text {
        |  GROUP BY w),
        |toks AS (
        |  SELECT lang, unnest(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS w0
-       |  FROM documents)
+       |  FROM documents WHERE $pred)
        |SELECT lang, count(*) AS n_words,
        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
        |  CAST(sum(n_fb) AS BIGINT) AS n_fallback_bytes,
@@ -1272,6 +1302,8 @@ object Text {
   val oracles: Map[String, String] = Map(
     "t_bpe_merges" -> bpeMergesSql(5),
     "t_bpe_encode_bytes" -> bpeEncodeBytesSql(5),
+    // the stratum twin: identical replay over the 1-in-41 md5 doc_id draw
+    "t_bpe_encode_bytes_s41" -> bpeEncodeBytesSql(5, stratum41Sql("doc_id")),
     // all deepK rounds replayed as ONE recursive CTE over the bigram
     // unit vocabulary — same rule, argmax and tie-break as the word form
     "t_bpe_merges_deep" -> (s"WITH ${bpeDeepRecursiveCtes(deepK, bigramWordsCte)}\n" +

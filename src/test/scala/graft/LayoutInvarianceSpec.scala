@@ -35,12 +35,52 @@ class LayoutInvarianceSpec extends SparkSpec {
     assert(ScaleUp.boundaryMode(100L << 30, files = 32, parallelism = 32) == "none")
     assert(ScaleUp.boundaryMode(1L << 20, files = 64, parallelism = 32) == "none")
     // small scaled set, few files: in-memory localCheckpoint is right
-    assert(ScaleUp.boundaryMode(500L << 20, files = 4, parallelism = 32) == "local")
-    // the 2 GiB threshold is the edge: at it, still memory; past it, disk
-    assert(ScaleUp.boundaryMode(2L << 30, files = 4, parallelism = 32) == "local")
-    assert(ScaleUp.boundaryMode((2L << 30) + 1, files = 4, parallelism = 32) == "disk")
+    assert(ScaleUp.boundaryMode(100L << 20, files = 4, parallelism = 32) == "local")
+    // the memory budget counts DESERIALIZED size: compressed estimate ×
+    // deserFactor against 2 GiB (r17 ADVICE low — a 2 GiB compressed set
+    // would pin ~8 GiB of block-manager memory as 'local')
+    assert(ScaleUp.boundaryMode((2L << 30) / ScaleUp.deserFactor,
+      files = 4, parallelism = 32) == "local")
+    assert(ScaleUp.boundaryMode((2L << 30) / ScaleUp.deserFactor + 1,
+      files = 4, parallelism = 32) == "disk")
+    assert(ScaleUp.boundaryMode(2L << 30, files = 4, parallelism = 32) == "disk")
     // the failure mode the advice named: a huge scaled set bound for few
     // files must NOT be pinned into block-manager memory
     assert(ScaleUp.boundaryMode(50L << 30, files = 8, parallelism = 32) == "disk")
+  }
+
+  test("perturb mode jitters replicated embeddings: copy 0 verbatim, one sign-flip per later copy") {
+    // the r17 VERDICT tautology: verbatim vector replication pinned the
+    // sf100 recall census at 1.0 (every top vector had `copies`
+    // byte-identical twins); perturb must make later copies
+    // near-but-distinct neighbors
+    val root = java.nio.file.Files.createTempDirectory("emb-perturb").toString
+    ScaleUp.scale(spark, TestSpark.sf0001, root, copies = 3, files = 1,
+      perturb = true)
+    val base = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val scaled = spark.read.parquet(s"$root/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+    assert(scaled.length == base.size * 3)
+    var flipped = 0
+    scaled.foreach { r =>
+      val id = r.getLong(0)
+      val k = id / ScaleUp.Base
+      val v = r.getSeq[Float](1)
+      val b = base(id % ScaleUp.Base)
+      if (k == 0) assert(v == b, s"copy 0 of vec $id not verbatim")
+      else {
+        val diffs = v.zip(b).filter { case (x, y) => x != y }
+        assert(diffs.size <= 1 &&
+          diffs.forall { case (x, y) => x == -y },
+          s"copy $k of vec $id: not a single sign-flip")
+        if (diffs.size == 1) flipped += 1
+      }
+    }
+    // sign-flipping a zero component is a no-op, but random float
+    // embeddings make that measure-zero: essentially every k>0 row flips
+    assert(flipped > base.size, s"too few flipped rows: $flipped")
+    graft.util.Dirs.deleteRecursively(new java.io.File(root))
   }
 }

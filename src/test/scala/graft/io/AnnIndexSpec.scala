@@ -408,6 +408,22 @@ class AnnIndexSpec extends SparkSpec with BeforeAndAfterAll {
     }
   }
 
+  test("recall curve entry: one row per nprobe, recall monotone non-decreasing") {
+    val rows = Similarity.queries("s_index_recall_curve")(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("nprobe")).toSeq == Seq(3L, 5L, 10L))
+    val rec = rows.map(_.getAs[Double]("recall_at_5")).toSeq
+    // larger probe sets are supersets of smaller ones, so recall cannot
+    // decrease — the invariant that makes the curve a tuning ledger
+    assert(rec == rec.sorted, s"recall not monotone in nprobe: $rec")
+    rows.foreach { r =>
+      assert(r.getAs[Double]("recall_at_5") ==
+        r.getAs[Long]("n_hit") / (AnnIndex.batch * AnnIndex.topK).toDouble)
+    }
+    // nprobe = 10 probes every cell at the testdata layouts, so the top
+    // row is the refine ceiling — at least the 3-probe recall and > 0
+    assert(rec.last >= rec.head && rec.last > 0.0)
+  }
+
   test("refine recall floor: each query's top-5 overlaps brute force") {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     val idx = Similarity.queries("s_index_query")(spark, sf).collect()

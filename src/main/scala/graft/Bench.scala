@@ -140,8 +140,8 @@ object Bench {
     // round 6) plus a mid-tier (d_minhash_lsh ~1 s) and a heavy one
     // (d_span_clusters ~2-3 s), added in round 14 because drift bites
     // hardest in the tiers the original trio never sampled. The drift
-    // rule lives in BenchGuard (median leaves [0.8,1.2] OR any canary
-    // >1.5x, evaluated per pass — the r17 AND-of-five rule certified a
+    // rule lives in BenchGuard (slow-side only: median > 1.2 OR any
+    // canary > 1.5x, evaluated per pass — the r17 AND-of-five rule certified a
     // 3.9x-inflated load-ramped artifact as clean; see BenchGuard's
     // scaladoc for the postmortem). References come from the committed
     // BENCH_CANARIES.json history (one JSON object per line, this bench

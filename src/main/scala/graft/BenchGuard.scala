@@ -14,7 +14,7 @@ package graft
   * and (b) appended its 7.33 s d_span_clusters to the canary history,
   * poisoning future references. Three rules close all three holes:
   *
-  *   1. [[drifted]]: flag when the canary MEDIAN leaves [0.8, 1.2] OR
+  *   1. [[drifted]]: flag when the canary MEDIAN exceeds 1.2 OR
   *      when ANY single canary exceeds 1.5x — a split canary set is
   *      exactly the mid-sweep-ramp signature the AND-of-five missed.
   *      Bench evaluates it over THREE passes (start / in-sweep / end),
@@ -37,13 +37,21 @@ object BenchGuard {
   }
 
   /** Host-drift verdict for ONE canary pass, `ratios` = measured / ref.
-    * Empty (no history yet, or a subset run that skipped the canaries)
-    * means "cannot tell" → false, same as the old detector.
+    * SLOW-SIDE ONLY: a run slower than the references may be
+    * load-contaminated and must not become the committed artifact or a
+    * history row — but a run FASTER than the references is by
+    * definition less loaded than they were, so it is exactly the run
+    * that should refresh both (the references are medians of recent
+    * runs, which after a hot stretch sit ABOVE the machine's quiet
+    * level; a symmetric band would quarantine the first
+    * return-to-quiet run as "drift" and the references could never
+    * recover). Empty (no history yet, or a subset run that skipped the
+    * canaries) means "cannot tell" → false, same as the old detector.
     */
   def drifted(ratios: Seq[Double]): Boolean =
     ratios.nonEmpty && {
       val m = median(ratios)
-      m > 1.2 || m < 0.8 || ratios.exists(_ > 1.5)
+      m > 1.2 || ratios.exists(_ > 1.5)
     }
 
   /** Where the full-precision artifact goes: drifted runs must not

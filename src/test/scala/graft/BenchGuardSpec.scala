@@ -23,8 +23,11 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(BenchGuard.drifted(Seq(1.25, 1.3, 1.28, 1.31, 1.22)))
   }
 
-  test("uniform speedup below the median band flags (new reference host)") {
-    assert(BenchGuard.drifted(Seq(0.5, 0.6, 0.55, 0.7, 0.65)))
+  test("uniform speedup does NOT flag — a fast run refreshes stale references") {
+    // after a hot stretch the history medians sit above the machine's
+    // quiet level; the first return-to-quiet run reads ~0.6-0.8 and must
+    // become the new reference, not be quarantined as drift
+    assert(!BenchGuard.drifted(Seq(0.5, 0.6, 0.55, 0.7, 0.65)))
   }
 
   test("single canary above 1.5x flags even with a quiet median") {

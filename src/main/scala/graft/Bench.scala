@@ -83,6 +83,19 @@ object Bench {
     val canaryNames =
       Seq("q_topk", "q_distinct", "s_cosine_topk", "d_minhash_lsh",
         "d_span_clusters")
+    // CPU-steal sampling across the sweep: inside a VM, co-tenant host
+    // load never shows in loadavg (guest-visible load stays ~0 while
+    // the hypervisor deschedules us) but accumulates in /proc/stat's
+    // steal column — the r18 adjudication needed three full sweeps and
+    // per-query medians to conclude "host weather"; a steal percentage
+    // in the artifact makes that call mechanical.
+    def cpuJiffies(): Option[(Long, Long)] =
+      try {
+        val l = scala.io.Source.fromFile("/proc/stat").getLines().next()
+        val f = l.trim.split("\\s+").drop(1).map(_.toLong)
+        Some((f.lift(7).getOrElse(0L), f.sum)) // (steal, total)
+      } catch { case _: Throwable => None }
+    val jiffies0 = cpuJiffies()
     // Canary pass at SWEEP START (post-warm): the r17 artifact was eaten
     // by a load ramp that arrived mid-sweep, so drift is judged at three
     // points — start, in-sweep, end — and any one can flag it.
@@ -134,6 +147,13 @@ object Bench {
     // in-sweep measurements, drift is judged at three points in time.
     val endCanary: Map[String, Double] =
       canaryNames.flatMap(n => timeOne(n).map(n -> _)).toMap
+    // steal% over the whole sweep window (100 = every guest cycle taken
+    // by the hypervisor; -1 = /proc/stat unreadable on this platform)
+    val stealPct: Double = (for {
+      (s0, t0) <- jiffies0
+      (s1, t1) <- cpuJiffies()
+      if t1 > t0
+    } yield (s1 - s0) * 100.0 / (t1 - t0)).getOrElse(-1.0)
 
     // Drift canaries: five untouched queries spanning the cost tiers —
     // three sub-0.25 s (q_topk/q_distinct/s_cosine_topk, stable since
@@ -227,7 +247,7 @@ object Bench {
     // alternate-SF run must never replace the committed reference with
     // a 5-query fragment (it still gets target/bench.json).
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","load1":$load1%.2f,"free_gb":$freeGb,"canaries":$canaryJson,"canaries_start":${cjson(canStart)},"canaries_end":${cjson(canEnd)},"host_drift":$hostDrift}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","load1":$load1%.2f,"free_gb":$freeGb,"canaries":$canaryJson,"canaries_start":${cjson(canStart)},"canaries_end":${cjson(canEnd)},"steal_pct":$stealPct%.2f,"host_drift":$hostDrift}"""
     val repoArtifact =
       if (only.isEmpty &&
           sfDir.stripSuffix("/") == defaultSfDir.stripSuffix("/"))
@@ -258,7 +278,7 @@ object Bench {
     val qv = results.map { case (_, v, ok) => if (ok) f"$v%.2f" else "-1" }
       .mkString("[", ",", "]")
     val compact =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir","qv":$qv,"qv_order":"sorted_query_names","full":"${BenchGuard.fullArtifact(hostDrift)}","load1":$load1%.2f,"free_gb":$freeGb,"canaries":$canaryJson,"canaries_start":${cjson(canStart)},"canaries_end":${cjson(canEnd)},"canary_fmt":"[sec,ratio_vs_median_last3_of_BENCH_CANARIES.json]","host_drift":$hostDrift}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir","qv":$qv,"qv_order":"sorted_query_names","full":"${BenchGuard.fullArtifact(hostDrift)}","load1":$load1%.2f,"free_gb":$freeGb,"canaries":$canaryJson,"canaries_start":${cjson(canStart)},"canaries_end":${cjson(canEnd)},"steal_pct":$stealPct%.2f,"canary_fmt":"[sec,ratio_vs_median_last3_of_BENCH_CANARIES.json]","host_drift":$hostDrift}"""
     println(compact)
     // the layout queries write catalog tables + tmpdir parquet per data
     // dir (warm pass used sf0.001); drop both sets before exit — same

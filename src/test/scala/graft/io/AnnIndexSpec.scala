@@ -313,6 +313,30 @@ class AnnIndexSpec extends SparkSpec with BeforeAndAfterAll {
       new java.io.File(root, "vectors_compact_upsert"))
   }
 
+  test("tombstone cache regenerates when the segments list changes (marker carries args)") {
+    // the r17 ADVICE low: the old marker held only the corpus
+    // fingerprint, so tombstones computed over one segment list were
+    // silently reused for another
+    val root = AnnIndex.ensure(spark, sf)
+    AnnIndex.ensureDelta(spark, sf, root)
+    val success = new java.io.File(new java.io.File(root, "tombstones"), "_SUCCESS")
+    AnnIndex.ensureTombstones(spark, sf, root, Seq("vectors", "vectors_delta"))
+    val t1 = success.lastModified()
+    // same list: served from cache, no rewrite
+    AnnIndex.ensureTombstones(spark, sf, root, Seq("vectors", "vectors_delta"))
+    assert(success.lastModified() == t1, "same-args ensure rewrote the cache")
+    // different list: the marker mismatch forces a regeneration
+    AnnIndex.ensureTombstones(spark, sf, root, Seq("vectors"))
+    assert(success.lastModified() != t1,
+      "ensureTombstones reused tombstones computed over a DIFFERENT segment list")
+    // and the regenerated content matches the new list: no re-keyed
+    // delta ids (>1,000,000) can appear in a base-only tombstone set
+    val ids = spark.read.parquet(s"$root/tombstones")
+    assert(ids.filter(col("vec_id") > 1000000L).count() == 0)
+    // restore the canonical merged-list cache for later tests
+    AnnIndex.ensureTombstones(spark, sf, root, Seq("vectors", "vectors_delta"))
+  }
+
   test("reinsert after delete: a tombstoned id re-added later STAYS masked") {
     // pins the documented writeTombstones precondition: deletes are
     // GLOBAL, not segment-scoped — re-adding a tombstoned id in a later

@@ -943,9 +943,12 @@ object Similarity {
     // The recall census's STRATUM twin — closes the quality loop at the
     // sf100 gate: the stratum index's top-5 vs exact brute force over
     // the SAME 1-in-41 stratum corpus (ground truth is defined w.r.t.
-    // the indexed corpus), 4-smallest-stratum-ids query batch. At the
-    // verbatim high-SF layouts the perturbed/verbatim copy structure is
-    // itself part of what the hash pins (see SCALE_SF100.md).
+    // the indexed corpus), 4-smallest-stratum-ids query batch. Since
+    // round 18, ScaleUp's perturb mode JITTERS replicated embeddings
+    // (one md5-indexed sign-flip per copy group), so the sf100 census
+    // is a real codebook-quality measurement — 1.0/0.8/0.6/1.0 at the
+    // 1000x gate, hash-matched (see SCALE_SF100.md); on VERBATIM
+    // layouts the deterministic 1.0s are themselves what the hash pins.
     "s_index_recall_s41" -> ((s, d) => {
       graft.functions.GraftFunctions.ensureRegistered(s)
       val I = graft.io.AnnIndex

@@ -1019,6 +1019,45 @@ object Similarity {
         .orderBy("nprobe")
     }),
 
+    // THE COST AXIS of the tuning ledger — what the recall curve is
+    // read AGAINST: candidate rows SCANNED per sweep point (the probed
+    // cells' row counts over the 4-query panel, before self-exclusion —
+    // scanned is the honest cost; the self row is read either way) and
+    // the scanned fraction of the index. An ANN deployment picks its
+    // operating point where d(recall)/d(frac_scanned) flattens — with
+    // s_index_recall_curve over the same {3,5,10} sweep, both axes are
+    // now oracled. The plan is METADATA-scale: per-cell counts are one
+    // partial-agg'd pass over the index tree (≤ cells result rows), the
+    // probe ranking is the bounded cells×batch panel, and no vector is
+    // ever touched — this is exactly the ledger an index keeps in its
+    // catalog at 100 TB.
+    "s_index_probe_cost" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val I = graft.io.AnnIndex
+      val root = I.ensure(s, d)
+      val cos = graft.functions.GraftFunctions.cosineSim _
+      val cents = s.read.parquet(s"$root/centroids")
+      val vecs = s.read.parquet(s"$root/vectors")
+      val totN = vecs.count() // index cardinality: catalog metadata
+      val cellCounts = vecs.groupBy("cell").agg(count(lit(1)).as("n"))
+      val qs = t(s, d, "embeddings").filter(col("vec_id") < I.batch)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val ranked = cents.crossJoin(broadcast(qs))
+        .select(col("qid"), col("cell"),
+          round(cos(col("centroid"), col("qv")), 9).as("qc"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("qid").orderBy(col("qc").desc, col("cell"))))
+      recallSweep.map { case (np, _) =>
+          ranked.filter(col("rn") <= np)
+            .join(broadcast(cellCounts), "cell")
+            .agg(sum("n").cast("bigint").as("n_scanned"))
+            .select(lit(np.toLong).as("nprobe"), col("n_scanned"),
+              round(col("n_scanned") / lit(I.batch * totN.toDouble), 4)
+                .as("frac_scanned"))
+        }.reduce(_ unionByName _)
+        .orderBy("nprobe")
+    }),
+
     // STRATUM-ORACLED twins of the index lifecycle's two ends (the
     // d_minhash_lsh_s41 device on the FLAGSHIP): the same build → census
     // and load → probe-pruned query plans over the 1-in-41 md5 stratum
@@ -2745,6 +2784,28 @@ object Similarity {
         |    FROM e, q WHERE e.vec_id <> q.qid)
         |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) <= 5),
         |${recallSweep.map { case (np, rk) => block(np, rk) }.mkString(",\n")}
+        |SELECT * FROM (
+        |${recallSweep.map { case (np, _) => agg(np) }.mkString("\nUNION ALL\n")})
+        |ORDER BY nprobe""".stripMargin
+    },
+    // probe-cost replay: the probe ranking over the train CTEs' assign
+    // cell census, aggregated per sweep point
+    "s_index_probe_cost" -> {
+      def agg(np: Int): String =
+        s"""SELECT CAST($np AS BIGINT) AS nprobe,
+          |  CAST(sum(n) AS BIGINT) AS n_scanned,
+          |  round(sum(n) / (4.0 * (SELECT count(*) FROM assign)), 4) AS frac_scanned
+          |FROM ranked JOIN cc USING (cell) WHERE rn <= $np""".stripMargin
+      s"""WITH $annIndexCtesSql,
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 4),
+        |ranked AS (
+        |  SELECT q.qid, c.cell,
+        |    row_number() OVER (PARTITION BY q.qid ORDER BY
+        |      round(list_dot_product(c.centroid, q.qv) /
+        |        (sqrt(list_dot_product(c.centroid, c.centroid)) *
+        |         sqrt(list_dot_product(q.qv, q.qv))), 9) DESC, c.cell) AS rn
+        |  FROM c, q),
+        |cc AS (SELECT cell, count(*) AS n FROM assign GROUP BY cell)
         |SELECT * FROM (
         |${recallSweep.map { case (np, _) => agg(np) }.mkString("\nUNION ALL\n")})
         |ORDER BY nprobe""".stripMargin

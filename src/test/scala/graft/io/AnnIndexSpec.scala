@@ -448,6 +448,20 @@ class AnnIndexSpec extends SparkSpec with BeforeAndAfterAll {
     assert(rec.last >= rec.head && rec.last > 0.0)
   }
 
+  test("probe-cost entry: scanned rows monotone in nprobe; full sweep = whole index") {
+    val rows = Similarity.queries("s_index_probe_cost")(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("nprobe")).toSeq == Seq(3L, 5L, 10L))
+    val scanned = rows.map(_.getAs[Long]("n_scanned")).toSeq
+    // larger probe sets are supersets — scanned cost strictly orders
+    assert(scanned == scanned.sorted && scanned.distinct == scanned,
+      s"scan cost not strictly monotone: $scanned")
+    // nprobe = 10 probes every cell at the testdata layouts: the cost
+    // ceiling is the whole index per query (frac_scanned = 1.0)
+    val total = Tables.t(spark, sf, "embeddings").count()
+    assert(scanned.last == AnnIndex.batch * total)
+    assert(rows.last.getAs[Double]("frac_scanned") == 1.0)
+  }
+
   test("refine recall floor: each query's top-5 overlaps brute force") {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     val idx = Similarity.queries("s_index_query")(spark, sf).collect()

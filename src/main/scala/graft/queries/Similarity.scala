@@ -1019,6 +1019,43 @@ object Similarity {
         .orderBy("nprobe")
     }),
 
+    // The tuning curve's STRATUM twin — the device that takes the
+    // recall-vs-nprobe ledger to the high-SF gates alongside the other
+    // index twins: the same probe-scaled sweep over the 1-in-41 stratum
+    // index, ground truth = exact brute force over the SAME stratum,
+    // 4-smallest-stratum-ids batch. On the jittered perturb corpora the
+    // sweep measures codebook quality at scale; on verbatim layouts the
+    // deterministic values are themselves what the hash pins.
+    "s_index_recall_curve_s41" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val I = graft.io.AnnIndex
+      val root = I.ensure(s, d, Some(41))
+      val cos = graft.functions.GraftFunctions.cosineSim _
+      val emb = t(s, d, "embeddings")
+        .filter(Tables.stratum(col("vec_id"), 41))
+      val qs = emb.orderBy("vec_id").limit(I.batch)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+      val exact = emb.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          round(cos(col("embedding"), col("qv")), 4).as("cos"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= I.topK)
+        .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
+      recallSweep.map { case (np, rk) =>
+          I.querySegments(s, d, root, Seq("vectors"), Some(41),
+              nprobe = np, refineK = rk)
+            .select(lit(np.toLong).as("nprobe"), col("qid"), col("vec_id"))
+        }.reduce(_ unionByName _)
+        .join(exact, Seq("qid", "vec_id"), "left")
+        .groupBy("nprobe")
+        .agg(sum(coalesce(col("hit"), lit(0L))).cast("bigint").as("n_hit"))
+        .select(col("nprobe"), col("n_hit"),
+          round(col("n_hit") / lit((I.batch * I.topK).toDouble), 4)
+            .as("recall_at_5"))
+        .orderBy("nprobe")
+    }),
+
     // THE COST AXIS of the tuning ledger — what the recall curve is
     // read AGAINST: candidate rows SCANNED per sweep point (the probed
     // cells' row counts over the 4-query panel, before self-exclusion —
@@ -1815,6 +1852,70 @@ object Similarity {
     */
   private[queries] val recallSweep: Seq[(Int, Int)] =
     Seq(3, 5, 10).map(np => (np, math.ceil(20.0 * np / 3).toInt))
+
+  /** The recall-curve replay tail — brute-force ground truth over the
+    * corpus CTE `e`, then the probe/ADC/shortlist/refine hierarchy
+    * instantiated per sweep point (CTE names suffixed by nprobe, refine
+    * depth from [[recallSweep]]), aggregated to one row per nprobe.
+    * Callers prepend a train block (annIndexCtesSql or its stratified
+    * twin — both define e/c/cb/ms/assign/codes), a `q` batch CTE and
+    * the shared `qlut`, so the full and stratum curve oracles compose
+    * from ONE definition.
+    */
+  private def recallCurveTailSql: String = {
+    def block(np: Int, rk: Int): String =
+      s"""probe$np AS (
+        |  SELECT qid, cell FROM (
+        |    SELECT q.qid, c.cell,
+        |      row_number() OVER (PARTITION BY q.qid ORDER BY
+        |        round(list_dot_product(c.centroid, q.qv) /
+        |          (sqrt(list_dot_product(c.centroid, c.centroid)) *
+        |           sqrt(list_dot_product(q.qv, q.qv))), 9) DESC, c.cell) AS rn
+        |    FROM c, q) WHERE rn <= $np),
+        |cand$np AS MATERIALIZED (
+        |  SELECT p.qid, a.vec_id, a.v FROM assign a JOIN probe$np p USING (cell)
+        |  WHERE a.vec_id <> p.qid),
+        |adc0$np AS (
+        |  SELECT c1.qid, c1.vec_id,
+        |    max(CASE WHEN codes.m = 0 THEN qd END) AS d0,
+        |    max(CASE WHEN codes.m = 1 THEN qd END) AS d1,
+        |    max(CASE WHEN codes.m = 2 THEN qd END) AS d2,
+        |    max(CASE WHEN codes.m = 3 THEN qd END) AS d3
+        |  FROM cand$np c1 JOIN codes USING (vec_id)
+        |  JOIN qlut ON qlut.qid = c1.qid AND qlut.m = codes.m
+        |    AND qlut.code = codes.code
+        |  GROUP BY c1.qid, c1.vec_id),
+        |short$np AS (
+        |  SELECT qid, vec_id, round(d0 + d1 + d2 + d3, 4) AS adc FROM adc0$np
+        |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY adc DESC, vec_id) <= $rk),
+        |idx$np AS (
+        |  SELECT s.qid AS qid, s.vec_id AS vec_id,
+        |    round(list_dot_product(c2.v, q.qv) /
+        |      (sqrt(list_dot_product(c2.v, c2.v)) *
+        |       sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos
+        |  FROM short$np s JOIN cand$np c2 ON c2.qid = s.qid AND c2.vec_id = s.vec_id
+        |  JOIN q ON q.qid = s.qid
+        |  QUALIFY row_number() OVER (PARTITION BY s.qid ORDER BY cos DESC, s.vec_id) <= 5)"""
+        .stripMargin
+    def agg(np: Int): String =
+      s"""SELECT CAST($np AS BIGINT) AS nprobe,
+        |  CAST(sum(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+        |  round(sum(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END) / 20.0, 4) AS recall_at_5
+        |FROM idx$np i LEFT JOIN bf b ON b.qid = i.qid AND b.vec_id = i.vec_id"""
+        .stripMargin
+    s"""bf AS (
+      |  SELECT qid, vec_id FROM (
+      |    SELECT q.qid, e.vec_id,
+      |      round(list_dot_product(e.v, q.qv) /
+      |        (sqrt(list_dot_product(e.v, e.v)) *
+      |         sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos
+      |    FROM e, q WHERE e.vec_id <> q.qid)
+      |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) <= 5),
+      |${recallSweep.map { case (np, rk) => block(np, rk) }.mkString(",\n")}
+      |SELECT * FROM (
+      |${recallSweep.map { case (np, _) => agg(np) }.mkString("\nUNION ALL\n")})
+      |ORDER BY nprobe""".stripMargin
+  }
 
   private def annIndexCtesSql: String =
     """m0 AS (
@@ -2729,65 +2830,25 @@ object Similarity {
     // truth, the probe/ADC/shortlist/refine hierarchy instantiated per
     // sweep point (CTE names suffixed by nprobe), aggregated to one row
     // per nprobe
-    "s_index_recall_curve" -> {
-      def block(np: Int, rk: Int): String =
-        s"""probe$np AS (
-          |  SELECT qid, cell FROM (
-          |    SELECT q.qid, c.cell,
-          |      row_number() OVER (PARTITION BY q.qid ORDER BY
-          |        round(list_dot_product(c.centroid, q.qv) /
-          |          (sqrt(list_dot_product(c.centroid, c.centroid)) *
-          |           sqrt(list_dot_product(q.qv, q.qv))), 9) DESC, c.cell) AS rn
-          |    FROM c, q) WHERE rn <= $np),
-          |cand$np AS MATERIALIZED (
-          |  SELECT p.qid, a.vec_id, a.v FROM assign a JOIN probe$np p USING (cell)
-          |  WHERE a.vec_id <> p.qid),
-          |adc0$np AS (
-          |  SELECT c1.qid, c1.vec_id,
-          |    max(CASE WHEN codes.m = 0 THEN qd END) AS d0,
-          |    max(CASE WHEN codes.m = 1 THEN qd END) AS d1,
-          |    max(CASE WHEN codes.m = 2 THEN qd END) AS d2,
-          |    max(CASE WHEN codes.m = 3 THEN qd END) AS d3
-          |  FROM cand$np c1 JOIN codes USING (vec_id)
-          |  JOIN qlut ON qlut.qid = c1.qid AND qlut.m = codes.m
-          |    AND qlut.code = codes.code
-          |  GROUP BY c1.qid, c1.vec_id),
-          |short$np AS (
-          |  SELECT qid, vec_id, round(d0 + d1 + d2 + d3, 4) AS adc FROM adc0$np
-          |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY adc DESC, vec_id) <= $rk),
-          |idx$np AS (
-          |  SELECT s.qid AS qid, s.vec_id AS vec_id,
-          |    round(list_dot_product(c2.v, q.qv) /
-          |      (sqrt(list_dot_product(c2.v, c2.v)) *
-          |       sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos
-          |  FROM short$np s JOIN cand$np c2 ON c2.qid = s.qid AND c2.vec_id = s.vec_id
-          |  JOIN q ON q.qid = s.qid
-          |  QUALIFY row_number() OVER (PARTITION BY s.qid ORDER BY cos DESC, s.vec_id) <= 5)"""
-          .stripMargin
-      def agg(np: Int): String =
-        s"""SELECT CAST($np AS BIGINT) AS nprobe,
-          |  CAST(sum(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
-          |  round(sum(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END) / 20.0, 4) AS recall_at_5
-          |FROM idx$np i LEFT JOIN bf b ON b.qid = i.qid AND b.vec_id = i.vec_id"""
-          .stripMargin
+    "s_index_recall_curve" ->
       s"""WITH $annIndexCtesSql,
         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 4),
         |qlut AS (SELECT qid, m, code,
         |         round(list_dot_product(qv[m*16+1 : m*16+16], cw), 9) AS qd
         |         FROM cb, q),
-        |bf AS (
-        |  SELECT qid, vec_id FROM (
-        |    SELECT q.qid, e.vec_id,
-        |      round(list_dot_product(e.v, q.qv) /
-        |        (sqrt(list_dot_product(e.v, e.v)) *
-        |         sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos
-        |    FROM e, q WHERE e.vec_id <> q.qid)
-        |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) <= 5),
-        |${recallSweep.map { case (np, rk) => block(np, rk) }.mkString(",\n")}
-        |SELECT * FROM (
-        |${recallSweep.map { case (np, _) => agg(np) }.mkString("\nUNION ALL\n")})
-        |ORDER BY nprobe""".stripMargin
-    },
+        |$recallCurveTailSql""".stripMargin,
+    // the curve's STRATUM twin: the stratified hierarchy (same CTE
+    // names) + the stratified query batch, then the identical per-np
+    // sweep tail
+    "s_index_recall_curve_s41" ->
+      s"""WITH ${annIndexStratCtesSql(stratum41Sql("vec_id"))},
+        |q AS (SELECT vec_id AS qid, v AS qv FROM (
+        |   SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rn FROM e)
+        |   WHERE rn <= 4),
+        |qlut AS (SELECT qid, m, code,
+        |         round(list_dot_product(qv[m*16+1 : m*16+16], cw), 9) AS qd
+        |         FROM cb, q),
+        |$recallCurveTailSql""".stripMargin,
     // probe-cost replay: the probe ranking over the train CTEs' assign
     // cell census, aggregated per sweep point
     "s_index_probe_cost" -> {

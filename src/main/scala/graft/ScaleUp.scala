@@ -61,11 +61,14 @@ import org.apache.spark.sql.functions._
   *   power-law-bounded); perturbed replication bounds group sizes at the
   *   planted 2, making high-SF near-dup measurements reflect the PLAN,
   *   not the generator. The same flag JITTERS replicated
-  *   `embeddings.embedding` (copy 0 verbatim; copy k > 0 sign-flips the
-  *   md5-48(k) % 64-th component): verbatim vector replication gave
+  *   `embeddings.embedding` (copy 0 verbatim; copy k > 0 sign-flips AND
+  *   (1 + k/4096)-scales the md5-48(vec_id:k) % 64-th component):
+  *   verbatim vector replication gave
   *   every base vector `copies` byte-identical twins, which pinned the
   *   high-SF recall census at a deterministic 1.0 — jittered copies are
-  *   near-but-distinct neighbors, so recall measures codebook quality.
+  *   near-but-distinct neighbors (DISTINCT at any copy count — the
+  *   k-scaled magnitude prevents the ≤-65-variant collapse of a pure
+  *   sign flip), so recall measures codebook quality.
   *   Generation-side only: the oracle replays from
   *   the written parquet, so no SQL twin is needed.
   *
@@ -220,22 +223,32 @@ object ScaleUp {
                     lit(" "),
                     substring(md5(col("__k").cast("string")), 1, 8))))
             else if (perturb && name == "embeddings")
-              // embedding jitter per copy group (r17 VERDICT ask #3 —
+              // embedding jitter per REPLICATED ROW (r17 VERDICT ask #3 —
               // verbatim replication made the sf100 recall census a
               // tautology: every top vector had `copies` byte-identical
               // twins, pinning recall@5 = 1.0 deterministically): copy 0
-              // verbatim; copy k > 0 SIGN-FLIPS one component, index =
-              // md5-48(k) % 64 — near-but-not-identical neighbors, so
-              // high-SF recall measures codebook quality, not the
-              // generator. Deterministic (md5 of the copy index), same
+              // verbatim; copy k > 0 perturbs ONE component — index =
+              // md5-48(vec_id || ':' || k) % 64, value sign-flipped AND
+              // scaled by (1 + k/4096). The r18 jitter derived the flip
+              // index from k alone and flipped the sign only, so any
+              // copy group larger than 64 collapsed to ≤ 65 distinct
+              // variants with byte-identical twins (r18 ADVICE); hashing
+              // the row id decorrelates the perturbed component across
+              // base vectors, and the k-scaled magnitude (steps of
+              // 2.4e-4 relative — far above float32 eps, ≤ 24% of one
+              // component at 1000 copies) makes EVERY replicated row
+              // distinct regardless of copy count. Deterministic (md5 of
+              // stable ids + integer-indexed scale), same
               // rerun-regenerates-identical contract as the text splice.
               keyed.withColumn("embedding",
                 when(col("__k") === 0, col("embedding")).otherwise(
                   transform(col("embedding"), (x, i) =>
                     when(i === (conv(substring(
-                        md5(col("__k").cast("string")), 1, 12), 16, 10)
+                        md5(concat(col("vec_id").cast("string"), lit(":"),
+                          col("__k").cast("string"))), 1, 12), 16, 10)
                         .cast("bigint") % 64).cast("int"),
-                      -x).otherwise(x))))
+                      (-x * (lit(1.0) + col("__k").cast("double") / 4096.0))
+                        .cast("float")).otherwise(x))))
             else keyed
           out.drop("__k")
         }

@@ -1074,9 +1074,12 @@ object Similarity {
       val root = I.ensure(s, d)
       val cos = graft.functions.GraftFunctions.cosineSim _
       val cents = s.read.parquet(s"$root/centroids")
-      val vecs = s.read.parquet(s"$root/vectors")
-      val totN = vecs.count() // index cardinality: catalog metadata
-      val cellCounts = vecs.groupBy("cell").agg(count(lit(1)).as("n"))
+      // per-cell counts + total from the index's BUILD-TIME cell stats
+      // (≤ cells rows written next to the tree) — the catalog-metadata
+      // read this ledger's comment always promised; the vectors tree is
+      // never scanned (r18 VERDICT ask #7)
+      val cellCounts = s.read.parquet(s"$root/vectors_stats")
+      val tot = cellCounts.agg(sum("n").as("tot"))
       val qs = t(s, d, "embeddings").filter(col("vec_id") < I.batch)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       val ranked = cents.crossJoin(broadcast(qs))
@@ -1088,8 +1091,58 @@ object Similarity {
           ranked.filter(col("rn") <= np)
             .join(broadcast(cellCounts), "cell")
             .agg(sum("n").cast("bigint").as("n_scanned"))
+            .crossJoin(broadcast(tot))
             .select(lit(np.toLong).as("nprobe"), col("n_scanned"),
-              round(col("n_scanned") / lit(I.batch * totN.toDouble), 4)
+              round(col("n_scanned") / (lit(I.batch) * col("tot")), 4)
+                .as("frac_scanned"))
+        }.reduce(_ unionByName _)
+        .orderBy("nprobe")
+    }),
+
+    // THE LIVE-STATE COST LEDGER (r18 VERDICT ask #6): the same sweep
+    // priced against the PRE-COMPACTION state a deployment actually
+    // serves — base + delta segments under a tombstone mask. Three cost
+    // surfaces per sweep point, all from catalog metadata (per-segment
+    // cell stats written at segment-write time + the id-list row
+    // counts): n_scanned = probed-cell rows across BOTH segments over
+    // the query panel; n_shadow_ids = the UNPRUNED later-segment id
+    // rows the latest-segment-wins mask reads per batch (the r18
+    // correctness fix's price — constant in nprobe, which is exactly
+    // what the ledger should show); n_tombstoned = the delete-mask id
+    // list. No vector is ever touched.
+    "s_index_probe_cost_live" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val I = graft.io.AnnIndex
+      val root = I.ensure(s, d)
+      I.ensureDelta(s, d, root)
+      I.ensureTombstones(s, d, root, Seq("vectors", "vectors_delta"))
+      val cos = graft.functions.GraftFunctions.cosineSim _
+      val cents = s.read.parquet(s"$root/centroids")
+      val baseStats = s.read.parquet(s"$root/vectors_stats")
+      val deltaStats = s.read.parquet(s"$root/vectors_delta_stats")
+      val cellCounts = baseStats.unionByName(deltaStats)
+        .groupBy("cell").agg(sum("n").as("n"))
+      val tot = cellCounts.agg(sum("n").as("tot"))
+      val shadow = deltaStats.agg(sum("n").cast("bigint").as("n_shadow_ids"))
+      val tomb = s.read.parquet(s"$root/tombstones")
+        .agg(count(lit(1)).as("n_tombstoned"))
+      val qs = t(s, d, "embeddings").filter(col("vec_id") < I.batch)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val ranked = cents.crossJoin(broadcast(qs))
+        .select(col("qid"), col("cell"),
+          round(cos(col("centroid"), col("qv")), 9).as("qc"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("qid").orderBy(col("qc").desc, col("cell"))))
+      recallSweep.map { case (np, _) =>
+          ranked.filter(col("rn") <= np)
+            .join(broadcast(cellCounts), "cell")
+            .agg(sum("n").cast("bigint").as("n_scanned"))
+            .crossJoin(broadcast(shadow))
+            .crossJoin(broadcast(tomb))
+            .crossJoin(broadcast(tot))
+            .select(lit(np.toLong).as("nprobe"), col("n_scanned"),
+              col("n_shadow_ids"), col("n_tombstoned"),
+              round(col("n_scanned") / (lit(I.batch) * col("tot")), 4)
                 .as("frac_scanned"))
         }.reduce(_ unionByName _)
         .orderBy("nprobe")
@@ -1122,6 +1175,101 @@ object Similarity {
       val I = graft.io.AnnIndex
       val root = I.ensure(s, d, Some(41))
       I.querySegments(s, d, root, Seq("vectors"), Some(41))
+    }),
+
+    // QUERY-BY-EXTERNAL-VECTOR (r18 VERDICT ask #2) — the deployment's
+    // actual read API: until now every index query answered the
+    // self-query panel drawn FROM the indexed corpus; a real retrieval
+    // stack queries with embeddings that are NOT in the index (a user
+    // query). The external batch is deterministic on both engines: the
+    // first `batch` corpus embeddings REVERSED (new content, the delta
+    // segment's device) with qids re-keyed +2,000,000 — disjoint from
+    // every indexed id, so no self-exclusion applies (querySegments
+    // drops the filter when an external batch is given). Same
+    // probe-pruned plan, ADC, shortlist and exact refine; DuckDB
+    // replays the identical hierarchy with the reversed query CTE.
+    "s_index_query_external" -> ((s, d) => {
+      val I = graft.io.AnnIndex
+      val root = I.ensure(s, d)
+      val qs = t(s, d, "embeddings").filter(col("vec_id") < I.batch)
+        .select((col("vec_id") + 2000000L).as("qid"),
+          reverse(col("embedding")).as("qv"))
+      I.querySegments(s, d, root, Seq("vectors"), queries = Some(qs))
+    }),
+
+    // The external-query API under HELD-OUT real queries — the stratum
+    // index only contains the 1-in-41 md5 draw, so corpus rows OUTSIDE
+    // the stratum are genuine held-out query vectors (same distribution
+    // as the indexed set, never indexed): the 4 smallest non-stratum
+    // ids query the stratum index. Doubles as the external API's
+    // high-SF gate twin (the replay stays at ~1/41 volume on the index
+    // side; the query batch is a 4-row TakeOrdered).
+    "s_index_query_external_s41" -> ((s, d) => {
+      val I = graft.io.AnnIndex
+      val root = I.ensure(s, d, Some(41))
+      val qs = t(s, d, "embeddings")
+        .filter(!Tables.stratum(col("vec_id"), 41))
+        .orderBy("vec_id").limit(I.batch)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      I.querySegments(s, d, root, Seq("vectors"), Some(41),
+        queries = Some(qs))
+    }),
+
+    // LEARNED-COARSE-QUANTIZER build (r18 VERDICT ask #3): the index's
+    // cells come from the oracled s_kmeans two-iteration Lloyd chain
+    // instead of the corpus label values — FAISS-IVF proper (train,
+    // then add against the trained centroids). PQ codebook/coding are
+    // unchanged, so the coarse quantizer is the only moving axis.
+    // Output: the per-cell census of the trained tree (same shape as
+    // s_index_build), which pins seed selection, both Lloyd rounds, the
+    // trained-centroid rounding and the final assignment of every
+    // vector.
+    "s_index_build_kmeans" -> ((s, d) => {
+      val root = graft.io.AnnIndex.buildKMeans(s, d)
+      s.read.parquet(s"$root/vectors")
+        .groupBy(col("cell").cast("bigint").as("cell"))
+        .agg(count(lit(1)).as("n_vecs"),
+          min("vec_id").as("min_vec"), max("vec_id").as("max_vec"),
+          sum(col("c0") + col("c1") * 8 + col("c2") * 64 + col("c3") * 512)
+            .cast("bigint").as("code_sum"))
+        .orderBy("cell")
+    }),
+
+    // THE MEASUREMENT THE TRAINED QUANTIZER EXISTS FOR: recall@5 of the
+    // label-cell tree vs the k-means tree at the SAME probe budget
+    // (nprobe = 3), against one shared exact ground-truth pass — the
+    // A/B row that shows the index RESPONDS to training (r18 VERDICT:
+    // "the measurement that shows the index responds to training").
+    // Both trees answer from ensure-cached artifacts; the span is two
+    // probe-pruned query plans + the census's one linear ground-truth
+    // pass.
+    "s_index_recall_quantizers" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val I = graft.io.AnnIndex
+      val roots = Seq("kmeans" -> I.ensureKMeans(s, d),
+        "label" -> I.ensure(s, d))
+      val cos = graft.functions.GraftFunctions.cosineSim _
+      val emb = t(s, d, "embeddings")
+      val qs = emb.filter(col("vec_id") < I.batch)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+      val exact = emb.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          round(cos(col("embedding"), col("qv")), 4).as("cos"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= I.topK)
+        .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
+      roots.map { case (tag, root) =>
+          I.querySegments(s, d, root, Seq("vectors"))
+            .select(lit(tag).as("quantizer"), col("qid"), col("vec_id"))
+        }.reduce(_ unionByName _)
+        .join(exact, Seq("qid", "vec_id"), "left")
+        .groupBy("quantizer")
+        .agg(sum(coalesce(col("hit"), lit(0L))).cast("bigint").as("n_hit"))
+        .select(col("quantizer"), col("n_hit"),
+          round(col("n_hit") / lit((I.batch * I.topK).toDouble), 4)
+            .as("recall_at_5"))
+        .orderBy("quantizer")
     }),
 
     // Maximum-inner-product search via the norm-augmentation reduction
@@ -1862,47 +2010,55 @@ object Similarity {
     * the shared `qlut`, so the full and stratum curve oracles compose
     * from ONE definition.
     */
-  private def recallCurveTailSql: String = {
-    def block(np: Int, rk: Int): String =
-      s"""probe$np AS (
-        |  SELECT qid, cell FROM (
-        |    SELECT q.qid, c.cell,
-        |      row_number() OVER (PARTITION BY q.qid ORDER BY
-        |        round(list_dot_product(c.centroid, q.qv) /
-        |          (sqrt(list_dot_product(c.centroid, c.centroid)) *
-        |           sqrt(list_dot_product(q.qv, q.qv))), 9) DESC, c.cell) AS rn
-        |    FROM c, q) WHERE rn <= $np),
-        |cand$np AS MATERIALIZED (
-        |  SELECT p.qid, a.vec_id, a.v FROM assign a JOIN probe$np p USING (cell)
-        |  WHERE a.vec_id <> p.qid),
-        |adc0$np AS (
-        |  SELECT c1.qid, c1.vec_id,
-        |    max(CASE WHEN codes.m = 0 THEN qd END) AS d0,
-        |    max(CASE WHEN codes.m = 1 THEN qd END) AS d1,
-        |    max(CASE WHEN codes.m = 2 THEN qd END) AS d2,
-        |    max(CASE WHEN codes.m = 3 THEN qd END) AS d3
-        |  FROM cand$np c1 JOIN codes USING (vec_id)
-        |  JOIN qlut ON qlut.qid = c1.qid AND qlut.m = codes.m
-        |    AND qlut.code = codes.code
-        |  GROUP BY c1.qid, c1.vec_id),
-        |short$np AS (
-        |  SELECT qid, vec_id, round(d0 + d1 + d2 + d3, 4) AS adc FROM adc0$np
-        |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY adc DESC, vec_id) <= $rk),
-        |idx$np AS (
-        |  SELECT s.qid AS qid, s.vec_id AS vec_id,
-        |    round(list_dot_product(c2.v, q.qv) /
-        |      (sqrt(list_dot_product(c2.v, c2.v)) *
-        |       sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos
-        |  FROM short$np s JOIN cand$np c2 ON c2.qid = s.qid AND c2.vec_id = s.vec_id
-        |  JOIN q ON q.qid = s.qid
-        |  QUALIFY row_number() OVER (PARTITION BY s.qid ORDER BY cos DESC, s.vec_id) <= 5)"""
-        .stripMargin
-    def agg(np: Int): String =
-      s"""SELECT CAST($np AS BIGINT) AS nprobe,
-        |  CAST(sum(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
-        |  round(sum(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END) / 20.0, 4) AS recall_at_5
-        |FROM idx$np i LEFT JOIN bf b ON b.qid = i.qid AND b.vec_id = i.vec_id"""
-        .stripMargin
+  /** One probe→ADC→shortlist→refine hierarchy instance over arbitrary
+    * centroid/assignment CTE names, CTE names suffixed by `sfx` — the
+    * shared builder behind the recall-curve sweep points (suffix = the
+    * nprobe value over c/assign) and the quantizer A/B comparison
+    * (suffixes lab/km over c/assign vs kc/kassign). Callers provide
+    * `q`, `qlut` and the shared `codes`.
+    */
+  private def quantBlockSql(sfx: String, cCte: String, aCte: String,
+      np: Int, rk: Int): String = {
+    val K = graft.io.AnnIndex.topK
+    s"""probe$sfx AS (
+      |  SELECT qid, cell FROM (
+      |    SELECT q.qid, c.cell,
+      |      row_number() OVER (PARTITION BY q.qid ORDER BY
+      |        round(list_dot_product(c.centroid, q.qv) /
+      |          (sqrt(list_dot_product(c.centroid, c.centroid)) *
+      |           sqrt(list_dot_product(q.qv, q.qv))), 9) DESC, c.cell) AS rn
+      |    FROM $cCte c, q) WHERE rn <= $np),
+      |cand$sfx AS MATERIALIZED (
+      |  SELECT p.qid, a.vec_id, a.v FROM $aCte a JOIN probe$sfx p USING (cell)
+      |  WHERE a.vec_id <> p.qid),
+      |adc0$sfx AS (
+      |  SELECT c1.qid, c1.vec_id,
+      |    max(CASE WHEN codes.m = 0 THEN qd END) AS d0,
+      |    max(CASE WHEN codes.m = 1 THEN qd END) AS d1,
+      |    max(CASE WHEN codes.m = 2 THEN qd END) AS d2,
+      |    max(CASE WHEN codes.m = 3 THEN qd END) AS d3
+      |  FROM cand$sfx c1 JOIN codes USING (vec_id)
+      |  JOIN qlut ON qlut.qid = c1.qid AND qlut.m = codes.m
+      |    AND qlut.code = codes.code
+      |  GROUP BY c1.qid, c1.vec_id),
+      |short$sfx AS (
+      |  SELECT qid, vec_id, round(d0 + d1 + d2 + d3, 4) AS adc FROM adc0$sfx
+      |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY adc DESC, vec_id) <= $rk),
+      |idx$sfx AS (
+      |  SELECT s.qid AS qid, s.vec_id AS vec_id,
+      |    round(list_dot_product(c2.v, q.qv) /
+      |      (sqrt(list_dot_product(c2.v, c2.v)) *
+      |       sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos
+      |  FROM short$sfx s JOIN cand$sfx c2 ON c2.qid = s.qid AND c2.vec_id = s.vec_id
+      |  JOIN q ON q.qid = s.qid
+      |  QUALIFY row_number() OVER (PARTITION BY s.qid ORDER BY cos DESC, s.vec_id) <= $K)"""
+      .stripMargin
+  }
+
+  /** Exact brute-force ground truth (top-topK per qid) over corpus CTE
+    * `e` — shared by every recall replay.
+    */
+  private def bfCteSql: String =
     s"""bf AS (
       |  SELECT qid, vec_id FROM (
       |    SELECT q.qid, e.vec_id,
@@ -1910,7 +2066,23 @@ object Similarity {
       |        (sqrt(list_dot_product(e.v, e.v)) *
       |         sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos
       |    FROM e, q WHERE e.vec_id <> q.qid)
-      |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) <= 5),
+      |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) <= ${graft.io.AnnIndex.topK})"""
+      .stripMargin
+
+  private def recallCurveTailSql: String = {
+    // engine-shared constants interpolated, not re-hardcoded (r18
+    // ADVICE: a future change to AnnIndex.batch/topK must not silently
+    // desynchronize the replay from the Spark entries)
+    val denom = graft.io.AnnIndex.batch * graft.io.AnnIndex.topK
+    def block(np: Int, rk: Int): String =
+      quantBlockSql(np.toString, "c", "assign", np, rk)
+    def agg(np: Int): String =
+      s"""SELECT CAST($np AS BIGINT) AS nprobe,
+        |  CAST(sum(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+        |  round(sum(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END) / $denom.0, 4) AS recall_at_5
+        |FROM idx$np i LEFT JOIN bf b ON b.qid = i.qid AND b.vec_id = i.vec_id"""
+        .stripMargin
+    s"""$bfCteSql,
       |${recallSweep.map { case (np, rk) => block(np, rk) }.mkString(",\n")}
       |SELECT * FROM (
       |${recallSweep.map { case (np, _) => agg(np) }.mkString("\nUNION ALL\n")})
@@ -1976,6 +2148,101 @@ object Similarity {
       |  SELECT vec_id, subv.m,
       |    (max({'d': round(list_dot_product(sv, cw), 9), 'code': code})).code AS code
       |  FROM subv JOIN cb ON subv.m = cb.m GROUP BY vec_id, subv.m)""".stripMargin
+
+  /** The TRAINED-coarse-quantizer replay (s_index_build_kmeans /
+    * s_index_recall_quantizers): the oracled s_kmeans Lloyd chain —
+    * first-8 seeds, two 9-dp-rounded-cosine assignment rounds with
+    * 9-dp-rounded means — extended by one more rounded mean (the
+    * trained centroids `kc`), then the final assignment of EVERY vector
+    * against kc (`kassign`, the FAISS train-then-add discipline).
+    * Appended after annIndexCtesSql, whose e/ms/cb/codes it reuses —
+    * PQ coding is identical across quantizers by design.
+    */
+  private def annIndexKMeansCtesSql: String =
+    """kseeds AS (SELECT CAST(vec_id AS INT) AS cl, v AS cent FROM e WHERE vec_id < 8),
+      |ka1 AS (
+      |  SELECT vec_id, any_value(v) AS v, (max({'c': c, 'cl': cl})).cl AS cl FROM
+      |    (SELECT e.vec_id, e.v, s.cl,
+      |       round(list_dot_product(e.v, s.cent) /
+      |         (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(s.cent, s.cent))), 9) AS c
+      |     FROM e, kseeds s)
+      |  GROUP BY vec_id),
+      |km1 AS (
+      |  SELECT cl, CAST(r.i AS INT) AS pos, avg(v[CAST(r.i AS INT) + 1]) AS mv
+      |  FROM ka1, range(64) r(i) GROUP BY cl, pos),
+      |kc1 AS (SELECT cl, list(round(mv, 9) ORDER BY pos) AS cent FROM km1 GROUP BY cl),
+      |ka2 AS (
+      |  SELECT vec_id, any_value(v) AS v, (max({'c': c, 'cl': cl})).cl AS cl FROM
+      |    (SELECT e.vec_id, e.v, k.cl,
+      |       round(list_dot_product(e.v, k.cent) /
+      |         (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(k.cent, k.cent))), 9) AS c
+      |     FROM e, kc1 k)
+      |  GROUP BY vec_id),
+      |km2 AS (
+      |  SELECT cl, CAST(r.i AS INT) AS pos, avg(v[CAST(r.i AS INT) + 1]) AS mv
+      |  FROM ka2, range(64) r(i) GROUP BY cl, pos),
+      |kc AS MATERIALIZED (
+      |  SELECT CAST(cl AS INT) AS cell, list(round(mv, 9) ORDER BY pos) AS centroid
+      |  FROM km2 GROUP BY cl),
+      |kassign AS MATERIALIZED (
+      |  SELECT vec_id, any_value(v) AS v,
+      |         (max({'c': c2c, 'cell': cell})).cell AS cell
+      |  FROM (SELECT e.vec_id, e.v, kc.cell,
+      |          round(list_dot_product(e.v, kc.centroid) /
+      |            (sqrt(list_dot_product(e.v, e.v)) *
+      |             sqrt(list_dot_product(kc.centroid, kc.centroid))), 9) AS c2c
+      |        FROM e, kc) GROUP BY vec_id)""".stripMargin
+
+  /** The single-segment query tail — the s_index_query probe/ADC/
+    * shortlist/exact-refine hierarchy over c/assign/codes, ending in
+    * the top-topK per qid. Callers prepend a train block and a `q`
+    * batch CTE. `selfExclude` mirrors querySegments' `queries`
+    * parameter: self-query panels exclude the query row itself; an
+    * EXTERNAL batch (qids disjoint from every indexed id) has no self
+    * row to exclude.
+    */
+  private def annIndexQueryTailSql(selfExclude: Boolean): String = {
+    val I = graft.io.AnnIndex
+    val candMask = if (selfExclude) "\n      |  WHERE a.vec_id <> p.qid" else ""
+    s"""probe AS (
+      |  SELECT qid, cell FROM (
+      |    SELECT q.qid, c.cell,
+      |      row_number() OVER (PARTITION BY q.qid ORDER BY
+      |        round(list_dot_product(c.centroid, q.qv) /
+      |          (sqrt(list_dot_product(c.centroid, c.centroid)) *
+      |           sqrt(list_dot_product(q.qv, q.qv))), 9) DESC, c.cell) AS rn
+      |    FROM c, q) WHERE rn <= ${I.nProbe}),
+      |cand AS MATERIALIZED (
+      |  SELECT p.qid, a.vec_id, a.v FROM assign a JOIN probe p USING (cell)$candMask),
+      |qlut AS (SELECT qid, m, code,
+      |         round(list_dot_product(qv[m*16+1 : m*16+16], cw), 9) AS qd
+      |         FROM cb, q),
+      |adc0 AS (
+      |  SELECT cand.qid, cand.vec_id,
+      |    max(CASE WHEN codes.m = 0 THEN qd END) AS d0,
+      |    max(CASE WHEN codes.m = 1 THEN qd END) AS d1,
+      |    max(CASE WHEN codes.m = 2 THEN qd END) AS d2,
+      |    max(CASE WHEN codes.m = 3 THEN qd END) AS d3
+      |  FROM cand JOIN codes USING (vec_id)
+      |  JOIN qlut ON qlut.qid = cand.qid AND qlut.m = codes.m
+      |    AND qlut.code = codes.code
+      |  GROUP BY cand.qid, cand.vec_id),
+      |short AS (
+      |  SELECT qid, vec_id, round(d0 + d1 + d2 + d3, 4) AS adc FROM adc0
+      |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY adc DESC, vec_id) <= ${I.shortlist}),
+      |ref AS (
+      |  SELECT s.qid, s.vec_id,
+      |    round(list_dot_product(cand.v, q.qv) /
+      |      (sqrt(list_dot_product(cand.v, cand.v)) *
+      |       sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos
+      |  FROM short s JOIN cand ON cand.qid = s.qid AND cand.vec_id = s.vec_id
+      |  JOIN q ON q.qid = s.qid)
+      |SELECT qid, CAST(row_number() OVER (PARTITION BY qid
+      |    ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk, vec_id, cos
+      |FROM ref
+      |QUALIFY rnk <= ${I.topK}
+      |ORDER BY qid, rnk""".stripMargin
+  }
 
   /** The frozen-parameter DELTA replay plus the merged segment views,
     * appended after either train block (annIndexCtesSql or
@@ -2533,46 +2800,73 @@ object Similarity {
     // hierarchy the Spark query runs over the loaded artifacts
     "s_index_query" ->
       s"""WITH $annIndexCtesSql,
-        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 4),
-        |probe AS (
-        |  SELECT qid, cell FROM (
-        |    SELECT q.qid, c.cell,
-        |      row_number() OVER (PARTITION BY q.qid ORDER BY
-        |        round(list_dot_product(c.centroid, q.qv) /
-        |          (sqrt(list_dot_product(c.centroid, c.centroid)) *
-        |           sqrt(list_dot_product(q.qv, q.qv))), 9) DESC, c.cell) AS rn
-        |    FROM c, q) WHERE rn <= 3),
-        |cand AS MATERIALIZED (
-        |  SELECT p.qid, a.vec_id, a.v FROM assign a JOIN probe p USING (cell)
-        |  WHERE a.vec_id <> p.qid),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < ${graft.io.AnnIndex.batch}),
+        |${annIndexQueryTailSql(selfExclude = true)}""".stripMargin,
+    // the external-query replay: same hierarchy, query batch = the
+    // first `batch` embeddings REVERSED and re-keyed +2,000,000 — no
+    // self row exists, so no self-exclusion (mirrors querySegments'
+    // `queries` parameter)
+    "s_index_query_external" ->
+      s"""WITH $annIndexCtesSql,
+        |q AS (SELECT vec_id + 2000000 AS qid, list_reverse(v) AS qv
+        |      FROM e WHERE vec_id < ${graft.io.AnnIndex.batch}),
+        |${annIndexQueryTailSql(selfExclude = false)}""".stripMargin,
+    // held-out external queries vs the STRATUM index: the stratified
+    // train block (e = the 1-in-41 draw), query batch = the 4 smallest
+    // ids OUTSIDE the stratum read from the raw table — genuine
+    // held-out vectors, never indexed
+    "s_index_query_external_s41" ->
+      s"""WITH ${annIndexStratCtesSql(stratum41Sql("vec_id"))},
+        |q AS (SELECT vec_id AS qid, qv FROM (
+        |   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS qv,
+        |     row_number() OVER (ORDER BY vec_id) AS rn
+        |   FROM embeddings WHERE NOT (${stratum41Sql("vec_id")}))
+        |   WHERE rn <= ${graft.io.AnnIndex.batch}),
+        |${annIndexQueryTailSql(selfExclude = false)}""".stripMargin,
+    // trained-quantizer build census: the kmeans chain's final
+    // assignment joined to the SAME per-vector codes
+    "s_index_build_kmeans" ->
+      s"""WITH $annIndexCtesSql,
+        |$annIndexKMeansCtesSql,
+        |wide AS (
+        |  SELECT vec_id,
+        |    max(CASE WHEN m = 0 THEN code END) AS c0,
+        |    max(CASE WHEN m = 1 THEN code END) AS c1,
+        |    max(CASE WHEN m = 2 THEN code END) AS c2,
+        |    max(CASE WHEN m = 3 THEN code END) AS c3
+        |  FROM codes GROUP BY vec_id)
+        |SELECT CAST(a.cell AS BIGINT) AS cell, count(*) AS n_vecs,
+        |  min(a.vec_id) AS min_vec, max(a.vec_id) AS max_vec,
+        |  CAST(sum(c0 + c1 * 8 + c2 * 64 + c3 * 512) AS BIGINT) AS code_sum
+        |FROM kassign a JOIN wide USING (vec_id)
+        |GROUP BY a.cell ORDER BY cell""".stripMargin,
+    // the quantizer A/B recall row: label-cell and kmeans-cell
+    // hierarchies at the same probe budget against ONE shared exact
+    // ground truth
+    "s_index_recall_quantizers" -> {
+      val I = graft.io.AnnIndex
+      val denom = I.batch * I.topK
+      def agg(tag: String, sfx: String): String =
+        s"""SELECT '$tag' AS quantizer,
+          |  CAST(sum(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+          |  round(sum(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END) / $denom.0, 4) AS recall_at_5
+          |FROM idx$sfx i LEFT JOIN bf b ON b.qid = i.qid AND b.vec_id = i.vec_id"""
+          .stripMargin
+      s"""WITH $annIndexCtesSql,
+        |$annIndexKMeansCtesSql,
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < ${I.batch}),
         |qlut AS (SELECT qid, m, code,
         |         round(list_dot_product(qv[m*16+1 : m*16+16], cw), 9) AS qd
         |         FROM cb, q),
-        |adc0 AS (
-        |  SELECT cand.qid, cand.vec_id,
-        |    max(CASE WHEN codes.m = 0 THEN qd END) AS d0,
-        |    max(CASE WHEN codes.m = 1 THEN qd END) AS d1,
-        |    max(CASE WHEN codes.m = 2 THEN qd END) AS d2,
-        |    max(CASE WHEN codes.m = 3 THEN qd END) AS d3
-        |  FROM cand JOIN codes USING (vec_id)
-        |  JOIN qlut ON qlut.qid = cand.qid AND qlut.m = codes.m
-        |    AND qlut.code = codes.code
-        |  GROUP BY cand.qid, cand.vec_id),
-        |short AS (
-        |  SELECT qid, vec_id, round(d0 + d1 + d2 + d3, 4) AS adc FROM adc0
-        |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY adc DESC, vec_id) <= 20),
-        |ref AS (
-        |  SELECT s.qid, s.vec_id,
-        |    round(list_dot_product(cand.v, q.qv) /
-        |      (sqrt(list_dot_product(cand.v, cand.v)) *
-        |       sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos
-        |  FROM short s JOIN cand ON cand.qid = s.qid AND cand.vec_id = s.vec_id
-        |  JOIN q ON q.qid = s.qid)
-        |SELECT qid, CAST(row_number() OVER (PARTITION BY qid
-        |    ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk, vec_id, cos
-        |FROM ref
-        |QUALIFY rnk <= 5
-        |ORDER BY qid, rnk""".stripMargin,
+        |$bfCteSql,
+        |${quantBlockSql("lab", "c", "assign", I.nProbe, I.shortlist)},
+        |${quantBlockSql("km", "kc", "kassign", I.nProbe, I.shortlist)}
+        |SELECT * FROM (
+        |${agg("kmeans", "km")}
+        |UNION ALL
+        |${agg("label", "lab")})
+        |ORDER BY quantizer""".stripMargin
+    },
     // the segmented-index probe: the s_index_query hierarchy over the
     // UNION of base and delta candidates — delta rows re-derive the
     // frozen-parameter assignment/coding (the s_index_delta CTEs), carry
@@ -2832,7 +3126,7 @@ object Similarity {
     // per nprobe
     "s_index_recall_curve" ->
       s"""WITH $annIndexCtesSql,
-        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 4),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < ${graft.io.AnnIndex.batch}),
         |qlut AS (SELECT qid, m, code,
         |         round(list_dot_product(qv[m*16+1 : m*16+16], cw), 9) AS qd
         |         FROM cb, q),
@@ -2844,7 +3138,7 @@ object Similarity {
       s"""WITH ${annIndexStratCtesSql(stratum41Sql("vec_id"))},
         |q AS (SELECT vec_id AS qid, v AS qv FROM (
         |   SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rn FROM e)
-        |   WHERE rn <= 4),
+        |   WHERE rn <= ${graft.io.AnnIndex.batch}),
         |qlut AS (SELECT qid, m, code,
         |         round(list_dot_product(qv[m*16+1 : m*16+16], cw), 9) AS qd
         |         FROM cb, q),
@@ -2855,10 +3149,10 @@ object Similarity {
       def agg(np: Int): String =
         s"""SELECT CAST($np AS BIGINT) AS nprobe,
           |  CAST(sum(n) AS BIGINT) AS n_scanned,
-          |  round(sum(n) / (4.0 * (SELECT count(*) FROM assign)), 4) AS frac_scanned
+          |  round(sum(n) / (${graft.io.AnnIndex.batch}.0 * (SELECT count(*) FROM assign)), 4) AS frac_scanned
           |FROM ranked JOIN cc USING (cell) WHERE rn <= $np""".stripMargin
       s"""WITH $annIndexCtesSql,
-        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 4),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < ${graft.io.AnnIndex.batch}),
         |ranked AS (
         |  SELECT q.qid, c.cell,
         |    row_number() OVER (PARTITION BY q.qid ORDER BY
@@ -2867,6 +3161,49 @@ object Similarity {
         |         sqrt(list_dot_product(q.qv, q.qv))), 9) DESC, c.cell) AS rn
         |  FROM c, q),
         |cc AS (SELECT cell, count(*) AS n FROM assign GROUP BY cell)
+        |SELECT * FROM (
+        |${recallSweep.map { case (np, _) => agg(np) }.mkString("\nUNION ALL\n")})
+        |ORDER BY nprobe""".stripMargin
+    },
+    // the cost ledger for the LIVE pre-compaction state (r18 VERDICT
+    // ask #6): per-cell counts from BOTH segments' replayed assignments,
+    // plus the fixed per-batch overheads the segmented read pays — the
+    // unpruned later-segment shadow-id scan and the tombstone id list
+    "s_index_probe_cost_live" -> {
+      def agg(np: Int): String =
+        s"""SELECT CAST($np AS BIGINT) AS nprobe,
+          |  CAST(sum(n) AS BIGINT) AS n_scanned,
+          |  (SELECT ns FROM shadow) AS n_shadow_ids,
+          |  (SELECT nt FROM tomb) AS n_tombstoned,
+          |  round(sum(n) / (${graft.io.AnnIndex.batch}.0 * (SELECT t FROM tot)), 4) AS frac_scanned
+          |FROM ranked JOIN cc USING (cell) WHERE rn <= $np""".stripMargin
+      s"""WITH $annIndexCtesSql,
+        |deltae AS (SELECT vec_id + 1000000 AS vec_id, list_reverse(v) AS v
+        |  FROM e WHERE vec_id % 7 = 3),
+        |dassign AS (
+        |  SELECT vec_id, (max({'c': c2c, 'cell': cell})).cell AS cell
+        |  FROM (SELECT de.vec_id, c.cell,
+        |          round(list_dot_product(de.v, c.centroid) /
+        |            (sqrt(list_dot_product(de.v, de.v)) *
+        |             sqrt(list_dot_product(c.centroid, c.centroid))), 9) AS c2c
+        |        FROM deltae de, c) GROUP BY vec_id),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < ${graft.io.AnnIndex.batch}),
+        |ranked AS (
+        |  SELECT q.qid, c.cell,
+        |    row_number() OVER (PARTITION BY q.qid ORDER BY
+        |      round(list_dot_product(c.centroid, q.qv) /
+        |        (sqrt(list_dot_product(c.centroid, c.centroid)) *
+        |         sqrt(list_dot_product(q.qv, q.qv))), 9) DESC, c.cell) AS rn
+        |  FROM c, q),
+        |cc AS (SELECT cell, count(*) AS n FROM (
+        |  SELECT cell FROM assign UNION ALL SELECT cell FROM dassign)
+        |  GROUP BY cell),
+        |shadow AS (SELECT CAST(count(*) AS BIGINT) AS ns FROM deltae),
+        |tomb AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM (
+        |  SELECT vec_id FROM assign UNION ALL SELECT vec_id FROM deltae)
+        |  WHERE vec_id % 11 = 5),
+        |tot AS (SELECT (SELECT count(*) FROM assign) +
+        |               (SELECT count(*) FROM deltae) AS t)
         |SELECT * FROM (
         |${recallSweep.map { case (np, _) => agg(np) }.mkString("\nUNION ALL\n")})
         |ORDER BY nprobe""".stripMargin

@@ -73,14 +73,38 @@ class LayoutInvarianceSpec extends SparkSpec {
       else {
         val diffs = v.zip(b).filter { case (x, y) => x != y }
         assert(diffs.size <= 1 &&
-          diffs.forall { case (x, y) => x == -y },
-          s"copy $k of vec $id: not a single sign-flip")
+          diffs.forall { case (x, y) =>
+            x == (-y * (1.0 + k / 4096.0)).toFloat },
+          s"copy $k of vec $id: not a single scaled sign-flip")
         if (diffs.size == 1) flipped += 1
       }
     }
-    // sign-flipping a zero component is a no-op, but random float
-    // embeddings make that measure-zero: essentially every k>0 row flips
-    assert(flipped > base.size, s"too few flipped rows: $flipped")
+    // perturbing a zero component is a no-op, but random float
+    // embeddings make that measure-zero: essentially every k>0 row moves
+    assert(flipped > base.size, s"too few perturbed rows: $flipped")
+    graft.util.Dirs.deleteRecursively(new java.io.File(root))
+  }
+
+  test("jittered copies stay distinct past 64 copies (no ≤65-variant collapse)") {
+    // the r18 ADVICE regression class: a flip index derived from k alone
+    // collides past 64 copies, so a 70-copy group of one base vector
+    // collapsed to ≤ 65 distinct embeddings with byte-identical twins.
+    // The row-keyed flip index + k-scaled magnitude must keep EVERY
+    // replicated row distinct at any copy count.
+    val root = java.nio.file.Files.createTempDirectory("emb-perturb70").toString
+    ScaleUp.scale(spark, TestSpark.sf0001, root, copies = 70, files = 1,
+      perturb = true)
+    import org.apache.spark.sql.functions._
+    val groups = spark.read.parquet(s"$root/embeddings.parquet")
+      .select((col("vec_id") % ScaleUp.Base).as("base_id"), col("embedding"))
+      .groupBy("base_id")
+      .agg(count(lit(1)).as("n"), countDistinct(col("embedding")).as("nd"))
+      .collect()
+    groups.foreach { r =>
+      assert(r.getAs[Long]("n") == 70L)
+      assert(r.getAs[Long]("nd") == 70L,
+        s"base ${r.get(0)}: only ${r.getAs[Long]("nd")}/70 distinct variants")
+    }
     graft.util.Dirs.deleteRecursively(new java.io.File(root))
   }
 }

@@ -436,9 +436,17 @@ class AnnIndexSpec extends SparkSpec with BeforeAndAfterAll {
     val rows = Similarity.queries("s_index_recall_curve")(spark, sf).collect()
     assert(rows.map(_.getAs[Long]("nprobe")).toSeq == Seq(3L, 5L, 10L))
     val rec = rows.map(_.getAs[Double]("recall_at_5")).toSeq
-    // larger probe sets are supersets of smaller ones, so recall cannot
-    // decrease — the invariant that makes the curve a tuning ledger
-    assert(rec == rec.sorted, s"recall not monotone in nprobe: $rec")
+    // larger probe sets are supersets of smaller ones, but with the
+    // refine depth scaled to the probe budget monotonicity is NOT
+    // mathematically guaranteed (a wider ADC shortlist over a superset
+    // pool can displace a smaller pool's hits — shortlist displacement);
+    // on the pinned testdata the curve is empirically monotone, and a
+    // small tolerance keeps corpus regeneration from flaking the suite
+    // (r18 ADVICE)
+    rec.sliding(2).foreach { w =>
+      assert(w(1) >= w(0) - 0.05,
+        s"recall fell past tolerance in nprobe: $rec")
+    }
     rows.foreach { r =>
       assert(r.getAs[Double]("recall_at_5") ==
         r.getAs[Long]("n_hit") / (AnnIndex.batch * AnnIndex.topK).toDouble)
@@ -489,5 +497,110 @@ class AnnIndexSpec extends SparkSpec with BeforeAndAfterAll {
       assert(ids.intersect(bf(qid)).size >= 1,
         s"query $qid: index top-5 disjoint from brute force")
     }
+  }
+
+  test("shadow-set bound: an oversized later segment fails loudly toward compact") {
+    // r18 VERDICT advisory #1: broadcast() is a hint the planner honors
+    // regardless of size, so the bounded-update-batch precondition must
+    // be ENFORCED — a deployment whose delta grows to base scale gets a
+    // typed error naming the remedy, not a silent driver OOM
+    val root = AnnIndex.ensure(spark, sf)
+    AnnIndex.ensureDelta(spark, sf, root)
+    val err = intercept[IllegalArgumentException] {
+      AnnIndex.querySegments(spark, sf, root,
+        Seq("vectors", "vectors_delta"), maxShadow = 1L)
+    }
+    assert(err.getMessage.contains("compact"),
+      s"guard must point at compaction: ${err.getMessage}")
+    // the bound is on the SHADOW sources (later segments) only: a
+    // single-segment read never shadows, so it passes any bound
+    AnnIndex.querySegments(spark, sf, root, Seq("vectors"), maxShadow = 1L)
+  }
+
+  test("external queries: re-keyed qids, full top-5 per query, no self rows") {
+    val rows = Similarity.queries("s_index_query_external")(spark, sf).collect()
+    val qids = rows.map(_.getAs[Long]("qid")).toSet
+    assert(qids == (0 until AnnIndex.batch).map(_ + 2000000L).toSet)
+    assert(rows.length == AnnIndex.batch * AnnIndex.topK)
+    rows.groupBy(_.getAs[Long]("qid")).foreach { case (qid, rs) =>
+      assert(rs.map(_.getAs[Long]("rnk")).sorted.toSeq ==
+        (1L to AnnIndex.topK).toSeq)
+      // results come from the index, never echo the external qid
+      rs.foreach(r => assert(r.getAs[Long]("vec_id") != qid))
+    }
+  }
+
+  test("held-out external queries hit the stratum index they were excluded from") {
+    val rows =
+      Similarity.queries("s_index_query_external_s41")(spark, sf).collect()
+    val strat = Tables.t(spark, sf, "embeddings")
+      .filter(Tables.stratum(col("vec_id"), 41))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    rows.foreach { r =>
+      // query ids are OUTSIDE the stratum; answers are INSIDE it
+      assert(!strat.contains(r.getAs[Long]("qid")))
+      assert(strat.contains(r.getAs[Long]("vec_id")))
+    }
+    assert(rows.map(_.getAs[Long]("qid")).distinct.length == AnnIndex.batch)
+  }
+
+  test("kmeans build: trained tree next to the label tree, same corpus coverage") {
+    val rows = Similarity.queries("s_index_build_kmeans")(spark, sf).collect()
+    val root = AnnIndex.rootFor(sf, None, Some("km"))
+    for (a <- Seq("centroids", "codebook", "vectors", "vectors_stats"))
+      assert(new java.io.File(root, a).exists(), s"missing artifact $a")
+    val total = Tables.t(spark, sf, "embeddings").count()
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum == total,
+      "every vector must land in exactly one trained cell")
+    // cells are Lloyd clusters seeded from the first 8 vectors — at most
+    // 8 survive (empty clusters drop out of the census)
+    assert(rows.length <= 8)
+    // the label tree is untouched by the variant build
+    assert(new java.io.File(AnnIndex.rootFor(sf), "vectors").exists())
+  }
+
+  test("quantizer A/B recall: one row per quantizer, shared denominator") {
+    val rows =
+      Similarity.queries("s_index_recall_quantizers")(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("quantizer")).toSeq ==
+      Seq("kmeans", "label"))
+    rows.foreach { r =>
+      val nHit = r.getAs[Long]("n_hit")
+      assert(nHit >= 0L && nHit <= (AnnIndex.batch * AnnIndex.topK).toLong)
+      assert(r.getAs[Double]("recall_at_5") ==
+        nHit / (AnnIndex.batch * AnnIndex.topK).toDouble)
+    }
+  }
+
+  test("cell stats are build-time catalog metadata matching the tree census") {
+    Similarity.queries("s_index_build")(spark, sf).collect()
+    val root = AnnIndex.rootFor(sf).getAbsolutePath
+    val stats = spark.read.parquet(s"$root/vectors_stats")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val actual = spark.read.parquet(s"$root/vectors")
+      .groupBy("cell").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(stats == actual, "stats must mirror the vectors tree exactly")
+  }
+
+  test("live probe-cost ledger: segmented scan cost plus fixed mask overheads") {
+    val rows =
+      Similarity.queries("s_index_probe_cost_live")(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("nprobe")).toSeq == Seq(3L, 5L, 10L))
+    val scanned = rows.map(_.getAs[Long]("n_scanned")).toSeq
+    assert(scanned == scanned.sorted && scanned.distinct == scanned)
+    // full sweep = base + delta rows, per query
+    val root = AnnIndex.ensure(spark, sf)
+    val base = spark.read.parquet(s"$root/vectors").count()
+    val delta = spark.read.parquet(s"$root/vectors_delta").count()
+    assert(scanned.last == AnnIndex.batch * (base + delta))
+    assert(rows.last.getAs[Double]("frac_scanned") == 1.0)
+    // the shadow and tombstone overheads are nprobe-INDEPENDENT (the
+    // ledger's point: the masks are per-batch fixed costs)
+    assert(rows.map(_.getAs[Long]("n_shadow_ids")).distinct.length == 1)
+    assert(rows.head.getAs[Long]("n_shadow_ids") == delta)
+    val tomb = spark.read.parquet(s"$root/tombstones").count()
+    assert(rows.map(_.getAs[Long]("n_tombstoned")).distinct.length == 1)
+    assert(rows.head.getAs[Long]("n_tombstoned") == tomb)
   }
 }

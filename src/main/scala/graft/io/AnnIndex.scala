@@ -27,6 +27,13 @@ import org.apache.spark.sql.functions._
   *     is bounded driver-side metadata, so it lands in the scan as a
   *     LITERAL partition filter (static pruning, proven from executed
   *     scan metrics in AnnIndexSpec — the LayoutSpec device).
+  *   - `<segment>_stats/` (cell INT, n BIGINT) — per-cell row counts
+  *     written at every segment write: the catalog metadata the
+  *     probe-cost ledgers read instead of rescanning vectors.
+  *
+  * [[buildKMeans]] writes the same artifact set under a `_km` root with
+  * LEARNED cells (two-round Lloyd) instead of label cells; every query
+  * API works unchanged against either tree.
   *
   * Every discrete decision (cell argmax, code argmax) is a
   * 9-dp-rounded max-of-struct, so the DuckDB oracle replays the build

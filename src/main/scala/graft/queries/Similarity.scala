@@ -1272,6 +1272,44 @@ object Similarity {
         .orderBy("quantizer")
     }),
 
+    // The quantizer A/B's STRATUM twin — takes the trained-vs-label
+    // comparison to the high-SF gates: both trees built over the
+    // 1-in-41 stratum (kmeans seeds = the codebook's 8 smallest
+    // stratum ids, densely relabeled — the stratified seed rule),
+    // queried at the same nprobe=3 budget against one exact stratum
+    // ground-truth pass. On the jittered sf100 corpus this is the A/B
+    // measurement AT SCALE: does training the coarse quantizer still
+    // buy recall when every replicated row is a distinct near-neighbor?
+    "s_index_recall_quantizers_s41" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val I = graft.io.AnnIndex
+      val roots = Seq("kmeans" -> I.ensureKMeans(s, d, Some(41)),
+        "label" -> I.ensure(s, d, Some(41)))
+      val cos = graft.functions.GraftFunctions.cosineSim _
+      val emb = t(s, d, "embeddings")
+        .filter(Tables.stratum(col("vec_id"), 41))
+      val qs = emb.orderBy("vec_id").limit(I.batch)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+      val exact = emb.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          round(cos(col("embedding"), col("qv")), 4).as("cos"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= I.topK)
+        .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
+      roots.map { case (tag, root) =>
+          I.querySegments(s, d, root, Seq("vectors"), Some(41))
+            .select(lit(tag).as("quantizer"), col("qid"), col("vec_id"))
+        }.reduce(_ unionByName _)
+        .join(exact, Seq("qid", "vec_id"), "left")
+        .groupBy("quantizer")
+        .agg(sum(coalesce(col("hit"), lit(0L))).cast("bigint").as("n_hit"))
+        .select(col("quantizer"), col("n_hit"),
+          round(col("n_hit") / lit((I.batch * I.topK).toDouble), 4)
+            .as("recall_at_5"))
+        .orderBy("quantizer")
+    }),
+
     // Maximum-inner-product search via the norm-augmentation reduction
     // (Bachrach et al.: append sqrt(M² − ‖x‖²) to every vector, 0 to the
     // query; COSINE order on the augmented space == inner-product order
@@ -2156,10 +2194,17 @@ object Similarity {
     * trained centroids `kc`), then the final assignment of EVERY vector
     * against kc (`kassign`, the FAISS train-then-add discipline).
     * Appended after annIndexCtesSql, whose e/ms/cb/codes it reuses —
-    * PQ coding is identical across quantizers by design.
+    * PQ coding is identical across quantizers by design. `seedsSql`
+    * supplies the seed rule: unstratified = the first 8 vec_ids (the
+    * s_kmeans discipline); the stratum twin reuses `cbsel`'s
+    * 8-smallest-stratum-ids dense relabel — exactly the engine's
+    * codebookRows seed rule.
     */
-  private def annIndexKMeansCtesSql: String =
-    """kseeds AS (SELECT CAST(vec_id AS INT) AS cl, v AS cent FROM e WHERE vec_id < 8),
+  private def annIndexKMeansCtesSql(
+      seedsSql: String =
+        "SELECT CAST(vec_id AS INT) AS cl, v AS cent FROM e WHERE vec_id < 8")
+      : String =
+    s"""kseeds AS ($seedsSql),
       |ka1 AS (
       |  SELECT vec_id, any_value(v) AS v, (max({'c': c, 'cl': cl})).cl AS cl FROM
       |    (SELECT e.vec_id, e.v, s.cl,
@@ -2827,7 +2872,7 @@ object Similarity {
     // assignment joined to the SAME per-vector codes
     "s_index_build_kmeans" ->
       s"""WITH $annIndexCtesSql,
-        |$annIndexKMeansCtesSql,
+        |${annIndexKMeansCtesSql()},
         |wide AS (
         |  SELECT vec_id,
         |    max(CASE WHEN m = 0 THEN code END) AS c0,
@@ -2853,8 +2898,37 @@ object Similarity {
           |FROM idx$sfx i LEFT JOIN bf b ON b.qid = i.qid AND b.vec_id = i.vec_id"""
           .stripMargin
       s"""WITH $annIndexCtesSql,
-        |$annIndexKMeansCtesSql,
+        |${annIndexKMeansCtesSql()},
         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < ${I.batch}),
+        |qlut AS (SELECT qid, m, code,
+        |         round(list_dot_product(qv[m*16+1 : m*16+16], cw), 9) AS qd
+        |         FROM cb, q),
+        |$bfCteSql,
+        |${quantBlockSql("lab", "c", "assign", I.nProbe, I.shortlist)},
+        |${quantBlockSql("km", "kc", "kassign", I.nProbe, I.shortlist)}
+        |SELECT * FROM (
+        |${agg("kmeans", "km")}
+        |UNION ALL
+        |${agg("label", "lab")})
+        |ORDER BY quantizer""".stripMargin
+    },
+    // the A/B row's stratum twin: the stratified train block (e = the
+    // 1-in-41 draw, cbsel's dense relabel doubles as the kmeans seed
+    // rule) + both hierarchies at the same probe budget
+    "s_index_recall_quantizers_s41" -> {
+      val I = graft.io.AnnIndex
+      val denom = I.batch * I.topK
+      def agg(tag: String, sfx: String): String =
+        s"""SELECT '$tag' AS quantizer,
+          |  CAST(sum(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+          |  round(sum(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END) / $denom.0, 4) AS recall_at_5
+          |FROM idx$sfx i LEFT JOIN bf b ON b.qid = i.qid AND b.vec_id = i.vec_id"""
+          .stripMargin
+      s"""WITH ${annIndexStratCtesSql(stratum41Sql("vec_id"))},
+        |${annIndexKMeansCtesSql("SELECT code AS cl, v AS cent FROM cbsel")},
+        |q AS (SELECT vec_id AS qid, v AS qv FROM (
+        |   SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rn FROM e)
+        |   WHERE rn <= ${I.batch}),
         |qlut AS (SELECT qid, m, code,
         |         round(list_dot_product(qv[m*16+1 : m*16+16], cw), 9) AS qd
         |         FROM cb, q),

@@ -572,6 +572,17 @@ class AnnIndexSpec extends SparkSpec with BeforeAndAfterAll {
     }
   }
 
+  test("quantizer A/B stratum twin: same shape over the 1-in-41 trees") {
+    val rows =
+      Similarity.queries("s_index_recall_quantizers_s41")(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("quantizer")).toSeq ==
+      Seq("kmeans", "label"))
+    rows.foreach { r =>
+      val nHit = r.getAs[Long]("n_hit")
+      assert(nHit >= 0L && nHit <= (AnnIndex.batch * AnnIndex.topK).toLong)
+    }
+  }
+
   test("cell stats are build-time catalog metadata matching the tree census") {
     Similarity.queries("s_index_build")(spark, sf).collect()
     val root = AnnIndex.rootFor(sf).getAbsolutePath

@@ -52,6 +52,9 @@ object AnnIndex {
   val batch = 4 // query ids: vec_id < 4
   val shortlist = 20
   val topK = 5
+  // operating-point floor for the cost-aware nprobe selector
+  // (s_index_nprobe_select): smallest nprobe with recall_at_5 >= floor
+  val recallFloor = 0.7
 
   /** Broadcast-safety bound on the shadow id sets [[querySegments]]
     * anti-joins (r18 VERDICT advisory #1: `broadcast()` is a hint the
@@ -76,6 +79,15 @@ object AnnIndex {
     */
   def rootFor(d: String, prime: Option[Int] = None,
       variant: Option[String] = None): java.io.File = {
+    // variants share one naming rule with cleanup()'s sweep regex (r19
+    // ADVICE: a variant outside the swept alphabet would leak its root
+    // in tmp, and one shaped like `s<digits>` would collide with the
+    // stratum `_sN` naming) — enforce both here, at the single place
+    // every variant string enters
+    variant.foreach(v => require(
+      v.matches("[a-z][a-z0-9]*") && !v.matches("s\\d+"),
+      s"index variant '$v' must be lowercase alphanumeric (not _sN-shaped)" +
+        " so cleanup()'s sweep can find its root"))
     val tag = d.replaceAll("[^A-Za-z0-9]", "_") +
       prime.map(p => s"_s$p").getOrElse("") +
       variant.map(v => s"_$v").getOrElse("")
@@ -96,25 +108,29 @@ object AnnIndex {
   }
 
   /** PQ codebook source rows with their code labels. Unstratified: the
-    * first `nCodes` vec_ids, code = vec_id (dense by construction).
-    * Stratified: the `nCodes` SMALLEST stratum vec_ids (vec_id < 8
-    * would mostly miss the 1-in-41 draw), re-labeled densely 0..7 by a
-    * bounded ≤ nCodes-row rank so the code_sum base-8 checksum stays
+    * first `n` vec_ids, code = vec_id (dense by construction).
+    * Stratified: the `n` SMALLEST stratum vec_ids (vec_id < n would
+    * mostly miss the 1-in-41 draw), re-labeled densely 0..n-1 by a
+    * bounded ≤ n-row rank so the code_sum base-8 checksum stays
     * meaningful; the selection itself is TakeOrdered, never a
-    * data-sized window.
+    * data-sized window. `n` defaults to the PQ codebook size; the
+    * k-means build reuses the same rule for its `k` seeds (r19 VERDICT
+    * ask #3: matched-k training needs more seeds than codes).
     */
-  private def codebookRows(emb: DataFrame, prime: Option[Int]): DataFrame =
+  private def codebookRows(emb: DataFrame, prime: Option[Int],
+      n: Int = nCodes): DataFrame =
     prime match {
       case None =>
-        emb.filter(col("vec_id") < nCodes)
-          .select(col("vec_id").cast("int").as("code"), col("embedding"))
+        emb.filter(col("vec_id") < n)
+          .select(col("vec_id").cast("int").as("code"), col("vec_id"),
+            col("embedding"))
       case Some(_) =>
         emb.select(col("vec_id"), col("embedding"))
-          .orderBy("vec_id").limit(nCodes)
+          .orderBy("vec_id").limit(n)
           .select((row_number().over(
               org.apache.spark.sql.expressions.Window.orderBy("vec_id")) - 1)
               .cast("int").as("code"),
-            col("embedding"))
+            col("vec_id"), col("embedding"))
     }
 
   private[graft] def subspaces(v: Column, out: String): Column =
@@ -130,18 +146,30 @@ object AnnIndex {
     * partial-agg'd; max-of-struct argmaxes so DuckDB replays the
     * discrete decisions bit-for-bit.
     */
-  private def assignAndCode(rows: DataFrame, cents: DataFrame,
-      cb: DataFrame): DataFrame = {
+  /** Coarse assignment alone: every row of `rows` to its nearest
+    * centroid (9-dp-rounded cosine argmax, larger cell on ties) —
+    * shared by [[assignAndCode]] and the residual build, which codes
+    * the residual `x − centroid(cell)` instead of x.
+    */
+  private def assignCells(rows: DataFrame, cents: DataFrame): DataFrame = {
     val cos = graft.functions.GraftFunctions.cosineSim _
-    val dotN = graft.functions.GraftFunctions.dotProduct _
-    val assigned = rows.crossJoin(broadcast(cents))
+    rows.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("embedding"), col("cell"),
         round(cos(col("embedding"), col("centroid")), 9).as("c2c"))
       .groupBy("vec_id")
       .agg(first("embedding").as("embedding"),
         max(struct(col("c2c"), col("cell"))).getField("cell").as("cell"))
-    val codes = rows
-      .select(col("vec_id"), subspaces(col("embedding"), "sv").as("x"))
+  }
+
+  /** PQ-code `vcol` of every row against codebook `cb` (9-dp dot argmax
+    * per subspace, wide c0..c3) — one broadcast-codebook pass, shared
+    * by raw and residual coding.
+    */
+  private def pqCodes(rows: DataFrame, vcol: String,
+      cb: DataFrame): DataFrame = {
+    val dotN = graft.functions.GraftFunctions.dotProduct _
+    rows
+      .select(col("vec_id"), subspaces(col(vcol), "sv").as("x"))
       .select(col("vec_id"), col("x.m").as("m"), col("x.sv").as("sv"))
       .join(broadcast(cb), "m")
       .select(col("vec_id"), col("m"), col("code"),
@@ -153,10 +181,13 @@ object AnnIndex {
         max(when(col("m") === 1, col("code"))).as("c1"),
         max(when(col("m") === 2, col("code"))).as("c2"),
         max(when(col("m") === 3, col("code"))).as("c3"))
-    assigned.join(codes, "vec_id")
+  }
+
+  private def assignAndCode(rows: DataFrame, cents: DataFrame,
+      cb: DataFrame): DataFrame =
+    assignCells(rows, cents).join(pqCodes(rows, "embedding", cb), "vec_id")
       .select(col("cell"), col("vec_id"), col("embedding"),
         col("c0"), col("c1"), col("c2"), col("c3"))
-  }
 
   /** Per-cell row counts of segment `seg`, persisted as `<seg>_stats/`
     * next to the tree — the catalog metadata a 100 TB index keeps at
@@ -205,7 +236,7 @@ object AnnIndex {
     * build time, zero extra query cost.
     */
   def buildKMeans(s: SparkSession, d: String,
-      prime: Option[Int] = None): String = synchronized {
+      prime: Option[Int] = None, k: Int = nCodes): String = synchronized {
     graft.functions.GraftFunctions.ensureRegistered(s)
     val cos = graft.functions.GraftFunctions.cosineSim _
     val emb = embFor(s, d, prime)
@@ -221,14 +252,100 @@ object AnnIndex {
       assigned.groupBy("cl").agg(vecMean(col("embedding")).as("c0"))
         .select(col("cl"), transform(col("c0"), x => round(x, 9)).as("cent"))
     // seeds follow the codebook's stratum-safe discipline: unstratified
-    // = the first nCodes vec_ids (cl = vec_id, the s_kmeans seed rule);
-    // stratified = the nCodes smallest stratum ids re-labeled densely
-    val seeds = codebookRows(emb, prime)
+    // = the first k vec_ids (cl = vec_id, the s_kmeans seed rule);
+    // stratified = the k smallest stratum ids re-labeled densely. k
+    // defaults to the historical nCodes (the r18 tree); matched-k
+    // training (k = the label-cell count) separates the TRAINING effect
+    // from the cell-count effect in the quantizer A/B (r19 VERDICT
+    // ask #3 — the 8-seed tree partly measured having 8 cells vs 10).
+    val seeds = codebookRows(emb, prime, k)
       .select(col("code").as("cl"), col("embedding").as("cent"))
     val trained = mean9(assign(mean9(assign(seeds))))
     val cents = trained.select(col("cl").cast("int").as("cell"),
       col("cent").as("centroid"))
-    writeIndex(s, rootFor(d, prime, Some("km")), d, emb, cents, prime)
+    writeIndex(s, rootFor(d, prime, Some(kmVariant(k))), d, emb, cents, prime)
+  }
+
+  /** Variant tag for the k-means tree: the historical `km` at the
+    * default seed count, `km<k>` otherwise — distinct trees per k, all
+    * swept by cleanup()'s generic variant pattern.
+    */
+  private[graft] def kmVariant(k: Int): String =
+    if (k == nCodes) "km" else s"km$k"
+
+  /** Element-wise 9-dp-rounded residual `x − centroid(cell)` of every
+    * assigned row — the quantity the residual build codes. Embeddings
+    * cast to double first so both engines subtract identical operands
+    * (float→double widening is exact).
+    */
+  private def withResidual(assigned: DataFrame,
+      cents: DataFrame): DataFrame =
+    assigned.join(broadcast(cents), "cell")
+      .select(col("vec_id"), col("cell"), col("embedding"),
+        zip_with(col("embedding").cast("array<double>"), col("centroid"),
+          (x, c) => round(x - c, 9)).as("rv"))
+
+  /** The RESIDUAL-coded build variant (r19 VERDICT ask #6) — standard
+    * IVF-PQ discipline (FAISS `by_residual`, Jégou et al. 2011 §III):
+    * PQ-code the residual `x − centroid(cell)` instead of the raw
+    * vector, so codes spend their precision on the WITHIN-cell offset
+    * (cell identity is already carried by the partition) instead of
+    * re-encoding the cell mean every code repeats. Same label cells,
+    * same seed rule, same artifact layout — the CODING is the only
+    * moving axis, which is what makes the raw-vs-residual recall A/B
+    * (s_index_recall_residual) a clean measurement, exactly like the
+    * quantizer A/B isolates the coarse axis. The codebook holds the
+    * SEED rows' residuals; every vector's residual is then argmax-coded
+    * against it (9-dp throughout, so DuckDB replays the subtraction and
+    * both argmaxes bit-for-bit). Query-side ADC needs the query's
+    * residual PER PROBED CELL — a bounded batch×nprobe LUT
+    * (querySegments(residual = true)). Build cost at 100 TB: identical
+    * passes to the raw build plus one broadcast-centroid subtract
+    * folded into the coding pass; query cost: the qlut grows by the
+    * nprobe factor, still driver-metadata scale.
+    */
+  def buildResidual(s: SparkSession, d: String,
+      prime: Option[Int] = None): String = synchronized {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val emb = embFor(s, d, prime)
+    val vecMean = graft.functions.VectorMean(64)
+    val cents = emb.groupBy(col("label").cast("int").as("cell"))
+      .agg(vecMean(col("embedding")).as("c0"))
+      .select(col("cell"),
+        transform(col("c0"), x => round(x, 9)).as("centroid"))
+    val rootF = rootFor(d, prime, Some("res"))
+    val root = rootF.getAbsolutePath
+    cents.coalesce(1).write.mode("overwrite").parquet(s"$root/centroids")
+    // residual codebook from the SEED rows only (bounded): assign just
+    // the ≤ nCodes seed rows — per-row argmax is independent, so this
+    // equals slicing them out of the full assignment
+    val seedRows = codebookRows(emb, prime)
+    val seedRes = withResidual(
+      assignCells(seedRows.select("vec_id", "embedding"), cents), cents)
+    val rcb = seedRes
+      .join(broadcast(seedRows.select("code", "vec_id")), "vec_id")
+      .select(col("code"), subspaces(col("rv"), "cw").as("x"))
+      .select(col("x.m").as("m"), col("code"), col("x.cw").as("cw"))
+    rcb.coalesce(1).write.mode("overwrite").parquet(s"$root/codebook")
+    val resid = withResidual(assignCells(emb, cents), cents)
+    resid.select(col("cell"), col("vec_id"), col("embedding"))
+      .join(pqCodes(resid, "rv", rcb), "vec_id")
+      .select(col("cell"), col("vec_id"), col("embedding"),
+        col("c0"), col("c1"), col("c2"), col("c3"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$root/vectors")
+    writeCellStats(s, root, "vectors")
+    java.nio.file.Files.write(markerFile(rootF).toPath,
+      fingerprint(d).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    root
+  }
+
+  /** [[ensure]] for the residual-coded tree. */
+  def ensureResidual(s: SparkSession, d: String,
+      prime: Option[Int] = None): String = synchronized {
+    sweepStale
+    val root = rootFor(d, prime, Some("res"))
+    if (isFresh(root, d)) root.getAbsolutePath else buildResidual(s, d, prime)
   }
 
   /** Shared tail of both build flavors: persist `cents`, derive and
@@ -413,20 +530,7 @@ object AnnIndex {
     * candidate set (plan-guarded in AnnIndexSpec).
     */
   private def unionLatestWins(rows: Seq[DataFrame],
-      fullSegs: Seq[DataFrame], maxShadow: Long): DataFrame = {
-    // boundedness guard (r18 VERDICT advisory #1): broadcast() is a hint
-    // the planner honors regardless of size, so the documented
-    // "update/delta batches are bounded" precondition must be ENFORCED,
-    // not assumed — past the bound, fail loudly toward the remedy
-    // (compact() dedups by shuffle and never broadcasts). One count per
-    // shadow-source segment, each a bounded-segment footer-scale scan.
-    if (fullSegs.size > 1) {
-      val shadowTotal = fullSegs.drop(1).map(_.count()).sum
-      require(shadowTotal <= maxShadow,
-        s"latest-segment-wins shadow sets span $shadowTotal rows, past " +
-          s"the broadcast-safe bound ($maxShadow); compact the segments " +
-          "first (AnnIndex.compact folds latest-wins by shuffle)")
-    }
+      fullSegs: Seq[DataFrame]): DataFrame = {
     // suffix id sets built by a BACKWARD fold (r18 ADVICE: the old
     // per-segment rebuild constructed O(S²) unions): suffix(i) reuses
     // suffix(i+1)'s plan, so each segment scan appears once per suffix
@@ -438,6 +542,31 @@ object AnnIndex {
       suffixes(i).fold(df)(ids =>
         df.join(broadcast(ids.distinct()), Seq("vec_id"), "left_anti"))
     }.reduce(_ unionByName _)
+  }
+
+  /** Row count of segment `seg` under `root`, read from the
+    * `<seg>_stats` catalog metadata written at every segment write (one
+    * single-file ≤ cells-row parquet read, memoized per stats mtime so
+    * repeat queries pay nothing), falling back to a count() scan ONLY
+    * for a segment written without stats (the spec's synthetic v2
+    * trees). r19 VERDICT ask #2 / ADVICE: the shadow-bound guard must
+    * be a true metadata read — the round-18 guard ran two count() jobs
+    * on every segmented query while the stats artifact already held the
+    * number.
+    */
+  private val segRowsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private[graft] def segmentRows(s: SparkSession, root: String,
+      seg: String): Long = {
+    val statsDir = new java.io.File(root, s"${seg}_stats")
+    val success = new java.io.File(statsDir, "_SUCCESS")
+    if (success.exists()) {
+      val key = s"$root|$seg|${success.lastModified()}"
+      segRowsCache.computeIfAbsent(key, _ =>
+        java.lang.Long.valueOf(
+          s.read.parquet(statsDir.getAbsolutePath)
+            .agg(coalesce(sum("n"), lit(0L))).head().getLong(0))).longValue()
+    } else s.read.parquet(s"$root/$seg").count()
   }
 
   /** Fold `segments` into ONE cell-partitioned tree at `root/out`,
@@ -510,7 +639,8 @@ object AnnIndex {
       nprobe: Int = nProbe,
       refineK: Int = shortlist,
       queries: Option[DataFrame] = None,
-      maxShadow: Long = maxShadowRows): DataFrame = {
+      maxShadow: Long = maxShadowRows,
+      residual: Boolean = false): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(s)
     val cos = graft.functions.GraftFunctions.cosineSim _
     val dotN = graft.functions.GraftFunctions.dotProduct _
@@ -522,7 +652,8 @@ object AnnIndex {
     // an EXTERNAL (qid, qv) batch — vectors NOT in the index, the
     // deployment's actual read API (r18 VERDICT ask #2): a user query
     // embedding is retrieved against the corpus, so no self-exclusion
-    // applies. External qids must be disjoint from indexed vec_ids.
+    // applies. External qids must be disjoint from indexed vec_ids —
+    // ENFORCED fail-loud below with a bounded probe (r19 ADVICE).
     val qs = queries.getOrElse(
       prime.fold(
           embFor(s, d, None).filter(col("vec_id") < batch))(_ =>
@@ -552,11 +683,42 @@ object AnnIndex {
     // ids re-keyed +1,000,000), so there the mask is a semantics guard;
     // AnnIndexSpec drives it with genuinely overlapping segment lists,
     // including cell-moving re-adds.
+    // boundedness guard (r18 VERDICT advisory #1): broadcast() is a hint
+    // the planner honors regardless of size, so the documented
+    // "update/delta batches are bounded" precondition must be ENFORCED,
+    // not assumed — past the bound, fail loudly toward the remedy
+    // (compact() dedups by shuffle and never broadcasts). Segment sizes
+    // come from the <seg>_stats catalog metadata (r19 ask #2), so the
+    // guard costs no job on the steady-state query path.
+    if (segments.size > 1) {
+      val shadowTotal = segments.drop(1).map(segmentRows(s, root, _)).sum
+      require(shadowTotal <= maxShadow,
+        s"latest-segment-wins shadow sets span $shadowTotal rows, past " +
+          s"the broadcast-safe bound ($maxShadow); compact the segments " +
+          "first (AnnIndex.compact folds latest-wins by shuffle)")
+    }
     val segReads = segments.map(seg => s.read.parquet(s"$root/$seg"))
     val dedup = unionLatestWins(
       segReads.map(_.filter(col("cell").isin(cellList.map(Int.box): _*))
         .select(segCols.map(col): _*)),
-      segReads, maxShadow)
+      segReads)
+    // external batches must use qids DISJOINT from every indexed id — a
+    // colliding qid would silently return the query row as its own
+    // neighbor (no self-exclusion applies). Enforce fail-loud (r19
+    // ADVICE) against the probed candidate rows, the only place a
+    // collision can surface: one bounded limit-1 semi-join over the
+    // already-pruned cells, paid by external batches only.
+    queries.foreach { _ =>
+      val clash = dedup
+        .join(broadcast(qs.select(col("qid").cast("long").as("vec_id"))),
+          Seq("vec_id"), "left_semi")
+        .limit(1).count()
+      require(clash == 0L,
+        "external query qids collide with indexed vec_ids in the probed " +
+          "cells; external batches must use qids disjoint from every " +
+          "indexed id (a collision would serve the query row as its own " +
+          "neighbor)")
+    }
     // tombstone mask: the id list is bounded (a delete batch), so the
     // anti-join broadcasts — per-row cost is a hash probe, never a
     // shuffle of the candidate set
@@ -568,15 +730,39 @@ object AnnIndex {
     // has no self row to exclude
     val cand = if (queries.isEmpty)
       joined.filter(col("vec_id") =!= col("qid")) else joined
-    val qlut = cb.crossJoin(broadcast(qs))
-      .select(col("qid"), col("m"), col("code"),
-        round(dotN(slice(col("qv"), col("m") * sub + 1, lit(sub)),
-          col("cw")), 9).as("qd"))
-    val short = cand
-      .select(col("qid"), col("vec_id"),
+    // ADC lookup table. Raw coding: one qd per (qid, m, code). Residual
+    // coding (residual = true, against a buildResidual tree): the codes
+    // quantize x − centroid(cell), so the LUT uses the QUERY's residual
+    // per probed cell — (qid, cell, m, code), still bounded
+    // batch·nprobe·M·codes driver-metadata scale, broadcast either way.
+    val qlut = if (!residual)
+      cb.crossJoin(broadcast(qs))
+        .select(col("qid"), col("m"), col("code"),
+          round(dotN(slice(col("qv"), col("m") * sub + 1, lit(sub)),
+            col("cw")), 9).as("qd"))
+    else {
+      val qres = probed.join(broadcast(cents), "cell")
+        .join(broadcast(qs), "qid")
+        .select(col("qid"), col("cell"),
+          zip_with(col("qv").cast("array<double>"), col("centroid"),
+            (x, c) => round(x - c, 9)).as("rqv"))
+      cb.crossJoin(broadcast(qres))
+        .select(col("qid"), col("cell"), col("m"), col("code"),
+          round(dotN(slice(col("rqv"), col("m") * sub + 1, lit(sub)),
+            col("cw")), 9).as("qd"))
+    }
+    val exploded = if (residual)
+      cand.select(col("qid"), col("cell"), col("vec_id"),
         posexplode(array(col("c0"), col("c1"), col("c2"), col("c3")))
           .as(Seq("m", "code")))
-      .join(broadcast(qlut), Seq("qid", "m", "code"))
+    else
+      cand.select(col("qid"), col("vec_id"),
+        posexplode(array(col("c0"), col("c1"), col("c2"), col("c3")))
+          .as(Seq("m", "code")))
+    val short = exploded
+      .join(broadcast(qlut),
+        if (residual) Seq("qid", "cell", "m", "code")
+        else Seq("qid", "m", "code"))
       .groupBy("qid", "vec_id")
       .agg(max(when(col("m") === 0, col("qd"))).as("d0"),
         max(when(col("m") === 1, col("qd"))).as("d1"),
@@ -674,12 +860,13 @@ object AnnIndex {
     if (isFresh(root, d)) root.getAbsolutePath else build(s, d, prime)
   }
 
-  /** [[ensure]] for the learned-coarse-quantizer tree. */
+  /** [[ensure]] for the learned-coarse-quantizer tree (per seed count). */
   def ensureKMeans(s: SparkSession, d: String,
-      prime: Option[Int] = None): String = synchronized {
+      prime: Option[Int] = None, k: Int = nCodes): String = synchronized {
     sweepStale
-    val root = rootFor(d, prime, Some("km"))
-    if (isFresh(root, d)) root.getAbsolutePath else buildKMeans(s, d, prime)
+    val root = rootFor(d, prime, Some(kmVariant(k)))
+    if (isFresh(root, d)) root.getAbsolutePath
+    else buildKMeans(s, d, prime, k)
   }
 
   private def isFresh(root: java.io.File, d: String): Boolean =
@@ -701,10 +888,11 @@ object AnnIndex {
     val tag = d.replaceAll("[^A-Za-z0-9]", "_")
     val pid = ProcessHandle.current().pid()
     val plain = s"graft_ivfidx_${tag}_p$pid"
-    // optional stratum suffix, then optional variant suffix (the km
-    // learned-quantizer tree), then this process's pid
+    // optional stratum suffix, then optional variant suffix matching the
+    // GENERIC alphabet rootFor enforces (r19 ADVICE: the old `_km`
+    // literal left any future variant un-swept), then this process's pid
     val strat = (java.util.regex.Pattern.quote(s"graft_ivfidx_$tag") +
-      "(_s\\d+)?(_km)?_p" + pid).r
+      "(_s\\d+)?(_[a-z][a-z0-9]*)?_p" + pid).r
     val tmp = new java.io.File(sys.props("java.io.tmpdir"))
     Option(tmp.listFiles()).getOrElse(Array.empty).foreach { f =>
       val n = f.getName

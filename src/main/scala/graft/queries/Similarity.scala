@@ -1310,6 +1310,218 @@ object Similarity {
         .orderBy("quantizer")
     }),
 
+    // The MATCHED-k quantizer A/B (r19 VERDICT ask #3): the 8-seed
+    // kmeans tree vs the 10-cell label tree partly measured CELL COUNT,
+    // not training — fewer, larger cells scan more rows per probe. Here
+    // k-means trains exactly as many cells as the corpus has labels
+    // (k = count(distinct label), read once driver-side — bounded
+    // catalog metadata), so the A/B isolates the TRAINING effect at
+    // equal partition granularity. Same probe budget, same shared
+    // ground-truth pass as the unmatched row, which stays in the corpus
+    // as the cell-count control.
+    "s_index_recall_quantizers_matched" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val I = graft.io.AnnIndex
+      val emb = t(s, d, "embeddings")
+      val k = emb.select("label").distinct().count().toInt
+      val roots = Seq("kmeans" -> I.ensureKMeans(s, d, k = k),
+        "label" -> I.ensure(s, d))
+      val cos = graft.functions.GraftFunctions.cosineSim _
+      val qs = emb.filter(col("vec_id") < I.batch)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+      val exact = emb.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          round(cos(col("embedding"), col("qv")), 4).as("cos"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= I.topK)
+        .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
+      roots.map { case (tag, root) =>
+          I.querySegments(s, d, root, Seq("vectors"))
+            .select(lit(tag).as("quantizer"), col("qid"), col("vec_id"))
+        }.reduce(_ unionByName _)
+        .join(exact, Seq("qid", "vec_id"), "left")
+        .groupBy("quantizer")
+        .agg(sum(coalesce(col("hit"), lit(0L))).cast("bigint").as("n_hit"))
+        .select(col("quantizer"), col("n_hit"),
+          round(col("n_hit") / lit((I.batch * I.topK).toDouble), 4)
+            .as("recall_at_5"))
+        .orderBy("quantizer")
+    }),
+
+    // The matched-k A/B's stratum twin — k = the STRATUM's label
+    // cardinality, seeds = the k smallest stratum ids densely relabeled
+    // (codebookRows' stratified rule at n = k), so the sf100 gate
+    // measures matched-k training at 1000× on ~1/41 replay volume.
+    "s_index_recall_quantizers_matched_s41" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val I = graft.io.AnnIndex
+      val emb = t(s, d, "embeddings")
+        .filter(Tables.stratum(col("vec_id"), 41))
+      val k = emb.select("label").distinct().count().toInt
+      val roots = Seq("kmeans" -> I.ensureKMeans(s, d, Some(41), k),
+        "label" -> I.ensure(s, d, Some(41)))
+      val cos = graft.functions.GraftFunctions.cosineSim _
+      val qs = emb.orderBy("vec_id").limit(I.batch)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+      val exact = emb.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          round(cos(col("embedding"), col("qv")), 4).as("cos"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= I.topK)
+        .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
+      roots.map { case (tag, root) =>
+          I.querySegments(s, d, root, Seq("vectors"), Some(41))
+            .select(lit(tag).as("quantizer"), col("qid"), col("vec_id"))
+        }.reduce(_ unionByName _)
+        .join(exact, Seq("qid", "vec_id"), "left")
+        .groupBy("quantizer")
+        .agg(sum(coalesce(col("hit"), lit(0L))).cast("bigint").as("n_hit"))
+        .select(col("quantizer"), col("n_hit"),
+          round(col("n_hit") / lit((I.batch * I.topK).toDouble), 4)
+            .as("recall_at_5"))
+        .orderBy("quantizer")
+    }),
+
+    // RESIDUAL-coded build census (r19 VERDICT ask #6): the FAISS
+    // by_residual discipline — PQ codes quantize x − centroid(cell)
+    // instead of x, spending code precision on the within-cell offset
+    // the partition doesn't already carry. Cells and seed rule are
+    // IDENTICAL to the base tree; only the codebook/coding axis moves.
+    // The census pins the residual subtraction, the residual codebook
+    // and every vector's residual code argmax, cell by cell.
+    "s_index_build_residual" -> ((s, d) => {
+      val root = graft.io.AnnIndex.buildResidual(s, d)
+      s.read.parquet(s"$root/vectors")
+        .groupBy(col("cell").cast("bigint").as("cell"))
+        .agg(count(lit(1)).as("n_vecs"),
+          min("vec_id").as("min_vec"), max("vec_id").as("max_vec"),
+          sum(col("c0") + col("c1") * 8 + col("c2") * 64 + col("c3") * 512)
+            .cast("bigint").as("code_sum"))
+        .orderBy("cell")
+    }),
+
+    // THE MEASUREMENT RESIDUAL CODING EXISTS FOR: recall@5 of raw-coded
+    // vs residual-coded trees at the SAME probe budget and shortlist,
+    // against one shared exact ground-truth pass — the coding-axis
+    // sibling of the quantizer A/B (same cells both sides, so any
+    // recall delta is pure ADC shortlist quality).
+    "s_index_recall_residual" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val I = graft.io.AnnIndex
+      val roots = Seq("raw" -> (I.ensure(s, d), false),
+        "residual" -> (I.ensureResidual(s, d), true))
+      val cos = graft.functions.GraftFunctions.cosineSim _
+      val emb = t(s, d, "embeddings")
+      val qs = emb.filter(col("vec_id") < I.batch)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+      val exact = emb.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          round(cos(col("embedding"), col("qv")), 4).as("cos"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= I.topK)
+        .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
+      roots.map { case (tag, (root, res)) =>
+          I.querySegments(s, d, root, Seq("vectors"), residual = res)
+            .select(lit(tag).as("coding"), col("qid"), col("vec_id"))
+        }.reduce(_ unionByName _)
+        .join(exact, Seq("qid", "vec_id"), "left")
+        .groupBy("coding")
+        .agg(sum(coalesce(col("hit"), lit(0L))).cast("bigint").as("n_hit"))
+        .select(col("coding"), col("n_hit"),
+          round(col("n_hit") / lit((I.batch * I.topK).toDouble), 4)
+            .as("recall_at_5"))
+        .orderBy("coding")
+    }),
+
+    // The residual A/B's stratum twin — residual coding measured at the
+    // sf100 gate on ~1/41 replay volume (stratum cells, stratum seeds'
+    // residuals, 4-smallest-stratum-ids batch).
+    "s_index_recall_residual_s41" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val I = graft.io.AnnIndex
+      val roots = Seq("raw" -> (I.ensure(s, d, Some(41)), false),
+        "residual" -> (I.ensureResidual(s, d, Some(41)), true))
+      val cos = graft.functions.GraftFunctions.cosineSim _
+      val emb = t(s, d, "embeddings")
+        .filter(Tables.stratum(col("vec_id"), 41))
+      val qs = emb.orderBy("vec_id").limit(I.batch)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+      val exact = emb.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          round(cos(col("embedding"), col("qv")), 4).as("cos"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= I.topK)
+        .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
+      roots.map { case (tag, (root, res)) =>
+          I.querySegments(s, d, root, Seq("vectors"), Some(41),
+              residual = res)
+            .select(lit(tag).as("coding"), col("qid"), col("vec_id"))
+        }.reduce(_ unionByName _)
+        .join(exact, Seq("qid", "vec_id"), "left")
+        .groupBy("coding")
+        .agg(sum(coalesce(col("hit"), lit(0L))).cast("bigint").as("n_hit"))
+        .select(col("coding"), col("n_hit"),
+          round(col("n_hit") / lit((I.batch * I.topK).toDouble), 4)
+            .as("recall_at_5"))
+        .orderBy("coding")
+    }),
+
+    // The coding A/B WITHOUT the exact-refine safety net: with
+    // refineK = topK the refine re-ranks exactly the ADC top-5, so the
+    // returned SET is determined purely by the approximate distances —
+    // recall@5 here measures CODE FIDELITY directly (the refined A/B
+    // above measures the production operating point, where a 20-deep
+    // exact refine masks coding differences; the gap between the two
+    // rows per coding is what the refine stage buys).
+    "s_index_recall_coding_adc" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val I = graft.io.AnnIndex
+      val roots = Seq("raw" -> (I.ensure(s, d), false),
+        "residual" -> (I.ensureResidual(s, d), true))
+      val cos = graft.functions.GraftFunctions.cosineSim _
+      val emb = t(s, d, "embeddings")
+      val qs = emb.filter(col("vec_id") < I.batch)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+      val exact = emb.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          round(cos(col("embedding"), col("qv")), 4).as("cos"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= I.topK)
+        .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
+      roots.map { case (tag, (root, res)) =>
+          I.querySegments(s, d, root, Seq("vectors"), refineK = I.topK,
+              residual = res)
+            .select(lit(tag).as("coding"), col("qid"), col("vec_id"))
+        }.reduce(_ unionByName _)
+        .join(exact, Seq("qid", "vec_id"), "left")
+        .groupBy("coding")
+        .agg(sum(coalesce(col("hit"), lit(0L))).cast("bigint").as("n_hit"))
+        .select(col("coding"), col("n_hit"),
+          round(col("n_hit") / lit((I.batch * I.topK).toDouble), 4)
+            .as("recall_at_5"))
+        .orderBy("coding")
+    }),
+
+    // COST-AWARE OPERATING-POINT SELECTOR (r19 VERDICT ask #7) — closes
+    // the loop the two ledgers opened: the recall curve says what each
+    // nprobe BUYS, the probe-cost ledger what it COSTS; the selector is
+    // the rule a deployment automates — the SMALLEST nprobe whose
+    // recall meets the floor (falling back to the max-recall point when
+    // nothing does, rather than returning nothing). One row out:
+    // the chosen operating point with both axes attached. The plan is
+    // the two ledger plans joined on nprobe + a LIMIT 1 TakeOrdered —
+    // no new scan shape.
+    "s_index_nprobe_select" -> ((s, d) =>
+      selectOperatingPoint(
+        queries("s_index_recall_curve")(s, d)
+          .join(queries("s_index_probe_cost")(s, d), "nprobe"),
+        graft.io.AnnIndex.recallFloor)),
+
     // Maximum-inner-product search via the norm-augmentation reduction
     // (Bachrach et al.: append sqrt(M² − ‖x‖²) to every vector, 0 to the
     // query; COSINE order on the augmented space == inner-product order
@@ -2037,7 +2249,11 @@ object Similarity {
     * its DuckDB replay so the two can never drift.
     */
   private[queries] val recallSweep: Seq[(Int, Int)] =
-    Seq(3, 5, 10).map(np => (np, math.ceil(20.0 * np / 3).toInt))
+    // refineK scales off the engine's shortlist constant, not a
+    // re-hardcoded 20 (r19 VERDICT ask #4: same silent-desync class as
+    // the batch literals)
+    Seq(3, 5, 10).map(np =>
+      (np, math.ceil(graft.io.AnnIndex.shortlist * np / 3.0).toInt))
 
   /** The recall-curve replay tail — brute-force ground truth over the
     * corpus CTE `e`, then the probe/ADC/shortlist/refine hierarchy
@@ -2092,6 +2308,24 @@ object Similarity {
       |  QUALIFY row_number() OVER (PARTITION BY s.qid ORDER BY cos DESC, s.vec_id) <= $K)"""
       .stripMargin
   }
+
+  /** The operating-point rule behind s_index_nprobe_select: smallest
+    * nprobe whose recall meets `floor`; when no sweep point qualifies,
+    * fall back to the max-recall point (largest nprobe — the sweep's
+    * refine ceiling) rather than returning nothing. One LIMIT 1
+    * TakeOrdered over the ≤ |sweep|-row joined ledger.
+    */
+  private[graft] def selectOperatingPoint(joined: DataFrame,
+      floor: Double): DataFrame =
+    joined
+      .withColumn("meets_floor",
+        (col("recall_at_5") >= floor).cast("bigint"))
+      .orderBy(col("meets_floor").desc,
+        when(col("meets_floor") === 1L, col("nprobe"))
+          .otherwise(-col("nprobe")))
+      .limit(1)
+      .select(col("nprobe"), col("n_hit"), col("recall_at_5"),
+        col("n_scanned"), col("frac_scanned"), col("meets_floor"))
 
   /** Exact brute-force ground truth (top-topK per qid) over corpus CTE
     * `e` — shared by every recall replay.
@@ -2237,6 +2471,90 @@ object Similarity {
       |            (sqrt(list_dot_product(e.v, e.v)) *
       |             sqrt(list_dot_product(kc.centroid, kc.centroid))), 9) AS c2c
       |        FROM e, kc) GROUP BY vec_id)""".stripMargin
+
+  /** The RESIDUAL-coding replay (s_index_build_residual /
+    * s_index_recall_residual): every assigned vector's element-wise
+    * 9-dp-rounded residual vs its cell centroid, the residual codebook
+    * from the SEED rows' residuals, and every residual's per-subspace
+    * code argmax — graft.io.AnnIndex.buildResidual. Appended after a
+    * train block (annIndexCtesSql or the stratified twin), whose
+    * e/c/assign/ms it reuses; cells are IDENTICAL to the raw tree by
+    * construction. `seedSel` supplies the seed rule: unstratified = the
+    * first nCodes vec_ids (code = vec_id); the stratum twin reuses
+    * cbsel's dense relabel.
+    */
+  private def annIndexResidCtesSql(
+      seedSel: String =
+        s"SELECT CAST(vec_id AS INT) AS code, vec_id FROM e " +
+          s"WHERE vec_id < ${graft.io.AnnIndex.nCodes}"): String =
+    s"""rsub AS MATERIALIZED (
+      |  SELECT a.vec_id, a.cell,
+      |    list(round(a.v[r.i + 1] - c.centroid[r.i + 1], 9) ORDER BY r.i) AS rv
+      |  FROM assign a JOIN c USING (cell), range(64) r(i)
+      |  GROUP BY a.vec_id, a.cell),
+      |rseed AS ($seedSel),
+      |rcb AS (SELECT m, s.code, rv[m*16+1 : m*16+16] AS cw
+      |        FROM rsub JOIN rseed s USING (vec_id), ms),
+      |rsubv AS (SELECT vec_id, m, rv[m*16+1 : m*16+16] AS sv FROM rsub, ms),
+      |rcodes AS MATERIALIZED (
+      |  SELECT vec_id, rsubv.m,
+      |    (max({'d': round(list_dot_product(sv, cw), 9), 'code': code})).code AS code
+      |  FROM rsubv JOIN rcb ON rsubv.m = rcb.m GROUP BY vec_id, rsubv.m)"""
+      .stripMargin
+
+  /** One residual-ADC probe→shortlist→refine hierarchy instance (the
+    * residBlockSql sibling of quantBlockSql): the ADC joins on
+    * (qid, CELL, m, code) because the query-side LUT is the QUERY'S
+    * residual per probed cell — exactly querySegments(residual = true).
+    * Callers provide `q`, `c`, `assign`, `rcb`, `rcodes`.
+    */
+  private def residBlockSql(sfx: String, np: Int, rk: Int): String = {
+    val K = graft.io.AnnIndex.topK
+    s"""probe$sfx AS (
+      |  SELECT qid, cell FROM (
+      |    SELECT q.qid, c.cell,
+      |      row_number() OVER (PARTITION BY q.qid ORDER BY
+      |        round(list_dot_product(c.centroid, q.qv) /
+      |          (sqrt(list_dot_product(c.centroid, c.centroid)) *
+      |           sqrt(list_dot_product(q.qv, q.qv))), 9) DESC, c.cell) AS rn
+      |    FROM c, q) WHERE rn <= $np),
+      |cand$sfx AS MATERIALIZED (
+      |  SELECT p.qid, p.cell, a.vec_id, a.v
+      |  FROM assign a JOIN probe$sfx p USING (cell)
+      |  WHERE a.vec_id <> p.qid),
+      |qres$sfx AS (
+      |  SELECT p.qid, p.cell,
+      |    list(round(q.qv[r.i + 1] - c.centroid[r.i + 1], 9) ORDER BY r.i) AS rqv
+      |  FROM probe$sfx p JOIN c USING (cell) JOIN q ON q.qid = p.qid,
+      |    range(64) r(i)
+      |  GROUP BY p.qid, p.cell),
+      |qlutr$sfx AS (
+      |  SELECT qr.qid, qr.cell, m, code,
+      |    round(list_dot_product(rqv[m*16+1 : m*16+16], cw), 9) AS qd
+      |  FROM qres$sfx qr, rcb),
+      |adc0$sfx AS (
+      |  SELECT c1.qid, c1.vec_id,
+      |    max(CASE WHEN rcodes.m = 0 THEN qd END) AS d0,
+      |    max(CASE WHEN rcodes.m = 1 THEN qd END) AS d1,
+      |    max(CASE WHEN rcodes.m = 2 THEN qd END) AS d2,
+      |    max(CASE WHEN rcodes.m = 3 THEN qd END) AS d3
+      |  FROM cand$sfx c1 JOIN rcodes USING (vec_id)
+      |  JOIN qlutr$sfx ql ON ql.qid = c1.qid AND ql.cell = c1.cell
+      |    AND ql.m = rcodes.m AND ql.code = rcodes.code
+      |  GROUP BY c1.qid, c1.vec_id),
+      |short$sfx AS (
+      |  SELECT qid, vec_id, round(d0 + d1 + d2 + d3, 4) AS adc FROM adc0$sfx
+      |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY adc DESC, vec_id) <= $rk),
+      |idx$sfx AS (
+      |  SELECT s.qid AS qid, s.vec_id AS vec_id,
+      |    round(list_dot_product(c2.v, q.qv) /
+      |      (sqrt(list_dot_product(c2.v, c2.v)) *
+      |       sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos
+      |  FROM short$sfx s JOIN cand$sfx c2 ON c2.qid = s.qid AND c2.vec_id = s.vec_id
+      |  JOIN q ON q.qid = s.qid
+      |  QUALIFY row_number() OVER (PARTITION BY s.qid ORDER BY cos DESC, s.vec_id) <= $K)"""
+      .stripMargin
+  }
 
   /** The single-segment query tail — the s_index_query probe/ADC/
     * shortlist/exact-refine hierarchy over c/assign/codes, ending in
@@ -2941,6 +3259,216 @@ object Similarity {
         |${agg("label", "lab")})
         |ORDER BY quantizer""".stripMargin
     },
+    // the MATCHED-k quantizer A/B: identical to the unmatched row
+    // except the Lloyd chain seeds count(DISTINCT label) cells (the
+    // engine's k = label-cardinality rule), so the replay pins that the
+    // A/B isolates training at equal cell granularity
+    "s_index_recall_quantizers_matched" -> {
+      val I = graft.io.AnnIndex
+      val denom = I.batch * I.topK
+      def agg(tag: String, sfx: String): String =
+        s"""SELECT '$tag' AS quantizer,
+          |  CAST(sum(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+          |  round(sum(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END) / $denom.0, 4) AS recall_at_5
+          |FROM idx$sfx i LEFT JOIN bf b ON b.qid = i.qid AND b.vec_id = i.vec_id"""
+          .stripMargin
+      s"""WITH $annIndexCtesSql,
+        |${annIndexKMeansCtesSql(
+          "SELECT CAST(vec_id AS INT) AS cl, v AS cent FROM e " +
+            "WHERE vec_id < (SELECT count(DISTINCT label) FROM embeddings)")},
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < ${I.batch}),
+        |qlut AS (SELECT qid, m, code,
+        |         round(list_dot_product(qv[m*16+1 : m*16+16], cw), 9) AS qd
+        |         FROM cb, q),
+        |$bfCteSql,
+        |${quantBlockSql("lab", "c", "assign", I.nProbe, I.shortlist)},
+        |${quantBlockSql("km", "kc", "kassign", I.nProbe, I.shortlist)}
+        |SELECT * FROM (
+        |${agg("kmeans", "km")}
+        |UNION ALL
+        |${agg("label", "lab")})
+        |ORDER BY quantizer""".stripMargin
+    },
+    // the matched-k A/B's stratum twin: k = the stratum's label
+    // cardinality, seeds = the k smallest stratum ids densely relabeled
+    // (the codebookRows stratified rule generalized past cbsel's 8)
+    "s_index_recall_quantizers_matched_s41" -> {
+      val I = graft.io.AnnIndex
+      val denom = I.batch * I.topK
+      def agg(tag: String, sfx: String): String =
+        s"""SELECT '$tag' AS quantizer,
+          |  CAST(sum(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+          |  round(sum(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END) / $denom.0, 4) AS recall_at_5
+          |FROM idx$sfx i LEFT JOIN bf b ON b.qid = i.qid AND b.vec_id = i.vec_id"""
+          .stripMargin
+      s"""WITH ${annIndexStratCtesSql(stratum41Sql("vec_id"))},
+        |${annIndexKMeansCtesSql(
+          """SELECT CAST(rn - 1 AS INT) AS cl, v AS cent FROM (
+            |   SELECT v, row_number() OVER (ORDER BY vec_id) AS rn FROM e)
+            |   WHERE rn <= (SELECT count(DISTINCT label) FROM e)""".stripMargin)},
+        |q AS (SELECT vec_id AS qid, v AS qv FROM (
+        |   SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rn FROM e)
+        |   WHERE rn <= ${I.batch}),
+        |qlut AS (SELECT qid, m, code,
+        |         round(list_dot_product(qv[m*16+1 : m*16+16], cw), 9) AS qd
+        |         FROM cb, q),
+        |$bfCteSql,
+        |${quantBlockSql("lab", "c", "assign", I.nProbe, I.shortlist)},
+        |${quantBlockSql("km", "kc", "kassign", I.nProbe, I.shortlist)}
+        |SELECT * FROM (
+        |${agg("kmeans", "km")}
+        |UNION ALL
+        |${agg("label", "lab")})
+        |ORDER BY quantizer""".stripMargin
+    },
+    // residual-coded build census: the raw tree's cells joined to the
+    // RESIDUAL code argmaxes — pins the subtraction, the residual
+    // codebook and every code, cell by cell
+    "s_index_build_residual" ->
+      s"""WITH $annIndexCtesSql,
+        |${annIndexResidCtesSql()},
+        |widr AS (
+        |  SELECT vec_id,
+        |    max(CASE WHEN m = 0 THEN code END) AS c0,
+        |    max(CASE WHEN m = 1 THEN code END) AS c1,
+        |    max(CASE WHEN m = 2 THEN code END) AS c2,
+        |    max(CASE WHEN m = 3 THEN code END) AS c3
+        |  FROM rcodes GROUP BY vec_id)
+        |SELECT CAST(a.cell AS BIGINT) AS cell, count(*) AS n_vecs,
+        |  min(a.vec_id) AS min_vec, max(a.vec_id) AS max_vec,
+        |  CAST(sum(c0 + c1 * 8 + c2 * 64 + c3 * 512) AS BIGINT) AS code_sum
+        |FROM assign a JOIN widr USING (vec_id)
+        |GROUP BY a.cell ORDER BY cell""".stripMargin,
+    // the coding A/B recall row: raw-coded and residual-coded
+    // hierarchies over the SAME cells at the same probe budget against
+    // one shared exact ground truth
+    "s_index_recall_residual" -> {
+      val I = graft.io.AnnIndex
+      val denom = I.batch * I.topK
+      def agg(tag: String, sfx: String): String =
+        s"""SELECT '$tag' AS coding,
+          |  CAST(sum(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+          |  round(sum(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END) / $denom.0, 4) AS recall_at_5
+          |FROM idx$sfx i LEFT JOIN bf b ON b.qid = i.qid AND b.vec_id = i.vec_id"""
+          .stripMargin
+      s"""WITH $annIndexCtesSql,
+        |${annIndexResidCtesSql()},
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < ${I.batch}),
+        |qlut AS (SELECT qid, m, code,
+        |         round(list_dot_product(qv[m*16+1 : m*16+16], cw), 9) AS qd
+        |         FROM cb, q),
+        |$bfCteSql,
+        |${quantBlockSql("raw", "c", "assign", I.nProbe, I.shortlist)},
+        |${residBlockSql("res", I.nProbe, I.shortlist)}
+        |SELECT * FROM (
+        |${agg("raw", "raw")}
+        |UNION ALL
+        |${agg("residual", "res")})
+        |ORDER BY coding""".stripMargin
+    },
+    // the coding A/B's stratum twin: stratified train block, residual
+    // seeds = cbsel's dense relabel, 4-smallest-stratum-ids batch
+    "s_index_recall_residual_s41" -> {
+      val I = graft.io.AnnIndex
+      val denom = I.batch * I.topK
+      def agg(tag: String, sfx: String): String =
+        s"""SELECT '$tag' AS coding,
+          |  CAST(sum(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+          |  round(sum(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END) / $denom.0, 4) AS recall_at_5
+          |FROM idx$sfx i LEFT JOIN bf b ON b.qid = i.qid AND b.vec_id = i.vec_id"""
+          .stripMargin
+      s"""WITH ${annIndexStratCtesSql(stratum41Sql("vec_id"))},
+        |${annIndexResidCtesSql("SELECT code, vec_id FROM cbsel")},
+        |q AS (SELECT vec_id AS qid, v AS qv FROM (
+        |   SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rn FROM e)
+        |   WHERE rn <= ${I.batch}),
+        |qlut AS (SELECT qid, m, code,
+        |         round(list_dot_product(qv[m*16+1 : m*16+16], cw), 9) AS qd
+        |         FROM cb, q),
+        |$bfCteSql,
+        |${quantBlockSql("raw", "c", "assign", I.nProbe, I.shortlist)},
+        |${residBlockSql("res", I.nProbe, I.shortlist)}
+        |SELECT * FROM (
+        |${agg("raw", "raw")}
+        |UNION ALL
+        |${agg("residual", "res")})
+        |ORDER BY coding""".stripMargin
+    },
+    // the ADC-only coding A/B: both hierarchies with refine depth =
+    // topK, so the returned set is purely ADC-ranked
+    "s_index_recall_coding_adc" -> {
+      val I = graft.io.AnnIndex
+      val denom = I.batch * I.topK
+      def agg(tag: String, sfx: String): String =
+        s"""SELECT '$tag' AS coding,
+          |  CAST(sum(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+          |  round(sum(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END) / $denom.0, 4) AS recall_at_5
+          |FROM idx$sfx i LEFT JOIN bf b ON b.qid = i.qid AND b.vec_id = i.vec_id"""
+          .stripMargin
+      s"""WITH $annIndexCtesSql,
+        |${annIndexResidCtesSql()},
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < ${I.batch}),
+        |qlut AS (SELECT qid, m, code,
+        |         round(list_dot_product(qv[m*16+1 : m*16+16], cw), 9) AS qd
+        |         FROM cb, q),
+        |$bfCteSql,
+        |${quantBlockSql("rawa", "c", "assign", I.nProbe, I.topK)},
+        |${residBlockSql("resa", I.nProbe, I.topK)}
+        |SELECT * FROM (
+        |${agg("raw", "rawa")}
+        |UNION ALL
+        |${agg("residual", "resa")})
+        |ORDER BY coding""".stripMargin
+    },
+    // the operating-point selector: the recall-curve and probe-cost
+    // replays joined on nprobe, floored, smallest qualifying nprobe
+    // first (max-recall fallback when nothing qualifies), LIMIT 1
+    "s_index_nprobe_select" -> {
+      val I = graft.io.AnnIndex
+      val denom = I.batch * I.topK
+      def curveAgg(np: Int): String =
+        s"""SELECT CAST($np AS BIGINT) AS nprobe,
+          |  CAST(sum(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+          |  round(sum(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END) / $denom.0, 4) AS recall_at_5
+          |FROM idx$np i LEFT JOIN bf b ON b.qid = i.qid AND b.vec_id = i.vec_id"""
+          .stripMargin
+      def costAgg(np: Int): String =
+        s"""SELECT CAST($np AS BIGINT) AS nprobe,
+          |  CAST(sum(n) AS BIGINT) AS n_scanned,
+          |  round(sum(n) / (${I.batch}.0 * (SELECT count(*) FROM assign)), 4) AS frac_scanned
+          |FROM ranked JOIN cc USING (cell) WHERE rn <= $np""".stripMargin
+      s"""WITH $annIndexCtesSql,
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < ${I.batch}),
+        |qlut AS (SELECT qid, m, code,
+        |         round(list_dot_product(qv[m*16+1 : m*16+16], cw), 9) AS qd
+        |         FROM cb, q),
+        |$bfCteSql,
+        |${recallSweep.map { case (np, rk) =>
+            quantBlockSql(np.toString, "c", "assign", np, rk) }
+          .mkString(",\n")},
+        |ranked AS (
+        |  SELECT q.qid, c.cell,
+        |    row_number() OVER (PARTITION BY q.qid ORDER BY
+        |      round(list_dot_product(c.centroid, q.qv) /
+        |        (sqrt(list_dot_product(c.centroid, c.centroid)) *
+        |         sqrt(list_dot_product(q.qv, q.qv))), 9) DESC, c.cell) AS rn
+        |  FROM c, q),
+        |cc AS (SELECT cell, count(*) AS n FROM assign GROUP BY cell),
+        |curve AS (
+        |${recallSweep.map { case (np, _) => curveAgg(np) }
+          .mkString("\nUNION ALL\n")}),
+        |cost AS (
+        |${recallSweep.map { case (np, _) => costAgg(np) }
+          .mkString("\nUNION ALL\n")})
+        |SELECT cu.nprobe AS nprobe, n_hit, recall_at_5, n_scanned,
+        |  frac_scanned,
+        |  CAST(CASE WHEN recall_at_5 >= ${I.recallFloor} THEN 1 ELSE 0 END
+        |    AS BIGINT) AS meets_floor
+        |FROM curve cu JOIN cost USING (nprobe)
+        |ORDER BY meets_floor DESC,
+        |  CASE WHEN meets_floor = 1 THEN nprobe ELSE -nprobe END
+        |LIMIT 1""".stripMargin
+    },
     // the segmented-index probe: the s_index_query hierarchy over the
     // UNION of base and delta candidates — delta rows re-derive the
     // frozen-parameter assignment/coding (the s_index_delta CTEs), carry
@@ -2969,7 +3497,7 @@ object Similarity {
         |massign AS MATERIALIZED (
         |  SELECT vec_id, v, cell FROM assign
         |  UNION ALL SELECT vec_id, v, cell FROM dassign),
-        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 4),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < ${graft.io.AnnIndex.batch}),
         |probe AS (
         |  SELECT qid, cell FROM (
         |    SELECT q.qid, c.cell,
@@ -3111,7 +3639,7 @@ object Similarity {
     "s_index_query_tombstoned" ->
       s"""WITH $annIndexCtesSql,
         |$annIndexDeltaMergedCtesSql,
-        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 4),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < ${graft.io.AnnIndex.batch}),
         |${annIndexMergedTailSql(" AND a.vec_id % 11 <> 5")}""".stripMargin,
     // the upsert replay: updated rows (%13==2, reversed, frozen-coded)
     // SUBSTITUTED into the merged views — stale base rows excluded by
@@ -3138,14 +3666,14 @@ object Similarity {
         |massign AS MATERIALIZED (
         |  SELECT vec_id, v, cell FROM assign WHERE vec_id % 13 <> 2
         |  UNION ALL SELECT vec_id, v, cell FROM uassign),
-        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 4),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < ${graft.io.AnnIndex.batch}),
         |${annIndexMergedTailSql("")}""".stripMargin,
     // recall census replay: the s_index_query hierarchy's top-5 vs the
     // exact brute-force top-5, intersected per qid — both rankings are
     // 4-dp + vec_id deterministic, so recall is an exact integer ratio
     "s_index_recall" ->
       s"""WITH $annIndexCtesSql,
-        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 4),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < ${graft.io.AnnIndex.batch}),
         |probe AS (
         |  SELECT qid, cell FROM (
         |    SELECT q.qid, c.cell,

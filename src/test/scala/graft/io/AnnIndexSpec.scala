@@ -18,7 +18,10 @@ class AnnIndexSpec extends SparkSpec with BeforeAndAfterAll {
 
   private val sf = TestSpark.sf0001
 
-  override def afterAll(): Unit = AnnIndex.cleanup(sf)
+  override def afterAll(): Unit = {
+    AnnIndex.cleanup(sf)
+    AnnIndex.cleanup(TestSpark.sf001)
+  }
 
   private def scans(p: org.apache.spark.sql.execution.SparkPlan):
       Seq[FileSourceScanExec] = p match {
@@ -581,6 +584,146 @@ class AnnIndexSpec extends SparkSpec with BeforeAndAfterAll {
       val nHit = r.getAs[Long]("n_hit")
       assert(nHit >= 0L && nHit <= (AnnIndex.batch * AnnIndex.topK).toLong)
     }
+  }
+
+  test("matched-k quantizer A/B: trained cells = label cells, shared denominator") {
+    val rows =
+      Similarity.queries("s_index_recall_quantizers_matched")(spark, sf)
+        .collect()
+    assert(rows.map(_.getAs[String]("quantizer")).toSeq ==
+      Seq("kmeans", "label"))
+    rows.foreach { r =>
+      val nHit = r.getAs[Long]("n_hit")
+      assert(nHit >= 0L && nHit <= (AnnIndex.batch * AnnIndex.topK).toLong)
+      assert(r.getAs[Double]("recall_at_5") ==
+        nHit / (AnnIndex.batch * AnnIndex.topK).toDouble)
+    }
+    // the matched tree really trains as many cells as the corpus has
+    // labels (empty Lloyd clusters may drop, so <=), unlike the 8-seed
+    // km control
+    val k = Tables.t(spark, sf, "embeddings")
+      .select("label").distinct().count().toInt
+    val root = AnnIndex.rootFor(sf, None, Some(AnnIndex.kmVariant(k)))
+    val cells = spark.read.parquet(
+      new java.io.File(root, "centroids").getAbsolutePath).count()
+    assert(cells > AnnIndex.nCodes && cells <= k,
+      s"matched-k tree has $cells cells for $k labels")
+  }
+
+  test("residual build: same cells as the raw tree, codes differ") {
+    val rows =
+      Similarity.queries("s_index_build_residual")(spark, sf).collect()
+    val root = AnnIndex.rootFor(sf, None, Some("res"))
+    for (a <- Seq("centroids", "codebook", "vectors", "vectors_stats"))
+      assert(new java.io.File(root, a).exists(), s"missing artifact $a")
+    val total = Tables.t(spark, sf, "embeddings").count()
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum == total)
+    // cells are the SAME label cells as the raw tree (coding is the
+    // only moving axis) …
+    AnnIndex.ensure(spark, sf)
+    val rawCells = spark.read.parquet(
+        s"${AnnIndex.rootFor(sf).getAbsolutePath}/vectors")
+      .groupBy("cell").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val resCells = spark.read.parquet(s"${root.getAbsolutePath}/vectors")
+      .groupBy("cell").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(rawCells == resCells, "residual build moved cell assignments")
+    // … and the residual codes genuinely differ from the raw codes
+    val raw = spark.read.parquet(
+        s"${AnnIndex.rootFor(sf).getAbsolutePath}/vectors")
+      .select(col("vec_id"), col("c0").as("r0"))
+    val res = spark.read.parquet(s"${root.getAbsolutePath}/vectors")
+      .select(col("vec_id"), col("c0"))
+    assert(raw.join(res, "vec_id")
+      .filter(col("r0") =!= col("c0")).count() > 0,
+      "residual coding produced identical codes — the subtraction is dead")
+  }
+
+  test("residual A/B recall: one row per coding, shared denominator") {
+    val rows =
+      Similarity.queries("s_index_recall_residual")(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("coding")).toSeq ==
+      Seq("raw", "residual"))
+    rows.foreach { r =>
+      val nHit = r.getAs[Long]("n_hit")
+      assert(nHit >= 0L && nHit <= (AnnIndex.batch * AnnIndex.topK).toLong)
+      assert(r.getAs[Double]("recall_at_5") ==
+        nHit / (AnnIndex.batch * AnnIndex.topK).toDouble)
+    }
+  }
+
+  test("external qid colliding with an indexed id fails loudly") {
+    // r19 ADVICE: with an external batch the self-exclusion filter is
+    // dropped, so a colliding qid would silently return the query row
+    // as its own neighbor — the disjointness precondition is enforced
+    val root = AnnIndex.ensure(spark, sf)
+    val colliding = Tables.t(spark, sf, "embeddings")
+      .filter(col("vec_id") < AnnIndex.batch)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val err = intercept[IllegalArgumentException] {
+      AnnIndex.querySegments(spark, sf, root, Seq("vectors"),
+        queries = Some(colliding)).collect()
+    }
+    assert(err.getMessage.contains("disjoint"), err.getMessage)
+    // disjoint external qids still pass (the enforced precondition is
+    // collision, not externality)
+    val disjoint = colliding.select((col("qid") + 5000000L).as("qid"),
+      col("qv"))
+    assert(AnnIndex.querySegments(spark, sf, root, Seq("vectors"),
+      queries = Some(disjoint)).collect()
+      .length == AnnIndex.batch * AnnIndex.topK)
+  }
+
+  test("shadow guard reads segment stats, not a count scan") {
+    // r19 VERDICT ask #2: the guard must price later segments from the
+    // <seg>_stats catalog metadata. Contract: segmentRows agrees with
+    // the tree for a stats-backed segment, and still answers (by the
+    // count fallback) for a segment written without stats.
+    val root = AnnIndex.ensure(spark, sf)
+    AnnIndex.ensureDelta(spark, sf, root)
+    val viaStats = AnnIndex.segmentRows(spark, root, "vectors_delta")
+    val actual = spark.read.parquet(s"$root/vectors_delta").count()
+    assert(viaStats == actual)
+    // memoized: a second read answers from the driver-side cache even
+    // if the stats files are deleted out from under it (same mtime key)
+    assert(AnnIndex.segmentRows(spark, root, "vectors_delta") == actual)
+    // fallback: a raw segment with no stats directory still counts
+    spark.read.parquet(s"$root/vectors").limit(7).write
+      .mode("overwrite").parquet(s"$root/vectors_nostats")
+    assert(AnnIndex.segmentRows(spark, root, "vectors_nostats") == 7L)
+    graft.util.Dirs.deleteRecursively(
+      new java.io.File(root, "vectors_nostats"))
+  }
+
+  test("nprobe selector picks the smallest budget meeting the floor at the sf0.01 ledger") {
+    // r19 VERDICT ask #7 acceptance: at the pinned sf0.01 ledger the
+    // curve reads ~0.55 / 0.75 / … over nprobe {3, 5, 10}, so with the
+    // 0.7 floor the selector must land on nprobe = 5 — more recall than
+    // the floor demands is wasted scan, less fails it
+    val row = Similarity.queries("s_index_nprobe_select")(
+      spark, TestSpark.sf001).collect()
+    assert(row.length == 1, "selector must emit exactly one operating point")
+    val r = row.head
+    assert(r.getAs[Long]("nprobe") == 5L, r.toString)
+    assert(r.getAs[Long]("meets_floor") == 1L)
+    assert(r.getAs[Double]("recall_at_5") >= AnnIndex.recallFloor)
+    // the point of the selector: the chosen budget scans a FRACTION of
+    // the index, not all of it
+    assert(r.getAs[Double]("frac_scanned") < 1.0)
+  }
+
+  test("nprobe selector falls back to the max-recall point when nothing meets the floor") {
+    // same ledgers, floor forced above the curve ceiling: the rule's
+    // fallback arm picks the LARGEST nprobe (max recall) instead of
+    // returning an empty operating point
+    val pick = Similarity.selectOperatingPoint(
+      Similarity.queries("s_index_recall_curve")(spark, sf)
+        .join(Similarity.queries("s_index_probe_cost")(spark, sf), "nprobe"),
+      floor = 2.0).collect().head
+    assert(pick.getAs[Long]("meets_floor") == 0L)
+    assert(pick.getAs[Long]("nprobe") == 10L,
+      s"fallback must pick the max-recall sweep point: $pick")
   }
 
   test("cell stats are build-time catalog metadata matching the tree census") {

@@ -450,6 +450,13 @@ class AnnIndexSpec extends SparkSpec with BeforeAndAfterAll {
       assert(w(1) >= w(0) - 0.05,
         s"recall fell past tolerance in nprobe: $rec")
     }
+    // …and the EXPECTED curve is pinned on the fixed sf0.001 testdata
+    // (r19 ADVICE: the pairwise tolerance alone would let a systematic
+    // 0.05-per-step drop through; the corpus is generator-deterministic
+    // — index-entry hashes have matched across regenerations for many
+    // rounds — so the exact values are assertable)
+    assert(rec == Seq(0.45, 0.6, 0.85),
+      s"recall curve moved off the pinned sf0.001 values: $rec")
     rows.foreach { r =>
       assert(r.getAs[Double]("recall_at_5") ==
         r.getAs[Long]("n_hit") / (AnnIndex.batch * AnnIndex.topK).toDouble)

@@ -654,23 +654,47 @@ object AnnIndex {
     // embedding is retrieved against the corpus, so no self-exclusion
     // applies. External qids must be disjoint from indexed vec_ids —
     // ENFORCED fail-loud below with a bounded probe (r19 ADVICE).
-    val qs = queries.getOrElse(
+    val qsPlan = queries.getOrElse(
       prime.fold(
           embFor(s, d, None).filter(col("vec_id") < batch))(_ =>
           embFor(s, d, prime).orderBy("vec_id").limit(batch))
         .select(col("vec_id").as("qid"), col("embedding").as("qv")))
     val wp = Window.partitionBy("qid").orderBy(col("qc").desc, col("cell"))
-    val probed = cents.crossJoin(broadcast(qs))
-      .select(col("qid"), col("cell"),
+    // ONE bounded probe extract (≤ batch·nprobe rows, carrying the ≤
+    // batch query vectors out): the probe ranking runs EXACTLY the
+    // cosine/round/tie-break plan it always did, but its result — and
+    // the query batch itself — re-enter the main plan as LOCAL relations.
+    // Before (r20 optimization), the probed subplan executed TWICE (once
+    // collected for the literal partition filter, once re-executed as
+    // the broadcast join input) and every broadcast(qs) re-ran the query
+    // batch's base-table scan — 3-4 redundant passes over the embeddings
+    // source per query batch, each its own AQE broadcast stage. At 100 TB
+    // those are real re-reads of the corpus table; the collected rows are
+    // bounded driver metadata either way (the cellList license).
+    val probePlan = cents.crossJoin(broadcast(qsPlan))
+      .select(col("qid"), col("cell"), col("qv"),
         round(cos(col("centroid"), col("qv")), 9).as("qc"))
       .withColumn("rn", row_number().over(wp)).filter(col("rn") <= nprobe)
-      .select("qid", "cell")
+      .select(col("qid"), col("cell"), col("qv"))
+    val probeRows = probePlan.collect()
+    val pSchema = probePlan.schema
+    val probed = s.createDataFrame(
+      java.util.Arrays.asList(probeRows.map(r =>
+        org.apache.spark.sql.Row(r.get(0), r.get(1))): _*),
+      org.apache.spark.sql.types.StructType(pSchema.take(2)))
+    // every qid surfaces in the probe rows (nprobe ≥ 1 against nonempty
+    // centroids), so the query batch reconstructs exactly
+    val qs = s.createDataFrame(
+      java.util.Arrays.asList(probeRows.map(r => (r.get(0), r.get(2)))
+        .distinct.map { case (q, v) =>
+          org.apache.spark.sql.Row(q, v)
+        }: _*),
+      org.apache.spark.sql.types.StructType(Seq(pSchema(0), pSchema(2))))
     // bounded metadata extract (≤ cells ints): the probe list becomes a
     // LITERAL predicate so partition pruning is static at every segment
     // scan — a segment that holds no rows for a probed cell simply
     // contributes no directories
-    val cellList = probed.select("cell").distinct().collect()
-      .map(_.getInt(0)).sorted
+    val cellList = probeRows.map(_.getInt(1)).distinct.sorted
     val segCols = Seq("cell", "vec_id", "embedding", "c0", "c1", "c2", "c3")
     // latest-segment-wins per vec_id (r16 ADVICE: duplicate ids across
     // segments — an UPDATE written as a later-segment re-add — must mask
@@ -709,9 +733,13 @@ object AnnIndex {
     // collision can surface: one bounded limit-1 semi-join over the
     // already-pruned cells, paid by external batches only.
     queries.foreach { _ =>
+      // the qid batch is already collected (probe extract above), so the
+      // membership test is a literal IN filter — same set semantics as
+      // the former broadcast semi-join, one subplan fewer
+      val qids = probeRows.map(_.get(0).asInstanceOf[Number].longValue())
+        .distinct.map(Long.box)
       val clash = dedup
-        .join(broadcast(qs.select(col("qid").cast("long").as("vec_id"))),
-          Seq("vec_id"), "left_semi")
+        .filter(col("vec_id").isin(qids: _*))
         .limit(1).count()
       require(clash == 0L,
         "external query qids collide with indexed vec_ids in the probed " +

@@ -134,43 +134,64 @@ object Text {
     * t_bpe_encode_bytes entry comment.
     */
   private def bpeEncodeBytesOver(docs: DataFrame): DataFrame = {
-    val units = docs.select(explode(tokens(col("text"))).as("w"))
-      .filter(col("w") =!= "")
-      .groupBy("w").agg(count(lit(1)).as("n"))
-    val (merges, _) = bpeChainFrom(units, 5)
+    val s = docs.sparkSession
+    // r20 optimization (guide §1.2 "the distributed algorithm" / §2.4):
+    // ONE distributed corpus pass (the unit count) is all this entry
+    // fundamentally needs from the cluster — the K = 5 merge rounds, the
+    // variant-vocabulary segmentation and the fallback costing all
+    // operate on the Heaps-bounded unit table, so they run driver-side
+    // on the collected units (the t_bpe_merges_deep license + loop;
+    // trainLocal is byte-identical to the distributed chain —
+    // BpeSpec/BpeDeepSpec, plus BpeEncodeBytesLocalSpec's k = 5
+    // word-unit pin). The previous shape paid 5 localCheckpoint rounds
+    // + 5 broadcast crossJoin folds + a distributed vocab join for work
+    // whose input is the same bounded table (measured 2.2 s → the
+    // corpus-pass floor at sf0.1). The encode STREAM side stays fully
+    // distributed: one explode + a vocab join + one partial-agg'd
+    // groupBy, so at 100 TB the corpus pass still dominates.
+    val units = collectWordUnits(docs, "t_bpe_encode_bytes")
+    val (merges, _) = trainLocal(units, 5)
     // token vocabulary: training alphabet ∪ merge outputs
-    val alpha = units.select(explode(expr(
-      "transform(sequence(1, length(w)), i -> substring(w, i, 1))")).as("sym"))
-    val known = alpha
-      .unionByName(merges.map(_.select(col("new_symbol").as("sym")))
-        .reduce(_ unionAll _))
-      .distinct()
-      .withColumn("known", lit(1L))
+    val known: Set[String] =
+      units.iterator.flatMap(u => codePointTokens(u._1)).toSet ++
+        merges.iterator.map(_._3)
+    // both engines count CODE POINTS (Spark length == DuckDB length);
+    // the é literal is the same U+00E9 the SQL replay appends
+    def variantLocal(w: String): String =
+      if (w.codePointCount(0, w.length) % 3 == 0) w + "é" else w
     def variant(c: Column): Column =
       when(pmod(length(c), lit(3)) === 0, concat(c, lit("é")))
         .otherwise(c)
     // distinct variant words, segmented by the learned merges in rank
-    // order — each merge a broadcast 1-row crossJoin, replace-twice
-    var seg = units.select(variant(col("w")).as("w")).distinct()
-      .select(col("w"), concat(lit(" "),
-        concat_ws(" ", expr(
-          "transform(sequence(1, length(w)), i -> substring(w, i, 1))")),
-        lit(" ")).as("sym"))
-    merges.foreach { m =>
-      seg = seg.crossJoin(broadcast(m.select(col("pair"))))
-        .select(col("w"), expr(
-          "replace(replace(sym, ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' '), " +
-            "' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' ')")
-          .as("sym"))
+    // order — the trainer's exact replace-twice rule, then costed: 1
+    // token in-vocabulary, UTF-8 octets on fallback
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val costedRows: java.util.List[org.apache.spark.sql.Row] =
+      new java.util.ArrayList()
+    units.iterator.map(u => variantLocal(u._1)).toSeq.distinct.foreach { w =>
+      var sym = codePointTokens(w).mkString(" ", " ", " ")
+      merges.foreach { case (_, pair, merged, _) =>
+        val from = " " + pair + " "
+        val to = " " + merged + " "
+        sym = sym.replace(from, to).replace(from, to)
+      }
+      var nTok = 0L
+      var nFb = 0L
+      sym.trim.split(" ").foreach { t =>
+        if (known.contains(t)) nTok += 1L
+        else {
+          val b = t.getBytes(utf8).length.toLong
+          nTok += b
+          nFb += b
+        }
+      }
+      costedRows.add(org.apache.spark.sql.Row(w, nTok, nFb))
     }
-    val costed = seg
-      .select(col("w"), explode(split(trim(col("sym")), " ")).as("sym"))
-      .join(known, Seq("sym"), "left")
-      .groupBy("w")
-      .agg(sum(when(col("known").isNotNull, lit(1L))
-          .otherwise(octet_length(col("sym")).cast("long"))).as("n_tok"),
-        sum(when(col("known").isNull, octet_length(col("sym")).cast("long"))
-          .otherwise(lit(0L))).as("n_fb"))
+    import org.apache.spark.sql.types._
+    val costed = s.createDataFrame(costedRows, StructType(Seq(
+      StructField("w", StringType, nullable = true),
+      StructField("n_tok", LongType, nullable = true),
+      StructField("n_fb", LongType, nullable = true))))
     docs
       .select(col("lang"), explode(tokens(col("text"))).as("w0"))
       .filter(col("w0") =!= "")
@@ -341,6 +362,26 @@ object Text {
     } finally units.unpersist()
   }
 
+  /** [[collectBigramUnits]] for the WORD unit vocabulary of an arbitrary
+    * documents slice (r20 optimization: the k = 5 encode entries train
+    * driver-side like the deep entries — one distributed corpus pass,
+    * then the Heaps-bounded loop). The license probe is a limit-collect:
+    * at most 200001 rows ever reach the driver, and past the bound the
+    * entry fails fast toward the distributed chain (t_bpe_merges).
+    */
+  private[queries] def collectWordUnits(docs: DataFrame,
+      caller: String): Seq[(String, Long)] = {
+    val rows = docs.select(explode(tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .limit(200001).collect()
+    require(rows.length <= 200000,
+      s"$caller: word units exceed the bounded-scalar-extract license " +
+        "(200000); a vocabulary this large needs the distributed " +
+        "per-round chain (t_bpe_merges)")
+    rows.map(r => (r.getString(0), r.getLong(1))).toSeq
+  }
+
   val queries: Map[String, Q] = Map(
     // BPE merge TRAINING (Sennrich et al. 2016) — the canonical tokenizer
     // construction step, distributed the way real trainers run it:
@@ -466,9 +507,26 @@ object Text {
     // so the planner stays free to shuffle; AQE broadcasts at test SFs —
     // the c_dsir_weights discipline) + one partial-agg'd groupBy.
     "t_bpe_encode" -> ((s, d) => {
-      val (_, vocab) = bpeChain(s, d)
-      val sized = vocab.select(col("w"),
-        size(split(trim(col("sym")), " ")).cast("long").as("n_sym"))
+      // r20 optimization: the K = 5 training loop runs driver-side on the
+      // collected Heaps-bounded word units — exactly t_bpe_encode_deep's
+      // shape at K = 5 (same license guard, same trainLocal loop, pinned
+      // byte-identical to the distributed chain by BpeSpec/BpeDeepSpec +
+      // BpeEncodeBytesLocalSpec). The distributed-chain surface itself
+      // stays oracled by t_bpe_merges; this entry's job is the ENCODE,
+      // whose corpus side below is unchanged (one explode + vocab join +
+      // partial-agg'd groupBy — the 100 TB cost is the corpus pass).
+      val (_, finalSyms) = trainLocal(
+        collectWordUnits(t(s, d, "documents"), "t_bpe_encode"), 5)
+      val sizedRows: java.util.List[org.apache.spark.sql.Row] =
+        new java.util.ArrayList()
+      finalSyms.foreach { case (w, sym) =>
+        sizedRows.add(org.apache.spark.sql.Row(w,
+          sym.trim.split(" ").length.toLong))
+      }
+      import org.apache.spark.sql.types._
+      val sized = s.createDataFrame(sizedRows, StructType(Seq(
+        StructField("w", StringType, nullable = true),
+        StructField("n_sym", LongType, nullable = true))))
       t(s, d, "documents")
         .select(col("lang"), explode(tokens(col("text"))).as("w"))
         .filter(col("w") =!= "")

@@ -57,11 +57,17 @@ class AnnIndexSpec extends SparkSpec with BeforeAndAfterAll {
     val out = df.collect()
     assert(out.length == AnnIndex.batch * AnnIndex.topK)
     val all = scans(df.queryExecution.executedPlan)
-    // the plan reads ONLY the index artifacts plus the 4-row query batch
-    // from the base table — no other input means no train work can hide
+    // the MAIN query span reads ONLY the index artifacts — no other input
+    // means no train work can hide. The 4-row query batch is read from
+    // the base table exactly once, in the bounded probe extract (r20
+    // optimization: it used to re-enter this plan as 3-4 redundant
+    // base-table scans feeding the probe/LUT/refine broadcasts); its
+    // values re-enter here as local relations, so a base-table scan in
+    // this span would be a regression.
     val locs = all.map(_.metadata("Location"))
-    assert(locs.forall(l => l.contains("graft_ivfidx") ||
-      l.contains("embeddings")), locs.mkString("; "))
+    assert(locs.forall(_.contains("graft_ivfidx")), locs.mkString("; "))
+    assert(!locs.exists(_.contains("embeddings")),
+      "query span re-scans the base table; the batch is probe-extract-local")
     val vecScans = all.filter(_.metadata("Location").contains("vectors"))
     assert(vecScans.nonEmpty, "no scan over the persisted coded vectors")
     vecScans.foreach { sc =>
@@ -75,11 +81,6 @@ class AnnIndexSpec extends SparkSpec with BeforeAndAfterAll {
       assert(read > 0 && read < nCells,
         s"vectors scan read $read of $nCells partitions — no pruning")
     }
-    // the base-table scan is the query batch only: vec_id < 4 is pushed
-    val embScans = all.filter(_.metadata("Location").contains("embeddings"))
-    assert(embScans.nonEmpty &&
-      embScans.forall(_.metadata("PushedFilters").contains("LessThan(vec_id,4)")),
-      embScans.map(_.metadata("PushedFilters")).mkString("; "))
   }
 
   test("build-once: a second query reuses the artifacts without rebuilding") {

@@ -188,6 +188,33 @@ object GraftFunctions {
       s"simhash64 expects 1 argument (text), got ${other.size}")
   }
 
+  /** `argmax_sim(v, cosine, offset, ids, matrix)` — all but `v` must be
+    * foldable literals (the frozen-quantizer tables are bounded catalog
+    * metadata baked into the expression).
+    */
+  val argmaxSimBuilder: Seq[Expression] => Expression = {
+    case Seq(v, cosE, offE, idsE, matE) =>
+      def folded(name: String, e: Expression): Any = {
+        if (!e.foldable) throw new IllegalArgumentException(
+          s"argmax_sim: parameter '$name' must be a literal, got ${e.sql}")
+        val r = e.eval(null)
+        if (r == null) throw new IllegalArgumentException(
+          s"argmax_sim: parameter '$name' must not be NULL")
+        r
+      }
+      val ids = folded("ids", idsE).asInstanceOf[ArrayData].toIntArray()
+      val matAd = folded("matrix", matE).asInstanceOf[ArrayData]
+      val mat = Array.tabulate(matAd.numElements())(i =>
+        matAd.getArray(i).toDoubleArray())
+      ArgmaxSim(v,
+        folded("cosine", cosE).asInstanceOf[Boolean],
+        folded("offset", offE).asInstanceOf[Number].intValue(),
+        ids, mat)
+    case other => throw new IllegalArgumentException(
+      s"argmax_sim expects 5 arguments (v, cosine, offset, ids, matrix), " +
+        s"got ${other.size}")
+  }
+
   /** `unicode_norm(str)` defaults to NFC; `unicode_norm(str, 'NFKC')` takes
     * any of the four forms as a foldable string literal.
     */
@@ -253,6 +280,12 @@ object GraftFunctions {
         new ExpressionInfo(classOf[GramFps].getCanonicalName, "gram_fps"),
         gramFpsBuilder)
     }
+    val ax = FunctionIdentifier("argmax_sim")
+    if (!registry.functionExists(ax)) {
+      registry.registerFunction(ax,
+        new ExpressionInfo(classOf[ArgmaxSim].getCanonicalName, "argmax_sim"),
+        argmaxSimBuilder)
+    }
   }
 
   /** Column API: `cosineSim(a, b)` after `ensureRegistered`. */
@@ -295,6 +328,17 @@ object GraftFunctions {
   /** Column API: `unicodeNorm(c, "NFC")` after `ensureRegistered`. */
   def unicodeNorm(c: Column, form: String = "NFC"): Column =
     call_function("unicode_norm", c, org.apache.spark.sql.functions.lit(form))
+
+  /** Column API: frozen-quantizer argmax over a literal candidate
+    * matrix, after `ensureRegistered` — see [[ArgmaxSim]].
+    */
+  def argmaxSim(v: Column, cosine: Boolean, offset: Int,
+      ids: Seq[Int], mat: Seq[Seq[Double]]): Column = {
+    import org.apache.spark.sql.functions.{array, lit}
+    call_function("argmax_sim", v, lit(cosine), lit(offset),
+      array(ids.map(lit): _*),
+      array(mat.map(r => array(r.map(lit): _*)): _*))
+  }
 }
 
 /** `spark.sql.extensions=graft.functions.GraftSessionExtensions` path
@@ -326,5 +370,8 @@ class GraftSessionExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("gram_fps"),
       new ExpressionInfo(classOf[GramFps].getCanonicalName, "gram_fps"),
       GraftFunctions.gramFpsBuilder))
+    ext.injectFunction((FunctionIdentifier("argmax_sim"),
+      new ExpressionInfo(classOf[ArgmaxSim].getCanonicalName, "argmax_sim"),
+      GraftFunctions.argmaxSimBuilder))
   }
 }

@@ -39,10 +39,14 @@ import org.apache.spark.sql.functions._
   * 9-dp-rounded max-of-struct, so the DuckDB oracle replays the build
   * from the base table bit-for-bit (Similarity.annIndexCtesSql).
   *
-  * Scale shape of the build: one broadcast-centroid assignment pass
-  * (O(N·cells), cells bounded), one broadcast-codebook coding pass
-  * (O(N·M·codes)), two partial-agg'd vec_id groupBys, one partitioned
-  * write. No window, no data-sized collect, no all-pairs.
+  * Scale shape of the build: ONE narrow literal-quantizer pass —
+  * centroids and codebook are bounded catalog metadata (≤ cells·64 +
+  * M·codes·16 values), collected once and re-entered as literal
+  * expressions, so assignment (O(N·cells)) and coding (O(N·M·codes))
+  * are per-row codegen'd argmaxes with ZERO shuffles of the corpus
+  * payload before the partitioned write (r20: the former shape
+  * shuffled the full payload through two vec_id groupBys + a join).
+  * No window, no data-sized collect, no all-pairs.
   */
 object AnnIndex {
   val M = 4
@@ -137,57 +141,89 @@ object AnnIndex {
     explode(array((0 until M).map(m =>
       struct(lit(m).as("m"), slice(v, m * sub + 1, sub).as(out))): _*))
 
-  /** Assign every row of `rows` to its nearest centroid (9-dp-rounded
-    * cosine argmax, larger cell on ties) and PQ-code it against the
-    * codebook `cb` (9-dp dot argmax per subspace) — the ONE
-    * frozen-parameter assignment/coding pass shared by the base build,
-    * the learned-quantizer build, delta ingest and the update segment.
-    * One broadcast-centroid pass + one broadcast-codebook pass, both
-    * partial-agg'd; max-of-struct argmaxes so DuckDB replays the
-    * discrete decisions bit-for-bit.
+  /** The frozen-parameter assignment/coding pass, LITERAL form (r20
+    * optimization, guide §2.3/§2.4/§8 "decide with small rows"): the
+    * coarse quantizer and PQ codebook are catalog-scale metadata
+    * (cells·64 + M·codes·16 values), so they re-enter the pass as
+    * literal expressions under the bounded-scalar-extract license the
+    * query side's probe extract established. The former shape
+    * crossJoined a broadcast centroid/codebook subplan and argmax'd via
+    * two groupBy(vec_id) aggregates plus an equi-join — three exchanges
+    * of the FULL corpus payload (embedding carried through every one)
+    * per build, and each broadcast re-executed its source subplan. The
+    * literal form computes the identical 9-dp argmaxes per row —
+    * `greatest` over the same (metric, id) structs IS the former
+    * max-of-struct ordering (ties → larger id) — in ONE narrow
+    * codegen'd projection: zero corpus shuffles before the partitioned
+    * write, and the FLOP count per row is unchanged (cells cosines +
+    * M·codes dots either way). LiteralQuantizerSpec pins the
+    * equivalence against the former broadcast-join formulation.
     */
-  /** Coarse assignment alone: every row of `rows` to its nearest
-    * centroid (9-dp-rounded cosine argmax, larger cell on ties) —
-    * shared by [[assignAndCode]] and the residual build, which codes
-    * the residual `x − centroid(cell)` instead of x.
-    */
-  private def assignCells(rows: DataFrame, cents: DataFrame): DataFrame = {
-    val cos = graft.functions.GraftFunctions.cosineSim _
-    rows.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("cell"),
-        round(cos(col("embedding"), col("centroid")), 9).as("c2c"))
-      .groupBy("vec_id")
-      .agg(first("embedding").as("embedding"),
-        max(struct(col("c2c"), col("cell"))).getField("cell").as("cell"))
-  }
+  private def litVecD(xs: scala.collection.Seq[Double]): Column =
+    array(xs.toSeq.map(lit): _*)
 
-  /** PQ-code `vcol` of every row against codebook `cb` (9-dp dot argmax
-    * per subspace, wide c0..c3) — one broadcast-codebook pass, shared
-    * by raw and residual coding.
-    */
-  private def pqCodes(rows: DataFrame, vcol: String,
-      cb: DataFrame): DataFrame = {
-    val dotN = graft.functions.GraftFunctions.dotProduct _
-    rows
-      .select(col("vec_id"), subspaces(col(vcol), "sv").as("x"))
-      .select(col("vec_id"), col("x.m").as("m"), col("x.sv").as("sv"))
-      .join(broadcast(cb), "m")
-      .select(col("vec_id"), col("m"), col("code"),
-        round(dotN(col("sv"), col("cw")), 9).as("dp"))
-      .groupBy("vec_id", "m")
-      .agg(max(struct(col("dp"), col("code"))).getField("code").as("code"))
-      .groupBy("vec_id")
-      .agg(max(when(col("m") === 0, col("code"))).as("c0"),
-        max(when(col("m") === 1, col("code"))).as("c1"),
-        max(when(col("m") === 2, col("code"))).as("c2"),
-        max(when(col("m") === 3, col("code"))).as("c3"))
-  }
+  /** (cell → centroid values) pairs from collected centroid rows. */
+  private def centsLit(rows: Array[org.apache.spark.sql.Row]): Seq[(Int, Seq[Double])] =
+    rows.toSeq.map(r =>
+        (r.getAs[Int]("cell"),
+          r.getAs[scala.collection.Seq[Double]]("centroid").toVector: Seq[Double]))
+      .sortBy(_._1)
 
-  private def assignAndCode(rows: DataFrame, cents: DataFrame,
-      cb: DataFrame): DataFrame =
-    assignCells(rows, cents).join(pqCodes(rows, "embedding", cb), "vec_id")
-      .select(col("cell"), col("vec_id"), col("embedding"),
-        col("c0"), col("c1"), col("c2"), col("c3"))
+  /** (m → (code, codeword values) list) from collected codebook rows;
+    * float codewords widen to double exactly (the metric arithmetic is
+    * double either way).
+    */
+  private def cbLit(rows: Array[org.apache.spark.sql.Row]): Map[Int, Seq[(Int, Seq[Double])]] =
+    rows.toSeq.map { r =>
+      val cw: Seq[Double] = r.getAs[scala.collection.Seq[Any]]("cw") match {
+        case s if s.nonEmpty && s.head.isInstanceOf[java.lang.Float] =>
+          s.asInstanceOf[scala.collection.Seq[Float]].toVector.map(_.toDouble)
+        case s => s.asInstanceOf[scala.collection.Seq[Double]].toVector
+      }
+      (r.getAs[Int]("m"), r.getAs[Int]("code"), cw)
+    }.groupBy(_._1).map { case (m, cs) =>
+      m -> cs.sortBy(_._2).map(c => (c._2, c._3))
+    }
+
+  /** Nearest-centroid cell of vector column `v` against literal
+    * centroids: 9-dp-rounded cosine argmax, larger cell on ties — the
+    * native [[graft.functions.ArgmaxSim]] expression, the exact former
+    * max(struct(c2c, cell)) ordering behind one small codegen'd call.
+    */
+  private def cellExpr(v: Column, cents: Seq[(Int, Seq[Double])]): Column =
+    graft.functions.GraftFunctions.argmaxSim(v, cosine = true, offset = 0,
+      cents.map(_._1), cents.map(_._2))
+
+  /** PQ code of subspace `m` of vector column `v` against a literal
+    * codebook: 9-dp dot argmax over the subspace slice, larger code on
+    * ties — [[graft.functions.ArgmaxSim]], the exact former
+    * max(struct(dp, code)) ordering.
+    */
+  private def codeExpr(v: Column, m: Int, codes: Seq[(Int, Seq[Double])]): Column =
+    graft.functions.GraftFunctions.argmaxSim(v, cosine = false,
+      offset = m * sub, codes.map(_._1), codes.map(_._2))
+
+  /** Assign + PQ-code every row in one narrow projection (see the
+    * literal-form note above): same output columns and values as the
+    * former broadcast-join pass, zero exchanges.
+    */
+  private def assignAndCode(rows: DataFrame, cents: Seq[(Int, Seq[Double])],
+      cb: Map[Int, Seq[(Int, Seq[Double])]]): DataFrame =
+    rows.select(cellExpr(col("embedding"), cents).as("cell"),
+      col("vec_id"), col("embedding"),
+      codeExpr(col("embedding"), 0, cb(0)).as("c0"),
+      codeExpr(col("embedding"), 1, cb(1)).as("c1"),
+      codeExpr(col("embedding"), 2, cb(2)).as("c2"),
+      codeExpr(col("embedding"), 3, cb(3)).as("c3"))
+
+  /** Write a collected bounded row set as a single-file parquet artifact
+    * with the plan's exact schema — the artifact write no longer
+    * re-executes the source subplan.
+    */
+  private def writeLocal(s: SparkSession, rows: Array[org.apache.spark.sql.Row],
+      schema: org.apache.spark.sql.types.StructType, path: String): Unit =
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+      .coalesce(1).write.mode("overwrite").parquet(path)
 
   /** Per-cell row counts of segment `seg`, persisted as `<seg>_stats/`
     * next to the tree — the catalog metadata a 100 TB index keeps at
@@ -238,19 +274,26 @@ object AnnIndex {
   def buildKMeans(s: SparkSession, d: String,
       prime: Option[Int] = None, k: Int = nCodes): String = synchronized {
     graft.functions.GraftFunctions.ensureRegistered(s)
-    val cos = graft.functions.GraftFunctions.cosineSim _
     val emb = embFor(s, d, prime)
     val vecMean = graft.functions.VectorMean(64)
-    def assign(cents: DataFrame): DataFrame =
-      emb.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("embedding"), col("cl"),
-          round(cos(col("embedding"), col("cent")), 9).as("c"))
-        .groupBy("vec_id")
-        .agg(first("embedding").as("embedding"),
-          max(struct(col("c"), col("cl"))).getField("cl").as("cl"))
-    def mean9(assigned: DataFrame): DataFrame =
+    // Each Lloyd round: ONE corpus pass assigning against LITERAL
+    // centroids (cellExpr — the identical 9-dp cosine argmax with the
+    // larger-cell tie-break) + one partial-agg'd mean, COLLECTED at the
+    // round boundary (≤ k 9-dp-rounded vectors — bounded driver
+    // metadata, the probe-extract license). The former lazy chain
+    // mean9(assign(mean9(assign(seeds)))) shuffled the full corpus
+    // payload through a groupBy(vec_id) per round and re-executed the
+    // growing lineage inside each round's broadcast.
+    def assignLit(cents: Seq[(Int, Seq[Double])]): DataFrame =
+      emb.select(col("vec_id"), col("embedding"),
+        cellExpr(col("embedding"), cents).as("cl"))
+    def mean9(assigned: DataFrame): Seq[(Int, Seq[Double])] =
       assigned.groupBy("cl").agg(vecMean(col("embedding")).as("c0"))
         .select(col("cl"), transform(col("c0"), x => round(x, 9)).as("cent"))
+        .collect().toSeq
+        .map(r => (r.getAs[Int]("cl"),
+          r.getAs[scala.collection.Seq[Double]]("cent").toVector: Seq[Double]))
+        .sortBy(_._1)
     // seeds follow the codebook's stratum-safe discipline: unstratified
     // = the first k vec_ids (cl = vec_id, the s_kmeans seed rule);
     // stratified = the k smallest stratum ids re-labeled densely. k
@@ -258,11 +301,18 @@ object AnnIndex {
     // training (k = the label-cell count) separates the TRAINING effect
     // from the cell-count effect in the quantizer A/B (r19 VERDICT
     // ask #3 — the 8-seed tree partly measured having 8 cells vs 10).
+    // Seed floats widen to double exactly (the cosine arithmetic is
+    // double either way, so round 1 compares the identical operands).
     val seeds = codebookRows(emb, prime, k)
       .select(col("code").as("cl"), col("embedding").as("cent"))
-    val trained = mean9(assign(mean9(assign(seeds))))
-    val cents = trained.select(col("cl").cast("int").as("cell"),
-      col("cent").as("centroid"))
+      .collect().toSeq
+      .map(r => (r.getAs[Int]("cl"),
+        r.getAs[scala.collection.Seq[Float]]("cent")
+          .toVector.map(_.toDouble): Seq[Double]))
+      .sortBy(_._1)
+    val trained = mean9(assignLit(mean9(assignLit(seeds))))
+    import s.implicits._
+    val cents = trained.toDF("cell", "centroid")
     writeIndex(s, rootFor(d, prime, Some(kmVariant(k))), d, emb, cents, prime)
   }
 
@@ -273,17 +323,21 @@ object AnnIndex {
   private[graft] def kmVariant(k: Int): String =
     if (k == nCodes) "km" else s"km$k"
 
-  /** Element-wise 9-dp-rounded residual `x − centroid(cell)` of every
-    * assigned row — the quantity the residual build codes. Embeddings
-    * cast to double first so both engines subtract identical operands
-    * (float→double widening is exact).
+  /** Element-wise 9-dp-rounded residual `x − centroid(cell)` of an
+    * assigned row, against LITERAL centroids (a ≤ cells when-chain
+    * instead of the former broadcast join). Embeddings cast to double
+    * first so both engines subtract identical operands (float→double
+    * widening is exact).
     */
-  private def withResidual(assigned: DataFrame,
-      cents: DataFrame): DataFrame =
-    assigned.join(broadcast(cents), "cell")
-      .select(col("vec_id"), col("cell"), col("embedding"),
-        zip_with(col("embedding").cast("array<double>"), col("centroid"),
-          (x, c) => round(x - c, 9)).as("rv"))
+  private def residualExpr(cellCol: Column,
+      cents: Seq[(Int, Seq[Double])]): Column = {
+    val centroidOf = cents.tail.foldLeft(
+        when(cellCol === lit(cents.head._1), litVecD(cents.head._2))) {
+      case (acc, (cl, cv)) => acc.when(cellCol === lit(cl), litVecD(cv))
+    }
+    zip_with(col("embedding").cast("array<double>"), centroidOf,
+      (x, c) => round(x - c, 9))
+  }
 
   /** The RESIDUAL-coded build variant (r19 VERDICT ask #6) — standard
     * IVF-PQ discipline (FAISS `by_residual`, Jégou et al. 2011 §III):
@@ -315,23 +369,41 @@ object AnnIndex {
         transform(col("c0"), x => round(x, 9)).as("centroid"))
     val rootF = rootFor(d, prime, Some("res"))
     val root = rootF.getAbsolutePath
-    cents.coalesce(1).write.mode("overwrite").parquet(s"$root/centroids")
-    // residual codebook from the SEED rows only (bounded): assign just
-    // the ≤ nCodes seed rows — per-row argmax is independent, so this
-    // equals slicing them out of the full assignment
-    val seedRows = codebookRows(emb, prime)
-    val seedRes = withResidual(
-      assignCells(seedRows.select("vec_id", "embedding"), cents), cents)
-    val rcb = seedRes
-      .join(broadcast(seedRows.select("code", "vec_id")), "vec_id")
+    // one bounded materialization of the centroid plan (see writeIndex);
+    // the former shape re-executed it FOUR times (artifact write + the
+    // assignCells/withResidual broadcasts of both the seed and the full
+    // pass)
+    val centRows = cents.collect()
+    writeLocal(s, centRows, cents.schema, s"$root/centroids")
+    val cl = centsLit(centRows)
+    // residual codebook from the SEED rows only (bounded ≤ nCodes rows,
+    // assigned + subtracted over a LOCAL relation): per-row argmax is
+    // independent, so this equals slicing them out of the full
+    // assignment
+    val seedDf = codebookRows(emb, prime)
+    val seedLocal = s.createDataFrame(
+      java.util.Arrays.asList(seedDf.collect(): _*), seedDf.schema)
+    val rcbDf = seedLocal
+      .select(col("code"), col("embedding"),
+        cellExpr(col("embedding"), cl).as("cell"))
+      .select(col("code"), residualExpr(col("cell"), cl).as("rv"))
       .select(col("code"), subspaces(col("rv"), "cw").as("x"))
       .select(col("x.m").as("m"), col("code"), col("x.cw").as("cw"))
-    rcb.coalesce(1).write.mode("overwrite").parquet(s"$root/codebook")
-    val resid = withResidual(assignCells(emb, cents), cents)
-    resid.select(col("cell"), col("vec_id"), col("embedding"))
-      .join(pqCodes(resid, "rv", rcb), "vec_id")
+    val rcbRows = rcbDf.collect()
+    writeLocal(s, rcbRows, rcbDf.schema, s"$root/codebook")
+    val rcb = cbLit(rcbRows)
+    // ONE corpus pass: assign, subtract, code — all literal-parameter
+    // per-row expressions (the former shape ran the assignment subtree
+    // TWICE through a vec_id self-join and shuffled the payload 3×)
+    emb.select(col("vec_id"), col("embedding"),
+        cellExpr(col("embedding"), cl).as("cell"))
       .select(col("cell"), col("vec_id"), col("embedding"),
-        col("c0"), col("c1"), col("c2"), col("c3"))
+        residualExpr(col("cell"), cl).as("rv"))
+      .select(col("cell"), col("vec_id"), col("embedding"),
+        codeExpr(col("rv"), 0, rcb(0)).as("c0"),
+        codeExpr(col("rv"), 1, rcb(1)).as("c1"),
+        codeExpr(col("rv"), 2, rcb(2)).as("c2"),
+        codeExpr(col("rv"), 3, rcb(3)).as("c3"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$root/vectors")
     writeCellStats(s, root, "vectors")
@@ -348,22 +420,29 @@ object AnnIndex {
     if (isFresh(root, d)) root.getAbsolutePath else buildResidual(s, d, prime)
   }
 
-  /** Shared tail of both build flavors: persist `cents`, derive and
-    * persist the PQ codebook, assign + code every vector against the
-    * frozen artifacts, write the cell-partitioned tree + its cell
-    * stats, marker LAST (a crash mid-build leaves no marker, so
-    * ensure() rebuilds). Coding EVERY vector once is the amortization
-    * the one-shot s_ivfpq_topk query deliberately skipped.
+  /** Shared tail of both build flavors: materialize `cents` ONCE (a
+    * bounded ≤ cells collect — the artifact parquet is written from the
+    * collected rows, and the values re-enter the assignment pass as
+    * literals; the former shape executed the centroid subplan twice,
+    * once per artifact write and once inside the broadcast), same for
+    * the ≤ M·codes codebook, then assign + code every vector in ONE
+    * narrow zero-shuffle pass against the frozen literal artifacts,
+    * write the cell-partitioned tree + its cell stats, marker LAST (a
+    * crash mid-build leaves no marker, so ensure() rebuilds). Coding
+    * EVERY vector once is the amortization the one-shot s_ivfpq_topk
+    * query deliberately skipped.
     */
   private def writeIndex(s: SparkSession, rootF: java.io.File, d: String,
       emb: DataFrame, cents: DataFrame, prime: Option[Int]): String = {
     val root = rootF.getAbsolutePath
-    cents.coalesce(1).write.mode("overwrite").parquet(s"$root/centroids")
-    val cb = codebookRows(emb, prime)
+    val centRows = cents.collect()
+    writeLocal(s, centRows, cents.schema, s"$root/centroids")
+    val cbDf = codebookRows(emb, prime)
       .select(col("code"), subspaces(col("embedding"), "cw").as("x"))
       .select(col("x.m").as("m"), col("code"), col("x.cw").as("cw"))
-    cb.coalesce(1).write.mode("overwrite").parquet(s"$root/codebook")
-    assignAndCode(emb, cents, cb)
+    val cbRows = cbDf.collect()
+    writeLocal(s, cbRows, cbDf.schema, s"$root/codebook")
+    assignAndCode(emb, centsLit(centRows), cbLit(cbRows))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$root/vectors")
     writeCellStats(s, root, "vectors")
@@ -384,8 +463,11 @@ object AnnIndex {
   def writeDeltaSegment(s: SparkSession, d: String, root: String,
       prime: Option[Int] = None): Unit = {
     graft.functions.GraftFunctions.ensureRegistered(s)
-    val cents = s.read.parquet(s"$root/centroids")
-    val cb = s.read.parquet(s"$root/codebook")
+    // frozen artifacts are bounded catalog metadata: collect once and
+    // re-enter as literals (the former broadcasts re-read both artifact
+    // parquets and paid the groupBy/join argmax machinery per segment)
+    val cents = centsLit(s.read.parquet(s"$root/centroids").collect())
+    val cb = cbLit(s.read.parquet(s"$root/codebook").collect())
     val delta = embFor(s, d, prime)
       .filter(col("vec_id") % 7 === 3)
       .select((col("vec_id") + 1000000L).as("vec_id"),
@@ -473,8 +555,8 @@ object AnnIndex {
     */
   def writeUpdateSegment(s: SparkSession, d: String, root: String): Unit = {
     graft.functions.GraftFunctions.ensureRegistered(s)
-    val cents = s.read.parquet(s"$root/centroids")
-    val cb = s.read.parquet(s"$root/codebook")
+    val cents = centsLit(s.read.parquet(s"$root/centroids").collect())
+    val cb = cbLit(s.read.parquet(s"$root/codebook").collect())
     val upd = graft.queries.Tables.t(s, d, "embeddings")
       .filter(col("vec_id") % 13 === 2)
       .select(col("vec_id"), reverse(col("embedding")).as("embedding"))

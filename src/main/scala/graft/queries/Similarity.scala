@@ -1696,29 +1696,42 @@ object Similarity {
       // scan) — the parquet reader IS the cache here
       val emb = t(s, d, "embeddings")
         .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
-      val mu = emb.select(posexplode(col("v")).as(Seq("pos", "x")))
+      // r20 (guide §2.4): μ and each iteration's pᵥ are 64 9-dp-rounded
+      // doubles — bounded driver metadata under the probe-extract
+      // license — COLLECTED at every iteration boundary and re-entered
+      // as literal arrays. The former lazy chain re-executed the whole
+      // μ subplan inside every broadcast (4×) and iteration i's sj
+      // lineage inside iteration i+1's THREE broadcasts; the span is
+      // now 2 fixed passes per iteration, and every scalar op (the
+      // dots, t − ss·μ[pos], the index-order HOF normalization fold)
+      // stays the identical Spark expression, evaluated over literal
+      // operands — same trajectory bit for bit.
+      val mu: Seq[Double] = emb.select(posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("pos").agg(round(avg("x"), 9).as("m"))
-        .agg(expr("array_sort(collect_list(struct(pos, m)))").as("ps"))
-        .select(expr("transform(ps, p -> p.m)").as("mu"))
-      var pv = s.range(1)
-        .select(expr("transform(sequence(0, 63), i -> 0.125d)").as("pv"))
+        .orderBy("pos").collect().toSeq.map(_.getDouble(1))
+      val muLit = array(mu.map(lit): _*)
+      var pv: Seq[Double] = Seq.fill(64)(0.125)
       for (_ <- 1 to 3) {
-        val sj = emb.crossJoin(broadcast(pv)).crossJoin(broadcast(mu))
-          .select(col("v"), (dot(col("v"), col("pv")) - dot(col("mu"), col("pv"))).as("sj"))
-        val ssum = sj.agg(round(sum("sj"), 9).as("ss"))
-        val tvec = sj.select(col("sj"), posexplode(col("v")).as(Seq("pos", "x")))
+        val pvLit = array(pv.map(lit): _*)
+        val sj = emb
+          .select(col("v"), (dot(col("v"), pvLit) - dot(muLit, pvLit)).as("sj"))
+        val ss = sj.agg(round(sum("sj"), 9)).head().getDouble(0)
+        val tArr = sj.select(col("sj"), posexplode(col("v")).as(Seq("pos", "x")))
           .groupBy("pos").agg(round(sum(col("sj") * col("x")), 9).as("t"))
-          .crossJoin(broadcast(mu)).crossJoin(broadcast(ssum))
-          .select(col("pos"), (col("t") - col("ss") * expr("mu[pos]")).as("t2"))
-          .agg(expr("array_sort(collect_list(struct(pos, t2)))").as("ps"))
-          .select(expr("transform(ps, p -> p.t2)").as("t"))
-        pv = tvec.select(expr(
-          "transform(t, x -> round(x / sqrt(aggregate(t, 0d, (a, y) -> a + y * y)), 9))")
-          .as("pv"))
+          .orderBy("pos").collect().toSeq.map(_.getDouble(1))
+        // t − ss·μ and the unit normalization run as the SAME engine
+        // expressions over one local row (zip_with is element-wise; the
+        // aggregate fold is the index-order list_dot_product identity)
+        val t2 = zip_with(array(tArr.map(lit): _*), muLit,
+          (tv, mv) => tv - lit(ss) * mv)
+        val norm = aggregate(t2, lit(0.0d), (a, y) => a + y * y)
+        pv = s.range(1)
+          .select(transform(t2, x => round(x / sqrt(norm), 9)).as("pv"))
+          .head().getSeq[Double](0).toVector
       }
-      emb.crossJoin(broadcast(pv)).crossJoin(broadcast(mu))
-        .select(col("label"),
-          (dot(col("v"), col("pv")) - dot(col("mu"), col("pv"))).as("proj"))
+      val pvLit = array(pv.map(lit): _*)
+      emb.select(col("label"),
+          (dot(col("v"), pvLit) - dot(muLit, pvLit)).as("proj"))
         .groupBy("label")
         .agg(count(lit(1)).as("n"),
           round(avg("proj"), 4).as("avg_proj"),

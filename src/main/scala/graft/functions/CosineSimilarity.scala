@@ -286,6 +286,15 @@ object GraftFunctions {
         new ExpressionInfo(classOf[ArgmaxSim].getCanonicalName, "argmax_sim"),
         argmaxSimBuilder)
     }
+    val tt = FunctionIdentifier("top_token_count")
+    if (!registry.functionExists(tt)) {
+      registry.registerFunction(tt,
+        new ExpressionInfo(classOf[TopTokenCount].getCanonicalName,
+          "top_token_count"),
+        { case Seq(c) => TopTokenCount(c)
+          case other => throw new IllegalArgumentException(
+            s"top_token_count expects 1 argument (array), got ${other.size}") })
+    }
   }
 
   /** Column API: `cosineSim(a, b)` after `ensureRegistered`. */
@@ -339,6 +348,11 @@ object GraftFunctions {
       array(ids.map(lit): _*),
       array(mat.map(r => array(r.map(lit): _*)): _*))
   }
+
+  /** Column API: max token multiplicity of a string array, after
+    * `ensureRegistered` — see [[TopTokenCount]].
+    */
+  def topTokenCount(arr: Column): Column = call_function("top_token_count", arr)
 }
 
 /** `spark.sql.extensions=graft.functions.GraftSessionExtensions` path
@@ -373,5 +387,11 @@ class GraftSessionExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("argmax_sim"),
       new ExpressionInfo(classOf[ArgmaxSim].getCanonicalName, "argmax_sim"),
       GraftFunctions.argmaxSimBuilder))
+    ext.injectFunction((FunctionIdentifier("top_token_count"),
+      new ExpressionInfo(classOf[TopTokenCount].getCanonicalName,
+        "top_token_count"),
+      { case Seq(c) => TopTokenCount(c)
+        case other => throw new IllegalArgumentException(
+          s"top_token_count expects 1 argument (array), got ${other.size}") }))
   }
 }

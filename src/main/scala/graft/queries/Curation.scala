@@ -151,19 +151,18 @@ object Curation {
     }),
 
     // Gopher-style quality gates: word count, mean word length, top-word
-    // fraction, distinct-word fraction → keep/drop. One explode for the
-    // per-word counts, partial-agg absorbed; everything else is narrow.
+    // fraction, distinct-word fraction → keep/drop. The top-word count
+    // is the native per-row TopTokenCount (r20, guide §2.4: the former
+    // explode → two groupBys → join shuffled the exploded token stream
+    // twice for a per-row decision); everything else is narrow.
     "c_gopher_quality" -> ((s, d) => {
-      val docs = t(s, d, "documents")
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      t(s, d, "documents")
         .select(col("doc_id"), col("lang"), tokens(col("text")).as("sp"))
-        .select(col("doc_id"), col("lang"), col("sp"),
+        .select(col("lang"),
           size(col("sp")).as("n_words"),
-          size(array_distinct(col("sp"))).as("n_distinct"))
-      val topWord = docs
-        .select(col("doc_id"), explode(col("sp")).as("w"))
-        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id").agg(max(col("c")).as("top_cnt"))
-      docs.join(topWord, "doc_id")
+          size(array_distinct(col("sp"))).as("n_distinct"),
+          graft.functions.GraftFunctions.topTokenCount(col("sp")).as("top_cnt"))
         .select(col("lang"), col("n_words"),
           (col("top_cnt").cast("double") / col("n_words")).as("top_frac"),
           (col("n_distinct").cast("double") / col("n_words")).as("distinct_frac"),
@@ -389,23 +388,31 @@ object Curation {
         .select(col("doc_id"), col("lang"), tokens(col("text")).as("sp"))
         .select(col("doc_id"), col("lang"),
           explode(array_distinct(wordNgrams(col("sp"), 3))).as("gram"))
-      val bench = grams.filter(pmod(col("doc_id"), lit(7)) === 0)
-      val corpus = grams.filter(pmod(col("doc_id"), lit(7)) =!= 0)
-      val benchBuckets = bench
+      // r20 (guide §2.4): the former shape derived the bench-gram subtree
+      // TWICE (the bucket broadcast and the exact-gram broadcast each
+      // re-ran the documents scan + n-gram explode) and the corpus-gram
+      // subtree TWICE (one pass for bucket candidates, one for the exact
+      // semi-join). The bench grams are one bounded localCheckpoint both
+      // broadcasts derive from, and ONE corpus pass carries both flags
+      // (exact hit, bucket hit) into a per-doc max — same doc sets, same
+      // per-lang counts.
+      val benchG = grams.filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select("gram").distinct().localCheckpoint()
+      val benchBuckets = benchG
         .select(pmod(xxhash64(col("gram")), lit(m)).as("bkt")).distinct()
-      val candidates = corpus
-        .join(broadcast(benchBuckets),
-          pmod(xxhash64(col("gram")), lit(m)) === col("bkt"), "left_semi")
-        .select("doc_id").distinct()
-      val exact = corpus
-        .join(broadcast(bench.select("gram").distinct()), Seq("gram"), "left_semi")
-        .select("doc_id", "lang").distinct()
-      val missed = exact.join(candidates, Seq("doc_id"), "left_anti")
-      exact.groupBy("lang").agg(count(lit(1)).as("n_exact"))
-        .join(missed.groupBy("lang").agg(count(lit(1)).as("nm")), Seq("lang"), "left")
-        .select(col("lang"), col("n_exact"),
-          coalesce(col("nm"), lit(0L)).as("n_missed"),
-          (coalesce(col("nm"), lit(0L)) === 0).as("pass"))
+      val flags = grams.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+        .join(broadcast(benchG.withColumn("ex", lit(1L))), Seq("gram"), "left")
+        .withColumn("bkt", pmod(xxhash64(col("gram")), lit(m)))
+        .join(broadcast(benchBuckets.withColumn("cd", lit(1L))), Seq("bkt"), "left")
+        .groupBy("doc_id", "lang")
+        .agg(max(coalesce(col("ex"), lit(0L))).as("ex"),
+          max(coalesce(col("cd"), lit(0L))).as("cd"))
+        .filter(col("ex") === 1L)
+      flags.groupBy("lang")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(when(col("cd") === 0L, 1L).otherwise(0L)).cast("bigint").as("n_missed"))
+        .select(col("lang"), col("n_exact"), col("n_missed"),
+          (col("n_missed") === 0).as("pass"))
         .orderBy("lang")
     }),
 
@@ -958,6 +965,7 @@ object Curation {
     // deciles come from integer arithmetic against the max id, never an
     // ntile window over all documents.
     "c_ngram_novelty" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
       val grams = t(s, d, "documents")
         .select(col("doc_id"), Text.tokens(lower(col("text"))).as("sp"))
         .filter(size(col("sp")) >= 3)
@@ -965,8 +973,13 @@ object Curation {
           "transform(sequence(0, size(sp) - 3), i -> concat(sp[i], ' ', sp[i+1], ' ', sp[i+2]))"))
           .as("g"))
         .distinct()
-      val first = grams.groupBy("g").agg(min("doc_id").as("first_doc"))
-      val nov = grams.join(first, "g")
+      // first-occurrence via ONE trigram-keyed window min (r20, guide
+      // §2.4: the former groupBy(g) + join back re-shuffled the gram
+      // stream a second time and re-executed its distinct subtree as the
+      // join's other input; the window computes min(doc_id) over the
+      // same vocabulary-keyed partitioning in the single pass)
+      val nov = grams.withColumn("first_doc",
+          min("doc_id").over(Window.partitionBy("g")))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_grams"),
           sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
@@ -997,6 +1010,10 @@ object Curation {
         .select(col("doc_id"), col("n_chars"), col("text"),
           tokens(col("text")).as("spr"),
           tokens(lower(col("text"))).as("spl"))
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      // top_cnt is the native per-row TopTokenCount (r20) — the former
+      // explode → two groupBys → join re-attached a per-row decision
+      // through an exchange pair
       val flags = base.select(col("doc_id"), col("n_chars"),
         size(col("spr")).as("n_words"),
         size(col("spl")).as("n_tok"),
@@ -1006,13 +1023,11 @@ object Curation {
         (size(filter(col("spl"), w => w.isInCollection(Text.stopwords)))
           .cast("double") / size(col("spl"))).as("stop_ratio"),
         (lit(1.0) - size(array_distinct(col("spr"))).cast("double") /
-          size(col("spr"))).as("dup_frac"))
-      val top = base.select(col("doc_id"), explode(col("spr")).as("w"))
-        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id").agg(max("c").as("top_cnt"))
+          size(col("spr"))).as("dup_frac"),
+        graft.functions.GraftFunctions.topTokenCount(col("spr")).as("top_cnt"))
       val wAll = Window.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing)
-      flags.join(top, "doc_id")
+      flags
         .select(
           (col("n_words") >= 20 &&
             col("top_cnt").cast("double") / col("n_words") <= 0.15)

@@ -48,17 +48,19 @@ object PretrainBuild {
 
     // Stage 0+1: dup-planted corpus through the Gopher-style quality gate
     // (word count ≥ 20, top-word fraction ≤ 0.15 — c_gopher_quality's
-    // exact predicates, so the oracle replay is the proven CTE).
-    val docs = graft.queries.Dedup.corpusWithDups(s, d)
+    // exact predicates, so the oracle replay is the proven CTE). The
+    // top-word count is the native per-row TopTokenCount (r20, guide
+    // §2.4): the former explode → two groupBys → join shuffled the
+    // exploded token stream twice and re-attached through an equi-join
+    // carrying the text payload, for a decision that needs only the
+    // row's own token array.
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val q = graft.queries.Dedup.corpusWithDups(s, d)
       .select(col("doc_id"), col("lang"), col("text"),
         Text.tokens(col("text")).as("sp"))
-      .select(col("doc_id"), col("lang"), col("text"), col("sp"),
-        size(col("sp")).as("n_words"))
-    val topWord = docs
-      .select(col("doc_id"), explode(col("sp")).as("w"))
-      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id").agg(max(col("c")).as("top_cnt"))
-    val q = docs.join(topWord, "doc_id")
+      .select(col("doc_id"), col("lang"), col("text"),
+        size(col("sp")).as("n_words"),
+        graft.functions.GraftFunctions.topTokenCount(col("sp")).as("top_cnt"))
       .filter(col("n_words") >= 20 &&
         col("top_cnt").cast("double") / col("n_words") <= 0.15)
       .select(col("doc_id"), col("lang"), col("text"), col("n_words"))

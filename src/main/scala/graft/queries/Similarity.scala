@@ -1841,13 +1841,22 @@ object Similarity {
     // to near-duplicates?" at any corpus size. Per-position sums round
     // to 9 dp (the centroid discipline); the final statistic to 6.
     "s_intra_diversity" -> ((s, d) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val dotN = graft.functions.GraftFunctions.dotProduct _
       val emb = t(s, d, "embeddings")
         .select(col("label"), col("embedding").cast("array<double>").as("v"))
-      val u = emb.select(col("label"), expr(
-        "transform(v, x -> x / sqrt(aggregate(transform(v, y -> y * y), 0d, (a, b) -> a + b)))")
-        .as("u"))
-      val sv = u.select(col("label"), posexplode(col("u")).as(Seq("pos", "x")))
-        .groupBy("label", "pos").agg(round(sum("x"), 9).as("sv"))
+      // r20 (guide §1.2 step 2 / §4.1): the former per-row HOF
+      // `transform(v, x -> x / sqrt(aggregate(transform(v, y -> y*y) …)))`
+      // re-evaluated the interpreted norm fold for EVERY element — dim²
+      // lambda steps per row. The norm is ONE native dot(v, v) (the same
+      // ascending a + y·y fold, so sqrt sees the identical double) and
+      // the division moves after the posexplode as a codegen'd scalar —
+      // u's summands are bit-identical.
+      val sv = emb
+        .select(col("label"), sqrt(dotN(col("v"), col("v"))).as("nrm"),
+          posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("label", "pos")
+        .agg(round(sum(col("x") / col("nrm")), 9).as("sv"))
         .groupBy("label").agg(sum(col("sv") * col("sv")).as("ssq"))
       val n = emb.groupBy("label").agg(count(lit(1)).as("n"))
       sv.join(n, "label")

@@ -723,43 +723,92 @@ object AnnIndex {
       queries: Option[DataFrame] = None,
       maxShadow: Long = maxShadowRows,
       residual: Boolean = false): DataFrame = {
+    val (rows, schema) = probeExtract(s, d, root, prime, queries, nprobe)
+    queryFromProbe(s, root, segments, tombstones, refineK, queries.isDefined,
+      maxShadow, residual, rows, schema)
+  }
+
+  /** A recall-vs-nprobe SWEEP over one tree: the probe ranking is
+    * independent of the budget (each point's probe list is a PREFIX of
+    * the max-budget ranking), so the sweep pays ONE bounded probe
+    * extract instead of one per point (r20, guide §2.4 — the former
+    * recall-curve span collected three identical ranking plans).
+    * Returns (nprobe → query result) per sweep point, each identical to
+    * the equivalent [[querySegments]] call.
+    */
+  def querySweep(s: SparkSession, d: String, root: String,
+      segments: Seq[String], prime: Option[Int] = None,
+      sweep: Seq[(Int, Int)],
+      tombstones: Option[String] = None,
+      queries: Option[DataFrame] = None,
+      maxShadow: Long = maxShadowRows,
+      residual: Boolean = false): Seq[(Int, DataFrame)] = {
+    val maxNp = sweep.map(_._1).max
+    val (rows, schema) = probeExtract(s, d, root, prime, queries, maxNp)
+    sweep.map { case (np, rk) =>
+      np -> queryFromProbe(s, root, segments, tombstones, rk,
+        queries.isDefined, maxShadow, residual,
+        rows.filter(_.getInt(3) <= np), schema)
+    }
+  }
+
+  /** The bounded probe extract (≤ batch·nprobe rows, carrying the ≤
+    * batch query vectors out, plus the rank for prefix slicing): the
+    * probe ranking runs EXACTLY the cosine/round/tie-break plan it
+    * always did, but its result — and the query batch itself — re-enter
+    * the main plan as LOCAL relations. Before (r20), the probed subplan
+    * executed TWICE (once collected for the literal partition filter,
+    * once re-executed as the broadcast join input) and every
+    * broadcast(qs) re-ran the query batch's base-table scan — 3-4
+    * redundant passes over the embeddings source per query batch, each
+    * its own AQE broadcast stage. At 100 TB those are real re-reads of
+    * the corpus table; the collected rows are bounded driver metadata
+    * either way (the cellList license).
+    *
+    * The query batch defaults to the SELF-QUERY panel (first `batch`
+    * vec_ids; for the stratum twin the `batch` SMALLEST stratum ids —
+    * TakeOrdered, never a global window). `queries` overrides it with
+    * an EXTERNAL (qid, qv) batch — vectors NOT in the index, the
+    * deployment's actual read API (r18 VERDICT ask #2): a user query
+    * embedding is retrieved against the corpus, so no self-exclusion
+    * applies. External qids must be disjoint from indexed vec_ids —
+    * ENFORCED fail-loud in the query body (r19 ADVICE).
+    */
+  private def probeExtract(s: SparkSession, d: String, root: String,
+      prime: Option[Int], queries: Option[DataFrame], nprobe: Int)
+      : (Array[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType) = {
     graft.functions.GraftFunctions.ensureRegistered(s)
     val cos = graft.functions.GraftFunctions.cosineSim _
-    val dotN = graft.functions.GraftFunctions.dotProduct _
     val cents = s.read.parquet(s"$root/centroids")
-    val cb = s.read.parquet(s"$root/codebook")
-    // query batch: by default the SELF-QUERY panel (first `batch`
-    // vec_ids; for the stratum twin the `batch` SMALLEST stratum ids —
-    // TakeOrdered, never a global window). `queries` overrides it with
-    // an EXTERNAL (qid, qv) batch — vectors NOT in the index, the
-    // deployment's actual read API (r18 VERDICT ask #2): a user query
-    // embedding is retrieved against the corpus, so no self-exclusion
-    // applies. External qids must be disjoint from indexed vec_ids —
-    // ENFORCED fail-loud below with a bounded probe (r19 ADVICE).
     val qsPlan = queries.getOrElse(
       prime.fold(
           embFor(s, d, None).filter(col("vec_id") < batch))(_ =>
           embFor(s, d, prime).orderBy("vec_id").limit(batch))
         .select(col("vec_id").as("qid"), col("embedding").as("qv")))
     val wp = Window.partitionBy("qid").orderBy(col("qc").desc, col("cell"))
-    // ONE bounded probe extract (≤ batch·nprobe rows, carrying the ≤
-    // batch query vectors out): the probe ranking runs EXACTLY the
-    // cosine/round/tie-break plan it always did, but its result — and
-    // the query batch itself — re-enter the main plan as LOCAL relations.
-    // Before (r20 optimization), the probed subplan executed TWICE (once
-    // collected for the literal partition filter, once re-executed as
-    // the broadcast join input) and every broadcast(qs) re-ran the query
-    // batch's base-table scan — 3-4 redundant passes over the embeddings
-    // source per query batch, each its own AQE broadcast stage. At 100 TB
-    // those are real re-reads of the corpus table; the collected rows are
-    // bounded driver metadata either way (the cellList license).
     val probePlan = cents.crossJoin(broadcast(qsPlan))
       .select(col("qid"), col("cell"), col("qv"),
         round(cos(col("centroid"), col("qv")), 9).as("qc"))
       .withColumn("rn", row_number().over(wp)).filter(col("rn") <= nprobe)
-      .select(col("qid"), col("cell"), col("qv"))
-    val probeRows = probePlan.collect()
-    val pSchema = probePlan.schema
+      .select(col("qid"), col("cell"), col("qv"), col("rn"))
+    (probePlan.collect(), probePlan.schema)
+  }
+
+  /** The query body over an already-collected probe extract. */
+  private def queryFromProbe(s: SparkSession, root: String,
+      segments: Seq[String],
+      tombstones: Option[String],
+      refineK: Int,
+      external: Boolean,
+      maxShadow: Long,
+      residual: Boolean,
+      probeRows: Array[org.apache.spark.sql.Row],
+      pSchema: org.apache.spark.sql.types.StructType): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val cos = graft.functions.GraftFunctions.cosineSim _
+    val dotN = graft.functions.GraftFunctions.dotProduct _
+    val cents = s.read.parquet(s"$root/centroids")
+    val cb = s.read.parquet(s"$root/codebook")
     val probed = s.createDataFrame(
       java.util.Arrays.asList(probeRows.map(r =>
         org.apache.spark.sql.Row(r.get(0), r.get(1))): _*),
@@ -814,7 +863,7 @@ object AnnIndex {
     // ADVICE) against the probed candidate rows, the only place a
     // collision can surface: one bounded limit-1 semi-join over the
     // already-pruned cells, paid by external batches only.
-    queries.foreach { _ =>
+    if (external) {
       // the qid batch is already collected (probe extract above), so the
       // membership test is a literal IN filter — same set semantics as
       // the former broadcast semi-join, one subplan fewer
@@ -838,7 +887,7 @@ object AnnIndex {
     val joined = masked.join(broadcast(probed), "cell")
     // self-query panels exclude the query row itself; an external batch
     // has no self row to exclude
-    val cand = if (queries.isEmpty)
+    val cand = if (!external)
       joined.filter(col("vec_id") =!= col("qid")) else joined
     // ADC lookup table. Raw coding: one qd per (qid, m, code). Residual
     // coding (residual = true, against a buildResidual tree): the codes

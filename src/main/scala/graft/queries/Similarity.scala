@@ -1005,10 +1005,11 @@ object Similarity {
           round(cos(col("embedding"), col("qv")), 4).as("cos"))
         .withColumn("rn", row_number().over(w)).filter(col("rn") <= I.topK)
         .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
-      recallSweep.map { case (np, rk) =>
-          I.querySegments(s, d, root, Seq("vectors"), nprobe = np,
-              refineK = rk)
-            .select(lit(np.toLong).as("nprobe"), col("qid"), col("vec_id"))
+      // r20: ONE shared probe extract for the whole sweep (each point's
+      // probe list is a prefix of the max-budget ranking — querySweep)
+      I.querySweep(s, d, root, Seq("vectors"), sweep = recallSweep)
+        .map { case (np, df) =>
+          df.select(lit(np.toLong).as("nprobe"), col("qid"), col("vec_id"))
         }.reduce(_ unionByName _)
         .join(exact, Seq("qid", "vec_id"), "left")
         .groupBy("nprobe")
@@ -1042,10 +1043,10 @@ object Similarity {
           round(cos(col("embedding"), col("qv")), 4).as("cos"))
         .withColumn("rn", row_number().over(w)).filter(col("rn") <= I.topK)
         .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
-      recallSweep.map { case (np, rk) =>
-          I.querySegments(s, d, root, Seq("vectors"), Some(41),
-              nprobe = np, refineK = rk)
-            .select(lit(np.toLong).as("nprobe"), col("qid"), col("vec_id"))
+      // r20: one shared probe extract for the whole sweep (querySweep)
+      I.querySweep(s, d, root, Seq("vectors"), Some(41), sweep = recallSweep)
+        .map { case (np, df) =>
+          df.select(lit(np.toLong).as("nprobe"), col("qid"), col("vec_id"))
         }.reduce(_ unionByName _)
         .join(exact, Seq("qid", "vec_id"), "left")
         .groupBy("nprobe")

@@ -2089,6 +2089,10 @@ object Similarity {
           expr(s"substring(text, cast(i * $st + 1 as int), " +
             s"cast(least(${w}L, len - i * $st) as int))").as("ct"))
       // stage 2: BM25 over chunks (the t_bm25_topk exact discipline)
+      // NOT materialized (r20 measured): localCheckpoint-ing the token
+      // table to spare the stats/idf broadcasts their lineage re-runs
+      // read 1.56 → 1.95 s — serializing the nested token arrays costs
+      // more than the re-derived columnar passes at bench scale
       val toks = chunks.select(col("doc_id"), col("start"),
         Text.tokens(lower(col("ct"))).as("sp"))
       val dl = toks.select(col("doc_id"), col("start"),

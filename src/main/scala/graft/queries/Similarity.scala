@@ -95,6 +95,58 @@ object Similarity {
     * count() is one columnar scan action; k.toInt is safe far past any
     * testable SF (k = N/250).
     */
+  /** r21 literal-quantizer re-entry (the r20 AnnIndex license — guide
+    * §2.3/§2.4/§8 "decide with small rows" — extended to the one-shot
+    * similarity composites): a bounded candidate table (seed vectors,
+    * label centroids, the 8-code PQ codebook — catalog-scale metadata)
+    * is collected once and
+    * (a) re-enters the per-row assignment as the native
+    *     [[graft.functions.ArgmaxSim]] literal — the exact former
+    *     round(metric, 9) max-of-struct argmax, larger id on ties —
+    *     replacing a crossJoin(broadcast(cands)) + groupBy(vec_id)
+    *     aggregate that shuffled the FULL embedding payload once per
+    *     assignment pass, and
+    * (b) re-enters scalar subplans (probe ranking, ADC LUT) as
+    *     LocalRelations, so they compute the identical engine
+    *     expressions over the identical values with zero extra corpus
+    *     scans.
+    * Rows arrive as (id int, vector array<float|double>); float
+    * components widen to double exactly (the metric arithmetic is
+    * double either way — the cbLit discipline). Sorted ascending so
+    * ArgmaxSim's later-candidate-wins tie rule IS max-of-struct's
+    * larger-id rule.
+    */
+  private def candLit(rows: Array[org.apache.spark.sql.Row]): Seq[(Int, Seq[Double])] =
+    rows.toSeq.map { r =>
+      val v: Seq[Double] = r.getAs[scala.collection.Seq[Any]](1) match {
+        case s if s.nonEmpty && s.head.isInstanceOf[java.lang.Float] =>
+          s.asInstanceOf[scala.collection.Seq[Float]].toVector.map(_.toDouble)
+        case s => s.asInstanceOf[scala.collection.Seq[Double]].toVector
+      }
+      (r.getInt(0), v)
+    }.sortBy(_._1)
+
+  /** Per-row nearest-candidate id (9-dp cosine, larger id on ties) —
+    * see [[candLit]]. */
+  private def argmaxCos(v: Column, cands: Seq[(Int, Seq[Double])]): Column =
+    graft.functions.GraftFunctions.argmaxSim(v, cosine = true, offset = 0,
+      cands.map(_._1), cands.map(_._2))
+
+  /** Per-row PQ code of subspace `m` (9-dp dot over the subspace slice,
+    * larger code on ties) — see [[candLit]]. */
+  private def argmaxDot(v: Column, m: Int, sub: Int,
+      cands: Seq[(Int, Seq[Double])]): Column =
+    graft.functions.GraftFunctions.argmaxSim(v, cosine = false,
+      offset = m * sub, cands.map(_._1), cands.map(_._2))
+
+  /** Collected bounded rows re-entered as a LocalRelation (the AnnIndex
+    * writeLocal/seedLocal device): downstream expressions are unchanged
+    * engine expressions over the identical values, with no scan. */
+  private def localDf(s: org.apache.spark.sql.SparkSession,
+      rows: Array[org.apache.spark.sql.Row],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+
   private def semDedup(s: org.apache.spark.sql.SparkSession, d: String,
       stratified: Boolean): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(s)
@@ -190,12 +242,42 @@ object Similarity {
         .agg(first("embedding").as("embedding"),
           max(struct(col("c"), col("cl"))).getField("cl").as("cl"))
     }
-    def assign(cents: DataFrame) =
-      if (flat) assignFlat(cents) else assignTwoLevel(cents)
-    val cent1 = assign(seeds).groupBy("cl")
-      .agg(vecMean(col("embedding")).as("c0"))
-      .select(col("cl"), transform(col("c0"), x => round(x, 9)).as("cent"))
-    val asg = assign(cent1)
+    def cent1Of(assign: DataFrame => DataFrame) =
+      assign(seeds).groupBy("cl")
+        .agg(vecMean(col("embedding")).as("c0"))
+        .select(col("cl"), transform(col("c0"), x => round(x, 9)).as("cent"))
+    // r21 (the candLit license): on the FLAT path the seed table is
+    // bounded by the branch itself (k ≤ 256 rows), so both Lloyd rounds
+    // take the literal ArgmaxSim form — assignment becomes one narrow
+    // codegen'd projection per round instead of a crossJoin(broadcast) +
+    // full-payload groupBy(vec_id) exchange (the former shape shuffled
+    // the embedding column twice per sweep). Values are unchanged:
+    // ArgmaxSim IS the former round(cos,9) max-of-struct argmax, and the
+    // round-boundary collect carries the engine-rounded 9-dp means. Seed
+    // ids are vec_ids; a (theoretical) stratified corpus whose smallest
+    // k ids overflow Int falls back to the former broadcast-join shape.
+    // The two-level path (k > 256) stays fully distributed — ITS seed
+    // table grows with N and holds no bounded-collect license.
+    val asg: DataFrame = if (!flat) {
+      assignTwoLevel(cent1Of(assignTwoLevel))
+    } else {
+      val seedRows = seeds.collect()
+      if (seedRows.exists(_.getLong(0) > Int.MaxValue.toLong)) {
+        assignFlat(cent1Of(assignFlat))
+      } else {
+        def assignLit(cands: Seq[(Int, Seq[Double])]) =
+          emb.select(col("vec_id"), col("embedding"),
+            argmaxCos(col("embedding"), cands).cast("bigint").as("cl"))
+        val seedLit = candLit(seedRows.map(r =>
+          org.apache.spark.sql.Row(r.getLong(0).toInt, r.get(1))))
+        val cent1 = candLit(assignLit(seedLit).groupBy("cl")
+          .agg(vecMean(col("embedding")).as("c0"))
+          .select(col("cl").cast("int"),
+            transform(col("c0"), x => round(x, 9)))
+          .collect())
+        assignLit(cent1)
+      }
+    }
     val a = asg.select(col("cl"), col("vec_id").as("id_a"),
       col("embedding").as("ea"))
     val b = asg.select(col("cl"), col("vec_id").as("id_b"),
@@ -233,32 +315,58 @@ object Similarity {
       def subspaces(v: Column, out: String): Column =
       explode(array((0 until M).map(m =>
       struct(lit(m).as("m"), slice(v, m * sub + 1, sub).as(out))): _*))
-    val cb = emb.filter(col("vec_id") < 8)
+    // r21 (the candLit license): the codebook (8 seed rows) and the query
+    // (1 row) are bounded — collected once, the ADC LUT engine-computed
+    // over their LocalRelations. The corpus pass is then ONE narrow scan:
+    // per-row subspace codes via ArgmaxSim (the exact former
+    // max(struct(dp, code)) over the same 9-dp dots) + a literal
+    // (m, code) → qd map lookup summed in the same fixed m-order +
+    // TakeOrdered. The former shape exploded every scored vector into 4
+    // subspace rows, broadcast-joined the codebook, shuffled the
+    // (vec_id, m) stream through a groupBy argmax, and re-joined the LUT
+    // through a second groupBy pivot.
+    val cbDf = emb.filter(col("vec_id") < 8)
       .select(col("vec_id").cast("int").as("code"),
       subspaces(col("embedding"), "cw").as("x"))
       .select(col("x.m").as("m"), col("code"), col("x.cw").as("cw"))
-    val codes = emb.filter(col("vec_id") =!= 0)
-      .select(col("vec_id"), subspaces(col("embedding"), "sv").as("x"))
-      .select(col("vec_id"), col("x.m").as("m"), col("x.sv").as("sv"))
-      .join(broadcast(cb), "m")
-      .select(col("vec_id"), col("m"), col("code"),
-      round(dot(col("sv"), col("cw")), 9).as("dp"))
-      .groupBy("vec_id", "m")
-      .agg(max(struct(col("dp"), col("code"))).getField("code").as("code"))
-    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
-    val qlut = cb.crossJoin(broadcast(q))
-      .select(col("m"), col("code"),
-      round(dot(slice(col("qv"), col("m") * sub + 1, lit(sub)), col("cw")), 9).as("qd"))
-    codes.join(broadcast(qlut), Seq("m", "code"))
-      .groupBy("vec_id")
-      .agg(max(when(col("m") === 0, col("qd"))).as("d0"),
-      max(when(col("m") === 1, col("qd"))).as("d1"),
-      max(when(col("m") === 2, col("qd"))).as("d2"),
-      max(when(col("m") === 3, col("qd"))).as("d3"))
-      .select(col("vec_id"),
-      round(col("d0") + col("d1") + col("d2") + col("d3"), 4).as("approx_dot"))
-      .orderBy(col("approx_dot").desc, col("vec_id"))
-      .limit(10)
+    val cbRows = cbDf.collect()
+    val cb: Map[Int, Seq[(Int, Seq[Double])]] =
+      cbRows.toSeq.groupBy(_.getInt(0)).map { case (m, rs) =>
+        m -> candLit(rs.map(r =>
+          org.apache.spark.sql.Row(r.getInt(1), r.get(2))).toArray)
+      }
+    val qDf = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val qRows = qDf.collect()
+    if (qRows.isEmpty)
+      // no query vector: the former inner joins produced zero rows
+      emb.filter(lit(false)).select(col("vec_id"),
+        lit(null).cast("double").as("approx_dot"))
+    else {
+      val qlut: Map[(Int, Int), java.lang.Double] =
+        localDf(s, cbRows, cbDf.schema)
+          .crossJoin(broadcast(localDf(s, qRows, qDf.schema)))
+          .select(col("m"), col("code"),
+            round(dot(slice(col("qv"), col("m") * sub + 1, lit(sub)), col("cw")), 9)
+              .as("qd"))
+          .collect()
+          .map(r => ((r.getInt(0), r.getInt(1)),
+            if (r.isNullAt(2)) null
+            else Double.box(r.getDouble(2)): java.lang.Double))
+          .toMap
+      def qd(m: Int, code: Column): Column =
+        element_at(map(cb(m).flatMap { case (c, _) =>
+          val v = qlut((m, c))
+          Seq(lit(c),
+            (if (v == null) lit(null) else lit(v.doubleValue())).cast("double"))
+        }: _*), code)
+      val adc = (0 until M)
+        .map(m => qd(m, argmaxDot(col("embedding"), m, sub, cb(m))))
+        .reduce(_ + _)
+      emb.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), round(adc, 4).as("approx_dot"))
+        .orderBy(col("approx_dot").desc, col("vec_id"))
+        .limit(10)
+    }
   }
 
   val queries: Map[String, Q] = Map(
@@ -344,38 +452,44 @@ object Similarity {
       // cosine: averaging is summation-order-dependent, and a last-ulp
       // difference exactly at a cosine rounding boundary would flip a
       // discrete assignment. Bit-identical inputs remove the boundary case.
-      val cents = emb.groupBy(col("label").as("cell"))
+      //
+      // r21 (the candLit license): the centroid table is bounded catalog
+      // metadata (one row per label) — engine-computed including the 9-dp
+      // rounding, collected once. It re-enters the assignment as an
+      // ArgmaxSim literal (the exact former round(cos,9) max-of-struct
+      // argmax — larger cell on ties) and the probe ranking as a
+      // LocalRelation (identical expressions over identical values). The
+      // former shape crossJoined the broadcast centroids and shuffled the
+      // full embedding payload through a groupBy(vec_id) argmax, and the
+      // probe/refine broadcasts each re-executed their source subplans.
+      val centDf = emb.groupBy(col("label").cast("int").as("cell"))
         .agg(vecMean(col("embedding")).as("c0"))
         .select(col("cell"), transform(col("c0"), x => round(x, 9)).as("centroid"))
-      // Centroid comparisons use the native codegen'd cosine (double
-      // accumulation in index order — the same arithmetic as the HOF form
-      // and DuckDB's list_dot_product) AND are rounded to 9 decimals before
-      // any discrete decision: the centroids come from order-dependent
-      // double summation (VectorMean partition order vs DuckDB avg scan
-      // order), so raw cosines can differ in the last ulp — rounding
-      // absorbs that, and the max-of-(cosine, cell)-struct argmax breaks
-      // exact ties deterministically on both engines.
-      val assigned = emb.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("embedding"), col("cell"),
-          round(graft.functions.GraftFunctions.cosineSim(
-            col("embedding"), col("centroid")), 9).as("c2c"))
-        .groupBy("vec_id")
-        .agg(first("embedding").as("embedding"),
-          max(struct(col("c2c"), col("cell"))).getField("cell").as("cell"))
-      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
-      val probed = cents.crossJoin(broadcast(q))
-        .select(col("cell"), round(graft.functions.GraftFunctions.cosineSim(
-          col("centroid"), col("qvec")), 9).as("qc"))
-        .orderBy(col("qc").desc, col("cell"))
-        .limit(nprobe)
-        .select("cell")
-      assigned.filter(col("vec_id") =!= 0)
-        .join(broadcast(probed), "cell")
-        .crossJoin(broadcast(q))
-        .select(col("vec_id"),
-          round(graft.functions.GraftFunctions.cosineSim(col("embedding"), col("qvec")), 4).as("cos"))
-        .orderBy(col("cos").desc, col("vec_id"))
-        .limit(10)
+      val centRows = centDf.collect()
+      val cents = candLit(centRows)
+      val qDf = emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+      val qRows = qDf.collect()
+      if (qRows.isEmpty)
+        // no query vector: the former broadcast cross join produced zero rows
+        emb.filter(lit(false))
+          .select(col("vec_id"), lit(null).cast("double").as("cos"))
+      else {
+        val qLocal = localDf(s, qRows, qDf.schema)
+        val probed = localDf(s, centRows, centDf.schema)
+          .crossJoin(broadcast(qLocal))
+          .select(col("cell"), round(graft.functions.GraftFunctions.cosineSim(
+            col("centroid"), col("qvec")), 9).as("qc"))
+          .orderBy(col("qc").desc, col("cell"))
+          .limit(nprobe)
+          .collect().map(_.getInt(0)).toSeq
+        emb.filter(col("vec_id") =!= 0)
+          .filter(argmaxCos(col("embedding"), cents).isin(probed: _*))
+          .crossJoin(broadcast(qLocal))
+          .select(col("vec_id"),
+            round(graft.functions.GraftFunctions.cosineSim(col("embedding"), col("qvec")), 4).as("cos"))
+          .orderBy(col("cos").desc, col("vec_id"))
+          .limit(10)
+      }
     }),
 
     // K-means (Lloyd) clustering — the trained-codebook upgrade over the
@@ -393,22 +507,29 @@ object Similarity {
       val k = 8
       val emb = t(s, d, "embeddings")
       val vecMean = graft.functions.VectorMean(64)
-      def assign(cents: org.apache.spark.sql.DataFrame) =
-        emb.crossJoin(broadcast(cents))
-          .select(col("vec_id"), col("embedding"), col("cl"),
-            round(graft.functions.GraftFunctions.cosineSim(
-              col("embedding"), col("cent")), 9).as("c"))
-          .groupBy("vec_id")
-          .agg(first("embedding").as("embedding"),
-            max(struct(col("c"), col("cl"))).getField("cl").as("cl"))
-      val seeds = emb.filter(col("vec_id") < k)
-        .select(col("vec_id").as("cl"), col("embedding").as("cent"))
+      // r21 (the candLit license, the exact buildKMeans discipline): each
+      // Lloyd round's quantizer is bounded metadata (≤ k = 8 centroids),
+      // collected at the round boundary — the k seed vectors, then the k
+      // engine-rounded 9-dp round-1 means — and re-entered as an ArgmaxSim
+      // literal. Assignment becomes one narrow codegen'd projection per
+      // round; the former shape crossJoined the broadcast centroids and
+      // shuffled the FULL embedding payload through a groupBy(vec_id)
+      // argmax — twice per sweep. ArgmaxSim IS the former
+      // round(cos, 9) max-of-struct argmax (larger cl on ties).
+      def assign(cands: Seq[(Int, Seq[Double])]) =
+        emb.select(col("vec_id"), col("embedding"),
+          argmaxCos(col("embedding"), cands).cast("bigint").as("cl"))
+      val seeds = candLit(emb.filter(col("vec_id") < k)
+        .select(col("vec_id").cast("int"), col("embedding")).collect())
       // Round-1 centroid components rounded to 9 dp on both engines, so the
       // round-2 assignment inputs are bit-identical (not just ulp-close) —
       // otherwise a cosine landing exactly on the 9-dp rounding boundary
       // could flip one assignment and fail the hash check.
-      val cent1 = assign(seeds).groupBy("cl").agg(vecMean(col("embedding")).as("c0"))
-        .select(col("cl"), transform(col("c0"), x => round(x, 9)).as("cent"))
+      val cent1 = candLit(assign(seeds).groupBy("cl")
+        .agg(vecMean(col("embedding")).as("c0"))
+        .select(col("cl").cast("int"),
+          transform(col("c0"), x => round(x, 9)))
+        .collect())
       assign(cent1).groupBy("cl")
         .agg(count(lit(1)).as("n_members"), vecMean(col("embedding")).as("cent2"))
         .select(col("cl"), col("n_members"),
@@ -461,14 +582,15 @@ object Similarity {
       graft.functions.GraftFunctions.ensureRegistered(s)
       val k = 8
       val emb = t(s, d, "embeddings")
-      val seeds = emb.filter(col("vec_id") < k)
-        .select(col("vec_id").as("cl"), col("embedding").as("cent"))
-      val assigned = emb.crossJoin(broadcast(seeds))
-        .select(col("vec_id"), col("cl"),
-          round(graft.functions.GraftFunctions.cosineSim(
-            col("embedding"), col("cent")), 9).as("c"))
-        .groupBy("vec_id")
-        .agg(max(struct(col("c"), col("cl"))).getField("cl").as("cl"))
+      // r21 (the candLit license): the k = 8 seed quantizer collects
+      // once; assignment is a narrow per-row ArgmaxSim projection — the
+      // former crossJoin(broadcast(seeds)) + groupBy(vec_id) argmax
+      // shuffled every (vec_id, c, cl) triple. Size census, rate policy
+      // and the keep draw are the identical expressions downstream.
+      val seeds = candLit(emb.filter(col("vec_id") < k)
+        .select(col("vec_id").cast("int"), col("embedding")).collect())
+      val assigned = emb.select(col("vec_id"),
+        argmaxCos(col("embedding"), seeds).cast("bigint").as("cl"))
       val rates = assigned.groupBy("cl").agg(count(lit(1)).as("n_members"))
         .select(col("cl"), col("n_members"),
           least(lit(1.0), lit(40.0) / col("n_members")).as("rate"))
@@ -631,59 +753,81 @@ object Similarity {
       // coarse quantizer: the s_ivf_topk label-centroid codebook, 9-dp
       // components (averaging is summation-order-dependent; rounding
       // makes both engines' assignment inputs bit-identical)
-      val cents = emb.groupBy(col("label").as("cell"))
+      //
+      // r21 (the candLit license): centroids (one row per label) and the
+      // PQ codebook (8 seed rows) are bounded catalog metadata —
+      // collected once (engine-computed, incl. the 9-dp rounding), they
+      // re-enter the assignment/coding pass as ArgmaxSim literals and the
+      // probe ranking + ADC LUT as LocalRelations. The former shape
+      // shuffled the FULL embedding payload through a groupBy(vec_id)
+      // argmax, exploded every candidate into 4 subspace rows and
+      // shuffled those through a groupBy(vec_id, m) argmax + a pivot
+      // groupBy; all three are now per-row codegen'd projections, leaving
+      // two narrow probed-cell scans (ADC shortlist + exact refine).
+      val centDf = emb.groupBy(col("label").cast("int").as("cell"))
         .agg(vecMean(col("embedding")).as("c0"))
         .select(col("cell"), transform(col("c0"), x => round(x, 9)).as("centroid"))
-      val assigned = emb.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("embedding"), col("cell"),
-          round(cos(col("embedding"), col("centroid")), 9).as("c2c"))
-        .groupBy("vec_id")
-        .agg(first("embedding").as("embedding"),
-          max(struct(col("c2c"), col("cell"))).getField("cell").as("cell"))
-      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
-      val probed = cents.crossJoin(broadcast(q))
-        .select(col("cell"), round(cos(col("centroid"), col("qv")), 9).as("qc"))
-        .orderBy(col("qc").desc, col("cell")).limit(nprobe).select("cell")
-      val cand = assigned.filter(col("vec_id") =!= 0)
-        .join(broadcast(probed), "cell")
-      // PQ half: the s_pq_topk global codebook (first 8 vectors'
-      // subvectors = 8 codes × M subspaces), codes argmaxed only for the
-      // probed-cell candidates
+      val centRows = centDf.collect()
+      val cents = candLit(centRows)
       def subspaces(v: Column, out: String): Column =
         explode(array((0 until M).map(m =>
           struct(lit(m).as("m"), slice(v, m * sub + 1, sub).as(out))): _*))
-      val cb = emb.filter(col("vec_id") < 8)
+      val cbDf = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").cast("int").as("code"),
           subspaces(col("embedding"), "cw").as("x"))
         .select(col("x.m").as("m"), col("code"), col("x.cw").as("cw"))
-      val codes = cand
-        .select(col("vec_id"), subspaces(col("embedding"), "sv").as("x"))
-        .select(col("vec_id"), col("x.m").as("m"), col("x.sv").as("sv"))
-        .join(broadcast(cb), "m")
-        .select(col("vec_id"), col("m"), col("code"),
-          round(dotN(col("sv"), col("cw")), 9).as("dp"))
-        .groupBy("vec_id", "m")
-        .agg(max(struct(col("dp"), col("code"))).getField("code").as("code"))
-      val qlut = cb.crossJoin(broadcast(q))
-        .select(col("m"), col("code"),
-          round(dotN(slice(col("qv"), col("m") * sub + 1, lit(sub)), col("cw")), 9)
-            .as("qd"))
-      val short = codes.join(broadcast(qlut), Seq("m", "code"))
-        .groupBy("vec_id")
-        .agg(max(when(col("m") === 0, col("qd"))).as("d0"),
-          max(when(col("m") === 1, col("qd"))).as("d1"),
-          max(when(col("m") === 2, col("qd"))).as("d2"),
-          max(when(col("m") === 3, col("qd"))).as("d3"))
-        .select(col("vec_id"),
-          round(col("d0") + col("d1") + col("d2") + col("d3"), 4).as("adc"))
-        .orderBy(col("adc").desc, col("vec_id")).limit(shortlist)
-      cand.select(col("vec_id"), col("embedding"))
-        .join(broadcast(short), "vec_id")
-        .crossJoin(broadcast(q))
-        .select(col("vec_id"), col("adc"),
-          round(cos(col("embedding"), col("qv")), 4).as("cos"))
-        .orderBy(col("cos").desc, col("vec_id"))
-        .limit(10)
+      val cbRows = cbDf.collect()
+      val cb: Map[Int, Seq[(Int, Seq[Double])]] =
+        cbRows.toSeq.groupBy(_.getInt(0)).map { case (m, rs) =>
+          m -> candLit(rs.map(r =>
+            org.apache.spark.sql.Row(r.getInt(1), r.get(2))).toArray)
+        }
+      val qDf = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      val qRows = qDf.collect()
+      if (qRows.isEmpty)
+        // no query vector: the former broadcast joins produced zero rows
+        emb.filter(lit(false)).select(col("vec_id"),
+          lit(null).cast("double").as("adc"), lit(null).cast("double").as("cos"))
+      else {
+        val qLocal = localDf(s, qRows, qDf.schema)
+        val probed = localDf(s, centRows, centDf.schema)
+          .crossJoin(broadcast(qLocal))
+          .select(col("cell"), round(cos(col("centroid"), col("qv")), 9).as("qc"))
+          .orderBy(col("qc").desc, col("cell")).limit(nprobe)
+          .collect().map(_.getInt(0)).toSeq
+        def cand = emb.filter(col("vec_id") =!= 0)
+          .withColumn("cell", argmaxCos(col("embedding"), cents))
+          .filter(col("cell").isin(probed: _*))
+        val qlut: Map[(Int, Int), java.lang.Double] =
+          localDf(s, cbRows, cbDf.schema)
+            .crossJoin(broadcast(qLocal))
+            .select(col("m"), col("code"),
+              round(dotN(slice(col("qv"), col("m") * sub + 1, lit(sub)), col("cw")), 9)
+                .as("qd"))
+            .collect()
+            .map(r => ((r.getInt(0), r.getInt(1)),
+              if (r.isNullAt(2)) null
+              else Double.box(r.getDouble(2)): java.lang.Double))
+            .toMap
+        def qd(m: Int, code: Column): Column =
+          element_at(map(cb(m).flatMap { case (c, _) =>
+            val v = qlut((m, c))
+            Seq(lit(c),
+              (if (v == null) lit(null) else lit(v.doubleValue())).cast("double"))
+          }: _*), code)
+        val adc = round((0 until M)
+          .map(m => qd(m, argmaxDot(col("embedding"), m, sub, cb(m))))
+          .reduce(_ + _), 4)
+        val short = cand.select(col("vec_id"), adc.as("adc"))
+          .orderBy(col("adc").desc, col("vec_id")).limit(shortlist)
+        cand.select(col("vec_id"), col("embedding"))
+          .join(broadcast(short), "vec_id")
+          .crossJoin(broadcast(qLocal))
+          .select(col("vec_id"), col("adc"),
+            round(cos(col("embedding"), col("qv")), 4).as("cos"))
+          .orderBy(col("cos").desc, col("vec_id"))
+          .limit(10)
+      }
     }),
 
     // PERSISTED IVF-PQ index, build side (graft.io.AnnIndex): the

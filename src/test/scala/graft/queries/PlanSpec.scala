@@ -93,9 +93,15 @@ class PlanSpec extends SparkSpec {
     assert(plan("s_ann_recall").toString.contains("BroadcastHashJoin"))
   }
 
-  test("s_ivf_topk: probed-cell join broadcasts, top-k is TakeOrdered not a full sort") {
+  test("s_ivf_topk: literal-quantizer cell filter, top-k is TakeOrdered not a full sort") {
+    // r21: cell membership is a per-row ArgmaxSim literal + IN filter on
+    // the scan (the former broadcast-join + groupBy(vec_id) argmax shape
+    // shuffled the embedding payload); the only join left is the 1-row
+    // local query side.
     val p = plan("s_ivf_topk").toString
-    assert(p.contains("BroadcastHashJoin"), "cell membership must be a broadcast hash join")
+    assert(p.contains("argmax_sim"), "cell membership must be the literal ArgmaxSim filter")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "nothing data-sized may shuffle-join")
     assert(p.contains("TakeOrderedAndProject"), "rerank top-k must not full-sort")
   }
 
@@ -364,11 +370,15 @@ class PlanSpec extends SparkSpec {
       "dedup row_number must partition by (user, type, win)")
   }
 
-  test("s_pq_topk: codebook and ADC lookup ride broadcasts; codes partial-aggregate") {
+  test("s_pq_topk: literal codes + ADC map — one narrow scan, zero exchanges") {
+    // r21: per-subspace codes are ArgmaxSim literals and the ADC LUT is a
+    // literal (code → qd) map, so the whole scoring pass is one narrow
+    // codegen'd projection + TakeOrdered (the former shape exploded every
+    // vector ×4, broadcast-joined the codebook and shuffled the stream
+    // through two groupBys).
     val p = plan("s_pq_topk").toString
-    assert(p.split("BroadcastHashJoin").length - 1 >= 2,
-      "cb join and qlut join must both be broadcast hash joins")
-    assert(p.contains("partial_max"), "per-subspace argmax must map-side combine")
+    assert(p.contains("argmax_sim"), "per-subspace codes must be literal ArgmaxSim")
+    assert(!p.contains("Exchange"), "the scoring pass must not shuffle")
     assert(p.contains("TakeOrderedAndProject"), "top-10 must not globally sort")
   }
 
@@ -557,12 +567,17 @@ class PlanSpec extends SparkSpec {
     assert(p.toString.contains("partial_sum"))
   }
 
-  test("s_semdedup: both pairwise sides reuse one assignment exchange") {
+  test("s_semdedup: literal flat-path assignment; pairwise meets via hash join") {
+    // r21: the flat-path Lloyd rounds are narrow ArgmaxSim projections
+    // (no assignment exchange left to reuse — the former shape shuffled
+    // the embedding payload through two groupBy(vec_id) aggregates); the
+    // cluster-local pairwise stage meets via a hash join on cl, never a
+    // cartesian.
     val df = SparkEntry.queries("s_semdedup")(spark, TestSpark.sf0001)
     df.collect()
     val ep = df.queryExecution.executedPlan.toString
-    assert(ep.contains("ReusedExchange"),
-      "a and b are the same canonical assignment subplan")
+    assert(ep.contains("argmax_sim"),
+      "flat-path assignment must be the literal ArgmaxSim projection")
     assert(!ep.contains("CartesianProduct"))
   }
 
